@@ -1,0 +1,441 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns._
+
+/** Core relational operator coverage (SURVEY.md §2.2, §2.4–§2.6, §2.9,
+  * §2.10) expressed over the TPC-H-ish test tables.
+  *
+  * Every query is paired with an ANSI-SQL oracle in [[Relational.oracles]].
+  * Conventions that make the hash-compare deterministic:
+  *  - every double aggregate goes through exact decimal (Fns.dsum/davg);
+  *  - every query ends in a total ORDER BY with a unique tie-break key;
+  *  - every integer-valued computed column is cast to long (BIGINT) so
+  *    Spark and DuckDB agree on output schema.
+  *
+  * Scale notes (100 TB posture): joins put the big fact table on the
+  * probe side and let Catalyst broadcast the dimension side (region/
+  * nation/customer/supplier are orders of magnitude smaller than
+  * lineitem); aggregates are partial+final (map-side combine) by
+  * construction; top-k queries end in orderBy+limit which Spark plans as
+  * TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + partial/final agg.
+    * Reference analog: dashboard KPI aggregation (SURVEY.md §2.5 A1–A6),
+    * done distributed instead of client-side pandas.
+    */
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
+          .as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Filter + projection + top-k (P1/P2/T1/T2): IN-list predicate pushed
+    * to the parquet scan, TakeOrderedAndProject for the limit.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderstatus".isin("O", "F"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Fact-fact-dimension join + agg + top-k: revenue per customer.
+    * lineitem (fact) joins orders (fact) on the shuffle key, customer is
+    * broadcast by Catalyst (dimension-sized).
+    */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
+          .as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Star join through 4 dimension hops, filtered on region, grouped by
+    * nation. All dimension sides broadcast; the single shuffle is the
+    * final aggregate on n_name.
+    */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val n  = t(s, dir, "nation")
+    val r  = t(s, dir, "region").filter($"r_name".isin("ASIA", "EUROPE"))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Semi join (EXISTS): customers having at least one open order.
+    * Planned as a broadcast/shuffled LeftSemi — no row multiplication.
+    */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** Anti join (NOT EXISTS): customers with no 1995 order. */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(year($"o_orderdate") === 1995)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Window top-n per group (SURVEY.md §2.9): two largest orders per
+    * customer by row_number over a partitioned window.
+    */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Cumulative window aggregate: running spend per user over the events
+    * stream, exact decimal so the cumulative sum is order-independent
+    * within the frame.
+    */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    t(s, dir, "events")
+      .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
+      .select($"user_id", $"event_id", $"value", $"running_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Rollup (hierarchical grouping sets) over order status x priority.
+    * NULL group markers are folded to 'ALL' so ordering semantics match
+    * any oracle regardless of its NULLS FIRST/LAST default.
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+      .orderBy($"status", $"priority")
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Distinct aggregates: per-order supplier/part fan-out histogram.
+    * Two-level aggregation — the first level shuffles on l_orderkey, the
+    * second is a tiny re-agg of the histogram.
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"))
+      .groupBy($"n_supp", $"n_part")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_supp", $"n_part")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Set operations (SURVEY.md §2.10): customers ordering in both 1995
+    * and 1996, minus any with a pending ('P') order.
+    */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val y95 = o.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+    val y96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+    val pend = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    y95.intersect(y96).except(pend)
+      .orderBy($"o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Ordered CASE WHEN classifier — same first-match-wins shape as the
+    * reference's difficulty classifier (SURVEY.md §2.7 F3,
+    * scraper/main.py:167-182), applied to part descriptions.
+    */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cls = when(lower($"p_type").contains("econ"), "budget")
+      .when(lower($"p_type").contains("small"), "compact")
+      .when(lower($"p_type").contains("standard"), "baseline")
+      .when(lower($"p_type").contains("promo"), "promoted")
+      .otherwise("other")
+    t(s, dir, "part")
+      .withColumn("class", cls)
+      .groupBy($"class")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"p_retailprice").as("avg_price"),
+        sum($"p_size".cast("long")).as("total_size"))
+      .orderBy($"class")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Scalar normalization chain — md5 keying, regexp extraction, casing,
+    * substring (SURVEY.md §2.7 F1/F5/F7/F9) over part names.
+    */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        md5($"p_name").as("part_id"),
+        upper($"p_name").as("uname"),
+        substring($"p_name", 1, 5).as("prefix"),
+        regexp_extract($"p_brand", "(\\d+)", 1).cast("long").as("brand_num"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Higher-order array functions over tokenized text (SURVEY.md §2.12):
+    * split/filter/distinct without any UDF — stays in codegen.
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("toks", wsTokens($"text"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        element_at($"toks", 1).as("first_tok"),
+        element_at($"toks", -1).as("last_tok"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Event-time bucketing: hourly tumbling aggregation per event type —
+    * the batch shape of the streaming windowed agg (SURVEY.md §2.11).
+    */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", $"ts").as("hour"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum($"value").as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Dashboard KPI row (SURVEY.md §3.1): global count / exact avg / modal
+    * value in one result row. The mode uses the explicit
+    * groupBy-count-orderBy form for deterministic tie-breaks (§2.5 A3).
+    */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val kpi = o.agg(
+      count(lit(1)).as("n_orders"),
+      davg($"o_totalprice").as("avg_price"))
+    val modePrio = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"o_orderpriority".asc)
+      .limit(1)
+      .select($"o_orderpriority".as("top_priority"))
+    kpi.crossJoin(modePrio)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_topk"     -> (q02 _),
+    "q03_join_revenue"    -> (q03 _),
+    "q04_star_join"       -> (q04 _),
+    "q05_semi_join"       -> (q05 _),
+    "q06_anti_join"       -> (q06 _),
+    "q07_window_topn"     -> (q07 _),
+    "q08_running_sum"     -> (q08 _),
+    "q09_rollup"          -> (q09 _),
+    "q10_distinct_agg"    -> (q10 _),
+    "q11_set_ops"         -> (q11 _),
+    "q12_case_classifier" -> (q12 _),
+    "q13_scalar_funcs"    -> (q13 _),
+    "q14_array_hof"       -> (q14 _),
+    "q15_hourly_window"   -> (q15 _),
+    "q16_kpi_row"         -> (q16 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('O','F')
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA','EUROPE')
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) sub
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q08_running_sum" ->
+      """SELECT user_id, event_id, value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q09_rollup" ->
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        | COALESCE(o_orderpriority,'ALL') AS priority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT n_supp, n_part, COUNT(*) AS n_orders FROM (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT l_partkey) AS n_part
+        |  FROM lineitem GROUP BY l_orderkey) sub
+        |GROUP BY n_supp, n_part
+        |ORDER BY n_supp, n_part""".stripMargin,
+    "q11_set_ops" ->
+      """(SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q12_case_classifier" ->
+      """SELECT CASE
+        |   WHEN contains(lower(p_type), 'econ') THEN 'budget'
+        |   WHEN contains(lower(p_type), 'small') THEN 'compact'
+        |   WHEN contains(lower(p_type), 'standard') THEN 'baseline'
+        |   WHEN contains(lower(p_type), 'promo') THEN 'promoted'
+        |   ELSE 'other' END AS class,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+        | SUM(CAST(p_size AS BIGINT)) AS total_size
+        |FROM part GROUP BY 1 ORDER BY class""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT p_partkey, md5(p_name) AS part_id, upper(p_name) AS uname,
+        | substring(p_name, 1, 5) AS prefix,
+        | CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT) AS brand_num,
+        | CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_array_hof" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        | toks[1] AS first_tok,
+        | toks[-1] AS last_tok
+        |FROM (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+        |  FROM documents) sub
+        |ORDER BY doc_id""".stripMargin,
+    "q15_hourly_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q16_kpi_row" ->
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+        | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) FROM orders) AS avg_price,
+        | (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+        |  ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_priority""".stripMargin)
+}
