@@ -1,0 +1,160 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.TextAnalysis._
+
+/** Deduplication operators, from exact keyed dedup (the reference's
+  * upsert semantics, SURVEY.md §2.3 D1–D3) up to the near-duplicate
+  * families a training-data pipeline needs (MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding cosine).
+  *
+  * Scale posture (100 TB): every near-dup operator is built
+  * candidate-generation-first — documents are bucketed by a short key
+  * (minhash band, simhash band, shared shingle) and only bucket-mates
+  * are compared, so the quadratic all-pairs step never materializes on
+  * the full corpus. The candidate joins are plain equi-joins on the
+  * bucket key, which Spark shuffles by key — skew in a hot bucket is
+  * handled by AQE skew-join splitting.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct
+    * content, with the keeper (min id) and the duplicate count.
+    * (SURVEY.md §2.3 D3: the reference keys on md5 exactly like this.)
+    */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_key"))
+      .agg(
+        min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Last-write-wins keyed dedup (SURVEY.md §2.3 D2): latest row per
+    * key by (orderCol desc, idCol desc) — the Mongo-upsert / ES-doc-id
+    * semantics of the reference, as one window pass.
+    */
+  def lastWriteWins(df: DataFrame, keyCol: String, orderCol: String,
+                    idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(idCol).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Distinct word n-gram shingle set per document. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(toks(col(textCol)), n)).as("shs"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidate pairs share at
+    * least one shingle (inverted-index equi-join — never all-pairs),
+    * then Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= tau.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select($"doc_id", size($"shs").cast("long").as("nsh"))
+    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") /
+          (col("sa.nsh") + col("sb.nsh") - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= tau)
+  }
+
+  // ------------------------------------------------------------ MinHash
+  /** MinHash signature columns: sig_i = min over shingles of
+    * md5(i || '|' || shingle). String-min over md5 hex is a valid
+    * min-hash family (md5 is uniform on hex strings) and — unlike
+    * integer seeds — is reproducible in any engine with md5.
+    * (Broder, "On the resemblance and containment of documents", 1997.)
+    */
+  def withMinhashSignature(sets: DataFrame, numHashes: Int): DataFrame =
+    (0 until numHashes).foldLeft(sets) { (df, i) =>
+      df.withColumn(s"sig$i",
+        array_min(transform($"shs", sh => md5(concat(lit(s"$i|"), sh)))))
+    }
+
+  /** MinHash + LSH banded near-dup pairs: signatures are split into
+    * `bands` bands of `rowsPerBand`; documents colliding in any band
+    * become candidates; candidates are verified with the exact shingle
+    * Jaccard and kept when >= tau. Output (doc_a, doc_b, jaccard).
+    *
+    * This is the 100 TB path: cost is O(corpus x bands) for bucketing
+    * plus the (tiny) verified-candidate join, not O(corpus^2).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      tau: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .filter(size($"shs") > 0)
+    val sigs = withMinhashSignature(sets, bands * rowsPerBand)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bkey"))
+    }
+    val buckets = sigs
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cands
+      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
+          .as("jaccard"))
+    verified.filter($"jaccard" >= tau)
+  }
+
+
+  // ------------------------------------------------------------ SimHash
+  /** SimHash near-dup pairs at Hamming distance <= maxDist on a 32-bit
+    * fingerprint. Candidates come from banding the fingerprint into
+    * (maxDist+1) bands — by pigeonhole, any pair within maxDist collides
+    * on at least one whole band, so banding loses nothing and keeps the
+    * join linear in the corpus.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val nBands = maxDist + 1
+    val bandLen = 32 / nBands
+    val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("mds", transform(toks($"text"), t => md5(t)))
+      .select($"doc_id", simhash32($"mds").as("fp"))
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        substring($"fp", b * bandLen + 1, bandLen).as("bkey"))
+    }
+    val buckets = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("dist", hamming($"fp_a", $"fp_b", 32))
+      .filter($"dist" <= maxDist)
+      .select($"doc_a", $"doc_b", $"dist")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+package ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism design: float components are quantized to integers
+  * (floor(x * 1e6) as long) before any arithmetic, so dot products and
+  * norms are EXACT int64 sums — order-independent, shuffle-layout-
+  * independent, and bit-identical in any engine. The final cosine is a
+  * single IEEE double division. At 64 dims and |x| < 100 the products
+  * stay far below int64 range. Quantization error (~1e-6 per component,
+  * relative) is far below any meaningful similarity threshold.
+  *
+  * Scale posture: brute force is the small-side baseline (and stays the
+  * right answer when the QUERY set is small: broadcast queries x corpus
+  * scan is one pass, no shuffle). The LSH variant (random-hyperplane
+  * signs, Charikar STOC'02) buckets the corpus so candidate generation
+  * is an equi-join on the bucket key — the 100 TB path.
+  */
+object Similarity {
+
+  /** Quantized integer vector: floor(x * 1e6) per component. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact int64 squared norm of a quantized vector. */
+  def qnorm2(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from exact integer dot/norms (double at the very
+    * end only; norms multiplied in double to dodge int64 overflow).
+    */
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  /** Corpus with quantized vector + cached squared norm. */
+  def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", qnorm2($"qv"))
+
+  /** Brute-force top-k cosine neighbors for a (small, broadcastable)
+    * query set: one corpus scan, no shuffle before the per-query top-k.
+    * Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k.
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select($"vec_id".as("query_id"),
+      $"qv".as("q_qv"), $"n2".as("q_n2")))
+    val scored = corpus.join(q, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= tau with id_a < id_b.
+    * All-pairs on the corpus — correct as the verification step or on
+    * bounded partitions; use [[signBuckets]] candidates first at scale.
+    */
+  def cosineDupPairs(corpus: DataFrame, tau: Double): DataFrame =
+    corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(qdot(col("a.qv"), col("b.qv")),
+          col("a.n2"), col("b.n2")).as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+
+  /** Random-hyperplane sign bucket key (nBits-char '0'/'1' string).
+    * Hyperplane p's component for dimension d is +1/-1 from a bit of
+    * md5(p|d) — deterministic, engine-portable, no stored plane matrix.
+    * sign(h_p . v) uses the exact quantized sum, so bucket assignment
+    * is itself deterministic.
+    */
+  def signBucket(qv: Column, nBits: Int, dims: Int): Column = {
+    val bitChars = (0 until nBits).map { p =>
+      // Sign vector is constant per (p,d): fold it at plan build time.
+      val dotExpr = (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$d".getBytes("UTF-8"))
+        val sign = if ((h(0) & 1) == 1) 1L else -1L
+        element_at(qv, d + 1) * lit(sign)
+      }.reduce(_ + _)
+      when(dotExpr > 0, "1").otherwise("0")
+    }
+    concat(bitChars: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: queries only compare against
+    * corpus vectors in the same sign bucket (plus the per-query exact
+    * re-rank). Recall depends on nBits; with small nBits and clustered
+    * data this is a strict candidate superset of near-identical pairs.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+             nBits: Int, dims: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", signBucket($"qv", nBits, dims))
+    val qb = broadcast(queries
+      .withColumn("bucket", signBucket($"qv", nBits, dims))
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"n2".as("q_n2"), $"bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+package ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, document
+  * fingerprinting. All are pure Column expressions (no UDFs) so they
+  * stay inside whole-stage codegen and scale linearly with the corpus —
+  * the per-document cost is independent of corpus size and there is no
+  * shuffle in any of them.
+  *
+  * Reference analog: the ES `standard` analyzer + derived text fields
+  * (SURVEY.md §2.8 Q6, scraper/main.py:275-276); generalized here per
+  * the north star (BASELINE.json).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (deterministic, oracle-parity). */
+  def toks(text: Column): Column = Fns.wsTokens(text)
+
+  /** Word n-gram shingles over a token array. Empty when the document
+    * has fewer than n tokens (guards Spark's descending `sequence`).
+    */
+  def shingles(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(1), size(toksCol) - lit(n - 1)),
+        i => concat_ws(" ", slice(toksCol, i, n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(toks(text)).cast("long")
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    * non-space punctuation each count as one token (the shape of a GPT-2
+    * style pre-tokenizer, without the merges table).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0))).cast("long")
+
+  // ------------------------------------------------------------ lang id
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Deliberately small and literal so the same lists inline into an SQL
+    * oracle.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht"),
+    "es" -> Seq("el", "los", "las", "y", "un", "es", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** Count of tokens that are stopwords of the given language. */
+  def langScore(toksCol: Column, lang: String): Column = {
+    val sw = array(stopwords.toMap.apply(lang).map(lit): _*)
+    size(filter(toksCol, t => array_contains(sw, t))).cast("long")
+  }
+
+  /** Predicted language: argmax of stopword hits with a fixed tie-break
+    * order (en, fr, de, es, zh), 'und' when no stopword hits at all.
+    * The decision chain is written as first-match CASE WHEN so an SQL
+    * oracle reproduces ties exactly.
+    */
+  def langId(toksCol: Column): Column = {
+    val s = stopwords.map { case (l, _) => l -> langScore(toksCol, l) }.toMap
+    val total = s.values.reduce(_ + _)
+    when(total === 0, "und")
+      .when(s("en") >= s("fr") && s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("zh"), "en")
+      .when(s("fr") >= s("de") && s("fr") >= s("es") && s("fr") >= s("zh"), "fr")
+      .when(s("de") >= s("es") && s("de") >= s("zh"), "de")
+      .when(s("es") >= s("zh"), "es")
+      .otherwise("zh")
+  }
+
+  // ------------------------------------------------------- quality score
+  /** Composite document quality in [0,1]: length, lexical diversity,
+    * mean word length, stopword density. Every term derives from integer
+    * counts through a fixed IEEE expression tree, so the double result
+    * is bit-reproducible (and SQL-oracle-comparable).
+    */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nt = size(t).cast("double")
+    val nc = length(text).cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double")
+    val enSw = array(stopwords.toMap.apply("en").map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(enSw, x))).cast("double")
+    when(nt === 0.0, 0.0).otherwise(
+      lit(0.25) * least(lit(1.0), nc / lit(400.0)) +
+      lit(0.25) * (nDistinct / nt) +
+      lit(0.25) * least(lit(1.0), (sumLen / nt) / lit(6.0)) +
+      lit(0.25) * (lit(1.0) - abs(nStop / nt - lit(0.15))))
+  }
+
+  // ------------------------------------------------------- fingerprinting
+  /** Content fingerprint: minimum md5 over word 5-gram shingles (the
+    * min-hash / winnowing family — Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03). Documents
+    * sharing any region of >= 5 words are likely to collide; md5 of the
+    * whole text is the fallback for very short documents.
+    */
+  def fingerprint(text: Column): Column = {
+    val sh = shingles(toks(text), 5)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+      .otherwise(md5(text))
+  }
+
+  // ------------------------------------------------------------- simhash
+  private val hexDigits = "0123456789abcdef"
+
+  /** 32-bit SimHash (Charikar, STOC'02) of the token multiset, returned
+    * as a 32-char '0'/'1' string (portable across engines — no 64-bit
+    * unsigned juggling). Bit j is derived from nibble j/4, bit j%4 of
+    * each token's md5; the per-token ±1 votes are summed exactly in
+    * integers. `mdCol` must be a materialized array of per-token md5
+    * hex strings (computed once per document).
+    */
+  def simhash32(mdCol: Column): Column = {
+    val bitChars = (0 until 32).map { j =>
+      val nibblePos = j / 4 + 1
+      val bitDiv = 1 << (j % 4)
+      val vote = aggregate(mdCol, lit(0), (acc, m) => {
+        val v = instr(lit(hexDigits), substring(m, nibblePos, 1)) - 1
+        val bit = (v.cast("int") / lit(bitDiv)).cast("int") % 2
+        acc + (bit * 2 - 1)
+      })
+      when(vote > 0, "1").otherwise("0")
+    }
+    concat(bitChars: _*)
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' fingerprint
+    * strings, as a codegen-friendly expression.
+    */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""),
+      (x, y) => x =!= y), p => p)).cast("long")
+}

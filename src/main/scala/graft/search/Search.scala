@@ -1,0 +1,111 @@
+package graft
+package search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Engine-native full-text search — the Spark restatement of the
+  * reference's Elasticsearch query surface (SURVEY.md §2.8 Q1–Q8,
+  * app/main.py:75-206).
+  *
+  * Semantics (documented deviation per SURVEY.md §2.8): ES/Lucene BM25
+  * scores are not reproduced bit-for-bit; scoring here is deterministic
+  * and engine-defined:
+  *  - fuzzy matching uses the ES AUTO rule exactly — edit distance 0
+  *    for query tokens of length <= 2, 1 for length 3..5, 2 for >= 6;
+  *  - relevance = matched-token counts (integers) or inverse-df
+  *    weighted counts in FIXED POINT (floor(tf * N/df * 1e9) summed as
+  *    int64) so ranking is bit-reproducible across engines, partition
+  *    layouts, and re-runs.
+  *
+  * Scale posture: the query side is a handful of tokens — every join
+  * here broadcasts the query/df-stats side and streams the corpus once.
+  * Top-k goes through orderBy+limit = TakeOrderedAndProject (per-
+  * partition heaps + driver merge, no global sort).
+  */
+object Search {
+
+  /** ES `standard`-analyzer-style tokens (lowercase, Unicode word
+    * boundaries, no accent folding — SURVEY.md §2.8 Q6).
+    */
+  def analyze(text: Column): Column = Fns.tokens(text)
+
+  /** ES AUTO fuzziness threshold for a query token (length-based). */
+  def autoFuzz(qt: Column): Column =
+    when(length(qt) <= 2, 0).when(length(qt) <= 5, 1).otherwise(2)
+
+  /** Does any token of `docToks` fuzzy-match the literal query token? */
+  def fuzzyHit(docToks: Column, qt: String): Column =
+    exists(docToks, dt => levenshtein(dt, lit(qt)) <= autoFuzz(lit(qt)))
+
+  /** Number of query tokens with at least one fuzzy match in docToks
+    * (the multi_match OR semantics, Q1).
+    */
+  def fuzzyMatchedCount(docToks: Column, queryToks: Seq[String]): Column = {
+    val qarr = array(queryToks.map(lit): _*)
+    size(filter(qarr, qt =>
+      exists(docToks, dt => levenshtein(dt, qt) <= autoFuzz(qt)))).cast("long")
+  }
+
+  /** ALL query tokens fuzzy-match (the `operator: and` semantics, Q2). */
+  def fuzzyAll(docToks: Column, queryToks: Seq[String]): Column = {
+    val qarr = array(queryToks.map(lit): _*)
+    forall(qarr, qt =>
+      exists(docToks, dt => levenshtein(dt, qt) <= autoFuzz(qt)))
+  }
+
+  /** Case-insensitive wildcard-contains (Q3: `*ing*`). */
+  def wildcard(field: Column, needle: String): Column =
+    lower(field).contains(needle.toLowerCase)
+
+  /** One "frigo" ingredient clause (Q4): fuzzy-AND over the clause
+    * tokens OR raw contains — catches glued tokens like "1oeuf".
+    */
+  def clauseMatch(docToks: Column, rawField: Column, clause: String): Column = {
+    val toks = clause.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    fuzzyAll(docToks, toks.toSeq) || wildcard(rawField, clause)
+  }
+
+  /** Frigo search (Q5, app/main.py:109-154): N clauses, keep documents
+    * matching at least `minShouldMatch`, score = matched clause count
+    * (more matched ingredients rank first).
+    */
+  def minShouldMatchScore(docToks: Column, rawField: Column,
+                          clauses: Seq[String]): Column =
+    clauses.map(c => when(clauseMatch(docToks, rawField, c), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Multi-field fuzzy search (Q1 multi_match over weighted fields):
+    * score = sum over fields of weight * matched-token-count. Returns
+    * the corpus with an integer `score` column (filter/top-k at call
+    * site).
+    */
+  def multiMatchScore(fields: Seq[(Column, Long)], queryToks: Seq[String]): Column =
+    fields.map { case (fToks, w) =>
+      fuzzyMatchedCount(fToks, queryToks) * lit(w)
+    }.reduce(_ + _)
+
+  /** Exact-token inverse-df ranked search in fixed point (Q1's ranked
+    * variant): contribution of query token t in doc d =
+    * floor(tf(t,d) * (N / df(t)) * 1e9) summed as int64.
+    * df is computed as a distributed aggregate and broadcast back.
+    * Returns (id, score_fp) for docs with score > 0.
+    */
+  def idfSearch(docs: DataFrame, idCol: String, textCol: String,
+                queryToks: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(analyze(col(textCol))).as("tok"))
+      .filter($"tok".isin(queryToks: _*))
+    val n = docs.count() // small scalar; one job, reused in the literal below
+    val df_ = toks.select($"id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df_), Seq("tok"))
+      .withColumn("contrib",
+        floor($"tf".cast("double") *
+          (lit(n.toDouble) / $"df".cast("double")) * lit(1e9)).cast("long"))
+      .groupBy($"id").agg(sum($"contrib").as("score_fp"))
+      .filter($"score_fp" > 0)
+  }
+}
