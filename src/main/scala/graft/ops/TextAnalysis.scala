@@ -27,7 +27,7 @@ object TextAnalysis {
   def shingles(toksCol: Column, n: Int): Column =
     when(size(toksCol) >= n,
       transform(sequence(lit(1), size(toksCol) - lit(n - 1)),
-        i => concat_ws(" ", slice(toksCol, i, n))))
+        i => concat_ws(" ", slice(toksCol, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
   /** Whitespace token count. */
