@@ -31,12 +31,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    def report(name: String, phase: String, e: Throwable): Unit =
+      System.err.println(
+        s"[bench] $phase $name failed: ${e.getClass.getName}: ${e.getMessage}")
     names.foreach { n =>                      // warmup (untimed)
-      try force(n) catch { case _: Throwable => () }
+      try force(n) catch { case e: Throwable => report(n, "warmup", e) }
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch { case _: Throwable => false }
+      val ok = try { force(name); true }
+               catch { case e: Throwable => report(name, "timed", e); false }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
     }

@@ -20,10 +20,14 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
     // nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in every
     // session builder here). Normalize to a microsecond TimestampType with
-    // integer division (truncation — matches a ns->us timestamp cast).
+    // FLOOR division — `DIV` truncates toward zero, which would disagree
+    // with a ns->us timestamp cast by 1us on pre-1970 (negative) values.
+    // Subtracting pmod first keeps the arithmetic exact in int64 (a double
+    // division would lose precision at 2^60-scale nanos).
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")))
       case None => df
     }
   }
