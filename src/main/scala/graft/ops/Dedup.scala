@@ -51,25 +51,37 @@ object Dedup {
       array_distinct(shingles(toks(col(textCol)), n)).as("shs"))
 
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share at
-    * least one shingle (inverted-index equi-join — never all-pairs),
-    * then Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
+    * least one RARE shingle (document frequency <= maxDf) via an
+    * inverted-index equi-join — never all-pairs — then the candidates
+    * are verified with the exact Jaccard over the FULL shingle sets:
+    * |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= tau.
+    *
+    * The df cap is the standard skew guard: one hot shingle (a common
+    * 5-word phrase) would otherwise contribute O(df²) candidate pairs
+    * and make the hottest bucket quadratic at corpus scale. Pairs whose
+    * ONLY shared shingles are hot ones are missed by construction —
+    * that is the documented trade; route through [[minhashLshPairs]]
+    * when probabilistic recall guarantees are needed at 100 TB.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
+                        n: Int, tau: Double, maxDf: Long = 1000L): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select($"doc_id", size($"shs").cast("long").as("nsh"))
     val inv = sets.select($"doc_id", explode($"shs").as("sh"))
-    val inter = inv.as("a").join(inv.as("b"),
+    val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"sh")
+    val cinv = inv.join(rare, Seq("sh"))
+    val cands = cinv.as("a").join(cinv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sizes.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
       .select($"doc_a", $"doc_b",
-        ($"inter".cast("double") /
-          (col("sa.nsh") + col("sb.nsh") - $"inter").cast("double"))
+        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
+          (size(col("sa.shs")) + size(col("sb.shs"))
+            - size(array_intersect(col("sa.shs"), col("sb.shs")))).cast("double"))
           .as("jaccard"))
       .filter($"jaccard" >= tau)
   }
@@ -128,22 +140,35 @@ object Dedup {
 
 
   // ------------------------------------------------------------ SimHash
-  /** SimHash near-dup pairs at Hamming distance <= maxDist on a 32-bit
+  /** SimHash near-dup pairs at Hamming distance <= maxDist on a 64-bit
     * fingerprint. Candidates come from banding the fingerprint into
     * (maxDist+1) bands — by pigeonhole, any pair within maxDist collides
     * on at least one whole band, so banding loses nothing and keeps the
-    * join linear in the corpus.
+    * join linear in the corpus. Remainder bits (when maxDist+1 doesn't
+    * divide 64) are spread one-per-band across the leading bands so
+    * every fingerprint bit lands in exactly one band.
+    *
+    * Scale note: band selectivity is 2^bandLen buckets; maxDist <= 3
+    * keeps bandLen >= 16 (>= 65k buckets/band), which is what a >= 1e8
+    * document corpus needs. maxDist is capped at 7 (bandLen 8) — beyond
+    * that the buckets are too coarse to prune anything.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be 0..7 (bandLen >= 8), got $maxDist")
+    val bits = 64
     val nBands = maxDist + 1
-    val bandLen = 32 / nBands
+    val base = bits / nBands
+    val rem = bits % nBands
     val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("mds", transform(toks($"text"), t => md5(t)))
-      .select($"doc_id", simhash32($"mds").as("fp"))
+      .select($"doc_id", simhash64($"mds").as("fp"))
     val bandCols = (0 until nBands).map { b =>
+      val start = b * base + math.min(b, rem)
+      val len = base + (if (b < rem) 1 else 0)
       struct(lit(b).as("band"),
-        substring($"fp", b * bandLen + 1, bandLen).as("bkey"))
+        substring($"fp", start + 1, len).as("bkey"))
     }
     val buckets = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
@@ -153,7 +178,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-      .withColumn("dist", hamming($"fp_a", $"fp_b", 32))
+      .withColumn("dist", hamming($"fp_a", $"fp_b", bits))
       .filter($"dist" <= maxDist)
       .select($"doc_a", $"doc_b", $"dist")
   }

@@ -62,32 +62,60 @@ object Similarity {
       .filter($"rank" <= k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= tau with id_a < id_b.
-    * All-pairs on the corpus — correct as the verification step or on
-    * bounded partitions; use [[signBuckets]] candidates first at scale.
+  /** Embedding near-duplicate pairs at scale: candidates are generated
+    * by a random-hyperplane sign-bucket equi-join (only bucket-mates
+    * are compared — linear in the corpus), then verified with the exact
+    * cosine. Recall is governed by nBits: P(same bucket) =
+    * (1 - θ/π)^nBits for angle θ, so keep nBits small (2–6) for dup
+    * detection (near-identical vectors have θ ≈ 0 and survive any
+    * nBits). Returns (id_a, id_b, cos_sim) with id_a < id_b.
     */
-  def cosineDupPairs(corpus: DataFrame, tau: Double): DataFrame =
+  def cosineDupPairs(corpus: DataFrame, tau: Double, nBits: Int,
+                     dims: Int): DataFrame = {
+    val b = corpus.withColumn("bucket", signBucket($"qv", nBits, dims))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(qdot(col("a.qv"), col("b.qv")),
+          col("a.n2"), col("b.n2")).as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+  }
+
+  /** All-pairs exact cosine pairs — VERIFICATION / SMALL-SLICE ONLY:
+    * a non-equi self cross-join, O(n²) by construction. Never run this
+    * on a full corpus; use [[cosineDupPairs]] (bucketed) at scale.
+    */
+  def cosineDupPairsExact(corpus: DataFrame, tau: Double): DataFrame =
     corpus.as("a").join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         cosine(qdot(col("a.qv"), col("b.qv")),
           col("a.n2"), col("b.n2")).as("cos_sim"))
       .filter($"cos_sim" >= tau)
 
+  /** The ±1 sign vector of hyperplane p (length dims): component d is
+    * +1/-1 from a bit of md5(p|d) — deterministic, engine-portable, no
+    * stored plane matrix.
+    */
+  def planeSigns(p: Int, dims: Int): Seq[Long] =
+    (0 until dims).map { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1L else -1L
+    }
+
   /** Random-hyperplane sign bucket key (nBits-char '0'/'1' string).
-    * Hyperplane p's component for dimension d is +1/-1 from a bit of
-    * md5(p|d) — deterministic, engine-portable, no stored plane matrix.
-    * sign(h_p . v) uses the exact quantized sum, so bucket assignment
-    * is itself deterministic.
+    * sign(h_p · v) uses the exact quantized sum, so bucket assignment
+    * is deterministic. The sign vector is a single array literal per
+    * plane folded into one zip_with/aggregate pair — plan size is
+    * O(nBits), not O(nBits × dims), so 768-dim embeddings don't bloat
+    * the expression tree.
     */
   def signBucket(qv: Column, nBits: Int, dims: Int): Column = {
     val bitChars = (0 until nBits).map { p =>
-      // Sign vector is constant per (p,d): fold it at plan build time.
-      val dotExpr = (0 until dims).map { d =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$p|$d".getBytes("UTF-8"))
-        val sign = if ((h(0) & 1) == 1) 1L else -1L
-        element_at(qv, d + 1) * lit(sign)
-      }.reduce(_ + _)
+      val signs = array(planeSigns(p, dims).map(lit): _*)
+      val dotExpr = aggregate(
+        zip_with(qv, signs, (x, sgn) => x * sgn), lit(0L), (acc, v) => acc + v)
       when(dotExpr > 0, "1").otherwise("0")
     }
     concat(bitChars: _*)

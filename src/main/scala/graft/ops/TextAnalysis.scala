@@ -112,15 +112,21 @@ object TextAnalysis {
   // ------------------------------------------------------------- simhash
   private val hexDigits = "0123456789abcdef"
 
-  /** 32-bit SimHash (Charikar, STOC'02) of the token multiset, returned
-    * as a 32-char '0'/'1' string (portable across engines — no 64-bit
+  /** SimHash (Charikar, STOC'02) of the token multiset, returned as a
+    * `bits`-char '0'/'1' string (portable across engines — no 64-bit
     * unsigned juggling). Bit j is derived from nibble j/4, bit j%4 of
     * each token's md5; the per-token ±1 votes are summed exactly in
     * integers. `mdCol` must be a materialized array of per-token md5
     * hex strings (computed once per document).
+    *
+    * Scale note: at >=1e8 documents a 32-bit fingerprint cannot
+    * separate the corpus (band keys get too short and candidate joins
+    * go quadratic) — use 64 bits (the default in [[Dedup.simhashPairs]]).
+    * md5 has 128 bits = 32 nibbles, so bits <= 128.
     */
-  def simhash32(mdCol: Column): Column = {
-    val bitChars = (0 until 32).map { j =>
+  def simhash(mdCol: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 128, s"simhash bits must be 1..128, got $bits")
+    val bitChars = (0 until bits).map { j =>
       val nibblePos = j / 4 + 1
       val bitDiv = 1 << (j % 4)
       val vote = aggregate(mdCol, lit(0), (acc, m) => {
@@ -132,6 +138,9 @@ object TextAnalysis {
     }
     concat(bitChars: _*)
   }
+
+  /** 64-bit SimHash — the scale default. */
+  def simhash64(mdCol: Column): Column = simhash(mdCol, 64)
 
   /** Hamming distance between two equal-length '0'/'1' fingerprint
     * strings, as a codegen-friendly expression.

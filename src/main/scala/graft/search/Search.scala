@@ -97,14 +97,19 @@ object Search {
     val toks = docs.select(col(idCol).as("id"),
       explode(analyze(col(textCol))).as("tok"))
       .filter($"tok".isin(queryToks: _*))
-    val n = docs.count() // small scalar; one job, reused in the literal below
+    // Corpus size N stays IN the plan (a broadcast single-row aggregate
+    // cross-joined in) — no driver-side count() job at construction
+    // time, no second full-corpus scan at 100 TB, and callers control
+    // when anything runs (the builder is fully lazy).
+    val nRow = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val df_ = toks.select($"id", $"tok").distinct()
       .groupBy($"tok").agg(count(lit(1)).as("df"))
     val tf = toks.groupBy($"id", $"tok").agg(count(lit(1)).as("tf"))
     tf.join(broadcast(df_), Seq("tok"))
+      .crossJoin(nRow)
       .withColumn("contrib",
         floor($"tf".cast("double") *
-          (lit(n.toDouble) / $"df".cast("double")) * lit(1e9)).cast("long"))
+          ($"n_docs" / $"df".cast("double")) * lit(1e9)).cast("long"))
       .groupBy($"id").agg(sum($"contrib").as("score_fp"))
       .filter($"score_fp" > 0)
   }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Scratch profiling main (not part of the library surface). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      f.write.mode("overwrite").format("noop").save() // warm
+      val t0 = System.nanoTime()
+      f.write.mode("overwrite").format("noop").save()
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+
+    time("scan_only")(li.select($"l_quantity"))
+    time("plain_double_agg") {
+      li.filter($"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity"), sum($"l_extendedprice"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")),
+          avg($"l_quantity"), avg($"l_extendedprice"), avg($"l_discount"),
+          count(lit(1)))
+    }
+    time("decimal_agg_as_now") {
+      li.filter($"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity"), dsum($"l_extendedprice"),
+          dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount"))),
+          davg($"l_quantity"), davg($"l_extendedprice"), davg($"l_discount"),
+          count(lit(1)))
+    }
+    time("decimal_source_cast_once") {
+      val pre = li.filter($"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .select($"l_returnflag", $"l_linestatus",
+          dec($"l_quantity").as("q"), dec($"l_extendedprice").as("p"),
+          dec($"l_discount").as("d"))
+      pre.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"q"), sum($"p"), sum($"p" * (oneD - $"d")),
+          avg($"q"), avg($"p"), avg($"d"), count(lit(1)))
+    }
+    time("scaled_long_agg") {
+      val pre = li.filter($"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .select($"l_returnflag", $"l_linestatus",
+          round($"l_quantity" * 1e4).cast("long").as("q"),
+          round($"l_extendedprice" * 1e4).cast("long").as("p"),
+          round($"l_discount" * 1e4).cast("long").as("d"))
+      pre.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"q"), sum($"p"),
+          sum(($"p".cast("decimal(18,0)") * (lit(10000L) - $"d")).cast("decimal(28,0)")),
+          count(lit(1)))
+    }
+    // Replicate the Bench sequence: warm all 7, then time each fresh build.
+    val names = graft.SparkEntry.benchQueries
+    def force(n: String): Unit =
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    names.foreach(force)
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      force(n)
+      println(f"[prof] bench:$n%-27s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val t0 = System.nanoTime()
+    force("q01_pricing_summary")
+    println(f"[prof] bench:q01_again ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    spark.stop()
+  }
+}
