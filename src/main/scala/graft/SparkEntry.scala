@@ -17,13 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ OpsQueries.queries
+    Relational.queries ++ OpsQueries.queries ++ RecipeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ OpsQueries.oracles
+    Relational.oracles ++ OpsQueries.oracles ++ RecipeQueries.oracles
 
   /** Headline subset timed by Bench at sf0.1 (keep it representative and
     * bounded — the full map runs in Verify at sf0.01).

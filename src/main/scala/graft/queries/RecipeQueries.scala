@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.recipes.Recipes
+import graft.search.Search
+
+/** Reference-parity queries over the recipe fixture
+  * (`/root/reference/marmiton_data.json`, 1,502 records / 1,490 keys):
+  * ingest + normalization chain, keyed dedup, dashboard KPIs, and the
+  * two search entry points — each with a DuckDB oracle reading the SAME
+  * JSON file (`read_json` with a pinned column spec, because DuckDB's
+  * auto-inference would type the md5 hex keys as UUID).
+  *
+  * Oracle parity notes:
+  *  - DuckDB `levenshtein` is byte-based while Spark's is
+  *    codepoint-based, so the oracle transliterates accented chars to
+  *    distinct single-byte stand-ins on BOTH sides of every distance
+  *    call — edit distance is invariant under an injective per-char
+  *    mapping, so the translated byte distance equals Spark's true
+  *    char distance.
+  *  - The raw-header parser queries (q44) rebuild raw-ish scraper
+  *    inputs ("très facile - 1 heure 30 min", "4,8/5") from fixture
+  *    fields with integer-only arithmetic so both engines construct
+  *    byte-identical strings, then run the full F3/F4/F5/F6 chain.
+  */
+object RecipeQueries {
+
+  private val sqlJson =
+    "read_json('/root/reference/marmiton_data.json', columns={" +
+      "product_id: 'VARCHAR', name: 'VARCHAR', category: 'VARCHAR', " +
+      "url: 'VARCHAR', image_url: 'VARCHAR', difficulty: 'VARCHAR', " +
+      "rating: 'DOUBLE', reviews_count: 'BIGINT', duration_min: 'BIGINT', " +
+      "ingredients: 'VARCHAR[]', steps: 'VARCHAR[]', updated_at: 'VARCHAR'})"
+
+  private val rawCte = s"raw AS (SELECT * FROM $sqlJson)"
+  private val dedupCte =
+    """dedup AS (SELECT * EXCLUDE (rn) FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY product_id
+      |    ORDER BY updated_at DESC, category DESC) AS rn FROM raw) s
+      |  WHERE rn = 1)""".stripMargin
+
+  // ---------------------------------------------------- fuzzy SQL gen
+  /** Injective accented-char -> single-byte map (covers every letter /
+    * number codepoint that appears in the fixture's searched fields).
+    */
+  private val accFrom = "àâäçèéêëîïôøùûüœ¼½¾⅓⅔"
+  private val accTo = "ABCDEFGHIJKLMNOPQRSTU"
+  require(accFrom.length == accTo.length)
+
+  private def xlit(s: String): String =
+    s.map { c => val i = accFrom.indexOf(c.toInt); if (i >= 0) accTo(i) else c }
+
+  /** ES AUTO fuzziness (must mirror Search.autoFuzz). */
+  private def fuzz(qt: String): Int =
+    if (qt.length <= 2) 0 else if (qt.length <= 5) 1 else 2
+
+  private def toksSql(field: String): String =
+    s"list_filter(regexp_split_to_array(lower($field), '[^\\p{L}\\p{N}]+'), x -> x != '')"
+
+  private def fuzzyHitSql(field: String, qt: String): String =
+    s"len(list_filter(${toksSql(field)}, dt -> " +
+      s"levenshtein(translate(dt, '$accFrom', '$accTo'), '${xlit(qt)}') <= ${fuzz(qt)})) > 0"
+
+  private def matchedCountSql(field: String, qts: Seq[String]): String =
+    qts.map(qt => s"(CASE WHEN ${fuzzyHitSql(field, qt)} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  // ---------------------------------------------------------------- q40
+  /** S3 + F12: raw backup ingest (duplicates retained) + derived search
+    * view columns, scalar projection of all 1,502 rows.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val raw = Recipes.searchView(Recipes.loadRaw(s))
+    raw.select(col("product_id"), col("name"), col("category"), col("url"),
+      col("image_url"), col("difficulty"), col("rating"),
+      col("reviews_count"), col("duration_min"),
+      size(col("ingredients")).cast("long").as("n_ingredients"),
+      size(col("steps")).cast("long").as("n_steps"),
+      col("ingredients_text"), col("steps_text"), col("updated_at"))
+  }
+
+  // ---------------------------------------------------------------- q41
+  /** D2 + A1–A4 + P1: keyed-LWW dedup then the dashboard KPI row for
+    * the app's default category selection (app/main.py:33,41-57).
+    */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    Recipes.kpis(Recipes.dedupByKey(Recipes.loadRaw(s)), Seq("plat-principal"))
+
+  // ---------------------------------------------------------------- q42
+  /** A5: value_counts(difficulty) over the deduped default selection. */
+  def q42(s: SparkSession, dir: String): DataFrame =
+    Recipes.valueCounts(Recipes.dedupByKey(Recipes.loadRaw(s)),
+      "difficulty", Seq("plat-principal"))
+
+  // ---------------------------------------------------------------- q43
+  /** A6: value_counts(rating), all three categories (P1 IN-list). */
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Recipes.valueCounts(Recipes.dedupByKey(Recipes.loadRaw(s)),
+      "rating", Seq("entree", "plat-principal", "dessert"))
+
+  // ---------------------------------------------------------------- q44
+  /** F1/F3/F4/F5/F6/F10 normalization chain over raw-ish inputs rebuilt
+    * from fixture fields (see class doc).
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val raw = Recipes.loadRaw(s)
+    val hrs = (col("duration_min") / 60).cast("long")
+    val durTxt = when(col("duration_min") >= 60,
+      concat(hrs.cast("string"), lit(" heure "),
+        (col("duration_min") % 60).cast("string"), lit(" min")))
+      .otherwise(concat(col("duration_min").cast("string"), lit(" min")))
+    val header = concat(lower(col("difficulty")), lit(" - "), durTxt)
+    val r10 = floor(col("rating") * 10 + 0.5).cast("long")
+    val ratingRaw = concat((r10 / 10).cast("long").cast("string"), lit(","),
+      (r10 % 10).cast("string"), lit("/5"))
+    raw.select(col("product_id"), col("category"),
+      Recipes.classifyDifficulty(array(header)).as("parsed_difficulty"),
+      Recipes.parseDurationMin(header).as("parsed_duration_min"),
+      Recipes.parseRating(ratingRaw).as("parsed_rating"),
+      Recipes.firstNumber(concat(col("reviews_count").cast("string"),
+        lit(" avis"))).as("parsed_reviews"),
+      (md5(col("url")) === col("product_id")).as("id_ok"),
+      Recipes.withImageFallback(col("image_url")).as("image_final"))
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Q1/Q6/Q7/T1: classic multi_match search, the UI default query. */
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Search.classic(Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s))),
+      "chocolat")
+
+  // ---------------------------------------------------------------- q46
+  /** Q2–Q5/T1: frigo min-should-match search, the UI default query. */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Search.frigo(Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s))),
+      "oeufs, farine, lait")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_recipes_ingest"    -> (q40 _),
+    "q41_recipes_kpis"      -> (q41 _),
+    "q42_difficulty_counts" -> (q42 _),
+    "q43_rating_counts"     -> (q43 _),
+    "q44_normalize_chain"   -> (q44 _),
+    "q45_search_classic"    -> (q45 _),
+    "q46_search_frigo"      -> (q46 _))
+
+  // =============================================================== SQL
+  private val parseDurationSql =
+    """(coalesce(nullif(regexp_extract(hh, '(\d+)\s*h', 1), '')::BIGINT, 0) * 60
+      | + CASE WHEN regexp_extract(hh, '(\d+)\s*min', 1) != ''
+      |     THEN regexp_extract(hh, '(\d+)\s*min', 1)::BIGINT
+      |   WHEN regexp_extract(hh, '(\d+)\s*h', 1) = ''
+      |     THEN coalesce(nullif(regexp_extract(hh, 'temps\s*[:\s]\s*(\d+)\s*m', 1), '')::BIGINT, 0)
+      |   ELSE 0 END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q40_recipes_ingest" ->
+      s"""WITH $rawCte
+         |SELECT product_id, name, category, url, image_url, difficulty,
+         | rating, reviews_count, duration_min,
+         | len(ingredients)::BIGINT AS n_ingredients,
+         | len(steps)::BIGINT AS n_steps,
+         | array_to_string(ingredients, ', ') AS ingredients_text,
+         | array_to_string(steps, ' ') AS steps_text,
+         | updated_at
+         |FROM raw""".stripMargin,
+
+    "q41_recipes_kpis" ->
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |f AS (SELECT * FROM dedup WHERE category IN ('plat-principal'))
+         |SELECT (SELECT count(*) FROM f) AS n_recipes,
+         | (SELECT CAST(SUM(CAST(rating AS DECIMAL(18,4))) AS DOUBLE) / COUNT(rating) FROM f) AS avg_rating,
+         | (SELECT trunc(CAST(SUM(CAST(duration_min AS DECIMAL(18,4))) AS DOUBLE) / COUNT(duration_min))::BIGINT FROM f) AS avg_duration_min_int,
+         | (SELECT difficulty FROM f GROUP BY difficulty
+         |   ORDER BY count(*) DESC, difficulty ASC LIMIT 1) AS top_difficulty""".stripMargin,
+
+    "q42_difficulty_counts" ->
+      s"""WITH $rawCte,
+         |$dedupCte
+         |SELECT difficulty, count(*) AS n FROM dedup
+         |WHERE category IN ('plat-principal') GROUP BY difficulty""".stripMargin,
+
+    "q43_rating_counts" ->
+      s"""WITH $rawCte,
+         |$dedupCte
+         |SELECT rating, count(*) AS n FROM dedup
+         |WHERE category IN ('entree', 'plat-principal', 'dessert')
+         |GROUP BY rating""".stripMargin,
+
+    "q44_normalize_chain" -> {
+      val blockPred = Recipes.imageBlocklist
+        .map(w => s"contains(lower(image_url), '$w')").mkString(" OR ")
+      s"""WITH $rawCte,
+         |b AS (SELECT *,
+         |  lower(difficulty) || ' - ' ||
+         |    (CASE WHEN duration_min >= 60
+         |      THEN (duration_min // 60)::VARCHAR || ' heure ' || (duration_min % 60)::VARCHAR || ' min'
+         |      ELSE duration_min::VARCHAR || ' min' END) AS header,
+         |  floor(rating * 10 + 0.5)::BIGINT AS r10
+         |  FROM raw),
+         |c AS (SELECT *, replace(header, 'heure', 'h') AS hh,
+         |  (r10 // 10)::VARCHAR || ',' || (r10 % 10)::VARCHAR || '/5' AS rating_raw
+         |  FROM b),
+         |d AS (SELECT *,
+         |  replace(replace(trim(rating_raw), '/5', ''), ',', '.') AS rclean
+         |  FROM c)
+         |SELECT product_id, category,
+         | CASE
+         |   WHEN NOT (contains(header, 'très facile') OR contains(header, 'facile')
+         |     OR contains(header, 'difficile') OR contains(header, 'moyen')) THEN 'Moyen'
+         |   WHEN contains(header, 'très facile') THEN 'Très facile'
+         |   WHEN contains(header, 'facile') THEN 'Facile'
+         |   WHEN contains(header, 'difficile') THEN 'Difficile'
+         |   ELSE 'Moyen' END AS parsed_difficulty,
+         | $parseDurationSql AS parsed_duration_min,
+         | CASE WHEN regexp_full_match(rclean, '[0-9]+(\\.[0-9]+)?')
+         |   THEN rclean::DOUBLE ELSE 0.0 END AS parsed_rating,
+         | coalesce(nullif(regexp_extract(reviews_count::VARCHAR || ' avis', '(\\d+)', 1), '')::BIGINT, 0) AS parsed_reviews,
+         | (md5(url) = product_id) AS id_ok,
+         | CASE WHEN image_url IS NULL OR image_url = '' OR $blockPred
+         |   THEN '${Recipes.placeholderImage.replace("'", "''")}'
+         |   ELSE image_url END AS image_final
+         |FROM d""".stripMargin
+    },
+
+    "q45_search_classic" -> {
+      val qts = Search.analyzeLiteral("chocolat")
+      val score = Seq("name", "ingredients_text", "steps_text")
+        .map(f => matchedCountSql(f, qts)).mkString("(", " + ", ")")
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |scored AS (SELECT product_id, name, $score::BIGINT AS score FROM v)
+         |SELECT product_id, name, score FROM scored WHERE score > 0
+         |ORDER BY score DESC, product_id ASC LIMIT 500""".stripMargin
+    },
+
+    "q46_search_frigo" -> {
+      val clauses = Search.splitClauses("oeufs, farine, lait")
+      val clauseSqls = clauses.map { c =>
+        val ctoks = Search.analyzeLiteral(c)
+        val allToks = ctoks.map(t => s"(${fuzzyHitSql("ingredients_text", t)})")
+          .mkString("(", " AND ", ")")
+        s"(CASE WHEN $allToks OR contains(lower(ingredients_text), '$c') THEN 1 ELSE 0 END)"
+      }
+      val score = clauseSqls.mkString("(", " + ", ")")
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text FROM dedup),
+         |scored AS (SELECT product_id, name, $score::BIGINT AS score FROM v)
+         |SELECT product_id, name, score FROM scored WHERE score >= 1
+         |ORDER BY score DESC, product_id ASC LIMIT 500""".stripMargin
+    })
+}

@@ -86,6 +86,55 @@ object Search {
       fuzzyMatchedCount(fToks, queryToks) * lit(w)
     }.reduce(_ + _)
 
+  /** Driver-side analyzer for a literal query string — identical
+    * semantics to [[analyze]] (lowercase, Unicode word split).
+    */
+  def analyzeLiteral(query: String): Seq[String] =
+    query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+
+  /** F13 (app/main.py:107): CSV ingredient list -> trimmed lowercase
+    * clauses, empties dropped.
+    */
+  def splitClauses(csv: String): Seq[String] =
+    csv.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+
+  /** The classic search entry point (app/main.py:88-97): multi_match
+    * with AUTO fuzziness over name / ingredients_text / steps_text,
+    * integer score = matched-query-token count summed over the three
+    * fields, top-k by (score desc, product_id asc).
+    *
+    * `view` must be a search view ([[graft.recipes.Recipes.searchView]]).
+    * One corpus scan, no shuffle before the TakeOrderedAndProject top-k.
+    */
+  def classic(view: DataFrame, query: String, k: Int = 500): DataFrame = {
+    val qt = analyzeLiteral(query)
+    val score = multiMatchScore(Seq(
+      (analyze(col("name")), 1L),
+      (analyze(col("ingredients_text")), 1L),
+      (analyze(col("steps_text")), 1L)), qt)
+    view.withColumn("score", score)
+      .filter(col("score") > 0)
+      .select(col("product_id"), col("name"), col("score"))
+      .orderBy(col("score").desc, col("product_id").asc)
+      .limit(k)
+  }
+
+  /** The frigo search entry point (app/main.py:109-154): one bool
+    * clause per CSV ingredient (fuzzy-AND over its tokens OR raw
+    * wildcard-contains), minimum_should_match = 1, integer score =
+    * matched clause count (more matched ingredients rank first).
+    */
+  def frigo(view: DataFrame, ingredientsCsv: String, k: Int = 500): DataFrame = {
+    val clauses = splitClauses(ingredientsCsv)
+    val docToks = analyze(col("ingredients_text"))
+    val score = minShouldMatchScore(docToks, col("ingredients_text"), clauses)
+    view.withColumn("score", score)
+      .filter(col("score") >= 1)
+      .select(col("product_id"), col("name"), col("score"))
+      .orderBy(col("score").desc, col("product_id").asc)
+      .limit(k)
+  }
+
   /** Exact-token inverse-df ranked search in fixed point (Q1's ranked
     * variant): contribution of query token t in doc d =
     * floor(tf(t,d) * (N / df(t)) * 1e9) summed as int64.
