@@ -259,8 +259,10 @@ object Relational {
         $"doc_id",
         size($"toks").cast("long").as("n_tokens"),
         size(array_distinct($"toks")).cast("long").as("n_distinct"),
-        element_at($"toks", 1).as("first_tok"),
-        element_at($"toks", -1).as("last_tok"))
+        // try_element_at: null (not an ANSI error) on empty token arrays,
+        // matching the oracle's toks[1] / toks[-1] NULL semantics.
+        try_element_at($"toks", lit(1)).as("first_tok"),
+        try_element_at($"toks", lit(-1)).as("last_tok"))
   }
 
   // ---------------------------------------------------------------- q15

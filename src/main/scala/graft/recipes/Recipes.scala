@@ -92,8 +92,10 @@ object Recipes {
     */
   def classifyDifficulty(infos: Column): Column = {
     val kws = Seq("très facile", "facile", "difficile", "moyen")
-    val hit = element_at(
-      filter(infos, i => kws.map(k => i.contains(k)).reduce(_ || _)), 1)
+    // get() is 0-based and null-on-missing (element_at throws under ANSI
+    // when the filter yields an empty array — i.e. no item has a keyword)
+    val hit = get(
+      filter(infos, i => kws.map(k => i.contains(k)).reduce(_ || _)), lit(0))
     when(hit.isNull, "Moyen")
       .when(hit.contains("très facile"), "Très facile")
       .when(hit.contains("facile"), "Facile")

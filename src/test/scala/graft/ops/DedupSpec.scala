@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("exactGroups: one group per distinct content, counts and keeper") {
+    val df = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("id", "text")
+    val g = Dedup.exactGroups(df, "id", "text")
+      .orderBy("keeper_id").collect()
+    assert(g.length === 2)
+    assert(g(0).getAs[Long]("keeper_id") === 1L)
+    assert(g(0).getAs[Long]("n_copies") === 2L)
+    assert(g(1).getAs[Long]("n_copies") === 1L)
+  }
+
+  test("lastWriteWins keeps the newest row per key; ties broken by id desc") {
+    val df = Seq(
+      ("k1", 1L, "old"), ("k1", 5L, "new"),
+      ("k2", 3L, "a"), ("k2", 3L, "b")).toDF("k", "v", "payload")
+    val got = Dedup.lastWriteWins(df, "k", "v", "payload")
+      .orderBy("k").select("payload").as[String].collect().toSeq
+    assert(got === Seq("new", "b")) // k2 tie on v=3 -> payload desc
+  }
+
+  test("ngramJaccardPairs: identical docs score 1.0, unrelated absent") {
+    val df = Seq((1L, dupText), (2L, dupText),
+      (3L, "totally unrelated words nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 1L)
+    assert(pairs.head.getAs[Long]("doc_b") === 2L)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("ngramJaccardPairs df cap drops hot-shingle-only candidates") {
+    // every doc shares the same 3-gram; maxDf=2 filters it from the index
+    val hot = Seq.tabulate(5)(i => (i.toLong, s"common shared phrase unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3,
+      tau = 0.0, maxDf = 1000L).count()
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3,
+      tau = 0.0, maxDf = 2L).count()
+    assert(uncapped === 10L) // all C(5,2) pairs via the hot shingle
+    assert(capped === 0L)
+  }
+
+  test("minhashLshPairs: near-identical docs survive banding and verify") {
+    val df = Seq((1L, dupText), (2L, dupText + " iota"),
+      (3L, "now for something completely different in every way indeed"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, tau = 0.5).collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getAs[Long]("doc_a"), pairs.head.getAs[Long]("doc_b"))
+      === ((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("simhashPairs: identical docs at distance 0; guards reject bad maxDist") {
+    val df = Seq((1L, dupText), (2L, dupText),
+      (3L, "argh blarg quux zork mumble frotz plugh xyzzy"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("dist") == 0L))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxDist = 8)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("quantize/qdot/qnorm2 are exact integer arithmetic") {
+    val p = Similarity.prepared(
+      emb((1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -0.5f))),
+      "vec_id", "embedding")
+    val rows = p.orderBy("vec_id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(1000000L, 2000000L))
+    assert(rows(0).getAs[Long]("n2") === 5000000000000L)
+    assert(rows(1).getSeq[Long](1) === Seq(500000L, -500000L))
+  }
+
+  test("knnBrute: correct neighbor ranking, self excluded") {
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))),
+      "vec_id", "embedding")
+    val res = Similarity.knnBrute(p, p.filter($"vec_id" === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    assert(res.forall(_.getAs[Long]("query_id") == 0L))
+    assert(res(0).getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("bucketed cosineDupPairs is a subset of exact all-pairs, finds near-dups") {
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f, 0.5f)), (1L, Seq(0.99f, 0.01f, 0.5f)),
+      (2L, Seq(-1.0f, 0.2f, -0.4f)), (3L, Seq(0.1f, -0.9f, 0.3f))),
+      "vec_id", "embedding")
+    val exact = Similarity.cosineDupPairsExact(p, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineDupPairs(p, 0.9, nBits = 2, dims = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    assert(exact.contains((0L, 1L)))
+    assert(bucketed.contains((0L, 1L))) // near-identical -> same bucket
+  }
+
+  test("signBucket is deterministic and nBits chars long") {
+    val p = Similarity.prepared(emb((7L, Seq(0.3f, -0.2f, 0.9f, 0.1f))),
+      "vec_id", "embedding")
+    val b1 = p.select(Similarity.signBucket($"qv", 6, 4)).as[String].head()
+    val b2 = p.select(Similarity.signBucket($"qv", 6, 4)).as[String].head()
+    assert(b1 === b2)
+    assert(b1.length === 6 && b1.forall(c => c == '0' || c == '1'))
+  }
+
+  test("knnLsh only pairs within buckets and ranks like brute force there") {
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),
+      "vec_id", "embedding")
+    val res = Similarity.knnLsh(p, p.filter($"vec_id" === 0L), k = 5,
+      nBits = 3, dims = 2).collect()
+    // neighbor 1 shares the bucket (nearly parallel); 2 is opposite-sign
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish pre-tokenizer") {
+    val d = Seq("a b  c", "ab1 c,d", "", "   ").toDF("text")
+    val ws = d.select(TextAnalysis.tokenCount($"text")).as[Long].collect().toSeq
+    assert(ws === Seq(3L, 2L, 0L, 0L))
+    val bpe = d.select(TextAnalysis.bpeTokenCount($"text")).as[Long].collect().toSeq
+    // "ab1 c,d" -> ab | 1 | c | , | d
+    assert(bpe === Seq(3L, 5L, 0L, 0L))
+  }
+
+  test("shingles: n-grams, empty below n tokens") {
+    val d = Seq("a b c d e", "a b").toDF("text")
+    val sh = d.select(TextAnalysis.shingles(TextAnalysis.toks($"text"), 3))
+      .as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d", "c d e"))
+    assert(sh(1) === Seq.empty)
+  }
+
+  test("langId: stopword-vote with fixed tie-break") {
+    val d = Seq("the cat is in the house", "le chat est sur la table",
+      "der hund ist nicht hier", "xyzzy plugh").toDF("text")
+    val got = d.select(TextAnalysis.langId(TextAnalysis.toks($"text")))
+      .as[String].collect().toSeq
+    assert(got === Seq("en", "fr", "de", "und"))
+  }
+
+  test("quality score: 0 for empty, in (0,1] otherwise, deterministic") {
+    val d = Seq("", "the quick brown fox jumps over the lazy dog near a the of")
+      .toDF("text")
+    val got = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(got(0) === 0.0)
+    assert(got(1) > 0.0 && got(1) <= 1.0)
+    val again = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(got(1) === again(1))
+  }
+
+  test("simhash64: 64 binary chars, equal texts collide, hamming works") {
+    val d = Seq("spark table scan fast", "spark table scan fast",
+      "completely different words here").toDF("text")
+      .select(TextAnalysis.simhash64(
+        transform(TextAnalysis.toks($"text"), t => md5(t))).as("fp"))
+    val fps = d.as[String].collect()
+    assert(fps.forall(fp => fp.length == 64 && fp.forall(c => c == '0' || c == '1')))
+    assert(fps(0) === fps(1))
+    val hd = Seq(("1010", "1110")).toDF("a", "b")
+      .select(TextAnalysis.hamming($"a", $"b", 4)).as[Long].head()
+    assert(hd === 1L)
+  }
+
+  test("fingerprint: stable on identical text, md5 fallback for short docs") {
+    val d = Seq("one two three four five six", "one two three four five six",
+      "tiny").toDF("text")
+      .select($"text", TextAnalysis.fingerprint($"text").as("fp"))
+    val rows = d.collect()
+    assert(rows(0).getString(1) === rows(1).getString(1))
+    assert(rows(2).getString(1).length === 32) // md5 fallback
+  }
+}

@@ -1,0 +1,86 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.recipes.Recipes
+
+/** Search semantics tests (SURVEY.md §5.3): ES AUTO fuzziness rule,
+  * clause composition, and the two UI-default queries pinned against
+  * the fixture (hit counts and ranking invariants, not ES scores —
+  * engine scoring is deterministic and its own spec).
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val view =
+    Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(spark))).cache()
+
+  test("ES AUTO fuzziness thresholds (Q1)") {
+    val got = Seq("ab", "abc", "abcde", "abcdef")
+      .toDF("t").select(Search.autoFuzz($"t")).as[Int].collect().toSeq
+    assert(got === Seq(0, 1, 1, 2))
+  }
+
+  test("fuzzy token matching: singular/plural and accent distance (Q2)") {
+    val docs = Seq(Seq("oeufs", "chocolats", "farine")).toDF("toks")
+    assert(docs.select(Search.fuzzyHit($"toks", "oeuf")).head.getBoolean(0))
+    assert(docs.select(Search.fuzzyHit($"toks", "chocolat")).head.getBoolean(0))
+    assert(!docs.select(Search.fuzzyHit($"toks", "xy")).head.getBoolean(0))
+  }
+
+  test("analyzer keeps accents, splits on non-letter/digit (Q6)") {
+    val got = Seq("Crème BRÛLÉE, 3 oeufs!").toDF("t")
+      .select(Search.analyze($"t")).as[Seq[String]].head()
+    assert(got === Seq("crème", "brûlée", "3", "oeufs"))
+    assert(Search.analyzeLiteral("Crème BRÛLÉE, 3 oeufs!") ===
+      Seq("crème", "brûlée", "3", "oeufs"))
+  }
+
+  test("classic('chocolat') pinned hit-set size and score range (Q1/T1)") {
+    val rows = Search.classic(view, "chocolat").collect()
+    assert(rows.length === 214)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.max === 3L)
+    assert(scores.min >= 1L)
+  }
+
+  test("classic results are ranked score-desc with id tie-break (T1)") {
+    val rows = Search.classic(view, "chocolat")
+      .select($"score", $"product_id").as[(Long, String)].collect()
+    assert(rows.sliding(2).forall {
+      case Array((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+  }
+
+  test("frigo('oeufs, farine, lait') caps at 500 and ranks by matched count (Q5)") {
+    val rows = Search.frigo(view, "oeufs, farine, lait").collect()
+    assert(rows.length === 500)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.max === 3L)
+    assert(scores.min >= 1L)
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("frigo clause: wildcard catches glued tokens (Q3/Q4)") {
+    val d = Seq(("1oeuf et sel", Seq("1oeuf", "et", "sel")))
+      .toDF("raw", "toks")
+    assert(d.select(Search.clauseMatch($"toks", $"raw", "oeuf"))
+      .head.getBoolean(0))
+  }
+
+  test("frigo splitClauses trims, lowercases, drops empties (F13)") {
+    assert(Search.splitClauses(" Oeufs , FARINE ,, lait ") ===
+      Seq("oeufs", "farine", "lait"))
+  }
+
+  test("idfSearch builder is lazy (no job at construction)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = Search.idfSearch(
+      Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("b"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "constructing idfSearch must not run a job")
+    assert(df.count() === 2L)
+  }
+}
