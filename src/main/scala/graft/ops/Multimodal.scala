@@ -1,0 +1,139 @@
+package graft
+package ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: media travel as
+  * opaque `binary` columns with typed metadata derived next to them.
+  *
+  * What is REAL here (and tested): the schema convention, byte-level
+  * metadata extraction (magic-byte format sniffing, PNG IHDR dimension
+  * parse), deterministic content fingerprints, evenly-spaced frame
+  * sampling with binary slicing, and the batch decode plumbing
+  * (mapPartitions with case-class Encoders — the Scala analog of
+  * arrow-batched decode UDFs).
+  *
+  * What is a STUB: the actual pixel/sample decode ([[stubFeatures]],
+  * [[decodeBatchStub]]) — image/audio codec libraries are not in this
+  * environment, so the decoder produces a DETERMINISTIC FAKE feature
+  * vector derived from the content fingerprint. A real deployment
+  * swaps only the function body; every signature, schema, and batch
+  * shape stays.
+  *
+  * Scale posture: all metadata/fingerprint/frame paths are pure Column
+  * expressions — linear, shuffle-free, codegen-resident. Frame
+  * sampling multiplies rows by k via posexplode (a Generate, no
+  * shuffle); heavy decode runs partition-local.
+  */
+object Multimodal {
+
+  /** Magic-prefix table (uppercase hex) -> canonical format tag. */
+  val magicTable: Seq[(String, String)] = Seq(
+    "89504E47" -> "png", "FFD8FF" -> "jpeg", "47494638" -> "gif",
+    "52494646" -> "riff", "25504446" -> "pdf", "494433" -> "mp3",
+    "664C6143" -> "flac")
+
+  /** Byte length of the blob. */
+  def byteCount(bin: Column): Column = length(bin).cast("long")
+
+  /** Format sniff from the leading magic bytes; 'unknown' otherwise. */
+  def sniffFormat(bin: Column): Column = {
+    val h = hex(substring(bin, 1, 8))
+    val first = when(h.startsWith(magicTable.head._1), magicTable.head._2)
+    magicTable.tail.foldLeft(first) { case (acc, (m, n)) =>
+      acc.when(h.startsWith(m), n)
+    }.otherwise("unknown")
+  }
+
+  /** Deterministic content fingerprint, portable across engines that
+    * lack md5-over-binary: md5 of the uppercase hex encoding.
+    */
+  def hexFingerprint(bin: Column): Column = md5(hex(bin))
+
+  private def isPng(bin: Column): Column =
+    hex(substring(bin, 1, 8)) === lit("89504E470D0A1A0A")
+
+  /** REAL metadata parse: PNG IHDR width (bytes 17-20, big-endian);
+    * null for non-PNG blobs.
+    */
+  def pngWidth(bin: Column): Column =
+    when(isPng(bin), conv(hex(substring(bin, 17, 4)), 16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** REAL metadata parse: PNG IHDR height (bytes 21-24, big-endian). */
+  def pngHeight(bin: Column): Column =
+    when(isPng(bin), conv(hex(substring(bin, 21, 4)), 16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** STUB feature extractor: `dims` doubles in [0,1] from 4-nibble
+    * windows of the content fingerprint — a deterministic fake standing
+    * in for a real image/audio embedding model (see class doc). dims <= 8
+    * (one md5 yields 8 windows).
+    */
+  def stubFeatures(bin: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 8, s"dims must be 1..8, got $dims")
+    array((0 until dims).map { d =>
+      conv(substring(hexFingerprint(bin), d * 4 + 1, 4), 16, 10)
+        .cast("long").cast("double") / lit(65535.0)
+    }: _*)
+  }
+
+  /** k evenly-spaced frame offsets (0-based) over a blob of nBytes,
+    * each frame `frameLen` bytes: offset_i = floor(i*(nBytes-frameLen)
+    * / (k-1)). Callers must ensure nBytes >= frameLen.
+    */
+  def frameOffsets(nBytes: Column, frameLen: Int, k: Int): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    transform(sequence(lit(0), lit(k - 1)),
+      i => (i.cast("long") * (nBytes - lit(frameLen.toLong)) /
+        lit((k - 1).toLong)).cast("long"))
+  }
+
+  /** Evenly-spaced frame sampling: one output row per (doc, frame) with
+    * the frame's offset and content fingerprint. The row-multiplying
+    * posexplode is a Generate (no shuffle); frames are byte slices of
+    * the blob — for video this is the "sample k keyframe-sized chunks"
+    * shape, for audio "k windows".
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   frameLen: Int, k: Int): DataFrame =
+    df.select(col(idCol), col(binCol).as("bin"),
+      frameOffsets(byteCount(col(binCol)), frameLen, k).as("offs"))
+      .select(col(idCol), col("bin"), posexplode(col("offs")))
+      .select(col(idCol),
+        col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame_offset"),
+        hexFingerprint(col("bin").substr(
+          (col("col") + 1).cast("int"), lit(frameLen))).as("frame_fp"))
+
+  // ------------------------------------------------- batch decode stub
+  case class MediaRow(id: Long, bytes: Array[Byte])
+  case class DecodedRow(id: Long, n_bytes: Long, format: String,
+                        features: Array[Double])
+
+  /** Batch decode plumbing (the mapPartitions path a real codec plugs
+    * into — partition-local, no shuffle, arrow-batch-shaped). The
+    * decode body is the same deterministic fake as [[stubFeatures]].
+    */
+  def decodeBatchStub(ds: Dataset[MediaRow], dims: Int)
+                     (implicit spark: SparkSession): Dataset[DecodedRow] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val hexStr = m.bytes.map("%02X".format(_)).mkString
+        val fmt = magicTable.collectFirst {
+          case (magic, name) if hexStr.startsWith(magic) => name
+        }.getOrElse("unknown")
+        md.reset()
+        val fp = md.digest(hexStr.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val feats = Array.tabulate(dims) { d =>
+          java.lang.Long.parseLong(fp.substring(d * 4, d * 4 + 4), 16) / 65535.0
+        }
+        DecodedRow(m.id, m.bytes.length.toLong, fmt, feats)
+      }
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 320x240 PNG head: magic + IHDR length/type + width + height
+  private val png = hexBytes(
+    "89504E470D0A1A0A0000000D4948445200000140000000F0")
+  private val jpeg = hexBytes("FFD8FFE000104A464946")
+
+  test("sniffFormat reads magic bytes; unknown for plain text") {
+    val d = Seq((1L, png), (2L, jpeg), (3L, "plain text".getBytes("UTF-8")))
+      .toDF("id", "bin")
+    val got = d.orderBy("id").select(Multimodal.sniffFormat($"bin"))
+      .as[String].collect().toSeq
+    assert(got === Seq("png", "jpeg", "unknown"))
+  }
+
+  test("pngWidth/pngHeight parse real IHDR dimensions; null for non-PNG") {
+    val d = Seq((1L, png), (2L, jpeg)).toDF("id", "bin").orderBy("id")
+    val rows = d.select(Multimodal.pngWidth($"bin"),
+      Multimodal.pngHeight($"bin")).collect()
+    assert(rows(0).getLong(0) === 320L)
+    assert(rows(0).getLong(1) === 240L)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
+  test("stubFeatures: deterministic, dims-long, in [0,1]") {
+    val d = Seq((1L, png)).toDF("id", "bin")
+    val f1 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()
+    val f2 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()
+    assert(f1 === f2)
+    assert(f1.length === 8)
+    assert(f1.forall(x => x >= 0.0 && x <= 1.0))
+  }
+
+  test("sampleFrames: k rows per doc, evenly spaced, stable fingerprints") {
+    val blob = Array.tabulate(100)(_.toByte)
+    val d = Seq((7L, blob)).toDF("doc_id", "bin")
+    val rows = Multimodal.sampleFrames(d, "doc_id", "bin", frameLen = 16, k = 4)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("frame_offset")).toSeq === Seq(0L, 28L, 56L, 84L))
+    assert(rows.map(_.getAs[String]("frame_fp")).distinct.length === 4)
+  }
+
+  test("decodeBatchStub: mapPartitions batch path agrees with the Column path") {
+    implicit val s = spark
+    val ds = Seq(Multimodal.MediaRow(1L, png),
+      Multimodal.MediaRow(2L, "hello world".getBytes("UTF-8"))).toDS()
+    val dec = Multimodal.decodeBatchStub(ds, dims = 4).collect()
+      .sortBy(_.id)
+    assert(dec(0).format === "png")
+    assert(dec(0).n_bytes === png.length.toLong)
+    assert(dec(1).format === "unknown")
+    // column-expression path produces identical features
+    val colFeats = Seq((1L, png)).toDF("id", "bin")
+      .select(Multimodal.stubFeatures($"bin", 4)).as[Seq[Double]].head()
+    assert(dec(0).features.toSeq === colFeats)
+  }
+}
