@@ -1,0 +1,100 @@
+package graft
+package streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import graft.ops.Dedup
+
+/** Structured Streaming form of the reference's stream-like semantics
+  * (SURVEY.md §2.11): the ONLY stateful behavior the reference has is
+  * the idempotent keyed upsert — re-running the scraper converges the
+  * stores to the latest snapshot (scraper/main.py:263,277). Here that
+  * becomes:
+  *
+  *  1. [[upsertQuery]] — readStream -> foreachBatch LWW merge into a
+  *     keyed table (the Mongo bulk-upsert analog; exactly-once per the
+  *     checkpointed batch id).
+  *  2. [[dedupWithinWatermark]] — streaming dropDuplicates with
+  *     watermark-bounded state (the "have I seen this key" crawl set,
+  *     D1, with eviction so state doesn't grow unboundedly).
+  *  3. [[hourlyCounts]] — watermarked tumbling-window aggregation (the
+  *     streaming form of the batch q15 event rollup).
+  *  4. [[latestPerKey]] — mapGroupsWithState custom state: running LWW
+  *     emitted on every update (the ES-doc-id overwrite as a live view).
+  *
+  * Scale posture: all state is keyed and watermark-bounded (except the
+  * deliberate unbounded LWW state in 4, documented); merges shuffle
+  * once on the key. At 100 TB the foreachBatch target would be a
+  * merge-capable table format — the batch-side merge function is
+  * isolated in [[mergeBatch]] so only the sink write changes.
+  */
+object StreamingUpsert {
+
+  /** One LWW merge step: existing table ∪ batch -> keyed latest. The
+    * merged result is materialized (cache+count) before the overwrite
+    * because the write reads the same path it replaces.
+    */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+                 orderCol: String, idCol: String, tablePath: String): Unit = {
+    val existing =
+      if (new java.io.File(tablePath).exists())
+        spark.read.schema(batch.schema).parquet(tablePath)
+      else batch.limit(0)
+    val merged = Dedup.lastWriteWins(
+      existing.unionByName(batch), keyCol, orderCol, idCol)
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(tablePath)
+    merged.unpersist()
+  }
+
+  /** S4/D2 streamed: idempotent keyed last-write-wins upsert sink. */
+  def upsertQuery(stream: DataFrame, keyCol: String, orderCol: String,
+                  idCol: String, tablePath: String,
+                  checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, keyCol, orderCol, idCol,
+          tablePath)
+      }
+      .start()
+
+  /** D1 streamed: first-occurrence-wins dedup with watermark-bounded
+    * state (keys older than the watermark are evicted — the unbounded
+    * crawl `seen` set made safe for an infinite stream).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keyCol: String,
+                           tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Watermarked tumbling-window counts per type — the streaming form
+    * of the hourly event rollup (append-mode-capable: results finalize
+    * when the watermark passes the window end).
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String, typeCol: String,
+                   delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+
+  case class KV(k: String, v: Long, payload: String)
+
+  /** Custom keyed state via mapGroupsWithState: the running LWW row per
+    * key, re-emitted whenever it changes (update output mode). State is
+    * one row per key — bounded by key cardinality, not stream length.
+    */
+  def latestPerKey(ds: Dataset[KV]): Dataset[KV] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[KV], state: GroupState[KV]) =>
+          val best = (state.getOption.iterator ++ it)
+            .maxBy(r => (r.v, r.payload))
+          state.update(best)
+          best
+      }
+  }
+}

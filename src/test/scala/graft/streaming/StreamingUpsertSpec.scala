@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming LWW upsert converges to latest per key and is idempotent (S4/D2)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val table = tmp("upsert_table") + "/t"
+    val q = StreamingUpsert.upsertQuery(
+      in.toDF().toDF("k", "v", "payload"),
+      "k", "v", "payload", table, tmp("upsert_ckpt"))
+    try {
+      in.addData(("a", 1L, "a1"), ("b", 1L, "b1"))
+      q.processAllAvailable()
+      in.addData(("a", 2L, "a2"), ("c", 1L, "c1"))
+      q.processAllAvailable()
+      // replay the same data -> same converged state (idempotent upsert)
+      in.addData(("a", 2L, "a2"), ("b", 1L, "b1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(table)
+      .orderBy("k").as[(String, Long, String)].collect().toSeq
+    assert(got === Seq(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+  }
+
+  test("dedupWithinWatermark drops repeated keys across batches (D1)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = StreamingUpsert.dedupWithinWatermark(
+      in.toDF().toDF("k", "ts"), "k", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:05:00")
+      in.addData(("x", t0), ("y", t0))
+      q.processAllAvailable()
+      in.addData(("x", t1), ("z", t1)) // x is a dup within the watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT k FROM dedup_out").as[String].collect().sorted
+    assert(got.toSeq === Seq("x", "y", "z"))
+  }
+
+  test("watermarked hourly window counts (streaming q15 shape)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingUpsert.hourlyCounts(
+      in.toDF().toDF("ts", "event_type"), "ts", "event_type", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:40:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 11:10:00"), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT event_type, n FROM hourly_out ORDER BY event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamingUpsert.KV]
+    val out = StreamingUpsert.latestPerKey(in.toDS())
+    val q = out.writeStream.format("memory").queryName("lww_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(StreamingUpsert.KV("a", 1L, "a1"))
+      q.processAllAvailable()
+      in.addData(StreamingUpsert.KV("a", 3L, "a3"),
+        StreamingUpsert.KV("a", 2L, "a2")) // late lower version loses
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT payload FROM lww_out").as[String].collect().toSeq
+    // update-mode emissions: a1 after batch 1, a3 after batch 2
+    assert(got === Seq("a1", "a3"))
+  }
+}
