@@ -136,6 +136,26 @@ object RecipeQueries {
     Search.frigo(Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s))),
       "oeufs, farine, lait")
 
+  // ---------------------------------------------------------------- q47
+  /** F16 (app/main.py:200-201): enumerated recipe steps via posexplode
+    * — "1. …", "2. …" labels, one row per (recipe, step).
+    */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val d = Recipes.dedupByKey(Recipes.loadRaw(s))
+    d.select(col("product_id"), posexplode(col("steps")))
+      .select(col("product_id"),
+        (col("pos") + 1).cast("long").as("step_no"),
+        concat((col("pos") + 1).cast("string"), lit(". "), col("col"))
+          .as("step_label"))
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** A7 (app/main.py:162): result count of a search — len(hits) on the
+    * capped hit list.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    q45(s, dir).agg(count(lit(1)).as("n_hits"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_recipes_ingest"    -> (q40 _),
     "q41_recipes_kpis"      -> (q41 _),
@@ -143,7 +163,9 @@ object RecipeQueries {
     "q43_rating_counts"     -> (q43 _),
     "q44_normalize_chain"   -> (q44 _),
     "q45_search_classic"    -> (q45 _),
-    "q46_search_frigo"      -> (q46 _))
+    "q46_search_frigo"      -> (q46 _),
+    "q47_steps_enumerated"  -> (q47 _),
+    "q48_search_hit_count"  -> (q48 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -255,5 +277,27 @@ object RecipeQueries {
          |scored AS (SELECT product_id, name, $score::BIGINT AS score FROM v)
          |SELECT product_id, name, score FROM scored WHERE score >= 1
          |ORDER BY score DESC, product_id ASC LIMIT 500""".stripMargin
+    },
+
+    "q47_steps_enumerated" ->
+      s"""WITH $rawCte,
+         |$dedupCte
+         |SELECT product_id, i::BIGINT AS step_no,
+         | i::VARCHAR || '. ' || steps[i] AS step_label
+         |FROM dedup, unnest(generate_series(1, len(steps))) AS t(i)""".stripMargin,
+
+    "q48_search_hit_count" -> {
+      val qts = Search.analyzeLiteral("chocolat")
+      val score = Seq("name", "ingredients_text", "steps_text")
+        .map(f => matchedCountSql(f, qts)).mkString("(", " + ", ")")
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |scored AS (SELECT product_id, $score::BIGINT AS score FROM v),
+         |hits AS (SELECT product_id FROM scored WHERE score > 0
+         |  ORDER BY score DESC, product_id ASC LIMIT 500)
+         |SELECT count(*) AS n_hits FROM hits""".stripMargin
     })
 }

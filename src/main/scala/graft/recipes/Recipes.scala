@@ -141,6 +141,24 @@ object Recipes {
       .otherwise(lit(0.0))
   }
 
+  /** F2: whitespace-normalized text — the post-parse equivalent of the
+    * reference's `get_text(" ", strip=True)` (scraper/main.py:145-148).
+    */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** F11: formatted current timestamp, the reference's `updated_at`
+    * stamp format (scraper/main.py:234). Non-deterministic by nature —
+    * excluded from oracle queries, exercised in tests.
+    */
+  def nowFormatted(): Column =
+    date_format(current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+
+  /** F14: contains-any-digit test (scraper/main.py:188) — the header
+    * vs page-text fallback decision for F4.
+    */
+  def hasDigit(c: Column): Column = c.rlike("\\d")
+
   /** P4: image-URL blocklist (scraper/main.py:155-162). */
   val imageBlocklist: Seq[String] =
     Seq("placeholder", "logo", "default", "no-photo", "p_global_en_tete")
