@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkSpec
+import graft.recipes.Recipes
+import graft.search.Search
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture encoded as
+  * tests: filters must reach the parquet scan, dimension joins must
+  * broadcast, top-k must plan as TakeOrderedAndProject (not a global
+  * sort), and per-row text analysis must stay shuffle-free.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("q01: ship-date filter is pushed to the parquet scan; columns pruned") {
+    val p = plan(Relational.q01(spark, dir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan(Relational.q02(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters:"), p)
+  }
+
+  test("q03/q04: dimension sides broadcast (no shuffle of the fact table for dims)") {
+    assert(plan(Relational.q03(spark, dir)).contains("BroadcastHashJoin"))
+    val p4 = plan(Relational.q04(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p4).length >= 3, p4)
+  }
+
+  test("q05/q06: semi/anti joins plan as LeftSemi/LeftAnti (no row multiplication)") {
+    assert(plan(Relational.q05(spark, dir)).contains("LeftSemi"))
+    assert(plan(Relational.q06(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("q13: projection-only query reads a pruned schema") {
+    val p = plan(Relational.q13(spark, dir))
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("p_retailprice"), "q13 must not read unused part columns")
+  }
+
+  test("text stats are shuffle-free (linear, codegen-resident)") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.qualityScore(col("text")).as("q")))
+    assert(!p.contains("Exchange"), "per-document stats must not shuffle")
+  }
+
+  test("classic search: one scan into TakeOrderedAndProject, no join/shuffle before top-k") {
+    val view = Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(spark)))
+    val p = plan(Search.classic(view, "chocolat"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("idfSearch: df-stats and corpus-count sides are broadcast") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
