@@ -178,7 +178,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-      .withColumn("dist", hamming($"fp_a", $"fp_b", bits))
+      // native codegen expression: allocation-free byte loop instead of
+      // split+zip_with+filter array churn per candidate pair
+      .withColumn("dist", graft.plans.Native.hamming($"fp_a", $"fp_b"))
       .filter($"dist" <= maxDist)
       .select($"doc_a", $"doc_b", $"dist")
   }

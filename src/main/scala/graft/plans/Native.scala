@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftnative.{GraftNative, HammingDistance}
+
+/** Native Catalyst expressions — the (b)-tier extension path (custom
+  * `Expression` with `doGenCode`) used ONLY where it buys measurable
+  * performance over composed built-ins; semantics stay identical so
+  * the DuckDB oracles are unaffected. Implementation lives in
+  * [[org.apache.spark.sql.graftnative]] (Catalyst's authoring surface
+  * is private[sql]); this object is the library-facing API.
+  */
+object Native {
+
+  /** Byte-wise Hamming distance (== char distance on ASCII inputs). */
+  def hamming(a: Column, b: Column): Column = GraftNative.hamming(a, b)
+}
+
+/** SparkSessionExtensions entry point: registers the native functions
+  * for SQL use (`spark.sql.extensions=graft.plans.GraftExtensions` →
+  * `SELECT graft_hamming(a, b)`), the standard plug-in path for a
+  * cluster-wide deployment of this library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (children: Seq[Expression]) =>
+        HammingDistance(children.head, children(1))))
+  }
+}

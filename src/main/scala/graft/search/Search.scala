@@ -35,9 +35,20 @@ object Search {
   def autoFuzz(qt: Column): Column =
     when(length(qt) <= 2, 0).when(length(qt) <= 5, 1).otherwise(2)
 
+  /** One fuzzy token-pair test with a cheap length pre-filter: a length
+    * difference beyond the edit budget implies levenshtein > budget, so
+    * the short-circuiting And skips the O(len²) distance for most
+    * tokens (SURVEY.md §4's "cheap predicate before expensive" rewrite,
+    * done at expression-build time — result is bit-identical, oracles
+    * untouched).
+    */
+  private def fuzzyPair(dt: Column, qt: Column): Column =
+    (abs(length(dt) - length(qt)) <= autoFuzz(qt)) &&
+      (levenshtein(dt, qt) <= autoFuzz(qt))
+
   /** Does any token of `docToks` fuzzy-match the literal query token? */
   def fuzzyHit(docToks: Column, qt: String): Column =
-    exists(docToks, dt => levenshtein(dt, lit(qt)) <= autoFuzz(lit(qt)))
+    exists(docToks, dt => fuzzyPair(dt, lit(qt)))
 
   /** Number of query tokens with at least one fuzzy match in docToks
     * (the multi_match OR semantics, Q1).
@@ -45,14 +56,13 @@ object Search {
   def fuzzyMatchedCount(docToks: Column, queryToks: Seq[String]): Column = {
     val qarr = array(queryToks.map(lit): _*)
     size(filter(qarr, qt =>
-      exists(docToks, dt => levenshtein(dt, qt) <= autoFuzz(qt)))).cast("long")
+      exists(docToks, dt => fuzzyPair(dt, qt)))).cast("long")
   }
 
   /** ALL query tokens fuzzy-match (the `operator: and` semantics, Q2). */
   def fuzzyAll(docToks: Column, queryToks: Seq[String]): Column = {
     val qarr = array(queryToks.map(lit): _*)
-    forall(qarr, qt =>
-      exists(docToks, dt => levenshtein(dt, qt) <= autoFuzz(qt)))
+    forall(qarr, qt => exists(docToks, dt => fuzzyPair(dt, qt)))
   }
 
   /** Case-insensitive wildcard-contains (Q3: `*ing*`). */
