@@ -35,4 +35,17 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Bucketed write for co-located joins: two tables bucketed by the
+    * same key into the same bucket count join WITHOUT a shuffle — the
+    * bucketed scan already provides the hash distribution the join
+    * needs. This is the 100 TB answer for repeated fact-fact joins
+    * (e.g. lineitem ⋈ orders on orderkey): pay the shuffle once at
+    * write time, never again at read time.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -33,10 +33,32 @@ object Dedup {
 
   /** Last-write-wins keyed dedup (SURVEY.md §2.3 D2): latest row per
     * key by (orderCol desc, idCol desc) — the Mongo-upsert / ES-doc-id
-    * semantics of the reference, as one window pass.
+    * semantics of the reference.
+    *
+    * Implemented as a max_by AGGREGATION, not a window: a row_number
+    * window must co-locate and sort every row of a key in one task, so
+    * one hot key (billions of updates to one document) stalls the
+    * stage at 100 TB. max_by is a partial+final aggregate — map-side
+    * combine reduces each partition's contribution to one row per key
+    * before the shuffle, making the operator skew-immune. Keeper choice
+    * is identical to the window form: lexicographic max of
+    * (orderCol, idCol), assuming orderCol/idCol are non-null.
     */
   def lastWriteWins(df: DataFrame, keyCol: String, orderCol: String,
                     idCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(orderCol), col(idCol))).as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
+  }
+
+  /** Window-based LWW — the same semantics via row_number, kept for
+    * contexts that need rank exposure. Prefer [[lastWriteWins]] (the
+    * aggregate form) for batch dedup at scale; see its scale note.
+    */
+  def lastWriteWinsWindow(df: DataFrame, keyCol: String, orderCol: String,
+                          idCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol).desc, col(idCol).desc)
     df.withColumn("_rn", row_number().over(w))

@@ -26,6 +26,18 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq("new", "b")) // k2 tie on v=3 -> payload desc
   }
 
+  test("aggregate LWW and window LWW pick identical keepers (skew-immune form)") {
+    val df = Seq(
+      ("k1", 1L, "a"), ("k1", 9L, "b"), ("k1", 9L, "a"),
+      ("k2", 2L, "x"), ("k3", 0L, "z")).toDF("k", "v", "payload")
+    val agg = Dedup.lastWriteWins(df, "k", "v", "payload")
+    val win = Dedup.lastWriteWinsWindow(df, "k", "v", "payload")
+    assert(agg.schema.map(f => (f.name, f.dataType)) ===
+      win.schema.map(f => (f.name, f.dataType))) // nullability may differ
+    assert(agg.except(win).count() === 0L)
+    assert(win.except(agg).count() === 0L)
+  }
+
   test("ngramJaccardPairs: identical docs score 1.0, unrelated absent") {
     val df = Seq((1L, dupText), (2L, dupText),
       (3L, "totally unrelated words nothing shared at all ok"))

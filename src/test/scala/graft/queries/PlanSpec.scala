@@ -64,6 +64,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed tables join without a shuffle (co-located fact-fact join)") {
+    val o = graft.Tables.load(spark, dir, "orders")
+    val c = graft.Tables.load(spark, dir, "customer")
+    graft.Tables.writeBucketed(o, "orders_b", "o_custkey", 4)
+    graft.Tables.writeBucketed(c, "customer_b", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("idfSearch: df-stats and corpus-count sides are broadcast") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))
