@@ -1,0 +1,56 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively,
+  * composed from existing operators per the preference order (no
+  * custom SparkPlan needed): for every left row, attach the payload of
+  * the LATEST right row with the same key and rightTime <= leftTime.
+  *
+  * Implementation is the union + running-`last` trick, NOT an
+  * inequality join: tag both inputs, union them, and take the running
+  * last non-null payload over (key, time) with right rows sorting
+  * before left rows at equal timestamps (inclusive bound). Cost is ONE
+  * shuffle on the key plus a per-key sort — linear, while a naive
+  * `l.key = r.key AND r.t <= l.t` theta-join explodes quadratically on
+  * active keys at 100 TB.
+  *
+  * Determinism: right must be unique per (key, time) — pre-dedupe with
+  * [[Dedup.lastWriteWins]] otherwise.
+  */
+object AsOf {
+
+  /** Left as-of join. Output = every left row + `payload` columns from
+    * the matched right row (nulls when no right row precedes it).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame = {
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("_p")).schema("_p").dataType
+    val leftFields = left.schema.fields.toSeq
+
+    val rTagged = right.select(
+      Seq(col(rightKey).as("_k"), col(rightTime).as("_t"),
+        lit(0).as("_side"), pStruct.as("_p")) ++
+        leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val lTagged = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"),
+        lit(1).as("_side"), lit(null).cast(pType).as("_p")) ++
+        leftFields.map(f => col(f.name)): _*)
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rTagged.unionByName(lTagged)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftFields.map(f => col(f.name)) ++
+        payload.map(p => col("_match").getField(p).as(p)): _*)
+  }
+}

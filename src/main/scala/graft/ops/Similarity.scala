@@ -121,6 +121,51 @@ object Similarity {
     concat(bitChars: _*)
   }
 
+  /** IVF-style approximate top-k (the inverted-file ANN family): the
+    * corpus is partitioned into centroid lists — each vector assigned
+    * to its nearest centroid — and a query only scans the lists of its
+    * `nProbe` closest centroids. Centroids here are a deterministic
+    * stride-sample of the corpus (`vec_id % stride == 0`); production
+    * swaps in k-means centers without touching the assignment / probe
+    * / candidate machinery, which is the engine part.
+    *
+    * Scale shape: assignment is a broadcast nested-loop against the
+    * (tiny) centroid set folded by a skew-immune max_by aggregate —
+    * one corpus scan, one shuffle on vec_id; the probe join is an
+    * equi-join on cent_id with the query side broadcast. Recall is
+    * governed by nProbe / centroid count, never corpus size.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             stride: Long, nProbe: Int): DataFrame = {
+    val cents = broadcast(corpus.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2")))
+    val assigned = corpus.crossJoin(cents)
+      .select($"vec_id", $"qv", $"n2", $"cent_id",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"qv", $"n2", $"cent_id"),
+        struct($"cos_c", -$"cent_id")).as("_a"))
+      .select($"vec_id", $"_a.qv".as("qv"), $"_a.n2".as("n2"),
+        $"_a.cent_id".as("cent_id"))
+    val wp = Window.partitionBy($"query_id")
+      .orderBy($"cos_c".desc, $"cent_id".asc)
+    val probes = queries.crossJoin(cents)
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"), $"n2".as("q_n2"),
+        $"cent_id",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"q_qv", $"q_n2", $"cent_id")
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries only compare against
     * corpus vectors in the same sign bucket (plus the per-query exact
     * re-rank). Recall depends on nBits; with small nBits and clustered

@@ -320,6 +320,24 @@ object Relational {
         max($"k").as("max_k"))
   }
 
+  // ---------------------------------------------------------------- q18
+  /** As-of join: every event paired with the user's most recent order
+    * at or before the event time (graft.ops.AsOf — union+running-last,
+    * one shuffle, no inequality join). Orders are pre-deduped per
+    * (custkey, orderdate) for determinism.
+    */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val o = t(s, dir, "orders")
+    val o2 = o.groupBy($"o_custkey", $"o_orderdate")
+      .agg(max_by(struct(o.columns.map(col): _*), $"o_orderkey").as("_r"))
+      .select($"_r.*")
+    graft.ops.AsOf.asofJoin(e, o2, "user_id", "o_custkey",
+        "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
+      .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topk"     -> (q02 _),
@@ -337,7 +355,8 @@ object Relational {
     "q14_array_hof"       -> (q14 _),
     "q15_hourly_window"   -> (q15 _),
     "q16_kpi_row"         -> (q16 _),
-    "q17_json_extract"    -> (q17 _))
+    "q17_json_extract"    -> (q17 _),
+    "q18_asof_join"       -> (q18 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -468,5 +487,12 @@ object Relational {
         |FROM (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) sub
-        |GROUP BY event_type""".stripMargin)
+        |GROUP BY event_type""".stripMargin,
+    "q18_asof_join" ->
+      """WITH o2 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) AS rn FROM orders) s WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+        |FROM events e ASOF LEFT JOIN o2
+        |  ON e.user_id = o2.o_custkey AND o2.o_orderdate <= e.ts""".stripMargin)
 }

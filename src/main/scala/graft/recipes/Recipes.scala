@@ -174,6 +174,12 @@ object Recipes {
   def withImageFallback(url: Column): Column =
     when(isBadImage(url), lit(placeholderImage)).otherwise(url)
 
+  /** P3 (scraper/main.py:140-142): drop records whose title extraction
+    * failed — the reference skips them with `continue`.
+    */
+  def validRecipes(df: DataFrame): DataFrame =
+    df.filter(col("name").isNotNull && col("name") =!= "Recette Inconnue")
+
   // ------------------------------------------------------------- views
   /** D2/S4: keyed last-write-wins view — the Mongo-upsert / ES-doc-id
     * final state. Latest `updated_at` wins; ties broken by category

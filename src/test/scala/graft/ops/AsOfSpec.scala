@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin attaches the latest right row at or before each left time") {
+    val quotes = Seq( // (key, time, px)
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("A", 9L, 12.0),
+      ("B", 4L, 99.0)).toDF("sym", "t", "px")
+    val trades = Seq( // (key, time, qty)
+      ("A", 0L, 1L),  // before any quote -> null
+      ("A", 5L, 2L),  // equal time -> inclusive match (px=11)
+      ("A", 7L, 3L),  // between quotes -> px=11
+      ("A", 99L, 4L), // after all -> px=12
+      ("B", 3L, 5L),  // before B's only quote -> null
+      ("C", 1L, 6L)). // key with no right rows -> null
+      toDF("sym", "t", "qty")
+    val got = AsOf.asofJoin(trades, quotes, "sym", "sym", "t", "t", Seq("px"))
+      .orderBy("sym", "t")
+      .select("sym", "t", "qty", "px")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got === Seq(
+      ("A", 0L, 1L, None), ("A", 5L, 2L, Some(11.0)), ("A", 7L, 3L, Some(11.0)),
+      ("A", 99L, 4L, Some(12.0)), ("B", 3L, 5L, None), ("C", 1L, 6L, None)))
+  }
+
+  test("asofJoin preserves every left row exactly once") {
+    val left = Seq(("k", 1L, "x"), ("k", 1L, "y")).toDF("k", "t", "v")
+    val right = Seq(("k", 0L, 7L)).toDF("k", "t", "p")
+    val got = AsOf.asofJoin(left, right, "k", "k", "t", "t", Seq("p"))
+    assert(got.count() === 2L)
+    assert(got.select("p").as[Long].collect().toSeq === Seq(7L, 7L))
+  }
+}

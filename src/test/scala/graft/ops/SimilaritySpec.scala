@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.length === 6 && b1.forall(c => c == '0' || c == '1'))
   }
 
+  test("knnIvf: probed lists contain the true neighbor for clustered data") {
+    // two clear clusters; centroids = stride sample (vec_id % 2 == 0)
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.98f, 0.02f)), (3L, Seq(0.97f, 0.01f)),
+      (2L, Seq(-1.0f, 0.0f)), (5L, Seq(-0.99f, -0.02f))),
+      "vec_id", "embedding")
+    val res = Similarity.knnIvf(p, p.filter($"vec_id" === 1L), k = 2,
+      stride = 2L, nProbe = 1)
+      .orderBy("rank").collect()
+    // query 1 probes the +x centroid list; 3=(0.97,0.01) is angularly
+    // closer to 1=(0.98,0.02) than 0=(1,0) is
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(3L, 0L))
+    assert(res.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),
