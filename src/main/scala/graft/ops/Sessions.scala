@@ -1,0 +1,49 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization and deterministic sampling — batch forms
+  * of two training-data-pipeline staples.
+  */
+object Sessions {
+
+  /** Assign 1-based session ids per key: a new session starts when the
+    * gap to the previous event exceeds `gapSeconds`. One shuffle on the
+    * key + a per-key sort; `idCol` breaks timestamp ties so the
+    * assignment is deterministic.
+    *
+    * Scale note: the window co-locates each key's events in one task —
+    * bounded by per-key event counts (fine for user-keyed streams);
+    * for a pathological single hot key, split by (key, day) first.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("_new", isNew)
+      .withColumn("session_id",
+        sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+  }
+
+  /** Deterministic, engine-portable sampling: keep rows whose
+    * md5-derived hash lands under `permille`/1000. Unlike rand() or
+    * engine hash functions, md5 gives the same sample in any engine
+    * and any run — the stable train/test-split primitive.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000 < permille)
+  }
+}

@@ -338,6 +338,91 @@ object Relational {
       .select($"event_id", $"user_id", $"o_orderkey", $"o_totalprice")
   }
 
+  // ---------------------------------------------------------------- q19
+  /** Bucketed range join: events inside each order's 7-day window
+    * (graft.ops.Ranges — interval-bucket equi-join, not a theta-join).
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val o = t(s, dir, "orders")
+      .withColumn("w_end", $"o_orderdate" + expr("INTERVAL 7 DAYS"))
+    graft.ops.Ranges.bucketedRangeJoin(e, o,
+        "user_id", "o_custkey", "ts", "o_orderdate", "w_end",
+        bucketMicros = 7L * 86400L * 1000000L)
+      .select($"event_id", $"o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Gap-based sessionization (30-min gap) + per-session stats. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sessions.sessionize(t(s, dir, "events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+  }
+
+  // ---------------------------------------------------------------- q35
+  /** Deterministic md5-hash sampling (stable train/test splits). */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Sessions.deterministicSample(
+        t(s, dir, "documents"), "doc_id", permille = 200)
+      .select($"doc_id", $"n_chars")
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** Window-function zoo: lag/lead/rank/dense_rank/ntile + moving sum
+    * over each customer's order history.
+    */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wT = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wP = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders").select(
+      $"o_custkey", $"o_orderkey",
+      lag($"o_totalprice", 1).over(wT).as("prev_price"),
+      lead($"o_totalprice", 1).over(wT).as("next_price"),
+      rank().over(wP).cast("long").as("price_rank"),
+      dense_rank().over(wP).cast("long").as("price_dense_rank"),
+      ntile(4).over(wT).cast("long").as("quartile"),
+      sum(dec($"o_totalprice")).over(wT.rowsBetween(-2, 0))
+        .cast("double").as("moving_sum3"))
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Cube over status x priority (full grouping-sets lattice). */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Pivot: per-user event-type counts as columns (known domain). */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p) { (df, ty) =>
+      df.withColumn(ty, coalesce(col(ty), lit(0L)))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topk"     -> (q02 _),
@@ -356,7 +441,13 @@ object Relational {
     "q15_hourly_window"   -> (q15 _),
     "q16_kpi_row"         -> (q16 _),
     "q17_json_extract"    -> (q17 _),
-    "q18_asof_join"       -> (q18 _))
+    "q18_asof_join"       -> (q18 _),
+    "q19_range_join"      -> (q19 _),
+    "q34_sessionize"      -> (q34 _),
+    "q35_hash_sample"     -> (q35 _),
+    "q36_window_zoo"      -> (q36 _),
+    "q37_cube"            -> (q37 _),
+    "q38_pivot"           -> (q38 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -494,5 +585,63 @@ object Relational {
         |    ORDER BY o_orderkey DESC) AS rn FROM orders) s WHERE rn = 1)
         |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
         |FROM events e ASOF LEFT JOIN o2
-        |  ON e.user_id = o2.o_custkey AND o2.o_orderdate <= e.ts""".stripMargin)
+        |  ON e.user_id = o2.o_custkey AND o2.o_orderdate <= e.ts""".stripMargin,
+    "q19_range_join" ->
+      """SELECT e.event_id, o.o_orderkey
+        |FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        |  AND e.ts >= o.o_orderdate
+        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY""".stripMargin,
+    "q34_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events) sub)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q35_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE (((strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 8, 1)) - 1)) % 1000) < 200""".stripMargin,
+    "q36_window_zoo" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER wt AS prev_price,
+        | lead(o_totalprice, 1) OVER wt AS next_price,
+        | rank() OVER wp AS price_rank,
+        | dense_rank() OVER wp AS price_dense_rank,
+        | ntile(4) OVER wt AS quartile,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |FROM orders
+        |WINDOW
+        | wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        | wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+    "q37_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q38_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id""".stripMargin)
 }
