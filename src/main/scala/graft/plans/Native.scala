@@ -19,10 +19,11 @@ object Native {
   def hamming(a: Column, b: Column): Column = GraftNative.hamming(a, b)
 }
 
-/** SparkSessionExtensions entry point: registers the native functions
-  * for SQL use (`spark.sql.extensions=graft.plans.GraftExtensions` →
-  * `SELECT graft_hamming(a, b)`), the standard plug-in path for a
-  * cluster-wide deployment of this library.
+/** SparkSessionExtensions entry point: registers the native function
+  * (`SELECT graft_hamming(a, b)`) and the levenshtein-threshold
+  * optimizer rule via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * — the standard plug-in path for a cluster-wide deployment of this
+  * library.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -31,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
       (children: Seq[Expression]) =>
         HammingDistance(children.head, children(1))))
+    ext.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
   }
 }

@@ -35,35 +35,42 @@ object Search {
   def autoFuzz(qt: Column): Column =
     when(length(qt) <= 2, 0).when(length(qt) <= 5, 1).otherwise(2)
 
-  /** One fuzzy token-pair test with a cheap length pre-filter: a length
-    * difference beyond the edit budget implies levenshtein > budget, so
-    * the short-circuiting And skips the O(len²) distance for most
-    * tokens (SURVEY.md §4's "cheap predicate before expensive" rewrite,
-    * done at expression-build time — result is bit-identical, oracles
-    * untouched).
+  /** ES AUTO fuzziness for a literal token (plan-time constant). */
+  def tokenFuzz(t: String): Int =
+    if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2
+
+  /** One fuzzy token-pair test against a LITERAL query token. Two
+    * plan-time optimizations, both result-identical (oracles untouched):
+    *  - a length-difference pre-filter short-circuits most pairs
+    *    (|len(dt)-len(qt)| > k implies distance > k);
+    *  - the distance itself uses Spark's THRESHOLD-bounded levenshtein
+    *    (returns -1 when distance exceeds k), which runs the banded
+    *    O(k·n) algorithm instead of the full O(n·m) matrix — the SURVEY
+    *    §4 "cheap before expensive" rewrite, done at build time because
+    *    the query tokens are plan-time literals with constant budgets.
     */
-  private def fuzzyPair(dt: Column, qt: Column): Column =
-    (abs(length(dt) - length(qt)) <= autoFuzz(qt)) &&
-      (levenshtein(dt, qt) <= autoFuzz(qt))
+  private def fuzzyPairLit(dt: Column, tok: String): Column = {
+    val k = tokenFuzz(tok)
+    (abs(length(dt) - lit(tok.length)) <= k) &&
+      (levenshtein(dt, lit(tok), k) >= 0)
+  }
 
   /** Does any token of `docToks` fuzzy-match the literal query token? */
   def fuzzyHit(docToks: Column, qt: String): Column =
-    exists(docToks, dt => fuzzyPair(dt, lit(qt)))
+    exists(docToks, dt => fuzzyPairLit(dt, qt))
 
   /** Number of query tokens with at least one fuzzy match in docToks
     * (the multi_match OR semantics, Q1).
     */
-  def fuzzyMatchedCount(docToks: Column, queryToks: Seq[String]): Column = {
-    val qarr = array(queryToks.map(lit): _*)
-    size(filter(qarr, qt =>
-      exists(docToks, dt => fuzzyPair(dt, qt)))).cast("long")
-  }
+  def fuzzyMatchedCount(docToks: Column, queryToks: Seq[String]): Column =
+    if (queryToks.isEmpty) lit(0L)
+    else queryToks.map(t => when(fuzzyHit(docToks, t), 1L).otherwise(0L))
+      .reduce(_ + _)
 
   /** ALL query tokens fuzzy-match (the `operator: and` semantics, Q2). */
-  def fuzzyAll(docToks: Column, queryToks: Seq[String]): Column = {
-    val qarr = array(queryToks.map(lit): _*)
-    forall(qarr, qt => exists(docToks, dt => fuzzyPair(dt, qt)))
-  }
+  def fuzzyAll(docToks: Column, queryToks: Seq[String]): Column =
+    if (queryToks.isEmpty) lit(true)
+    else queryToks.map(t => fuzzyHit(docToks, t)).reduce(_ && _)
 
   /** Case-insensitive wildcard-contains (Q3: `*ing*`). */
   def wildcard(field: Column, needle: String): Column =

@@ -31,6 +31,32 @@ class NativeSpec extends SparkSpec {
     assert(expr.eval(row) === 1L)
   }
 
+  test("LevenshteinThresholdRule rewrites bounded comparisons, same results") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("x", "zzzzz"))
+      .toDF("a", "b").filter(levenshtein($"a", $"b") <= 2)
+    val before = df.queryExecution.analyzed
+    val after = org.apache.spark.sql.graftnative.LevenshteinThresholdRule(before)
+    val hasThreshold = after.expressions.exists(_.exists {
+      case Levenshtein(_, _, Some(_)) => true
+      case _ => false
+    })
+    assert(hasThreshold, s"rule did not rewrite:\n$after")
+    // idempotent: a second application changes nothing
+    assert(org.apache.spark.sql.graftnative.LevenshteinThresholdRule(after)
+      .fastEquals(after))
+    // bounded and unbounded forms agree
+    val unbounded = Seq(("kitten", "sitting"), ("abc", "abd"), ("x", "zzzzz"))
+      .toDF("a", "b")
+      .select(($"a" === $"a") && (levenshtein($"a", $"b") <= 2))
+      .as[Boolean].collect().toSeq
+    val bounded = Seq(("kitten", "sitting"), ("abc", "abd"), ("x", "zzzzz"))
+      .toDF("a", "b")
+      .select(levenshtein($"a", $"b", 2) >= 0)
+      .as[Boolean].collect().toSeq
+    assert(unbounded === bounded)
+  }
+
   test("GraftExtensions registers graft_hamming for SQL use") {
     // the extensions object accepts the injection without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
