@@ -161,6 +161,48 @@ object Dedup {
   }
 
 
+  // --------------------------------------------------------- clustering
+  /** Duplicate clusters from a near-dup pair list: connected components
+    * by iterative min-label propagation (the Pregel/GraphX pattern as
+    * plain DataFrame joins). Returns one row per document appearing in
+    * any pair: (doc_id, cluster_id = min doc id in its component,
+    * is_keeper = this doc is that minimum) — the "keep one copy per
+    * duplicate group" decision a dedup pipeline actually needs.
+    *
+    * The driver-side loop iterates O(component diameter) times (each
+    * pass halves label distance at worst; near-dup components are
+    * shallow in practice) and stops at the exact fixpoint; every
+    * iteration is one shuffle join + aggregate, localCheckpoint()ed so
+    * lineage (and replanning cost) stays flat. This is the legitimate
+    * use of a driver loop: iteration COUNT is tiny and data never
+    * leaves the cluster.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("lbl", $"id")
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(labels("id"),
+          least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.select($"id", $"lbl".as("lbl_new"))
+        .join(labels.select($"id", $"lbl".as("lbl_old")), Seq("id"))
+        .filter($"lbl_new" =!= $"lbl_old")
+        .isEmpty
+      labels = next
+    }
+    labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"),
+      ($"lbl" === $"id").as("is_keeper"))
+  }
+
   // ------------------------------------------------------------ SimHash
   /** SimHash near-dup pairs at Hamming distance <= maxDist on a 64-bit
     * fingerprint. Candidates come from banding the fingerprint into

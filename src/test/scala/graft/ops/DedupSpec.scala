@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("duplicateClusters: connected components with min-id keeper") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 1L, false)))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > 2)") {
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(chain)
+    assert(got.count() === 9L)
+    assert(got.filter($"cluster_id" =!= 0L).count() === 0L)
+    assert(got.filter($"is_keeper").count() === 1L)
+  }
+
   test("simhashPairs: identical docs at distance 0; guards reject bad maxDist") {
     val df = Seq((1L, dupText), (2L, dupText),
       (3L, "argh blarg quux zork mumble frotz plugh xyzzy"))
