@@ -1,0 +1,51 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data cleaning pipeline (the C4/RefinedWeb
+  * shape): language filter → quality filter → exact dedup → near-dup
+  * cluster resolution, all from this library's verified pieces.
+  *
+  * One linear annotate+filter pass, one content-hash aggregate, one
+  * minhash-LSH candidate stage, one component resolution — no step is
+  * quadratic in the corpus, and every step is an operator with its own
+  * oracle-checked query, so the composition inherits their semantics.
+  */
+object CleanCorpus {
+
+  /** Returns the cleaned corpus: input columns + lang_pred + quality,
+    * keeping only docs that (1) predict into `langs` with quality >=
+    * minQuality, (2) are the min-id keeper of their exact-content
+    * group, and (3) are the min-id keeper of their near-dup cluster
+    * (minhash-LSH pairs at `tau`).
+    *
+    * NOT a lazy builder: cluster resolution is an iterative fixpoint,
+    * so calling this runs Spark jobs (unlike every other builder in
+    * this library). Call it where an action is acceptable.
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            langs: Seq[String], minQuality: Double,
+            n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val filtered = docs
+      .withColumn("lang_pred",
+        TextAnalysis.langId(TextAnalysis.toks(text)))
+      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .filter(col("lang_pred").isin(langs: _*) &&
+        col("quality") >= minQuality)
+    val keep = filtered.groupBy(md5(text).as("_ck"))
+      .agg(min(id).as("_keeper"))
+    val exact = filtered
+      .join(keep, md5(text) === col("_ck") && id === col("_keeper"))
+      .drop("_ck", "_keeper")
+    val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
+      n, bands, rowsPerBand, tau)
+    val drops = Dedup.duplicateClusters(pairs)
+      .filter(!col("is_keeper"))
+      .select(col("doc_id").as("_drop"))
+    exact.join(drops, id === col("_drop"), "left_anti")
+  }
+}
