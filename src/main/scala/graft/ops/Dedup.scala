@@ -161,6 +161,37 @@ object Dedup {
   }
 
 
+  /** Cross-corpus n-gram contamination check (train-set
+    * DEcontamination): pairs of (left doc, right doc) sharing at least
+    * `minShared` distinct n-gram shingles — e.g. training documents
+    * overlapping an evaluation benchmark. Candidates come from an
+    * inverted-index equi-join on shingles rare on the RIGHT side
+    * (df <= maxDf; the benchmark corpus is the small one), then the
+    * shared count is verified exactly over the full shingle sets.
+    * Never all-pairs; linear in both corpora.
+    */
+  def crossContamination(left: DataFrame, lId: String, lText: String,
+                         right: DataFrame, rId: String, rText: String,
+                         n: Int, maxDf: Long, minShared: Int): DataFrame = {
+    val lSets = shingleSets(left, lId, lText, n)
+      .select($"doc_id".as("left_id"), $"shs".as("l_shs"))
+    val rSets = shingleSets(right, rId, rText, n)
+      .select($"doc_id".as("right_id"), $"shs".as("r_shs"))
+    val rInv = rSets.select($"right_id", explode($"r_shs").as("sh"))
+    val rRare = rInv.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"sh")
+    val rInvCapped = rInv.join(rRare, Seq("sh"))
+    val lInv = lSets.select($"left_id", explode($"l_shs").as("sh"))
+    val cands = lInv.join(rInvCapped, Seq("sh"))
+      .select($"left_id", $"right_id").distinct()
+    cands
+      .join(lSets, Seq("left_id"))
+      .join(rSets, Seq("right_id"))
+      .select($"left_id", $"right_id",
+        size(array_intersect($"l_shs", $"r_shs")).cast("long").as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   // --------------------------------------------------------- clustering
   /** Duplicate clusters from a near-dup pair list: connected components
     * by iterative min-label propagation (the Pregel/GraphX pattern as

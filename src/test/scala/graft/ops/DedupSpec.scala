@@ -73,6 +73,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("crossContamination finds cross-corpus shingle overlap, never within-corpus") {
+    val train = Seq((1L, dupText), (2L, "no overlap here at all whatsoever"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, dupText + " extra"), (11L, "unrelated benchmark content"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossContamination(train, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, maxDf = 100L, minShared = 3).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("left_id") === 1L)
+    assert(got.head.getAs[Long]("right_id") === 10L)
+    assert(got.head.getAs[Long]("n_shared") >= 3L)
+  }
+
   test("duplicateClusters: connected components with min-id keeper") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
       .toDF("doc_a", "doc_b")
