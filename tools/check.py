@@ -51,8 +51,16 @@ def main():
             continue
         # reorder spark cols to duck col order
         perm = [scols.index(c) for c in dcols]
-        srows = sorted([tuple(r[i] for i in perm) for r in sdf], key=repr)
-        drows = sorted(list(ddf), key=repr)
+        # Sort key: with --tol set, round floats first so near-equal
+        # values can't sort into different positions on the two sides
+        # and produce spurious VALUE_MISMATCHes from misaligned rows.
+        def skey(row):
+            if tol > 0:
+                row = tuple(round(v, 6) if isinstance(v, float) else v
+                            for v in row)
+            return repr(row)
+        srows = sorted([tuple(r[i] for i in perm) for r in sdf], key=skey)
+        drows = sorted(list(ddf), key=skey)
         if len(srows) != len(drows):
             results[name] = f"ROWCOUNT spark={len(srows)} duck={len(drows)}"
             continue
