@@ -70,6 +70,19 @@ object Recipes {
   def writeBackupJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** S2 fixture-parity form: one pretty-ish JSON ARRAY file, like the
+    * reference's json.dump of the full record list
+    * (scraper/main.py:253-259). Collects to the driver by design —
+    * the array-file format itself is single-writer; use
+    * [[writeBackupJson]] (JSONL, distributed) for anything beyond
+    * fixture scale.
+    */
+  def writeBackupJsonArray(df: DataFrame, file: String): Unit = {
+    val rows = df.toJSON.collect()
+    val body = rows.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), body)
+  }
+
   /** S5: truncate-and-load — full overwrite, duplicates retained
     * (restore_data.py:31-33).
     */

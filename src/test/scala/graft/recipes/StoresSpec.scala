@@ -28,6 +28,16 @@ class StoresSpec extends SparkSpec {
     assert(a.forall(_ >= 1))
   }
 
+  test("S2 array form: JSON array file round-trips through the multiLine reader") {
+    val sub = Recipes.dedupByKey(Recipes.loadRaw(spark)).limit(50)
+    val file = tmp("backup_arr") + "/backup.json"
+    Recipes.writeBackupJsonArray(sub, file)
+    val back = Recipes.loadRaw(spark, file) // same reader as the fixture
+    assert(back.count() === 50L)
+    assert(sub.select("product_id", "rating")
+      .except(back.select("product_id", "rating")).count() === 0L)
+  }
+
   test("S5: truncate-and-load retains duplicates; S6/S7 search view dedups") {
     val raw = Recipes.loadRaw(spark)
     val rawPath = tmp("s5") + "/raw_table"
