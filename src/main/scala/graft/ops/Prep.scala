@@ -34,10 +34,12 @@ object Prep {
         pmod(col(idCol), lit(numShards)).cast("long").as("shard"))
       .withColumn("cum", sum($"n_tokens").over(w))
       // greatest(.,1): an all-empty prefix (cum=0) stays in bin 0 in
-      // both truncating and flooring integer division
+      // both truncating and flooring integer division. DIV keeps the
+      // arithmetic in exact int64 — Column./ is double division, which
+      // mis-bins once a shard's cumulative count passes 2^53.
+      .withColumn("_c", greatest($"cum", lit(1L)) - 1)
       .select(col(idCol), $"n_tokens", $"shard",
-        ((greatest($"cum", lit(1L)) - 1) / lit(budgetTokens))
-          .cast("long").as("bin_id"))
+        expr(s"_c DIV $budgetTokens").as("bin_id"))
   }
 
   /** Sliding-window chunking: one row per (doc, chunk), chunks of

@@ -17,6 +17,18 @@ class PrepSpec extends SparkSpec {
       === Seq((0L, 0L), (1L, 0L), (8L, 0L), (16L, 1L)))
   }
 
+  test("packBins: empty-prefix and oversized-document edge cases") {
+    val docs = Seq(
+      (0L, ""),                                  // cum=0 -> bin 0 (guard)
+      (8L, (1 to 12).map(_ => "w").mkString(" ")), // 12 > budget: straddles
+      (16L, "a b")).toDF("doc_id", "text")       // cum 14 -> bin 2
+    val got = Prep.packBins(docs, "doc_id", "text",
+      budgetTokens = 5L, numShards = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin_id"))).toSeq
+    assert(got === Seq((0L, 0L), (8L, 2L), (16L, 2L)))
+  }
+
   test("chunkDocs: sliding windows with stride, short tail, no empty docs") {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, " "))
       .toDF("doc_id", "text")
