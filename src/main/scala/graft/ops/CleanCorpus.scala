@@ -30,17 +30,24 @@ object CleanCorpus {
             n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
+    // localCheckpoint: this function executes jobs anyway (see below),
+    // and `filtered` / `exact` are each scanned several times (keeper
+    // agg, verify joins, final anti-join) — without materialization
+    // every scan would re-run the full langId/quality expression tree
+    // over the source.
     val filtered = docs
       .withColumn("lang_pred",
         TextAnalysis.langId(TextAnalysis.toks(text)))
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .filter(col("lang_pred").isin(langs: _*) &&
         col("quality") >= minQuality)
+      .localCheckpoint()
     val keep = filtered.groupBy(md5(text).as("_ck"))
       .agg(min(id).as("_keeper"))
     val exact = filtered
       .join(keep, md5(text) === col("_ck") && id === col("_keeper"))
       .drop("_ck", "_keeper")
+      .localCheckpoint()
     val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
       n, bands, rowsPerBand, tau)
     val drops = Dedup.duplicateClusters(pairs)

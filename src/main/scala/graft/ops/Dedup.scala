@@ -115,11 +115,16 @@ object Dedup {
     * integer seeds — is reproducible in any engine with md5.
     * (Broder, "On the resemblance and containment of documents", 1997.)
     */
-  def withMinhashSignature(sets: DataFrame, numHashes: Int): DataFrame =
-    (0 until numHashes).foldLeft(sets) { (df, i) =>
-      df.withColumn(s"sig$i",
-        array_min(transform($"shs", sh => md5(concat(lit(s"$i|"), sh)))))
+  def withMinhashSignature(sets: DataFrame, numHashes: Int): DataFrame = {
+    // one projection, not numHashes chained withColumns — each
+    // withColumn copies and re-analyzes the whole plan (quadratic
+    // driver cost at realistic 128-hash signatures)
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform($"shs", sh => md5(concat(lit(s"$i|"), sh))))
+        .as(s"sig$i")
     }
+    sets.select(col("*") +: sigCols: _*)
+  }
 
   /** MinHash + LSH banded near-dup pairs: signatures are split into
     * `bands` bands of `rowsPerBand`; documents colliding in any band
@@ -258,6 +263,10 @@ object Dedup {
     val rem = bits % nBands
     val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("mds", transform(toks($"text"), t => md5(t)))
+      // empty/null-text docs all hash to the all-zero fingerprint and
+      // would pair quadratically with each other — they carry no
+      // content to compare, so drop them (mirrors minhashLshPairs)
+      .filter(size($"mds") > 0)
       .select($"doc_id", simhash64($"mds").as("fp"))
     val bandCols = (0 until nBands).map { b =>
       val start = b * base + math.min(b, rem)

@@ -37,9 +37,15 @@ object Similarity {
 
   /** Cosine similarity from exact integer dot/norms (double at the very
     * end only; norms multiplied in double to dodge int64 overflow).
+    * Zero (or quantized-to-zero) vectors score 0.0 — without the guard
+    * 0/0 = NaN, and Spark sorts NaN above every double, so a single
+    * failed embedding would out-rank all real neighbors and pass every
+    * `>= tau` filter.
     */
   def cosine(dot: Column, na2: Column, nb2: Column): Column =
-    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+    when(na2 === 0L || nb2 === 0L, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(na2.cast("double")) * sqrt(nb2.cast("double"))))
 
   /** Corpus with quantized vector + cached squared norm. */
   def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -137,7 +143,14 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
              stride: Long, nProbe: Int): DataFrame = {
-    val cents = broadcast(corpus.filter($"vec_id" % stride === 0)
+    // Centroids = the smallest populated residue class mod stride (not
+    // a bare `% stride == 0`, which silently yields ZERO centroids —
+    // and an empty result — when no id happens to be a multiple).
+    // Computed lazily in-plan via a broadcast 1-row aggregate.
+    val minMod = broadcast(corpus
+      .agg(min(pmod($"vec_id", lit(stride))).as("_mm")))
+    val cents = broadcast(corpus.crossJoin(minMod)
+      .filter(pmod($"vec_id", lit(stride)) === $"_mm")
       .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2")))
     val assigned = corpus.crossJoin(cents)
       .select($"vec_id", $"qv", $"n2", $"cent_id",

@@ -35,9 +35,15 @@ object Search {
   def autoFuzz(qt: Column): Column =
     when(length(qt) <= 2, 0).when(length(qt) <= 5, 1).otherwise(2)
 
-  /** ES AUTO fuzziness for a literal token (plan-time constant). */
-  def tokenFuzz(t: String): Int =
-    if (t.length <= 2) 0 else if (t.length <= 5) 1 else 2
+  /** ES AUTO fuzziness for a literal token (plan-time constant).
+    * Length is counted in CODE POINTS to agree with Spark's length()
+    * on the document side (UTF-16 code-unit counting would misassign
+    * the budget for supplementary-plane tokens).
+    */
+  def tokenFuzz(t: String): Int = {
+    val n = t.codePointCount(0, t.length)
+    if (n <= 2) 0 else if (n <= 5) 1 else 2
+  }
 
   /** One fuzzy token-pair test against a LITERAL query token. Two
     * plan-time optimizations, both result-identical (oracles untouched):
@@ -51,7 +57,8 @@ object Search {
     */
   private def fuzzyPairLit(dt: Column, tok: String): Column = {
     val k = tokenFuzz(tok)
-    (abs(length(dt) - lit(tok.length)) <= k) &&
+    val tokLen = tok.codePointCount(0, tok.length) // = Spark length(lit(tok))
+    (abs(length(dt) - lit(tokLen)) <= k) &&
       (levenshtein(dt, lit(tok), k) >= 0)
   }
 
@@ -74,13 +81,13 @@ object Search {
 
   /** Case-insensitive wildcard-contains (Q3: `*ing*`). */
   def wildcard(field: Column, needle: String): Column =
-    lower(field).contains(needle.toLowerCase)
+    lower(field).contains(needle.toLowerCase(java.util.Locale.ROOT))
 
   /** One "frigo" ingredient clause (Q4): fuzzy-AND over the clause
     * tokens OR raw contains — catches glued tokens like "1oeuf".
     */
   def clauseMatch(docToks: Column, rawField: Column, clause: String): Column = {
-    val toks = clause.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    val toks = clause.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
     fuzzyAll(docToks, toks.toSeq) || wildcard(rawField, clause)
   }
 
@@ -90,7 +97,9 @@ object Search {
     */
   def minShouldMatchScore(docToks: Column, rawField: Column,
                           clauses: Seq[String]): Column =
-    clauses.map(c => when(clauseMatch(docToks, rawField, c), 1L).otherwise(0L))
+    if (clauses.isEmpty) lit(0L) // empty CSV -> no clause matches anything
+    else clauses
+      .map(c => when(clauseMatch(docToks, rawField, c), 1L).otherwise(0L))
       .reduce(_ + _)
 
   /** Multi-field fuzzy search (Q1 multi_match over weighted fields):
@@ -105,15 +114,20 @@ object Search {
 
   /** Driver-side analyzer for a literal query string — identical
     * semantics to [[analyze]] (lowercase, Unicode word split).
+    * Locale.ROOT matches Spark's locale-independent lower(): a default
+    * Turkish JVM locale would otherwise produce dotless-i tokens that
+    * never match the document side.
     */
   def analyzeLiteral(query: String): Seq[String] =
-    query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+    query.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
 
   /** F13 (app/main.py:107): CSV ingredient list -> trimmed lowercase
     * clauses, empties dropped.
     */
   def splitClauses(csv: String): Seq[String] =
-    csv.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+    csv.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSeq
 
   /** F13 as a Column expression, for CSV values arriving in a column
     * rather than as a literal query.
