@@ -38,7 +38,12 @@ object Fns {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
-  /** Whitespace tokenizer (for oracle-parity text stats). */
+  /** Whitespace tokenizer (for oracle-parity text stats). The
+    * whitespace class is spelled out because Java's \s includes U+000B
+    * while RE2's (DuckDB's) does not — the explicit class is identical
+    * to Java \s and is mirrored verbatim in the oracle SQL.
+    */
+  val wsClass = " \\t\\n\\x0B\\f\\r"
   def wsTokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => t =!= "")
+    filter(split(trim(c), s"[$wsClass]+"), t => t =!= "")
 }

@@ -34,7 +34,10 @@ object AsOf {
     val pType = right.select(pStruct.as("_p")).schema("_p").dataType
     val leftFields = left.schema.fields.toSeq
 
-    val rTagged = right.select(
+    // A NULL right time would sort NULLS FIRST in the window and become
+    // a permanent "match" for pre-first-row left rows; a real as-of
+    // join never matches NULL times, so drop such rows.
+    val rTagged = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("_k"), col(rightTime).as("_t"),
         lit(0).as("_side"), pStruct.as("_p")) ++
         leftFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)

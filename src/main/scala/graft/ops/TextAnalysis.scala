@@ -39,7 +39,8 @@ object TextAnalysis {
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text,
-      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0))).cast("long")
+      lit(s"\\p{L}+|\\p{N}+|[^${Fns.wsClass}\\p{L}\\p{N}]"), lit(0)))
+      .cast("long")
 
   // ------------------------------------------------------------ lang id
   /** Tiny per-language stopword lists for the n-gram/stopword heuristic.

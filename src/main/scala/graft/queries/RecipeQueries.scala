@@ -51,9 +51,11 @@ object RecipeQueries {
   private def xlit(s: String): String =
     s.map { c => val i = accFrom.indexOf(c.toInt); if (i >= 0) accTo(i) else c }
 
-  /** ES AUTO fuzziness (must mirror Search.autoFuzz). */
-  private def fuzz(qt: String): Int =
-    if (qt.length <= 2) 0 else if (qt.length <= 5) 1 else 2
+  /** ES AUTO fuzziness — the same code-point-counting rule the Spark
+    * plans use (re-implementing it here with UTF-16 .length would
+    * silently diverge for supplementary-plane tokens).
+    */
+  private def fuzz(qt: String): Int = Search.tokenFuzz(qt)
 
   private def toksSql(field: String): String =
     s"list_filter(regexp_split_to_array(lower($field), '[^\\p{L}\\p{N}]+'), x -> x != '')"

@@ -31,22 +31,32 @@ import graft.ops.Dedup
   */
 object StreamingUpsert {
 
-  /** One LWW merge step: existing table ∪ batch -> keyed latest. The
-    * merged result is materialized (cache+count) before the overwrite
-    * because the write reads the same path it replaces.
+  /** One LWW merge step: existing table ∪ batch -> keyed latest,
+    * written TEMP-THEN-SWAP: the merge writes to a sibling _tmp path
+    * (reading the OLD table the whole time — never the path it is
+    * replacing), then the table is swapped in with a filesystem
+    * rename. A cache+count "barrier" would NOT be safe here: executor
+    * loss after the overwrite deleted the old files would recompute
+    * lineage against the truncated source and silently lose keys.
+    * Table existence and the swap go through the Hadoop FileSystem
+    * API, so the sink works on HDFS-like stores, not just local disk
+    * (rename atomicity is FS-dependent — on object stores use a
+    * merge-capable table format instead, as the class doc says).
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
                  orderCol: String, idCol: String, tablePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      if (new java.io.File(tablePath).exists())
-        spark.read.schema(batch.schema).parquet(tablePath)
+      if (fs.exists(path)) spark.read.schema(batch.schema).parquet(tablePath)
       else batch.limit(0)
     val merged = Dedup.lastWriteWins(
       existing.unionByName(batch), keyCol, orderCol, idCol)
-    merged.cache()
-    merged.count()
-    merged.write.mode("overwrite").parquet(tablePath)
-    merged.unpersist()
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
   }
 
   /** S4/D2 streamed: idempotent keyed last-write-wins upsert sink. */
