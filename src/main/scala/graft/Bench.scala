@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: times SparkEntry.benchQueries against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
@@ -15,15 +15,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = LocalSession.build(cpus,
+      Map("spark.sql.autoBroadcastJoinThreshold" -> "64m"))
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
@@ -31,11 +24,13 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // NonFatal only: an OOM/VM error must crash the bench visibly —
+    // timings taken in a heap-exhausted JVM are garbage.
     def report(name: String, phase: String, e: Throwable): Unit =
       System.err.println(
         s"[bench] $phase $name failed: ${e.getClass.getName}: ${e.getMessage}")
     names.foreach { n =>                      // warmup (untimed)
-      try force(n) catch { case e: Throwable => report(n, "warmup", e) }
+      try force(n) catch { case NonFatal(e) => report(n, "warmup", e) }
     }
     // Two timed runs per query, best kept: single-run numbers on a
     // shared box are dominated by scheduler noise (observed 1.3s vs
@@ -45,13 +40,18 @@ object Bench {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => report(name, "timed", e); None }
+        catch { case NonFatal(e) => report(name, "timed", e); None }
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A failed query must make the headline metric WORSE, not smaller:
+    // total is -1 (invalid) whenever any query failed, so a regression
+    // to a crash can never read as a speedup.
+    val total =
+      if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,8 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
-      (children: Seq[Expression]) =>
-        HammingDistance(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_hamming requires exactly 2 arguments, got ${children.length}")
+        HammingDistance(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
   }

@@ -32,5 +32,8 @@ object LevenshteinThresholdRule extends Rule[LogicalPlan] {
       case LessThan(Levenshtein(a, b, None), Literal(kv: Int, IntegerType))
           if kv >= 1 =>
         GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+      case GreaterThan(Literal(kv: Int, IntegerType), Levenshtein(a, b, None))
+          if kv >= 1 =>
+        GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
     }
 }
