@@ -68,21 +68,31 @@ object Relational {
 
   // ---------------------------------------------------------------- q03
   /** Fact-fact-dimension join + agg + top-k: revenue per customer.
-    * lineitem (fact) joins orders (fact) on the shuffle key, customer is
-    * broadcast by Catalyst (dimension-sized).
+    *
+    * Lineitem is PRE-AGGREGATED to per-order revenue on the join key
+    * before meeting orders: the join then carries one row per order
+    * instead of one per lineitem, n_orders becomes a plain count
+    * (no countDistinct Expand doubling the aggregate input), and the
+    * final customer-level shuffle moves ~4x fewer rows. Results are
+    * identical to the direct form — exact decimal sums are associative,
+    * and orderkey is unique in orders (measured ~25% faster at sf0.1;
+    * the gap widens with lineitems-per-order at scale). Customer stays
+    * a broadcast dimension.
     */
   def q03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
     val o  = t(s, dir, "orders")
     val c  = t(s, dir, "customer")
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    val perOrder = li.groupBy($"l_orderkey")
+      .agg(sum(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
+        .as("o_rev"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(
-        dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
-          .as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        sum($"o_rev").cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"revenue".desc, $"c_custkey".asc)
       .limit(20)
   }

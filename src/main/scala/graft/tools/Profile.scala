@@ -59,6 +59,22 @@ object Profile {
           sum(($"p".cast("decimal(18,0)") * (lit(10000L) - $"d")).cast("decimal(28,0)")),
           count(lit(1)))
     }
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    time("q03_as_now")(graft.queries.Relational.q03(spark, sfDir))
+    time("q03_preagg") {
+      val liAgg = li.groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
+          .as("o_rev"))
+      liAgg.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(sum($"o_rev").cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    }
+
     // Replicate the Bench sequence: warm all 7, then time each fresh build.
     val names = graft.SparkEntry.benchQueries
     def force(n: String): Unit =
