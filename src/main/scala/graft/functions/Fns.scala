@@ -22,14 +22,53 @@ object Fns {
 
   val oneD: Column = lit(1).cast(D)
 
+  /** Correctly-rounded decimal -> double, via the string form: a direct
+    * decimal(38,_)->double cast double-rounds in engines that convert
+    * int128 storage to double BEFORE dividing by the scale (DuckDB
+    * does; observed 3-ulp drift on wide sums). decimal->string is
+    * exact and string->double is correctly rounded everywhere, so this
+    * path yields the nearest double of the exact rational in every
+    * engine. Only applied to (tiny) aggregated values.
+    */
+  def decDouble(c: Column): Column = c.cast("string").cast("double")
+
   /** Order-independent SUM of a double column (exact decimal internally). */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  def dsum(c: Column): Column = decDouble(sum(c.cast(D)))
 
   /** Exact sum of an already-decimal expression, returned as double. */
-  def dsumExpr(e: Column): Column = sum(e).cast("double")
+  def dsumExpr(e: Column): Column = decDouble(sum(e))
 
   /** Order-independent AVG: exact decimal sum divided by count, in double. */
-  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(c)
+  def davg(c: Column): Column = decDouble(sum(c.cast(D))) / count(c)
+
+  /** Deterministic sample variance from EXACT decimal moments:
+    * (Σx² - (Σx)²/n) / (n-1), with both sums accumulated in decimal
+    * and the arithmetic shape fixed — unlike Welford-style built-in
+    * var_samp, the result is independent of partition order and
+    * reproducible in any engine that can sum decimals.
+    */
+  def dvar(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = decDouble(sum(dec(c)))
+    val s2 = decDouble(sum(dec(c) * dec(c)))
+    (s2 - s * s / n) / (n - lit(1.0))
+  }
+
+  /** Deterministic sample stddev (sqrt of [[dvar]]). */
+  def dstd(c: Column): Column = sqrt(dvar(c))
+
+  /** Deterministic Pearson correlation from exact decimal moments:
+    * (n·Σxy - Σx·Σy) / (√(n·Σx² - (Σx)²) · √(n·Σy² - (Σy)²)).
+    */
+  def dcorr(x: Column, y: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = decDouble(sum(dec(x)))
+    val sy = decDouble(sum(dec(y)))
+    val sxy = decDouble(sum(dec(x) * dec(y)))
+    val sx2 = decDouble(sum(dec(x) * dec(x)))
+    val sy2 = decDouble(sum(dec(y) * dec(y)))
+    (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+  }
 
   /** Unicode tokenizer: lowercase, split on non-letter/digit runs, drop
     * empties. Mirrors the ES `standard` analyzer semantics the reference

@@ -195,8 +195,8 @@ object RecipeQueries {
          |$dedupCte,
          |f AS (SELECT * FROM dedup WHERE category IN ('plat-principal'))
          |SELECT (SELECT count(*) FROM f) AS n_recipes,
-         | (SELECT CAST(SUM(CAST(rating AS DECIMAL(18,4))) AS DOUBLE) / COUNT(rating) FROM f) AS avg_rating,
-         | (SELECT trunc(CAST(SUM(CAST(duration_min AS DECIMAL(18,4))) AS DOUBLE) / COUNT(duration_min))::BIGINT FROM f) AS avg_duration_min_int,
+         | (SELECT CAST(CAST(SUM(CAST(rating AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(rating) FROM f) AS avg_rating,
+         | (SELECT trunc(CAST(CAST(SUM(CAST(duration_min AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(duration_min))::BIGINT FROM f) AS avg_duration_min_int,
          | (SELECT difficulty FROM f GROUP BY difficulty
          |   ORDER BY count(*) DESC, difficulty ASC LIMIT 1) AS top_difficulty""".stripMargin,
 

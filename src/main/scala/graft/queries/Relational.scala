@@ -91,7 +91,7 @@ object Relational {
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(
-        sum($"o_rev").cast("double").as("revenue"),
+        decDouble(sum($"o_rev")).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy($"revenue".desc, $"c_custkey".asc)
       .limit(20)
@@ -167,7 +167,7 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"event_id")
     t(s, dir, "events")
-      .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
+      .withColumn("running_value", decDouble(sum(dec($"value")).over(w)))
       .select($"user_id", $"event_id", $"value", $"running_value")
   }
 
@@ -402,8 +402,8 @@ object Relational {
       rank().over(wP).cast("long").as("price_rank"),
       dense_rank().over(wP).cast("long").as("price_dense_rank"),
       ntile(4).over(wT).cast("long").as("quartile"),
-      sum(dec($"o_totalprice")).over(wT.rowsBetween(-2, 0))
-        .cast("double").as("moving_sum3"))
+      decDouble(sum(dec($"o_totalprice")).over(wT.rowsBetween(-2, 0)))
+        .as("moving_sum3"))
   }
 
   // ---------------------------------------------------------------- q37
@@ -433,6 +433,35 @@ object Relational {
     }
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Deterministic dispersion stats per event type — variance/stddev
+    * from exact decimal moments (order-independent, engine-portable;
+    * see Fns.dvar), not Welford-accumulated var_samp.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"value").as("avg_value"),
+        dvar($"value").as("var_value"),
+        dstd($"value").as("std_value"))
+  }
+
+  // ---------------------------------------------------------------- q55
+  /** Deterministic Pearson correlation per return flag from exact
+    * decimal moments (Fns.dcorr).
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dcorr($"l_quantity", $"l_extendedprice").as("corr_qty_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_topk"     -> (q02 _),
@@ -457,17 +486,19 @@ object Relational {
     "q35_hash_sample"     -> (q35 _),
     "q36_window_zoo"      -> (q36 _),
     "q37_cube"            -> (q37 _),
-    "q38_pivot"           -> (q38 _))
+    "q38_pivot"           -> (q38 _),
+    "q54_moment_stats"    -> (q54 _),
+    "q55_moment_corr"     -> (q55 _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -478,7 +509,7 @@ object Relational {
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
     "q03_join_revenue" ->
       """SELECT c_custkey, c_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -486,7 +517,7 @@ object Relational {
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q04_star_join" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -515,15 +546,15 @@ object Relational {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q08_running_sum" ->
       """SELECT user_id, event_id, value,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-        |   PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY user_id ORDER BY event_id) AS VARCHAR) AS DOUBLE) AS running_value
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
     "q09_rollup" ->
       """SELECT COALESCE(o_orderstatus,'ALL') AS status,
         | COALESCE(o_orderpriority,'ALL') AS priority,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
@@ -550,7 +581,7 @@ object Relational {
         |   WHEN contains(lower(p_type), 'promo') THEN 'promoted'
         |   ELSE 'other' END AS class,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
+        | CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
         | SUM(CAST(p_size AS BIGINT)) AS total_size
         |FROM part GROUP BY 1 ORDER BY class""".stripMargin,
     "q13_scalar_funcs" ->
@@ -572,11 +603,11 @@ object Relational {
     "q15_hourly_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q16_kpi_row" ->
       """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
-        | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) FROM orders) AS avg_price,
+        | (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice) FROM orders) AS avg_price,
         | (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
         |  ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_priority""".stripMargin,
     "q17_json_extract" ->
@@ -632,9 +663,9 @@ object Relational {
         | rank() OVER wp AS price_rank,
         | dense_rank() OVER wp AS price_dense_rank,
         | ntile(4) OVER wt AS quartile,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_sum3
         |FROM orders
         |WINDOW
         | wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
@@ -643,7 +674,7 @@ object Relational {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q38_pivot" ->
@@ -653,5 +684,29 @@ object Relational {
         | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q54_moment_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS avg_value,
+        | (CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(value))
+        |   / (COUNT(value) - 1.0) AS var_value,
+        | sqrt((CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(value))
+        |   / (COUNT(value) - 1.0)) AS std_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // product operands widened to DECIMAL(19,4): DuckDB multiplies
+    // DECIMAL(18,4) in int64 and overflows on price^2; width 19 forces
+    // the int128 path. Exact rational values are unchanged, so parity
+    // with Spark's DECIMAL(18,4) products (which auto-widen) holds.
+    "q55_moment_corr" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | (COUNT(*) * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+        |   - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE))
+        | / (sqrt(COUNT(*) * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE))
+        |   * sqrt(COUNT(*) * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)))
+        |   AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

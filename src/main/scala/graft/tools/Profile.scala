@@ -75,6 +75,18 @@ object Profile {
         .limit(20)
     }
 
+    time("q10_as_now")(graft.queries.Relational.q10(spark, sfDir))
+    time("q10_split_distinct") {
+      val ns = li.select($"l_orderkey", $"l_suppkey").distinct()
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_supp"))
+      val np = li.select($"l_orderkey", $"l_partkey").distinct()
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_part"))
+      ns.join(np, Seq("l_orderkey"))
+        .groupBy($"n_supp", $"n_part")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_supp", $"n_part")
+    }
+
     // Replicate the Bench sequence: warm all 7, then time each fresh build.
     val names = graft.SparkEntry.benchQueries
     def force(n: String): Unit =
