@@ -26,6 +26,19 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq("new", "b")) // k2 tie on v=3 -> payload desc
   }
 
+  test("aggregate LWW == window LWW on randomized data (property)") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(400) { i =>
+      (s"k${rnd.nextInt(40)}", rnd.nextInt(20).toLong, s"p$i")
+    }
+    val df = rows.toDF("k", "v", "payload")
+    val agg = Dedup.lastWriteWins(df, "k", "v", "payload")
+    val win = Dedup.lastWriteWinsWindow(df, "k", "v", "payload")
+    assert(agg.except(win).count() === 0L)
+    assert(win.except(agg).count() === 0L)
+    assert(agg.count() === df.select("k").distinct().count())
+  }
+
   test("aggregate LWW and window LWW pick identical keepers (skew-immune form)") {
     val df = Seq(
       ("k1", 1L, "a"), ("k1", 9L, "b"), ("k1", 9L, "a"),
