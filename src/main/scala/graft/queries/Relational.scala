@@ -167,7 +167,11 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"event_id")
     t(s, dir, "events")
-      .withColumn("running_value", decDouble(sum(dec($"value")).over(w)))
+      // plain cast, not decDouble: this conversion runs PER ROW (window
+      // column) and the string path costs ~1s at sf0.1; running sums at
+      // window scale stay int64-backed where both engines' direct casts
+      // are already exact (decDouble is for wide aggregate scalars)
+      .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
       .select($"user_id", $"event_id", $"value", $"running_value")
   }
 
@@ -402,8 +406,9 @@ object Relational {
       rank().over(wP).cast("long").as("price_rank"),
       dense_rank().over(wP).cast("long").as("price_dense_rank"),
       ntile(4).over(wT).cast("long").as("quartile"),
-      decDouble(sum(dec($"o_totalprice")).over(wT.rowsBetween(-2, 0)))
-        .as("moving_sum3"))
+      // plain cast: per-row window conversion; see q08 note
+      sum(dec($"o_totalprice")).over(wT.rowsBetween(-2, 0))
+        .cast("double").as("moving_sum3"))
   }
 
   // ---------------------------------------------------------------- q37
@@ -546,8 +551,8 @@ object Relational {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q08_running_sum" ->
       """SELECT user_id, event_id, value,
-        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
-        |   PARTITION BY user_id ORDER BY event_id) AS VARCHAR) AS DOUBLE) AS running_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
     "q09_rollup" ->
@@ -663,9 +668,9 @@ object Relational {
         | rank() OVER wp AS price_rank,
         | dense_rank() OVER wp AS price_dense_rank,
         | ntile(4) OVER wt AS quartile,
-        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS moving_sum3
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
         |FROM orders
         |WINDOW
         | wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
