@@ -587,7 +587,7 @@ object Relational {
         |   ELSE 'other' END AS class,
         | COUNT(*) AS n,
         | CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(p_retailprice) AS avg_price,
-        | SUM(CAST(p_size AS BIGINT)) AS total_size
+        | CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
         |FROM part GROUP BY 1 ORDER BY class""".stripMargin,
     "q13_scalar_funcs" ->
       """SELECT p_partkey, md5(p_name) AS part_id, upper(p_name) AS uname,
@@ -618,7 +618,7 @@ object Relational {
     "q17_json_extract" ->
       """SELECT event_type,
         | COUNT(k) AS n_with_k,
-        | SUM(k) AS sum_k,
+        | CAST(SUM(k) AS BIGINT) AS sum_k,
         | MIN(k) AS min_k,
         | MAX(k) AS max_k
         |FROM (SELECT event_type,
@@ -641,10 +641,10 @@ object Relational {
     "q34_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts,
-        |    SUM(CASE WHEN prev_ts IS NULL
+        |    CAST(SUM(CASE WHEN prev_ts IS NULL
         |      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |    FROM events) sub)

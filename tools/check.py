@@ -49,14 +49,30 @@ def main():
         if sorted(scols) != sorted(dcols):
             results[name] = f"SCHEMA_MISMATCH spark={scols} duck={dcols}"
             continue
+        # The driver's hasher is TYPE-sensitive: DuckDB widens SUM(BIGINT)
+        # to HUGEINT (int128) which Spark can't produce, so value-equal
+        # results still hash-mismatch. Compare the DuckDB-reported types
+        # of both sides so that class of red is caught locally.
+        stypes = {c: str(t) for c, t in zip(scols, spark_rel.types)}
+        dtypes = {c: str(t) for c, t in zip(dcols, duck_rel.types)}
+        tbad = [(c, stypes[c], dtypes[c]) for c in sorted(dtypes)
+                if stypes[c] != dtypes[c]]
+        if tbad:
+            results[name] = "TYPE_MISMATCH " + "; ".join(
+                f"{c}: spark={st} duck={dt}" for c, st, dt in tbad)
+            continue
         # reorder spark cols to duck col order
         perm = [scols.index(c) for c in dcols]
         # Sort key: with --tol set, round floats first so near-equal
         # values can't sort into different positions on the two sides
         # and produce spurious VALUE_MISMATCHes from misaligned rows.
+        # Rounding precision follows tol (a tolerance coarser than 1e-6
+        # would otherwise still misalign rows straddling a 6th-decimal
+        # boundary).
+        ndig = max(0, math.ceil(-math.log10(tol))) if tol > 0 else 6
         def skey(row):
             if tol > 0:
-                row = tuple(round(v, 6) if isinstance(v, float) else v
+                row = tuple(round(v, ndig) if isinstance(v, float) else v
                             for v in row)
             return repr(row)
         srows = sorted([tuple(r[i] for i in perm) for r in sdf], key=skey)
