@@ -1,7 +1,7 @@
 package graft
 package ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Range (interval) join — an operator Spark plans as a quadratic
@@ -27,18 +27,30 @@ object Ranges {
                         startCol: String, endCol: String,
                         bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0)
-    val w = lit(bucketMicros)
+    val reserved = Seq("_b", "_rk", "_m", "_mEnd")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns may not use reserved names ${reserved.mkString(",")}")
     // cast("timestamp"): NTZ columns resolve in the (UTC-pinned) session
     // zone so unix_micros accepts them
     def micros(c: String) = unix_micros(col(c).cast("timestamp"))
+    // Exact int64 FLOOR division (pmod is non-negative for positive
+    // modulus, so this floors for negative epochs too). Double `/` +
+    // cast would truncate toward zero and lose exactness past 2^53.
+    // SQL DIV needs a named operand, so stage micros in `_m`.
+    val bucketOfM = expr(s"(_m - pmod(_m, ${bucketMicros}L)) DIV ${bucketMicros}L")
     val rB = right
       .filter(col(endCol) > col(startCol)) // empty intervals match nothing
+      .withColumn("_m", micros(startCol))
+      .withColumn("_mEnd", micros(endCol) - 1)
       .withColumn("_b", explode(sequence(
-        (micros(startCol) / w).cast("long"),
-        ((micros(endCol) - 1) / w).cast("long"))))
+        bucketOfM,
+        expr(s"(_mEnd - pmod(_mEnd, ${bucketMicros}L)) DIV ${bucketMicros}L"))))
+      .drop("_m", "_mEnd")
       .withColumnRenamed(rightKey, "_rk")
     val lB = left
-      .withColumn("_b", (micros(lTime) / w).cast("long"))
+      .withColumn("_m", micros(lTime))
+      .withColumn("_b", bucketOfM)
+      .drop("_m")
     lB.join(rB, lB("_b") === rB("_b") && col(leftKey) === col("_rk"))
       .filter(col(lTime) >= col(startCol) && col(lTime) < col(endCol))
       .drop("_b", "_rk")

@@ -353,18 +353,26 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q19
-  /** Bucketed range join: events inside each order's 7-day window
-    * (graft.ops.Ranges — interval-bucket equi-join, not a theta-join).
+  /** Bucketed range join: purchases landing inside the 12-hour window
+    * opened by each signup of the same user (graft.ops.Ranges —
+    * interval-bucket equi-join, not a theta-join). Self-sourced from
+    * events so the windows actually overlap the points (the original
+    * orders-vs-events form was vacuous: 1995–2001 windows vs 2024
+    * events could never match).
     */
   def q19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "events")
-    val o = t(s, dir, "orders")
-      .withColumn("w_end", $"o_orderdate" + expr("INTERVAL 7 DAYS"))
-    graft.ops.Ranges.bucketedRangeJoin(e, o,
-        "user_id", "o_custkey", "ts", "o_orderdate", "w_end",
-        bucketMicros = 7L * 86400L * 1000000L)
-      .select($"event_id", $"o_orderkey")
+    val pts = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val iv = e.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("s_uid"),
+        $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 12 HOURS")).as("w_end"))
+    graft.ops.Ranges.bucketedRangeJoin(pts, iv,
+        "user_id", "s_uid", "ts", "w_start", "w_end",
+        bucketMicros = 12L * 3600L * 1000000L)
+      .select($"event_id", $"signup_id")
   }
 
   // ---------------------------------------------------------------- q34
@@ -633,11 +641,12 @@ object Relational {
         |FROM events e ASOF LEFT JOIN o2
         |  ON e.user_id = o2.o_custkey AND o2.o_orderdate <= e.ts""".stripMargin,
     "q19_range_join" ->
-      """SELECT e.event_id, o.o_orderkey
-        |FROM events e JOIN orders o
-        |  ON e.user_id = o.o_custkey
-        |  AND e.ts >= o.o_orderdate
-        |  AND e.ts < o.o_orderdate + INTERVAL 7 DAY""".stripMargin,
+      """SELECT p.event_id, s.event_id AS signup_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        |  AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        |  AND p.ts >= s.ts
+        |  AND p.ts < s.ts + INTERVAL 12 HOUR""".stripMargin,
     "q34_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts,

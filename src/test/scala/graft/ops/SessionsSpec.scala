@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (String, Long, String)*): DataFrame =
+    rows.toDF("user", "event_id", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+
+  private def sessions(df: DataFrame, gap: Long = 1800L): Map[Long, Long] =
+    Sessions.sessionize(df, "user", "ts", "event_id", gap)
+      .select("event_id", "session_id").as[(Long, Long)]
+      .collect().toMap
+
+  test("gap of exactly gapSeconds does NOT split (strict >)") {
+    val got = sessions(events(
+      ("u", 1L, "2024-01-01 10:00:00"),
+      ("u", 2L, "2024-01-01 10:30:00"),   // gap == 1800s -> same session
+      ("u", 3L, "2024-01-01 11:00:01")))  // gap == 1801s -> new session
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 2L)
+  }
+
+  test("session ids are 1-based and per-key independent") {
+    val got = Sessions.sessionize(events(
+        ("a", 1L, "2024-01-01 10:00:00"),
+        ("a", 2L, "2024-01-01 12:00:00"),
+        ("b", 3L, "2024-01-01 10:00:00")),
+      "user", "ts", "event_id", 1800L)
+      .select("user", "event_id", "session_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L)))
+  }
+
+  test("timestamp ties break on idCol so assignment is deterministic") {
+    val got = sessions(events(
+      ("u", 2L, "2024-01-01 10:00:00"),
+      ("u", 1L, "2024-01-01 10:00:00"),   // same ts: id 1 sorts first
+      ("u", 3L, "2024-01-01 11:00:00")))  // 3600s gap -> new session
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 2L)
+  }
+
+  test("deterministicSample: permille edges 0 and 1000") {
+    val df = Seq.tabulate(500)(i => (i.toLong, s"d$i")).toDF("id", "x")
+    assert(Sessions.deterministicSample(df, "id", 0).count() === 0L)
+    assert(Sessions.deterministicSample(df, "id", 1000).count() === 500L)
+    intercept[IllegalArgumentException](
+      Sessions.deterministicSample(df, "id", 1001))
+  }
+
+  test("deterministicSample is stable and monotone in permille") {
+    val df = Seq.tabulate(500)(i => (i.toLong, s"d$i")).toDF("id", "x")
+    val s100a = Sessions.deterministicSample(df, "id", 100)
+      .select("id").as[Long].collect().toSet
+    val s100b = Sessions.deterministicSample(df, "id", 100)
+      .select("id").as[Long].collect().toSet
+    val s300 = Sessions.deterministicSample(df, "id", 300)
+      .select("id").as[Long].collect().toSet
+    assert(s100a === s100b)               // same sample every run
+    assert(s100a.subsetOf(s300))          // thresholds nest
+    assert(s100a.nonEmpty && s300.size > s100a.size)
+  }
+}
