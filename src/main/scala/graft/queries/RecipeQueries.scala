@@ -158,6 +158,58 @@ object RecipeQueries {
   def q48(s: SparkSession, dir: String): DataFrame =
     q45(s, dir).agg(count(lit(1)).as("n_hits"))
 
+  // ---------------------------------------------------------------- q56
+  /** P3 (scraper/main.py:140-142): the title-extraction validity gate.
+    * The fixture has no failed extractions (the reference drops them
+    * before writing), so poison the stream deliberately: union in
+    * copies with name = 'Recette Inconnue' (dessert rows) and
+    * name = NULL (entree rows), then count per category before and
+    * after `validRecipes` — the poisoned copies must all drop.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    val raw = Recipes.loadRaw(s)
+    val badTitle = raw.filter(col("category") === "dessert")
+      .withColumn("name", lit("Recette Inconnue"))
+    val badNull = raw.filter(col("category") === "entree")
+      .withColumn("name", lit(null).cast("string"))
+    val all = raw.unionByName(badTitle).unionByName(badNull)
+    val nIn = all.groupBy(col("category")).agg(count(lit(1)).as("n_in"))
+    val nValid = Recipes.validRecipes(all).groupBy(col("category"))
+      .agg(count(lit(1)).as("n_valid"))
+    nIn.join(nValid, "category")
+      .select(col("category"), col("n_in"), col("n_valid"))
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** F4+F14 (scraper/main.py:188-189): digit-free info headers fall
+    * back to parsing the first 1000 characters of the page text.
+    * Rebuilt deterministically from the fixture: rows whose product_id
+    * starts 0-7 get a digit-free header (difficulty only); of those,
+    * rows starting 0-3 carry their duration PAST char 1000 of the page
+    * text (must parse as 0 — truncation precedes parsing), the rest
+    * carry it early (must parse exactly).
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val raw = Recipes.loadRaw(s)
+    val c1 = substring(col("product_id"), 1, 1)
+    val useFb = c1.isin("0", "1", "2", "3", "4", "5", "6", "7")
+    val far = c1.isin("0", "1", "2", "3")
+    val header = when(useFb, lower(col("difficulty")))
+      .otherwise(concat(lower(col("difficulty")), lit(" - "),
+        col("duration_min").cast("string"), lit(" min")))
+    val durTxt = concat(lit("temps : "),
+      col("duration_min").cast("string"), lit(" min"))
+    // 24 chars x 50 = 1200 digit-free chars push durTxt past the cut
+    val pad = repeat(lit("laisser reposer la pate "), 50)
+    val pageText = when(far, concat(pad, durTxt))
+      .otherwise(concat(lit("recette du jour "), durTxt,
+        lit(" de cuisson "), pad))
+    raw.select(col("product_id"),
+      (!Recipes.hasDigit(header)).as("used_fallback"),
+      Recipes.parseDurationWithFallback(header, pageText)
+        .as("parsed_duration_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_recipes_ingest"    -> (q40 _),
     "q41_recipes_kpis"      -> (q41 _),
@@ -167,7 +219,9 @@ object RecipeQueries {
     "q45_search_classic"    -> (q45 _),
     "q46_search_frigo"      -> (q46 _),
     "q47_steps_enumerated"  -> (q47 _),
-    "q48_search_hit_count"  -> (q48 _))
+    "q48_search_hit_count"  -> (q48 _),
+    "q56_valid_filter"      -> (q56 _),
+    "q57_duration_fallback" -> (q57 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -301,5 +355,42 @@ object RecipeQueries {
          |hits AS (SELECT product_id FROM scored WHERE score > 0
          |  ORDER BY score DESC, product_id ASC LIMIT 500)
          |SELECT count(*) AS n_hits FROM hits""".stripMargin
-    })
+    },
+
+    "q56_valid_filter" ->
+      s"""WITH $rawCte,
+         |all_rows AS (
+         |  SELECT * FROM raw
+         |  UNION ALL SELECT * REPLACE ('Recette Inconnue' AS name)
+         |    FROM raw WHERE category = 'dessert'
+         |  UNION ALL SELECT * REPLACE (CAST(NULL AS VARCHAR) AS name)
+         |    FROM raw WHERE category = 'entree'),
+         |i AS (SELECT category, count(*) AS n_in FROM all_rows GROUP BY category),
+         |v AS (SELECT category, count(*) AS n_valid FROM all_rows
+         |  WHERE name IS NOT NULL AND name != 'Recette Inconnue'
+         |  GROUP BY category)
+         |SELECT i.category, n_in, n_valid FROM i JOIN v USING (category)""".stripMargin,
+
+    "q57_duration_fallback" ->
+      s"""WITH $rawCte,
+         |b AS (SELECT product_id, substring(product_id, 1, 1) AS c1,
+         |  lower(difficulty) AS ldiff, duration_min FROM raw),
+         |c AS (SELECT product_id,
+         |  CASE WHEN c1 IN ('0','1','2','3','4','5','6','7') THEN ldiff
+         |    ELSE ldiff || ' - ' || duration_min::VARCHAR || ' min' END AS header,
+         |  CASE WHEN c1 IN ('0','1','2','3')
+         |    THEN repeat('laisser reposer la pate ', 50)
+         |      || 'temps : ' || duration_min::VARCHAR || ' min'
+         |    ELSE 'recette du jour temps : ' || duration_min::VARCHAR
+         |      || ' min de cuisson ' || repeat('laisser reposer la pate ', 50)
+         |    END AS page_text
+         |  FROM b),
+         |d AS (SELECT product_id,
+         |  NOT regexp_matches(header, '[0-9]') AS used_fallback,
+         |  CASE WHEN regexp_matches(header, '[0-9]') THEN header
+         |    ELSE substring(page_text, 1, 1000) END AS src FROM c),
+         |e AS (SELECT product_id, used_fallback,
+         |  replace(src, 'heure', 'h') AS hh FROM d)
+         |SELECT product_id, used_fallback,
+         | $parseDurationSql AS parsed_duration_min FROM e""".stripMargin)
 }

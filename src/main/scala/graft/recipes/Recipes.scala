@@ -123,8 +123,7 @@ object Recipes {
     * exists, fall back to `temps\s*[:\s]\s*(\d+)\s*m`. regexp_extract
     * returns "" on miss, so every cast is nullif-guarded to reproduce
     * Python's except->0 (SURVEY.md §7 risk 5). The page-text fallback
-    * (main.py:188-189) is an ingest-boundary concern: callers pass
-    * whichever raw text the boundary selected.
+    * (main.py:188-189) is `parseDurationWithFallback` below.
     */
   def parseDurationMin(raw: Column): Column = {
     val header = regexp_replace(lower(raw), "heure", "h")
@@ -137,6 +136,16 @@ object Recipes {
       .otherwise(lit(0L))
     h * 60 + mins
   }
+
+  /** F4+F14 composed: the reference's header-vs-page-text decision
+    * (scraper/main.py:188-189) — when the joined info header contains
+    * no digit, the duration is parsed from the first 1000 characters
+    * of the page text instead (truncate FIRST, then parse: a number
+    * past char 1000 must not be seen).
+    */
+  def parseDurationWithFallback(header: Column, pageText: Column): Column =
+    when(hasDigit(header), parseDurationMin(header))
+      .otherwise(parseDurationMin(substring(pageText, 1, 1000)))
 
   /** F5: first number in a string, 0 when none (scraper/main.py:210-214). */
   def firstNumber(raw: Column): Column =

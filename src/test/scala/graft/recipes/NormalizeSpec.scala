@@ -116,4 +116,33 @@ class NormalizeSpec extends SparkSpec {
       else assert(g === in, s"input: '$in'")
     }
   }
+
+  // --------------------------------------------------------------- P3
+  test("P3 validity filter drops null and 'Recette Inconnue' titles") {
+    val df = Seq(
+      (1L, "Tarte aux pommes"), (2L, "Recette Inconnue"), (3L, null))
+      .toDF("id", "name")
+    val kept = Recipes.validRecipes(df).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  // --------------------------------------------------------- F4 + F14
+  test("F4 page-text fallback: digit-free header reads page_text[:1000]") {
+    val pad = "x " * 500 // 1000 digit-free chars
+    val cases = Seq(
+      // header has a digit -> page text ignored entirely
+      ("facile - 45 min", "temps : 999 min", 45L),
+      // no digit in header -> parsed from page text
+      ("facile", "cuisson temps : 30 min", 30L),
+      // duration past char 1000 -> truncated away -> 0
+      ("facile", pad + "temps : 30 min", 0L),
+      // neither side has a digit -> 0
+      ("facile", "aucune duree ici", 0L))
+    val got = cases.map(c => (c._1, c._2)).toDF("h", "p")
+      .select(Recipes.parseDurationWithFallback($"h", $"p"))
+      .as[Long].collect()
+    cases.zip(got).foreach { case ((h, _, want), g) =>
+      assert(g === want, s"header: '$h'")
+    }
+  }
 }
