@@ -32,27 +32,31 @@ object Bench {
     names.foreach { n =>                      // warmup (untimed)
       try force(n) catch { case NonFatal(e) => report(n, "warmup", e) }
     }
-    // Two timed runs per query, best kept: single-run numbers on a
+    // Three timed runs per query, best kept: single-run numbers on a
     // shared box are dominated by scheduler noise (observed 1.3s vs
     // 13s for the same plan); min-of-N is the standard steady-state
-    // throughput estimator.
+    // throughput estimator. All runs are reported so the recorded
+    // number is auditable against the spread.
     val results = names.map { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case NonFatal(e) => report(name, "timed", e); None }
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      (name, if (times.nonEmpty) times.min else -1.0, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runs = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // A failed query must make the headline metric WORSE, not smaller:
     // total is -1 (invalid) whenever any query failed, so a regression
     // to a crash can never read as a speedup.
     val total =
       if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

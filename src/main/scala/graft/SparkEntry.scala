@@ -31,5 +31,9 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_revenue", "q04_star_join",
     "q07_window_topn", "q08_running_sum", "q10_distinct_agg",
-    "q15_hourly_window")
+    "q15_hourly_window",
+    // LLM-pipeline representative: MinHash+LSH dedup over documents —
+    // catches candidate-explosion regressions in the bench, not just
+    // correctness (VERDICT r2 item 9).
+    "q23_minhash_lsh")
 }

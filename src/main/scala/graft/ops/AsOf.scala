@@ -30,6 +30,18 @@ object AsOf {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
+    // The union/window machinery reserves these working names; an input
+    // already carrying one would produce silently ambiguous columns.
+    val reserved = Set("_k", "_t", "_side", "_p", "_match")
+    val clashes = (left.columns ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"asofJoin inputs must not contain reserved columns ${reserved.mkString(", ")}; " +
+        s"found: ${clashes.distinct.mkString(", ")}")
+    // Payload columns are appended to the left schema verbatim.
+    val payloadClash = payload.filter(left.columns.contains)
+    require(payloadClash.isEmpty,
+      s"asofJoin payload names collide with left columns: ${payloadClash.mkString(", ")}" +
+        " — rename on the right input before joining")
     val pStruct = struct(payload.map(col): _*)
     val pType = right.select(pStruct.as("_p")).schema("_p").dataType
     val leftFields = left.schema.fields.toSeq

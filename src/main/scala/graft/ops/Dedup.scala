@@ -66,11 +66,16 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** Distinct word n-gram shingle set per document. */
+  /** Distinct word n-gram shingle set per document. Native expression
+    * ([[graft.plans.Native.distinctShingles]]): output is identical to
+    * `array_distinct(shingles(toks, n))` but evaluated in one compiled
+    * pass — the interpreted HOF chain was the dominant cost of every
+    * shingle-based operator (measured 5.4s -> <1s over sf0.1 docs).
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(toks(col(textCol)), n)).as("shs"))
+      graft.plans.Native.distinctShingles(toks(col(textCol)), n).as("shs"))
 
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share at
     * least one RARE shingle (document frequency <= maxDf) via an
@@ -137,16 +142,26 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       tau: Double): DataFrame = {
+    // The shingle table feeds three plan branches (bucketing + both
+    // verify probes) and the bucket table feeds both sides of the
+    // candidate self-join. Without a materialization barrier every
+    // branch re-tokenizes and re-hashes the whole corpus (a broadcast
+    // self-join defeats ReusedExchange). localCheckpoint computes each
+    // ONCE — at cluster scale this is the signature table a production
+    // dedup pipeline persists anyway; recomputing the corpus pass 4x is
+    // strictly worse at any scale. (Eager, like duplicateClusters /
+    // CleanCorpus — documented trade.)
     val sets = shingleSets(docs, idCol, textCol, n)
       .filter(size($"shs") > 0)
-    val sigs = withMinhashSignature(sets, bands * rowsPerBand)
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bkey"))
-    }
-    val buckets = sigs
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      .localCheckpoint()
+    // Band keys come from ONE fused native expression consumed once by
+    // posexplode (sig_i = min md5(i|sh), bkey = md5 over the band's
+    // sigs — identical to withMinhashSignature + band-md5 composition).
+    val buckets = sets
+      .select($"doc_id", posexplode(
+        graft.plans.Native.minhashBandKeys($"shs", bands, rowsPerBand)))
+      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
+      .localCheckpoint()
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftnative.{GraftNative, HammingDistance}
+import org.apache.spark.sql.graftnative.{DistinctShingles, GraftNative, HammingDistance, MinhashBandKeys}
 
 /** Native Catalyst expressions — the (b)-tier extension path (custom
   * `Expression` with `doGenCode`) used ONLY where it buys measurable
@@ -17,6 +17,20 @@ object Native {
 
   /** Byte-wise Hamming distance (== char distance on ASCII inputs). */
   def hamming(a: Column, b: Column): Column = GraftNative.hamming(a, b)
+
+  /** Distinct word k-gram shingles of a token array — identical output
+    * to `array_distinct(TextAnalysis.shingles(toks, k))`, one native
+    * pass instead of an interpreted HOF chain.
+    */
+  def distinctShingles(toks: Column, k: Int): Column =
+    GraftNative.distinctShingles(toks, k)
+
+  /** Banded minhash bucket keys of a shingle set, one per band —
+    * identical to the md5-prefix signature + band-md5 pipeline of
+    * `Dedup.minhashLshPairs`, fused into a single expression.
+    */
+  def minhashBandKeys(shs: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftNative.minhashBandKeys(shs, bands, rowsPerBand)
 }
 
 /** SparkSessionExtensions entry point: registers the native function

@@ -71,4 +71,12 @@ object GraftNative {
     ExpressionUtils.column(
       HammingDistance(ExpressionUtils.expression(a),
         ExpressionUtils.expression(b)))
+
+  def distinctShingles(toks: Column, k: Int): Column =
+    ExpressionUtils.column(
+      DistinctShingles(ExpressionUtils.expression(toks), k))
+
+  def minhashBandKeys(shs: Column, bands: Int, rowsPerBand: Int): Column =
+    ExpressionUtils.column(
+      MinhashBandKeys(ExpressionUtils.expression(shs), bands, rowsPerBand))
 }

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
+import graft.ops.Dedup
 
 class StreamingUpsertSpec extends SparkSpec {
   import spark.implicits._
@@ -31,6 +32,36 @@ class StreamingUpsertSpec extends SparkSpec {
     val got = spark.read.parquet(table)
       .orderBy("k").as[(String, Long, String)].collect().toSeq
     assert(got === Seq(("a", 2L, "a2"), ("b", 1L, "b1"), ("c", 1L, "c1")))
+  }
+
+  test("streaming upsert over N micro-batches equals batch lastWriteWins (property)") {
+    // Batch/streaming equivalence: merging micro-batches incrementally
+    // must converge to the same state as one batch LWW over the whole
+    // input — max_by on (order, id) is associative, so the incremental
+    // fold and the global aggregate agree even under ties. Randomized
+    // with a fixed seed; keys collide across batches by construction.
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(20260812L)
+    val rows = Seq.fill(120)(
+      (s"k${rnd.nextInt(15)}", rnd.nextInt(20).toLong, s"p${rnd.nextInt(8)}"))
+    val in = MemoryStream[(String, Long, String)]
+    val table = tmp("upsert_prop_table") + "/t"
+    val q = StreamingUpsert.upsertQuery(
+      in.toDF().toDF("k", "v", "payload"),
+      "k", "v", "payload", table, tmp("upsert_prop_ckpt"))
+    try {
+      rows.grouped(30).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(table)
+      .as[(String, Long, String)].collect().toSet
+    val batch = Dedup.lastWriteWins(
+      rows.toDF("k", "v", "payload"), "k", "v", "payload")
+      .as[(String, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === rows.map(_._1).distinct.size)
   }
 
   test("dedupWithinWatermark drops repeated keys across batches (D1)") {
