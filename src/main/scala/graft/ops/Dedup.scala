@@ -93,11 +93,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxDf: Long = 1000L): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    // Same materialization barriers as minhashLshPairs: the shingle
+    // table feeds the inverted index AND both verify probes, and the
+    // capped index feeds both sides of the candidate self-join —
+    // without them every branch re-tokenizes the corpus.
+    val sets = shingleSets(docs, idCol, textCol, n).localCheckpoint()
     val inv = sets.select($"doc_id", explode($"shs").as("sh"))
     val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf).select($"sh")
-    val cinv = inv.join(rare, Seq("sh"))
+    val cinv = inv.join(rare, Seq("sh")).localCheckpoint()
     val cands = cinv.as("a").join(cinv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -105,10 +109,14 @@ object Dedup {
     cands
       .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
       .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
+      // staged so the (expensive) intersection is computed once per
+      // candidate, not once per reference in the jaccard formula
       .select($"doc_a", $"doc_b",
-        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
-          (size(col("sa.shs")) + size(col("sb.shs"))
-            - size(array_intersect(col("sa.shs"), col("sb.shs")))).cast("double"))
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
           .as("jaccard"))
       .filter($"jaccard" >= tau)
   }
@@ -193,10 +201,14 @@ object Dedup {
   def crossContamination(left: DataFrame, lId: String, lText: String,
                          right: DataFrame, rId: String, rText: String,
                          n: Int, maxDf: Long, minShared: Int): DataFrame = {
+    // Each side's shingle table feeds its inverted index and a verify
+    // probe — materialize once per side (see minhashLshPairs).
     val lSets = shingleSets(left, lId, lText, n)
       .select($"doc_id".as("left_id"), $"shs".as("l_shs"))
+      .localCheckpoint()
     val rSets = shingleSets(right, rId, rText, n)
       .select($"doc_id".as("right_id"), $"shs".as("r_shs"))
+      .localCheckpoint()
     val rInv = rSets.select($"right_id", explode($"r_shs").as("sh"))
     val rRare = rInv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf).select($"sh")
@@ -289,8 +301,11 @@ object Dedup {
       struct(lit(b).as("band"),
         substring($"fp", start + 1, len).as("bkey"))
     }
+    // Materialize once: both sides of the candidate self-join read the
+    // bucket table (same barrier rationale as minhashLshPairs).
     val buckets = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
       .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+      .localCheckpoint()
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

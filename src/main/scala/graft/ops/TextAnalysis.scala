@@ -104,11 +104,16 @@ object TextAnalysis {
     * sharing any region of >= 5 words are likely to collide; md5 of the
     * whole text is the fallback for very short documents.
     */
-  def fingerprint(text: Column): Column = {
-    val sh = shingles(toks(text), 5)
-    when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
-      .otherwise(md5(text))
-  }
+  def fingerprint(text: Column): Column =
+    // Native one-pass form of when(size(sh) > 0, array_min(transform(
+    // sh, md5))).otherwise(md5(text)): min over DISTINCT shingles
+    // equals min over all (min is idempotent), minMd5 is null on empty
+    // so coalesce supplies the short-doc fallback. Measured 5.4s ->
+    // sub-second over sf0.1 docs (PROFILE.md).
+    coalesce(
+      graft.plans.Native.minMd5(
+        graft.plans.Native.distinctShingles(toks(text), 5)),
+      md5(text))
 
   // ------------------------------------------------------------- simhash
   private val hexDigits = "0123456789abcdef"
@@ -140,8 +145,14 @@ object TextAnalysis {
     concat(bitChars: _*)
   }
 
-  /** 64-bit SimHash — the scale default. */
-  def simhash64(mdCol: Column): Column = simhash(mdCol, 64)
+  /** 64-bit SimHash — the scale default. Native single-pass expression;
+    * output is identical to `simhash(mdCol, 64)` (the composed form
+    * above, kept as the executable spec — equivalence is property-
+    * tested in TextAnalysisSpec), but the composed form walks the
+    * interpreter per token PER BIT and dominated q24's runtime.
+    */
+  def simhash64(mdCol: Column): Column =
+    graft.plans.Native.simhash(mdCol, 64)
 
   /** Hamming distance between two equal-length '0'/'1' fingerprint
     * strings, as a codegen-friendly expression.

@@ -31,6 +31,17 @@ object Native {
     */
   def minhashBandKeys(shs: Column, bands: Int, rowsPerBand: Int): Column =
     GraftNative.minhashBandKeys(shs, bands, rowsPerBand)
+
+  /** SimHash '0'/'1' bit-string of a per-token md5 array — identical
+    * to the composed per-bit aggregate chain in `TextAnalysis.simhash`,
+    * one pass instead of `bits` interpreted HOF aggregates.
+    */
+  def simhash(mds: Column, bits: Int): Column = GraftNative.simhash(mds, bits)
+
+  /** Minimum md5 over a string array (null on empty) — identical to
+    * `array_min(transform(arr, md5))`.
+    */
+  def minMd5(arr: Column): Column = GraftNative.minMd5(arr)
 }
 
 /** SparkSessionExtensions entry point: registers the native function

@@ -79,4 +79,10 @@ object GraftNative {
   def minhashBandKeys(shs: Column, bands: Int, rowsPerBand: Int): Column =
     ExpressionUtils.column(
       MinhashBandKeys(ExpressionUtils.expression(shs), bands, rowsPerBand))
+
+  def simhash(mds: Column, bits: Int): Column =
+    ExpressionUtils.column(Simhash(ExpressionUtils.expression(mds), bits))
+
+  def minMd5(arr: Column): Column =
+    ExpressionUtils.column(MinMd5(ExpressionUtils.expression(arr)))
 }

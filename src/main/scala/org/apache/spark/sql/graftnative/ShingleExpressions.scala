@@ -112,6 +112,57 @@ object ShingleUtil {
     }
     new GenericArrayData(keys)
   }
+
+  /** == the TextAnalysis.simhash composed chain: per bit j, vote =
+    * sum over tokens of (bit(j) * 2 - 1) where bit(j) = bit j%4 of hex
+    * nibble j/4 of the token's md5; output char j = '1' iff vote > 0.
+    * Null elements are skipped (cannot occur for transform(md5) input).
+    */
+  def simhash(mds: ArrayData, bits: Int): UTF8String = {
+    val votes = new Array[Int](bits)
+    val n = mds.numElements()
+    var t = 0
+    while (t < n) {
+      if (!mds.isNullAt(t)) {
+        val b = mds.getUTF8String(t).getBytes
+        var j = 0
+        while (j < bits) {
+          val c = b(j / 4)
+          val v =
+            if (c >= '0' && c <= '9') c - '0'
+            else c - 'a' + 10
+          votes(j) += ((v >> (j % 4)) & 1) * 2 - 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Byte](bits)
+    var j = 0
+    while (j < bits) {
+      out(j) = if (votes(j) > 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** == `array_min(transform(arr, x => md5(x)))`: minimum md5 hex over
+    * the array's elements; null on empty input. Null elements skipped
+    * (array_min ignores nulls).
+    */
+  def minMd5(arr: ArrayData): UTF8String = {
+    var min: UTF8String = null
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5hex(arr.getUTF8String(i).getBytes)
+        if (min == null || h.compareTo(min) < 0) min = h
+      }
+      i += 1
+    }
+    min
+  }
 }
 
 /** Distinct word k-gram shingles of a token array (see
@@ -160,5 +211,61 @@ case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
         s".minhashBandKeys($c, $bands, $rowsPerBand);")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint of a per-token md5-hex array as a '0'/'1'
+  * bit-string (Charikar, STOC'02) — bit j is derived from hex nibble
+  * j/4, bit j%4 of each token's md5, votes summed exactly in integers.
+  * Identical output to the composed TextAnalysis.simhash chain of
+  * `bits` aggregate-HOF expressions, which walk the interpreter per
+  * token PER BIT (64 x tokens tree-walks/doc — measured 10.7s -> ~1s
+  * over sf0.1 docs). Inputs must be lowercase hex strings of >= bits/4
+  * chars (md5 output always is).
+  */
+case class Simhash(child: Expression, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(bits > 0 && bits <= 128, s"simhash bits must be 1..128, got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(mds: Any): Any =
+    ShingleUtil.simhash(mds.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.ShingleUtil" +
+        s".simhash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash =
+    copy(child = newChild)
+}
+
+/** Minimum md5 hex over the elements of a string array; null on empty
+  * input (so callers can coalesce a fallback). == `array_min(
+  * transform(arr, x => md5(x)))` without the per-element interpreted
+  * lambda. String-min over hex == byte min (ASCII). CodegenFallback:
+  * the output is nullable on non-null input, which nullSafeCodeGen
+  * cannot express; the fallback is one virtual call per row and keeps
+  * the surrounding stage in whole-stage codegen.
+  */
+case class MinMd5(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_min_md5"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = child.eval(input)
+    if (arr == null) null
+    else ShingleUtil.minMd5(arr.asInstanceOf[ArrayData])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinMd5 =
     copy(child = newChild)
 }

@@ -31,6 +31,63 @@ class NativeSpec extends SparkSpec {
     assert(expr.eval(row) === 1L)
   }
 
+  test("native shingle/minhash/simhash/minMd5 agree with the composed built-in forms") {
+    // Randomized corpus incl. edge cases: empty, single-token, exactly
+    // k tokens, repeated shingles, accents/punctuation.
+    val rnd = new scala.util.Random(42)
+    val words = Seq("the", "cat", "sat", "on", "mat", "été", "naïve", "x1", "—")
+    val docs = (Seq("", "one", "one two", "one two three",
+      "a b a b a b a b") ++
+      (1 to 40).map(_ => Seq.fill(3 + rnd.nextInt(30))(
+        words(rnd.nextInt(words.length))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    val toks = TextAnalysis.toks($"text")
+    // distinctShingles == array_distinct(shingles)
+    val composedSh = docs.select($"doc_id",
+      array_distinct(TextAnalysis.shingles(toks, 3)).as("shs"))
+      .orderBy($"doc_id").collect().toSeq
+    val nativeSh = docs.select($"doc_id",
+      Native.distinctShingles(toks, 3).as("shs"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(nativeSh.map(_.toString) === composedSh.map(_.toString))
+
+    // minhashBandKeys == withMinhashSignature + band md5 composition
+    val sets = graft.ops.Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size($"shs") > 0)
+    val sigs = graft.ops.Dedup.withMinhashSignature(sets, 8)
+    val composedKeys = sigs.select($"doc_id",
+      (0 until 4).map(b =>
+        md5(concat_ws("|", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))))
+        .reduce((a, b) => concat(a, lit(","), b)).as("keys"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    val nativeKeys = sets.select($"doc_id",
+      array_join(Native.minhashBandKeys($"shs", 4, 2), ",").as("keys"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(nativeKeys === composedKeys)
+
+    // native simhash == composed per-bit aggregate chain
+    val mds = docs.select($"doc_id",
+      transform(toks, t => md5(t)).as("mds")).filter(size($"mds") > 0)
+    val composedSim = mds.select($"doc_id",
+      TextAnalysis.simhash($"mds", 64).as("fp"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    val nativeSim = mds.select($"doc_id",
+      Native.simhash($"mds", 64).as("fp"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(nativeSim === composedSim)
+
+    // native minMd5 == array_min(transform(md5)); null on empty array
+    val composedMin = docs.select($"doc_id",
+      array_min(transform(Native.distinctShingles(toks, 5), s => md5(s))))
+      .orderBy($"doc_id").as[(Long, Option[String])].collect().toSeq
+    val nativeMin = docs.select($"doc_id",
+      Native.minMd5(Native.distinctShingles(toks, 5)))
+      .orderBy($"doc_id").as[(Long, Option[String])].collect().toSeq
+    assert(nativeMin === composedMin)
+  }
+
   test("LevenshteinThresholdRule rewrites bounded comparisons, same results") {
     import org.apache.spark.sql.catalyst.expressions.Levenshtein
     val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("x", "zzzzz"))
