@@ -27,13 +27,20 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact int64 dot product of two quantized vectors. Native
+    * single-pass expression; `qdotComposed` below is the executable
+    * spec it is property-tested against (SimilaritySpec) — the HOF
+    * form walks the interpreter per component and dominated every
+    * scoring join (PROFILE.md).
+    */
+  def qdot(a: Column, b: Column): Column = graft.plans.Native.qdot(a, b)
+
+  /** The composed built-in form of [[qdot]] (kept as specification). */
+  def qdotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Exact int64 squared norm of a quantized vector. */
-  def qnorm2(v: Column): Column =
-    aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+  def qnorm2(v: Column): Column = graft.plans.Native.qdot(v, v)
 
   /** Cosine similarity from exact integer dot/norms (double at the very
     * end only; norms multiplied in double to dodge int64 overflow).
@@ -78,7 +85,10 @@ object Similarity {
     */
   def cosineDupPairs(corpus: DataFrame, tau: Double, nBits: Int,
                      dims: Int): DataFrame = {
+    // Materialize once: both sides of the candidate self-join read the
+    // bucketed corpus (same barrier rationale as Dedup.minhashLshPairs).
     val b = corpus.withColumn("bucket", signBucket($"qv", nBits, dims))
+      .localCheckpoint()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -117,7 +127,13 @@ object Similarity {
     * O(nBits), not O(nBits × dims), so 768-dim embeddings don't bloat
     * the expression tree.
     */
-  def signBucket(qv: Column, nBits: Int, dims: Int): Column = {
+  def signBucket(qv: Column, nBits: Int, dims: Int): Column =
+    graft.plans.Native.signBucket(qv, nBits, dims)
+
+  /** The composed built-in form of [[signBucket]] (kept as
+    * specification; property-tested equal in SimilaritySpec).
+    */
+  def signBucketComposed(qv: Column, nBits: Int, dims: Int): Column = {
     val bitChars = (0 until nBits).map { p =>
       val signs = array(planeSigns(p, dims).map(lit): _*)
       val dotExpr = aggregate(

@@ -42,6 +42,19 @@ object Native {
     * `array_min(transform(arr, md5))`.
     */
   def minMd5(arr: Column): Column = GraftNative.minMd5(arr)
+
+  /** Exact int64 dot product of two quantized vectors — identical to
+    * the `aggregate(zip_with(...))` composition in `Similarity.qdot`,
+    * one compiled loop per row.
+    */
+  def qdot(a: Column, b: Column): Column = GraftNative.qdot(a, b)
+
+  /** Random-hyperplane sign-bucket key — identical to the composed
+    * `Similarity.signBucket`, with the deterministic md5-derived sign
+    * matrix built once per expression instead of per plan literal.
+    */
+  def signBucket(v: Column, nBits: Int, dims: Int): Column =
+    GraftNative.signBucket(v, nBits, dims)
 }
 
 /** SparkSessionExtensions entry point: registers the native function

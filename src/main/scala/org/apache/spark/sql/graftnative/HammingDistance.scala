@@ -85,4 +85,12 @@ object GraftNative {
 
   def minMd5(arr: Column): Column =
     ExpressionUtils.column(MinMd5(ExpressionUtils.expression(arr)))
+
+  def qdot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      QDotLong(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signBucket(v: Column, nBits: Int, dims: Int): Column =
+    ExpressionUtils.column(
+      SignBucket(ExpressionUtils.expression(v), nBits, dims))
 }

@@ -163,6 +163,55 @@ object ShingleUtil {
     }
     min
   }
+
+  /** == `aggregate(zip_with(a, b, (x,y) => x*y), 0L, (acc,v) => acc+v)`
+    * over long arrays: exact int64 dot product. Length mismatch or a
+    * null element yields null (zip_with pads the shorter side with null
+    * and the product/sum propagate it); overflow throws like ANSI-mode
+    * arithmetic.
+    */
+  def qdot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  /** == the composed Similarity.signBucket chain: bit p of the bucket
+    * key is '1' iff the exact int64 dot of the vector with sign row p
+    * is > 0. Length mismatch with the sign row reproduces the composed
+    * null-propagation ('0' bit via `when(null > 0)` being false).
+    */
+  def signBucket(v: ArrayData, signs: Array[Array[Long]]): UTF8String = {
+    val out = new Array[Byte](signs.length)
+    var p = 0
+    while (p < signs.length) {
+      val row = signs(p)
+      var bit = '0'.toByte
+      if (v.numElements() == row.length) {
+        var acc = 0L
+        var ok = true
+        var d = 0
+        while (d < row.length && ok) {
+          if (v.isNullAt(d)) ok = false
+          else {
+            acc = Math.addExact(acc, Math.multiplyExact(v.getLong(d), row(d)))
+            d += 1
+          }
+        }
+        if (ok && acc > 0L) bit = '1'.toByte
+      }
+      out(p) = bit
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** Distinct word k-gram shingles of a token array (see
@@ -267,5 +316,71 @@ case class MinMd5(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinMd5 =
+    copy(child = newChild)
+}
+
+/** Exact int64 dot product of two quantized (long) vectors — identical
+  * to `aggregate(zip_with(a, b, (x,y) => x*y), 0L, (acc,v) => acc+v)`
+  * including null semantics (length mismatch or a null element yields
+  * null, matching zip_with's null-padding propagation) and ANSI
+  * overflow behavior (multiplyExact/addExact throw like ANSI-mode
+  * arithmetic). One compiled loop instead of a per-element interpreted
+  * lambda tree-walk.
+  */
+case class QDotLong(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_qdot"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else ShingleUtil.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane sign-bucket key of a quantized vector — identical
+  * to the composed Similarity.signBucket chain of nBits zip_with/
+  * aggregate pairs: bit p = '1' iff sum_d qv[d] * sign(md5(p|d)) > 0.
+  * The deterministic sign matrix is derived once per expression
+  * instance; the per-row cost is one compiled nBits x dims loop.
+  */
+case class SignBucket(child: Expression, nBits: Int, dims: Int)
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_sign_bucket"
+
+  @transient private lazy val signs: Array[Array[Long]] =
+    Array.tabulate(nBits) { p =>
+      Array.tabulate(dims) { d =>
+        val h = MessageDigest.getInstance("MD5")
+          .digest(s"$p|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1L else -1L
+      }
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else ShingleUtil.signBucket(v.asInstanceOf[ArrayData], signs)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBucket =
     copy(child = newChild)
 }

@@ -19,6 +19,34 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1) === Seq(500000L, -500000L))
   }
 
+  test("native qdot/signBucket agree with the composed HOF forms (property)") {
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 20 - 10).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // qdot: native == composed on all pairs of a small slice
+    val pairs = p.as("a").crossJoin(p.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    val diff = pairs.select(
+      Similarity.qdot(col("a.qv"), col("b.qv")).as("nat"),
+      Similarity.qdotComposed(col("a.qv"), col("b.qv")).as("comp"))
+      .filter($"nat" =!= $"comp").count()
+    assert(diff === 0L)
+    // signBucket: native == composed per vector
+    val bDiff = p.select(
+      Similarity.signBucket($"qv", 6, dims).as("nat"),
+      Similarity.signBucketComposed($"qv", 6, dims).as("comp"))
+      .filter($"nat" =!= $"comp").count()
+    assert(bDiff === 0L)
+    // qnorm2 == qdot(v, v) == composed self-dot
+    val nDiff = p.select($"n2",
+      Similarity.qdotComposed($"qv", $"qv").as("comp"))
+      .filter($"n2" =!= $"comp").count()
+    assert(nDiff === 0L)
+  }
+
   test("knnBrute: correct neighbor ranking, self excluded") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
