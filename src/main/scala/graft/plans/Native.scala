@@ -57,22 +57,49 @@ object Native {
     GraftNative.signBucket(v, nBits, dims)
 }
 
-/** SparkSessionExtensions entry point: registers the native function
-  * (`SELECT graft_hamming(a, b)`) and the levenshtein-threshold
-  * optimizer rule via `spark.sql.extensions=graft.plans.GraftExtensions`
-  * — the standard plug-in path for a cluster-wide deployment of this
-  * library.
+/** SparkSessionExtensions entry point: registers the native functions
+  * (`SELECT graft_hamming(a, b)`, `graft_shingles(toks, k)`,
+  * `graft_minhash_band_keys(shs, bands, rows)`, `graft_simhash(mds,
+  * bits)`, `graft_min_md5(arr)`, `graft_qdot(a, b)`) and the
+  * levenshtein-threshold optimizer rule via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` — the standard
+  * plug-in path for a cluster-wide deployment of this library.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  import org.apache.spark.sql.graftnative._
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT argument, got $other")
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String,
+                       clazz: Class[_], arity: Int)(
+      build: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
-      FunctionIdentifier("graft_hamming"),
-      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"graft_hamming requires exactly 2 arguments, got ${children.length}")
-        HammingDistance(children.head, children(1))
+        require(children.length == arity,
+          s"$name requires exactly $arity arguments, got ${children.length}")
+        build(children)
       }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "graft_hamming", classOf[HammingDistance], 2)(c =>
+      HammingDistance(c.head, c(1)))
+    register(ext, "graft_shingles", classOf[DistinctShingles], 2)(c =>
+      DistinctShingles(c.head, intArg("graft_shingles k", c(1))))
+    register(ext, "graft_minhash_band_keys", classOf[MinhashBandKeys], 3)(c =>
+      MinhashBandKeys(c.head,
+        intArg("graft_minhash_band_keys bands", c(1)),
+        intArg("graft_minhash_band_keys rowsPerBand", c(2))))
+    register(ext, "graft_simhash", classOf[Simhash], 2)(c =>
+      Simhash(c.head, intArg("graft_simhash bits", c(1))))
+    register(ext, "graft_min_md5", classOf[MinMd5], 1)(c => MinMd5(c.head))
+    register(ext, "graft_qdot", classOf[QDotLong], 2)(c =>
+      QDotLong(c.head, c(1)))
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
   }

@@ -21,6 +21,16 @@ object ExtensionsSmoke {
 
     val d = spark.sql("SELECT graft_hamming('1010', '1110') AS d")
       .head().getLong(0)
+    // the full native-function surface resolves through the same path
+    val sh = spark.sql(
+      "SELECT graft_shingles(array('a','b','c'), 2) AS s, " +
+        "graft_min_md5(array('x')) AS m, " +
+        "graft_simhash(array(md5('x')), 8) AS f, " +
+        "graft_qdot(array(2L, 3L), array(4L, 5L)) AS q, " +
+        "graft_minhash_band_keys(array('a b'), 2, 2) AS bk").head()
+    assert(sh.getSeq[String](0) == Seq("a b", "b c"), "graft_shingles")
+    assert(sh.getLong(3) == 23L, "graft_qdot")
+    assert(sh.getSeq[String](4).length == 2, "graft_minhash_band_keys")
     // over a file scan — a literal LocalRelation would be folded away
     // by ConvertToLocalRelation before the rule could be observed
     val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
