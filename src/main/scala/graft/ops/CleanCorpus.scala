@@ -36,11 +36,13 @@ object CleanCorpus {
     // every scan would re-run the full langId/quality expression tree
     // over the source.
     val filtered = docs
-      .withColumn("lang_pred",
-        TextAnalysis.langId(TextAnalysis.toks(text)))
-      .withColumn("quality", TextAnalysis.qualityScore(text))
+      .withColumn("_st", TextAnalysis.textStats(TextAnalysis.toks(text)))
+      .withColumn("lang_pred", TextAnalysis.langIdFromStats(col("_st.hits")))
+      .withColumn("quality",
+        TextAnalysis.qualityScoreFromStats(text, col("_st")))
       .filter(col("lang_pred").isin(langs: _*) &&
         col("quality") >= minQuality)
+      .drop("_st")
       .localCheckpoint()
     val keep = filtered.groupBy(md5(text).as("_ck"))
       .agg(min(id).as("_keeper"))

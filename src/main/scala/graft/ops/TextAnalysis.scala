@@ -64,16 +64,60 @@ object TextAnalysis {
     * order (en, fr, de, es, zh), 'und' when no stopword hits at all.
     * The decision chain is written as first-match CASE WHEN so an SQL
     * oracle reproduces ties exactly.
+    *
+    * Composed form (each langScore is its own interpreted filter-HOF
+    * pass, re-evaluated per reference); the scale path is
+    * [[textStats]] + [[langIdFromStats]], property-tested equal.
     */
   def langId(toksCol: Column): Column = {
     val s = stopwords.map { case (l, _) => l -> langScore(toksCol, l) }.toMap
-    val total = s.values.reduce(_ + _)
+    langDecision(l => s(l))
+  }
+
+  /** The shared first-match decision chain over per-language hit counts. */
+  private def langDecision(s: String => Column): Column = {
+    val total = stopwords.map { case (l, _) => s(l) }.reduce(_ + _)
     when(total === 0, "und")
       .when(s("en") >= s("fr") && s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("zh"), "en")
       .when(s("fr") >= s("de") && s("fr") >= s("es") && s("fr") >= s("zh"), "fr")
       .when(s("de") >= s("es") && s("de") >= s("zh"), "de")
       .when(s("es") >= s("zh"), "es")
       .otherwise("zh")
+  }
+
+  /** One-pass native token statistics struct: n_tokens, n_distinct,
+    * sum_len (chars), hits = per-language stopword counts in
+    * [[stopwords]] order. Materialize it as a column, then feed the
+    * attribute to [[langIdFromStats]] / [[qualityScoreFromStats]] so
+    * the (expensive) pass is computed once per row.
+    */
+  def textStats(toksCol: Column): Column =
+    graft.plans.Native.textStats(toksCol, stopwords.map(_._2))
+
+  /** [[langId]] over a materialized [[textStats]] `hits` array — same
+    * decision chain, integer-identical counts.
+    */
+  def langIdFromStats(hits: Column): Column = {
+    val idx = stopwords.map(_._1).zipWithIndex.toMap
+    langDecision(l => element_at(hits, idx(l) + 1))
+  }
+
+  /** [[qualityScore]] over a materialized [[textStats]] struct — the
+    * IDENTICAL IEEE expression tree over integer-identical counts, so
+    * scores are bit-equal to the composed form (property-tested).
+    */
+  def qualityScoreFromStats(text: Column, st: Column): Column = {
+    val nt = st.getField("n_tokens").cast("double")
+    val nc = length(text).cast("double")
+    val nDistinct = st.getField("n_distinct").cast("double")
+    val sumLen = st.getField("sum_len").cast("double")
+    val enIdx = stopwords.map(_._1).indexOf("en")
+    val nStop = element_at(st.getField("hits"), enIdx + 1).cast("double")
+    when(nt === 0.0, 0.0).otherwise(
+      lit(0.25) * least(lit(1.0), nc / lit(400.0)) +
+      lit(0.25) * (nDistinct / nt) +
+      lit(0.25) * least(lit(1.0), (sumLen / nt) / lit(6.0)) +
+      lit(0.25) * (lit(1.0) - abs(nStop / nt - lit(0.15))))
   }
 
   // ------------------------------------------------------- quality score

@@ -55,6 +55,14 @@ object Native {
     */
   def signBucket(v: Column, nBits: Int, dims: Int): Column =
     GraftNative.signBucket(v, nBits, dims)
+
+  /** One-pass token statistics struct (n_tokens, n_distinct, sum_len,
+    * per-list stopword hits) — the integer-exact inputs to langId /
+    * quality scoring, computed once instead of one interpreted HOF
+    * pass per statistic.
+    */
+  def textStats(toks: Column, stopwordLists: Seq[Seq[String]]): Column =
+    GraftNative.textStats(toks, stopwordLists)
 }
 
 /** SparkSessionExtensions entry point: registers the native functions

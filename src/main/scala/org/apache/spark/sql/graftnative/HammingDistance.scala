@@ -93,4 +93,8 @@ object GraftNative {
   def signBucket(v: Column, nBits: Int, dims: Int): Column =
     ExpressionUtils.column(
       SignBucket(ExpressionUtils.expression(v), nBits, dims))
+
+  def textStats(toks: Column, stopwordLists: Seq[Seq[String]]): Column =
+    ExpressionUtils.column(
+      TextStats(ExpressionUtils.expression(toks), stopwordLists))
 }

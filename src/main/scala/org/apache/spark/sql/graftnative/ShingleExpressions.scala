@@ -384,3 +384,67 @@ case class SignBucket(child: Expression, nBits: Int, dims: Int)
   override protected def withNewChildInternal(newChild: Expression): SignBucket =
     copy(child = newChild)
 }
+
+/** One-pass token statistics for language-ID and quality scoring:
+  * struct(n_tokens, n_distinct, sum_len, hits) where hits(i) counts
+  * tokens contained in the i-th stopword list. Integer-exact (the
+  * IEEE double arithmetic of the quality formula stays in Column land,
+  * so scores are bit-identical to the composed form). Replaces ~10
+  * interpreted filter/aggregate HOF passes per document — langScore x
+  * 5 languages re-evaluated per reference, plus the distinct/length
+  * aggregates (PROFILE.md). sum_len counts CHARACTERS (`length()`
+  * semantics), accumulated in long (the composed int accumulator would
+  * ANSI-throw first on inputs large enough to differ).
+  */
+case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
+  extends UnaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_len",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  @transient private lazy val swSets: Array[java.util.HashSet[UTF8String]] =
+    stopwordLists.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val distinct = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    val hits = new Array[Long](swSets.length)
+    var sumLen = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      distinct.add(t)
+      sumLen += t.numChars()
+      var l = 0
+      while (l < swSets.length) {
+        if (swSets(l).contains(t)) hits(l) += 1L
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct.size.toLong, sumLen,
+        new GenericArrayData(hits)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}

@@ -88,6 +88,31 @@ class NativeSpec extends SparkSpec {
     assert(nativeMin === composedMin)
   }
 
+  test("textStats-based langId/quality are bit-identical to the composed forms") {
+    val rnd = new scala.util.Random(99)
+    val words = Seq("the", "of", "le", "la", "der", "und", "el", "que",
+      "的", "是", "cat", "Été", "naïve", "x9", "zzz")
+    val docs = (Seq("", "the", "the the the", "le la le est",
+      "mixed the le der el 的") ++
+      (1 to 50).map(_ => Seq.fill(1 + rnd.nextInt(40))(
+        words(rnd.nextInt(words.length))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = TextAnalysis.toks($"text")
+    val composed = docs.select($"doc_id",
+      TextAnalysis.langId(toks).as("lang"),
+      TextAnalysis.qualityScore($"text").as("q"))
+      .orderBy($"doc_id").as[(Long, String, Double)].collect().toSeq
+    val viaStats = docs
+      .select($"doc_id", $"text", TextAnalysis.textStats(toks).as("_st"))
+      .select($"doc_id",
+        TextAnalysis.langIdFromStats($"_st.hits").as("lang"),
+        TextAnalysis.qualityScoreFromStats($"text", $"_st").as("q"))
+      .orderBy($"doc_id").as[(Long, String, Double)].collect().toSeq
+    // exact double comparison on purpose: same IEEE tree, same inputs
+    assert(viaStats === composed)
+  }
+
   test("LevenshteinThresholdRule rewrites bounded comparisons, same results") {
     import org.apache.spark.sql.catalyst.expressions.Levenshtein
     val df = Seq(("kitten", "sitting"), ("abc", "abd"), ("x", "zzzzz"))
