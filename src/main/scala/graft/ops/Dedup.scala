@@ -121,6 +121,65 @@ object Dedup {
       .filter($"jaccard" >= tau)
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs / PPJoin family: Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08). Unlike
+    * [[ngramJaccardPairs]] (df-capped candidates — pairs sharing only
+    * hot shingles are missed by construction) this returns EVERY pair
+    * with jaccard >= tau, yet never indexes a document's full shingle
+    * set:
+    *
+    * Order each document's shingles by a global canonical order
+    * (ascending document frequency, rarest first; ties by value) and
+    * index only the first |s| - ceil(tau*|s|) + 1 of them. By the
+    * prefix-filtering principle, any pair at jaccard >= tau must share
+    * a shingle within both prefixes — if all shared shingles sat past
+    * A's prefix, the overlap would be < tau*|A| <= tau*|A union B|.
+    *
+    * Scale shape: df attach is an equi-join on the shingle, the
+    * per-document prefix sort is a bounded per-key window (shingle
+    * sets are document-sized, never corpus-sized), the candidate join
+    * is an equi-join on prefix shingles — rarest-first ordering makes
+    * prefix shingles the LOW-df ones, so bucket sizes shrink exactly
+    * where the naive index explodes. Verification is the same exact
+    * intersect as q22. Cost rises as tau falls (prefixes lengthen);
+    * at dedup-grade tau (>= 0.4) the index is a fraction of the corpus.
+    */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .filter(size($"shs") > 0)
+      .localCheckpoint()
+    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
+    val dfs = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
+    // prefix length |s| - ceil(tau*|s|) + 1, with |s| from a size join
+    val sizes = sets.select($"doc_id", size($"shs").cast("long").as("sz"))
+    val prefix = inv.join(dfs, Seq("sh"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter($"pos" <= $"sz" - ceil(lit(tau) * $"sz") + lit(1))
+      .select($"doc_id", $"sh")
+      .localCheckpoint()
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= tau)
+  }
+
   // ------------------------------------------------------------ MinHash
   /** MinHash signature columns: sig_i = min over shingles of
     * md5(i || '|' || shingle). String-min over md5 hex is a valid

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class DedupSpec extends SparkSpec {
@@ -72,6 +73,44 @@ class DedupSpec extends SparkSpec {
       tau = 0.0, maxDf = 2L).count()
     assert(uncapped === 10L) // all C(5,2) pairs via the hot shingle
     assert(capped === 0L)
+  }
+
+  test("jaccardPairsExact equals brute force and keeps hot-shingle pairs (property)") {
+    // Randomized corpus with heavy shingle sharing: the prefix-filtered
+    // join must return EXACTLY the pairs a brute-force all-pairs
+    // Jaccard finds — including pairs whose shared shingles are all
+    // hot (the case the df-capped ngramJaccardPairs documents missing).
+    val rnd = new scala.util.Random(123)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val docs = ((0 until 40).map(i => (i.toLong,
+      Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))) :+
+      (100L, "common shared phrase one") :+
+      (101L, "common shared phrase"))
+      .toDF("doc_id", "text")
+    val tau = 0.4
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size($"shs") > 0)
+    val brute = sets.as("sa").crossJoin(sets.as("sb"))
+      .filter(col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id"), col("sb.doc_id"),
+        (size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("double") /
+          (size(col("sa.shs")) + size(col("sb.shs")) -
+            size(array_intersect(col("sa.shs"), col("sb.shs")))).cast("double"))
+          .as("j"))
+      .filter($"j" >= tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact === brute)
+    // the planted hot-shingle-only pair is present in the exact join
+    // but absent from the df-capped one at a tight cap
+    assert(exact.exists(p => p._1 === 100L && p._2 === 101L))
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3,
+      tau, maxDf = 1L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!capped.exists(p => p._1 === 100L && p._2 === 101L))
   }
 
   test("minhashLshPairs: near-identical docs survive banding and verify") {
