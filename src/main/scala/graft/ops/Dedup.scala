@@ -46,7 +46,7 @@ object Dedup {
     */
   def lastWriteWins(df: DataFrame, keyCol: String, orderCol: String,
                     idCol: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(col(keyCol))
       .agg(max_by(struct(cols.map(col): _*),
         struct(col(orderCol), col(idCol))).as("_row"))

@@ -345,7 +345,7 @@ object Relational {
     val e = t(s, dir, "events")
     val o = t(s, dir, "orders")
     val o2 = o.groupBy($"o_custkey", $"o_orderdate")
-      .agg(max_by(struct(o.columns.map(col): _*), $"o_orderkey").as("_r"))
+      .agg(max_by(struct(o.columns.toIndexedSeq.map(col): _*), $"o_orderkey").as("_r"))
       .select($"_r.*")
     graft.ops.AsOf.asofJoin(e, o2, "user_id", "o_custkey",
         "ts", "o_orderdate", Seq("o_orderkey", "o_totalprice"))
