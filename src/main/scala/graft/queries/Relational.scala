@@ -99,8 +99,12 @@ object Relational {
 
   // ---------------------------------------------------------------- q04
   /** Star join through 4 dimension hops, filtered on region, grouped by
-    * nation. All dimension sides broadcast; the single shuffle is the
-    * final aggregate on n_name.
+    * nation. All dimension sides broadcast; lineitem is pre-aggregated
+    * to per-order (revenue, item count) on the join key first — the
+    * same shape as q03: the fact-fact join then carries one row per
+    * order instead of one per lineitem, and exact decimal sums are
+    * associative so the two-level total is identical. The single big
+    * shuffle is the pre-aggregation's partial/final exchange.
     */
   def q04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -109,15 +113,18 @@ object Relational {
     val c  = t(s, dir, "customer")
     val n  = t(s, dir, "nation")
     val r  = t(s, dir, "region").filter($"r_name".isin("ASIA", "EUROPE"))
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    val perOrder = li.groupBy($"l_orderkey")
+      .agg(
+        sum(dec($"l_extendedprice") * (oneD - dec($"l_discount"))).as("o_rev"),
+        count(lit(1)).as("n_i"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        dsumExpr(dec($"l_extendedprice") * (oneD - dec($"l_discount")))
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+        decDouble(sum($"o_rev")).as("revenue"),
+        sum($"n_i").as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
 
