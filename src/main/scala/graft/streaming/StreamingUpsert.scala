@@ -90,6 +90,27 @@ object StreamingUpsert {
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Gap-based session aggregation per key — the streaming form of the
+    * batch [[graft.ops.Sessions.sessionize]] (q34): Spark's native
+    * `session_window` merges events separated by less than `gap` into
+    * one growing window whose state is finalized (and emitted, in
+    * append mode) once the watermark passes gap seconds beyond the last
+    * event. State is one open window per active key — bounded by key
+    * cardinality x open sessions, evicted by the watermark, which is
+    * exactly the sessionization shape that scales on an unbounded
+    * stream (the batch window form co-locates a key's FULL history
+    * instead).
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

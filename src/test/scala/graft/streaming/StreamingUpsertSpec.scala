@@ -103,6 +103,35 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("sessionCounts merges events within the gap and splits across it") {
+    // Streaming counterpart of batch Sessions.sessionize (q34): events
+    // 10 min apart with a 15-min gap merge into one session; a 40-min
+    // silence starts a new one. Watermark far past the last event
+    // finalizes both windows for append-mode emission.
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = StreamingUpsert.sessionCounts(
+      in.toDF().toDF("user_id", "ts"), "user_id", "ts", "15 minutes",
+      "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ("u1", Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("u1", Timestamp.valueOf("2024-01-01 10:10:00")), // merges
+        ("u1", Timestamp.valueOf("2024-01-01 11:00:00")), // new session
+        ("u2", Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      in.addData(("u3", Timestamp.valueOf("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT user_id, n_events FROM sess_out ORDER BY user_id, n_events")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+  }
+
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamingUpsert.KV]
