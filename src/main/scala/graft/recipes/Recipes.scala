@@ -31,6 +31,17 @@ import graft.ops.Dedup
   * ingest would switch from one multiLine file to partitioned JSONL,
   * which [[readBackupJsonl]] already handles).
   */
+/** Typed recipe record (SURVEY.md §1.4) — field names and types mirror
+  * [[Recipes.schema]] exactly (updated_at stays the reference's string
+  * timestamp form at rest; parse on demand). nullable fields use
+  * Option where the fixture actually contains nulls.
+  */
+case class Recipe(
+    product_id: String, name: String, category: String, url: String,
+    image_url: String, difficulty: String, rating: Double,
+    reviews_count: Long, duration_min: Long,
+    ingredients: Seq[String], steps: Seq[String], updated_at: String)
+
 object Recipes {
 
   /** Default fixture path (the reference's committed backup dataset). */
@@ -61,6 +72,18 @@ object Recipes {
   /** S3 at scale: partitioned JSONL form of the same backup. */
   def readBackupJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Typed view of the recipe table (SURVEY.md §1.4): the case-class
+    * encoder mirrors [[schema]] field-for-field, so `as[Recipe]` is a
+    * zero-copy re-interpretation — use it where compile-time field
+    * safety helps (library consumers, Dataset transforms); the Column
+    * API on the DataFrame remains the codegen-friendly hot path.
+    */
+  def typed(df: org.apache.spark.sql.DataFrame)
+           (implicit spark: SparkSession): org.apache.spark.sql.Dataset[Recipe] = {
+    import spark.implicits._
+    df.as[Recipe]
+  }
 
   // --------------------------------------------------------------- sinks
   /** S2: JSON backup sink (JSONL; Spark writes UTF-8, matching the

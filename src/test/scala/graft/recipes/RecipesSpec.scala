@@ -17,6 +17,20 @@ class RecipesSpec extends SparkSpec {
     assert(raw.count() === 1502L)
   }
 
+  test("typed Dataset[Recipe] view round-trips the fixture (§1.4)") {
+    implicit val s = spark
+    val ds = Recipes.typed(Recipes.loadRaw(spark))
+    assert(ds.count() === 1502L)
+    // typed field access works and agrees with the Column API
+    val typedAvg = ds.map(_.rating).reduce(_ + _) / 1502.0
+    val colAvg = Recipes.loadRaw(spark)
+      .agg(sum($"rating") / 1502.0).as[Double].head()
+    assert(math.abs(typedAvg - colAvg) < 1e-9)
+    val r = ds.filter(_.product_id.nonEmpty).head()
+    assert(r.product_id.length === 32)
+    assert(r.ingredients.nonEmpty)
+  }
+
   test("1490 distinct product ids; 6 keys duplicated exactly 3x") {
     assert(raw.select("product_id").distinct().count() === 1490L)
     val dupCounts = raw.groupBy("product_id").count()
