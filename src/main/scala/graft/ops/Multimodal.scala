@@ -136,4 +136,31 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedRow(id: Long, width: Long, height: Long,
+                        bytes: Array[Byte])
+
+  /** Batch resize plumbing — STUB body, real shape: partition-local
+    * mapPartitions (no shuffle; a real image library slots into the
+    * row function), output schema carrying the target dimensions next
+    * to the new blob. The fake "resized" blob is deterministic — the
+    * content fingerprint repeated to ceil(w*h/256) bytes — so tests
+    * can assert size scaling and stability without codecs.
+    */
+  def resizeBatchStub(ds: Dataset[MediaRow], width: Int, height: Int)
+                     (implicit spark: SparkSession): Dataset[ResizedRow] = {
+    require(width >= 1 && height >= 1,
+      s"target dims must be positive, got ${width}x$height")
+    import spark.implicits._
+    val outLen = math.max(1, (width.toLong * height / 256L).toInt)
+    ds.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        md.reset()
+        val fp = md.digest(m.bytes)
+        val out = Array.tabulate(outLen)(i => fp(i % fp.length))
+        ResizedRow(m.id, width.toLong, height.toLong, out)
+      }
+    }
+  }
 }

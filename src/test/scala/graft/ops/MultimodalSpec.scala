@@ -64,4 +64,20 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.stubFeatures($"bin", 4)).as[Seq[Double]].head()
     assert(dec(0).features.toSeq === colFeats)
   }
+
+  test("resizeBatchStub: deterministic blob, size scales with target dims") {
+    implicit val s = spark
+    val ds = Seq(Multimodal.MediaRow(1L, png),
+      Multimodal.MediaRow(2L, "hello world".getBytes("UTF-8"))).toDS()
+    val small = Multimodal.resizeBatchStub(ds, 32, 32).collect().sortBy(_.id)
+    val large = Multimodal.resizeBatchStub(ds, 64, 64).collect().sortBy(_.id)
+    assert(small.forall(r => r.width === 32L && r.height === 32L))
+    assert(small(0).bytes.length === 32 * 32 / 256)
+    assert(large(0).bytes.length === 64 * 64 / 256)
+    // deterministic: same input + dims -> identical bytes across runs
+    val again = Multimodal.resizeBatchStub(ds, 32, 32).collect().sortBy(_.id)
+    assert(small(0).bytes.toSeq === again(0).bytes.toSeq)
+    // different source content -> different fake payload
+    assert(small(0).bytes.toSeq !== small(1).bytes.toSeq)
+  }
 }
