@@ -157,17 +157,96 @@ object Similarity {
     * equi-join on cent_id with the query side broadcast. Recall is
     * governed by nProbe / centroid count, never corpus size.
     */
-  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-             stride: Long, nProbe: Int): DataFrame = {
-    // Centroids = the smallest populated residue class mod stride (not
-    // a bare `% stride == 0`, which silently yields ZERO centroids —
-    // and an empty result — when no id happens to be a multiple).
-    // Computed lazily in-plan via a broadcast 1-row aggregate.
+  /** Deterministic seed centroids: the smallest populated residue
+    * class mod stride (not a bare `% stride == 0`, which silently
+    * yields ZERO centroids — and an empty result — when no id happens
+    * to be a multiple). Computed lazily in-plan via a broadcast 1-row
+    * aggregate. Output: (cent_id, c_qv, c_n2).
+    */
+  def strideCentroids(corpus: DataFrame, stride: Long): DataFrame = {
     val minMod = broadcast(corpus
       .agg(min(pmod($"vec_id", lit(stride))).as("_mm")))
-    val cents = broadcast(corpus.crossJoin(minMod)
+    corpus.crossJoin(minMod)
       .filter(pmod($"vec_id", lit(stride)) === $"_mm")
-      .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2")))
+      .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
+  }
+
+  /** Distributed Lloyd's k-means over the quantized corpus — the
+    * centroid-training step the IVF index wants (seed = [[
+    * strideCentroids]]; `knnIvf` keeps the seed path so its oracle
+    * stays engine-portable). Every step is deterministic: assignment
+    * is the exact-int64 cosine argmax with the same (cos, -cent_id)
+    * tie-break as the probe path; the update is the element-wise
+    * integer mean (exact int64 sums via a typed Aggregator —
+    * partial+final, skew-immune, no explode — then truncating
+    * division), so centroids stay quantized and bit-identical on any
+    * partitioning. Clusters that lose all members are dropped (the
+    * deterministic empty-cluster policy). Per iteration: one broadcast
+    * of the (tiny) centroid set + one shuffle for the aggregate.
+    */
+  def kmeansCentroids(corpus: DataFrame, stride: Long,
+                      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // named encoders instead of spark.implicits._ (its $-interpolator
+    // would clash with the package-level ColStr one this file uses)
+    implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
+    var cents = strideCentroids(corpus, stride).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select($"vec_id", $"qv", $"cent_id",
+          cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"qv", $"cent_id"),
+          struct($"cos_c", -$"cent_id")).as("_a"))
+        .select($"_a.cent_id".as("cent_id"), $"_a.qv".as("qv"))
+      val updated = assigned.as[(Long, Seq[Long])]
+        .groupByKey(_._1)
+        .agg(vecSumCount.toColumn)
+        .map { case (cid, (s, n)) => (cid, s.map(_ / n)) }
+        .toDF("cent_id", "c_qv")
+        .withColumn("c_n2", qnorm2($"c_qv"))
+      cents = updated.localCheckpoint()
+    }
+    cents
+  }
+
+  /** Exact element-wise int64 vector sum + count (partial+final
+    * aggregate; addition is associative+commutative, so the result is
+    * partitioning-independent).
+    */
+  private val vecSumCount =
+    new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Seq[Long]), (Seq[Long], Long), (Seq[Long], Long)] {
+      private def add(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+        if (a.isEmpty) b else if (b.isEmpty) a
+        else a.lazyZip(b).map(Math.addExact)
+      def zero: (Seq[Long], Long) = (Seq.empty, 0L)
+      def reduce(b: (Seq[Long], Long), r: (Long, Seq[Long])): (Seq[Long], Long) =
+        (add(b._1, r._2), b._2 + 1L)
+      def merge(x: (Seq[Long], Long), y: (Seq[Long], Long)): (Seq[Long], Long) =
+        (add(x._1, y._1), x._2 + y._2)
+      def finish(r: (Seq[Long], Long)): (Seq[Long], Long) = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Seq[Long], Long)] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+      def outputEncoder: org.apache.spark.sql.Encoder[(Seq[Long], Long)] =
+        bufferEncoder
+    }
+
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             stride: Long, nProbe: Int): DataFrame =
+    knnIvfWith(corpus, queries, strideCentroids(corpus, stride), k, nProbe)
+
+  /** IVF probe against an explicit centroid table (cent_id, c_qv,
+    * c_n2) — e.g. [[kmeansCentroids]] output. The assignment / probe /
+    * candidate machinery is identical to [[knnIvf]]; only the centroid
+    * source differs.
+    */
+  def knnIvfWith(corpus: DataFrame, queries: DataFrame,
+                 centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids)
     val assigned = corpus.crossJoin(cents)
       .select($"vec_id", $"qv", $"n2", $"cent_id",
         cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))

@@ -97,6 +97,43 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("kmeansCentroids: deterministic across partitionings, separates clusters") {
+    // three tight, well-separated directions; 20 points each
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Seq[Float]): Seq[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val bases = Seq(Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f))
+    val rows = for {
+      (b, c) <- bases.zipWithIndex
+      i <- 0 until 20
+    } yield ((c * 20 + i).toLong, jitter(b))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").cache()
+    // stride 20 seeds exactly one vector per true cluster (ids 0,20,40)
+    val cents = Similarity.kmeansCentroids(p, stride = 20L, iters = 3)
+      .orderBy("cent_id").collect()
+    assert(cents.length === 3)
+    // converged centroids point along the cluster axes: dominant
+    // component is the cluster's base direction
+    cents.foreach { r =>
+      val qv = r.getSeq[Long](1)
+      assert(qv.indexOf(qv.max) === (r.getLong(0) / 20L).toInt)
+    }
+    // bit-deterministic under a different input partitioning
+    val cents2 = Similarity.kmeansCentroids(p.repartition(7), 20L, 3)
+      .orderBy("cent_id").collect()
+    assert(cents2.map(_.toString).toSeq === cents.map(_.toString).toSeq)
+    // IVF probe over the learned centroids finds the true neighbor
+    val q = p.filter($"vec_id" === 0L)
+    val knn = Similarity.knnIvfWith(p, q,
+      Similarity.kmeansCentroids(p, 20L, 3), k = 3, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(knn.nonEmpty)
+    // every returned neighbor is from cluster 0 (ids 0..19)
+    assert(knn.forall(_.getAs[Long]("neighbor_id") < 20L))
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),
