@@ -183,6 +183,32 @@ object ShingleUtil {
     java.lang.Long.valueOf(acc)
   }
 
+  /** One-pass token statistics (see [[TextStats]]): struct(n_tokens,
+    * n_distinct, sum_len in chars, per-list stopword hit counts).
+    */
+  def textStats(toks: ArrayData,
+                swSets: Array[java.util.HashSet[UTF8String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    val distinct = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    val hits = new Array[Long](swSets.length)
+    var sumLen = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      distinct.add(t)
+      sumLen += t.numChars()
+      var l = 0
+      while (l < swSets.length) {
+        if (swSets(l).contains(t)) hits(l) += 1L
+        l += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct.size.toLong, sumLen,
+        new GenericArrayData(hits)))
+  }
+
   /** == the composed Similarity.signBucket chain: bit p of the bucket
     * key is '1' iff the exact int64 dot of the vector with sign row p
     * is > 0. Length mismatch with the sign row reproduces the composed
@@ -295,25 +321,28 @@ case class Simhash(child: Expression, bits: Int)
 /** Minimum md5 hex over the elements of a string array; null on empty
   * input (so callers can coalesce a fallback). == `array_min(
   * transform(arr, x => md5(x)))` without the per-element interpreted
-  * lambda. String-min over hex == byte min (ASCII). CodegenFallback:
-  * the output is nullable on non-null input, which nullSafeCodeGen
-  * cannot express; the fallback is one virtual call per row and keeps
-  * the surrounding stage in whole-stage codegen.
+  * lambda. String-min over hex == byte min (ASCII).
   */
 case class MinMd5(child: Expression)
-  extends UnaryExpression with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_min_md5"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val arr = child.eval(input)
-    if (arr == null) null
-    else ShingleUtil.minMd5(arr.asInstanceOf[ArrayData])
-  }
+  override protected def nullSafeEval(arr: Any): Any =
+    ShingleUtil.minMd5(arr.asInstanceOf[ArrayData])
+
+  // result is null on an EMPTY (non-null) input, so the generated code
+  // re-flags isNull after the call — the standard nullable-result
+  // pattern inside nullSafeCodeGen's non-null branch
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftnative.ShingleUtil.minMd5($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinMd5 =
     copy(child = newChild)
@@ -329,8 +358,7 @@ case class MinMd5(child: Expression)
   */
 case class QDotLong(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.LongType),
@@ -339,12 +367,24 @@ case class QDotLong(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_qdot"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val a = left.eval(input)
-    val b = right.eval(input)
-    if (a == null || b == null) null
-    else ShingleUtil.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ShingleUtil.qdot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // null result on length-mismatch / null element: re-flag isNull
+  // inside the non-null branch (boxed call, one unbox per row)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("qdotRes")
+      s"""
+         |java.lang.Long $r =
+         |  org.apache.spark.sql.graftnative.ShingleUtil.qdot($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QDotLong =
@@ -358,8 +398,7 @@ case class QDotLong(left: Expression, right: Expression)
   * instance; the per-row cost is one compiled nBits x dims loop.
   */
 case class SignBucket(child: Expression, nBits: Int, dims: Int)
-  extends UnaryExpression with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.LongType))
@@ -375,10 +414,16 @@ case class SignBucket(child: Expression, nBits: Int, dims: Int)
       }
     }
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null
-    else ShingleUtil.signBucket(v.asInstanceOf[ArrayData], signs)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.signBucket(v.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the sign matrix rides along as a codegen reference object —
+    // computed once per expression instance, shared by all rows
+    val signsRef = ctx.addReferenceObj("signs", signs, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.ShingleUtil" +
+        s".signBucket($c, $signsRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SignBucket =
@@ -397,8 +442,7 @@ case class SignBucket(child: Expression, nBits: Int, dims: Int)
   * ANSI-throw first on inputs large enough to differ).
   */
 case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
-  extends UnaryExpression with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
@@ -422,27 +466,17 @@ case class TextStats(child: Expression, stopwordLists: Seq[Seq[String]])
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return null
-    val toks = v.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val distinct = new java.util.HashSet[UTF8String](math.max(16, n * 2))
-    val hits = new Array[Long](swSets.length)
-    var sumLen = 0L
-    var i = 0
-    while (i < n) {
-      val t = toks.getUTF8String(i)
-      distinct.add(t)
-      sumLen += t.numChars()
-      var l = 0
-      while (l < swSets.length) {
-        if (swSets(l).contains(t)) hits(l) += 1L
-        l += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n.toLong, distinct.size.toLong, sumLen,
-        new GenericArrayData(hits)))
+    if (v == null) null
+    else ShingleUtil.textStats(v.asInstanceOf[ArrayData], swSets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the stopword hash sets ride along as a codegen reference object
+    val swRef = ctx.addReferenceObj("swSets", swSets,
+      "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftnative.ShingleUtil" +
+        s".textStats($c, $swRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =
