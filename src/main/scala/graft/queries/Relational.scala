@@ -203,14 +203,23 @@ object Relational {
   /** Distinct aggregates: per-order supplier/part fan-out histogram.
     * Two-level aggregation — the first level shuffles on l_orderkey, the
     * second is a tiny re-agg of the histogram.
+    *
+    * The distinct counts use size(collect_set(...)) rather than
+    * countDistinct: two countDistincts force an Expand that doubles
+    * the shuffle input, while collect_set is a single-pass
+    * ObjectHashAggregate (measured 1.14 vs 1.72 s at sf0.1 —
+    * PROFILE.md). SAFE here because the group is an order and
+    * per-order lineitem fan-out is bounded (~7): the in-memory set
+    * never grows with corpus size. For unbounded-cardinality groups
+    * keep countDistinct (or a sketch) instead.
     */
   def q10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(
-        countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct($"l_partkey").as("n_part"))
+        size(collect_set($"l_suppkey")).cast("long").as("n_supp"),
+        size(collect_set($"l_partkey")).cast("long").as("n_part"))
       .groupBy($"n_supp", $"n_part")
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_supp", $"n_part")
@@ -312,6 +321,9 @@ object Relational {
     val o = t(s, dir, "orders")
     val kpi = o.agg(
       count(lit(1)).as("n_orders"),
+      // a single countDistinct keeps Catalyst's distinct-aggregate
+      // rewrite exercised (q10 uses the bounded-group collect_set form)
+      countDistinct($"o_custkey").as("n_cust"),
       davg($"o_totalprice").as("avg_price"))
     val modePrio = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"o_orderpriority".asc)
@@ -627,6 +639,7 @@ object Relational {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q16_kpi_row" ->
       """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+        | (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_cust,
         | (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice) FROM orders) AS avg_price,
         | (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
         |  ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1) AS top_priority""".stripMargin,

@@ -76,6 +76,14 @@ object Profile {
     }
 
     time("q10_as_now")(graft.queries.Relational.q10(spark, sfDir))
+    time("q10_collect_set") {
+      li.groupBy($"l_orderkey")
+        .agg(size(collect_set($"l_suppkey")).cast("long").as("n_supp"),
+          size(collect_set($"l_partkey")).cast("long").as("n_part"))
+        .groupBy($"n_supp", $"n_part")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"n_supp", $"n_part")
+    }
     time("q10_split_distinct") {
       val ns = li.select($"l_orderkey", $"l_suppkey").distinct()
         .groupBy($"l_orderkey").agg(count(lit(1)).as("n_supp"))
