@@ -42,8 +42,32 @@ object Sessions {
   def deterministicSample(df: DataFrame, idCol: String,
                           permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000)
-    df.filter(
-      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000 < permille)
+    df.filter(sampleBucket(col(idCol)) < permille)
   }
+
+  /** Deterministic STRATIFIED sampling: a per-stratum keep rate
+    * (permille), same md5 bucket as [[deterministicSample]] — the
+    * rebalancing primitive of corpus construction (downsample the
+    * over-represented language/source, keep the rare one whole).
+    * Strata absent from the map use `defaultPermille`; because the
+    * bucket depends only on the row id, raising a stratum's rate
+    * strictly grows its sample (nested samples — stable ablations).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       permilleByStratum: Map[String, Int],
+                       defaultPermille: Int): DataFrame = {
+    require((defaultPermille +: permilleByStratum.values.toSeq)
+      .forall(p => p >= 0 && p <= 1000))
+    // sorted for a deterministic expression tree (map order is not)
+    val rate = permilleByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+    df.filter(sampleBucket(col(idCol)) < rate)
+  }
+
+  /** The shared md5 permille bucket (0..999) of a row id. */
+  def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
 }

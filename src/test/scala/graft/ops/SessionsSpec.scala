@@ -50,6 +50,27 @@ class SessionsSpec extends SparkSpec {
       Sessions.deterministicSample(df, "id", 1001))
   }
 
+  test("stratifiedSample: per-stratum rates, default fallback, nesting") {
+    val df = Seq.tabulate(600)(i =>
+      (i.toLong, Seq("en", "fr", "de")(i % 3))).toDF("id", "lang")
+    val got = Sessions.stratifiedSample(df, "id", "lang",
+      Map("en" -> 100, "fr" -> 1000), defaultPermille = 0)
+      .select("id", "lang").as[(Long, String)].collect().toSeq
+    // default 0: the unmapped stratum (de) is fully dropped
+    assert(!got.exists(_._2 == "de"))
+    // fr at 1000 keeps every fr row
+    assert(got.count(_._2 == "fr") === 200)
+    // en matches the flat sample at the same rate restricted to en
+    val flatEn = Sessions.deterministicSample(df.filter($"lang" === "en"),
+      "id", 100).select("id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet === flatEn)
+    // raising a stratum's rate strictly grows its sample (nesting)
+    val more = Sessions.stratifiedSample(df, "id", "lang",
+      Map("en" -> 400, "fr" -> 1000), defaultPermille = 0)
+      .filter($"lang" === "en").select("id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet.subsetOf(more))
+  }
+
   test("deterministicSample is stable and monotone in permille") {
     val df = Seq.tabulate(500)(i => (i.toLong, s"d$i")).toDF("id", "x")
     val s100a = Sessions.deterministicSample(df, "id", 100)
