@@ -1,0 +1,26 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("discretePercentiles: hand-checked ranks, edges, duplicates") {
+    val d10 = (1L to 10L).toDF("x")
+    val r = Stats.discretePercentiles(d10, "x", Seq(0.0, 0.5, 1.0)).head()
+    // rank floor((10-1)*p)+1 over 1..10: p0 -> 1, p50 -> 5, p100 -> 10
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 5L, 10L)))
+
+    val dup = Seq(1L, 1L, 1L, 2L).toDF("x")
+    val r2 = Stats.discretePercentiles(dup, "x", Seq(0.5, 1.0)).head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((1L, 2L)))
+  }
+
+  test("discretePercentiles is partitioning-independent") {
+    val d = Seq.tabulate(500)(i => (i % 37).toLong).toDF("x")
+    val a = Stats.discretePercentiles(d, "x", Seq(0.25, 0.9)).head()
+    val b = Stats.discretePercentiles(d.repartition(13), "x",
+      Seq(0.25, 0.9)).head()
+    assert(a === b)
+  }
+}
