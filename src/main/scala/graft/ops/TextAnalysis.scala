@@ -159,6 +159,51 @@ object TextAnalysis {
         graft.plans.Native.distinctShingles(toks(text), 5)),
       md5(text))
 
+  // -------------------------------------------------------- collocations
+  /** Collocation extraction: adjacent-token bigrams ranked by the
+    * pointwise association ratio p(ab) / (p(a)·p(b)) — the PMI
+    * argument without the final log, so the score is a single
+    * correctly-rounded IEEE division of exact integer counts
+    * (cross-engine-deterministic, unlike ln whose last-ulp behavior is
+    * libm-specific; log is monotone, so the RANKING is PMI's).
+    *
+    * Scale shape: two linear explode+count aggregations (bigrams,
+    * tokens) with map-side combine, two equi-joins keyed on the token
+    * to attach unigram counts, TakeOrderedAndProject for the top-k.
+    * The minCount filter prunes the long tail BEFORE the joins.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    val t = toks(col(textCol))
+    // adjacent pairs via one zip against the tail (linear; the generic
+    // shingles HOF re-slices per element): the zip pads the shorter
+    // tail with null, concat propagates it, filter drops it
+    val adjacent = filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bigrams = docs.select(explode(adjacent).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val unigrams = docs.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val totals = broadcast(docs.agg(
+      sum(size(t)).cast("double").as("n_tok"),
+      sum(greatest(size(t) - 1, lit(0))).cast("double").as("n_bg")))
+    bigrams
+      .join(unigrams.select(col("w").as("w1"), col("cnt").as("cnt_a")), Seq("w1"))
+      .join(unigrams.select(col("w").as("w2"), col("cnt").as("cnt_b")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("bg").as("bigram"), col("cnt_ab"),
+        ((col("cnt_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_bg") * col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .as("assoc"))
+      .orderBy(col("assoc").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
   // ------------------------------------------------------------- simhash
   private val hexDigits = "0123456789abcdef"
 

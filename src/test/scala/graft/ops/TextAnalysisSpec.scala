@@ -6,6 +6,24 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("collocations: exact ratio on a hand-computed corpus, ranking order") {
+    // three identical two-token docs: n_tok=6, n_bg=3, cnt("a b")=3,
+    // cnt(a)=cnt(b)=3 -> assoc = 3*6*6 / (3*3*3) = 4.0 exactly
+    val d = Seq("a b", "a b", "a b").toDF("text")
+    val r = TextAnalysis.collocations(d, "text", minCount = 2L, topK = 5)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("bigram") === "a b")
+    assert(r.head.getAs[Long]("cnt_ab") === 3L)
+    assert(r.head.getAs[Double]("assoc") === 4.0)
+    // a bigram whose parts also occur apart scores below a fused pair
+    val d2 = Seq("x y", "x y", "x q", "p y").toDF("text")
+    val r2 = TextAnalysis.collocations(d2, "text", 2L, 5).collect()
+    // only "x y" reaches minCount; its parts occur 3x each in 8 tokens
+    assert(r2.map(_.getAs[String]("bigram")).toSeq === Seq("x y"))
+    assert(r2.head.getAs[Double]("assoc") === (2.0 * 8 * 8) / (4.0 * 3 * 3))
+  }
+
   test("token counts: whitespace and BPE-ish pre-tokenizer") {
     val d = Seq("a b  c", "ab1 c,d", "", "   ").toDF("text")
     val ws = d.select(TextAnalysis.tokenCount($"text")).as[Long].collect().toSeq
