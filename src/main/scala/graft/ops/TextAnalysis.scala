@@ -159,6 +159,23 @@ object TextAnalysis {
         graft.plans.Native.distinctShingles(toks(text), 5)),
       md5(text))
 
+  /** Repeated n-gram fraction — the C4/Gopher-family repetition signal
+    * (boilerplate and looping text score high): 1 - distinct/total
+    * word n-grams, 0.0 for docs shorter than n tokens. Total count is
+    * pure arithmetic on the token count (the shingle list itself is
+    * never materialized); the distinct count reuses the native
+    * one-pass shingle expression. Exact integer counts into one IEEE
+    * division — engine-portable.
+    */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val t = toks(text)
+    val total = greatest(size(t) - (n - 1), lit(0))
+    val distinct = size(graft.plans.Native.distinctShingles(t, n))
+    when(total > 0,
+      lit(1.0) - distinct.cast("double") / total.cast("double"))
+      .otherwise(0.0)
+  }
+
   // -------------------------------------------------------- collocations
   /** Collocation extraction: adjacent-token bigrams ranked by the
     * pointwise association ratio p(ab) / (p(a)·p(b)) — the PMI

@@ -6,6 +6,17 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetitionScore: looping text high, unique text zero, short text zero") {
+    val d = Seq(
+      "a b c a b c a b c",   // 7 trigrams, 3 distinct -> 1 - 3/7
+      "one two three four",  // all distinct -> 0.0
+      "x y",                 // < n tokens -> 0.0
+      "").toDF("text")
+    val got = d.select(TextAnalysis.repetitionScore($"text", 3))
+      .as[Double].collect().toSeq
+    assert(got === Seq(1.0 - 3.0 / 7.0, 0.0, 0.0, 0.0))
+  }
+
   test("collocations: exact ratio on a hand-computed corpus, ranking order") {
     // three identical two-token docs: n_tok=6, n_bg=3, cnt("a b")=3,
     // cnt(a)=cnt(b)=3 -> assoc = 3*6*6 / (3*3*3) = 4.0 exactly
