@@ -38,6 +38,19 @@ class StoresSpec extends SparkSpec {
       .except(back.select("product_id", "rating")).count() === 0L)
   }
 
+  test("canonical table is format-pluggable: ORC round-trips the full schema") {
+    // the columnar-at-rest choice is parquet, but nothing in the
+    // engine depends on it — the pinned schema (incl. both string
+    // arrays) survives an ORC round-trip bit-for-bit
+    val df = Recipes.loadRaw(spark)
+    val path = tmp("orc_canonical") + "/t"
+    df.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(Recipes.schema).orc(path)
+    assert(back.count() === 1502L)
+    assert(back.schema === df.schema)
+    assert(df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty)
+  }
+
   test("S5: truncate-and-load retains duplicates; S6/S7 search view dedups") {
     val raw = Recipes.loadRaw(spark)
     val rawPath = tmp("s5") + "/raw_table"
