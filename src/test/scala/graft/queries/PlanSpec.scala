@@ -86,6 +86,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58 exact jaccard: candidate join is an equi-join, never cartesian") {
+    val p = plan(OpsQueries.q58(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q61 collocations: top-k plans as TakeOrderedAndProject") {
+    val p = plan(OpsQueries.q61(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q59/q60/q62: sampling and per-doc scoring stay scan-shaped") {
+    // stratified sample: a filter on the scan, no join/aggregate
+    val p59 = plan(OpsQueries.q59(spark, dir))
+    assert(!p59.contains("Join"), p59)
+    assert(!p59.contains("Exchange"), p59)
+    // repetition score: per-document, shuffle-free
+    val p62 = plan(OpsQueries.q62(spark, dir))
+    assert(!p62.contains("Exchange"), p62)
+  }
+
   test("idfSearch: df-stats and corpus-count sides are broadcast") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))
