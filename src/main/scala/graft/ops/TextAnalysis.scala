@@ -159,6 +159,29 @@ object TextAnalysis {
         graft.plans.Native.distinctShingles(toks(text), 5)),
       md5(text))
 
+  // ---------------------------------------------------------- PII scrub
+  /** PII patterns, deliberately limited to regex syntax shared by
+    * Java's engine and RE2 (character classes + bounded quantifiers,
+    * no lookaround/backrefs) so the SQL oracle runs the same patterns.
+    */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val longNumPat = "[0-9]{7,}"
+
+  /** PII redaction for corpus cleaning: emails, IPv4 addresses, then
+    * long digit runs, replaced IN THAT ORDER (an IP's octets or an
+    * email's digits must not be double-counted as numbers). Pure
+    * regexp_replace chain — codegen, shuffle-free, linear. Count the
+    * matches per stage with `size(regexp_extract_all(...))` on that
+    * stage's INPUT (see q63 for the staged form).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPat, "<EMAIL>"),
+        ipv4Pat, "<IP>"),
+      longNumPat, "<NUM>")
+
   /** Repeated n-gram fraction — the C4/Gopher-family repetition signal
     * (boilerplate and looping text score high): 1 - distinct/total
     * word n-grams, 0.0 for docs shorter than n tokens. Total count is

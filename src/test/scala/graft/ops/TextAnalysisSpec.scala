@@ -6,6 +6,20 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii: email before ip before numbers, ordering prevents double-redaction") {
+    val d = Seq(
+      "mail bob42@host.org then ip 192.168.0.1 and id 12345678 done",
+      "no pii here at all",
+      "edge a@b.co 1.2.3.4 1234567").toDF("text")
+    val got = d.select(TextAnalysis.redactPii($"text")).as[String].collect().toSeq
+    assert(got === Seq(
+      "mail <EMAIL> then ip <IP> and id <NUM> done",
+      "no pii here at all",
+      "edge <EMAIL> <IP> <NUM>"))
+    // the email's digits and the IP's octets never surface as <NUM>
+    assert(!got.head.contains("42"))
+  }
+
   test("repetitionScore: looping text high, unique text zero, short text zero") {
     val d = Seq(
       "a b c a b c a b c",   // 7 trigrams, 3 distinct -> 1 - 3/7
