@@ -145,6 +145,13 @@ object Dedup {
     * where the naive index explodes. Verification is the same exact
     * intersect as q22. Cost rises as tau falls (prefixes lengthen);
     * at dedup-grade tau (>= 0.4) the index is a fraction of the corpus.
+    *
+    * Measured guidance (PROFILE.md scaling soak): prefix filtering
+    * bounds the INDEX, but total cost still tracks the true
+    * candidate-pair count (Sigma df^2 over shared shingles) — use
+    * [[minhashLshPairs]]/[[simhashPairs]] for web-scale near-dup
+    * density; this operator is for exactness requirements at moderate
+    * density or high tau.
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double): DataFrame = {
