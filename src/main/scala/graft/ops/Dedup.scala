@@ -1,7 +1,7 @@
 package graft
 package ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.TextAnalysis._
@@ -188,18 +188,27 @@ object Dedup {
   }
 
   // ------------------------------------------------------------ MinHash
-  /** MinHash signature columns: sig_i = min over shingles of
-    * md5(i || '|' || shingle). String-min over md5 hex is a valid
-    * min-hash family (md5 is uniform on hex strings) and — unlike
-    * integer seeds — is reproducible in any engine with md5.
-    * (Broder, "On the resemblance and containment of documents", 1997.)
+  /** MinHash signature columns (the composed executable spec of the
+    * native band-key pipeline; property-tested equal in NativeSpec):
+    * v = int of the first 15 hex chars of md5(shingle), sig_i = min
+    * over shingles of (a_i * (v mod p) + b_i) mod p with p = 2^31-1
+    * and md5-derived (a_i, b_i) — the universal-hash min-hash family
+    * (Broder, "On the resemblance and containment of documents", 1997;
+    * same family as Spark MLlib's MinHashLSH). ONE digest per shingle;
+    * every intermediate stays under 2^62, exact int64 in any engine.
     */
   def withMinhashSignature(sets: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.{MinhashBandKeys, ShingleUtil}
+    val cs = MinhashBandKeys.hashConsts(numHashes)
+    val p = ShingleUtil.minhashP
     // one projection, not numHashes chained withColumns — each
     // withColumn copies and re-analyzes the whole plan (quadratic
     // driver cost at realistic 128-hash signatures)
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform($"shs", sh => md5(concat(lit(s"$i|"), sh))))
+    val vm = (sh: Column) =>
+      pmod(conv(substring(md5(sh), 1, 15), 16, 10).cast("long"), lit(p))
+    val sigCols = cs.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform($"shs", sh =>
+        pmod(lit(a) * vm(sh) + lit(b), lit(p))))
         .as(s"sig$i")
     }
     sets.select(col("*") +: sigCols: _*)
@@ -229,8 +238,9 @@ object Dedup {
       .filter(size($"shs") > 0)
       .localCheckpoint()
     // Band keys come from ONE fused native expression consumed once by
-    // posexplode (sig_i = min md5(i|sh), bkey = md5 over the band's
-    // sigs — identical to withMinhashSignature + band-md5 composition).
+    // posexplode (sig_i = universal-hash min over one md5 per shingle,
+    // bkey = md5 over the band's decimal-rendered sigs — identical to
+    // the withMinhashSignature + band-md5 composition).
     val buckets = sets
       .select($"doc_id", posexplode(
         graft.plans.Native.minhashBandKeys($"shs", bands, rowsPerBand)))

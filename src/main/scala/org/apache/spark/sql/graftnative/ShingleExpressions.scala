@@ -61,53 +61,63 @@ object ShingleUtil {
     new GenericArrayData(seen.toArray[AnyRef](Array.empty[AnyRef]))
   }
 
-  /** == the banded minhash key pipeline of Dedup.minhashLshPairs:
-    * sig_i = min over shingles of md5(i || "|" || sh) (string min over
-    * hex = byte min, Broder '97 with the md5-prefix family), band key
-    * b = md5(sig_{b*r} || "|" || ... || sig_{b*r+r-1}). Returns the
-    * `bands` band keys as one array, computed in a single pass over the
-    * shingles — one expression node instead of bands*rowsPerBand
-    * interpreted HOF chains.
+  /** Universal-hash minhash prime (Mersenne 2^31 - 1, the MinHashLSH
+    * standard): with v, a, b < p every a*v + b stays under 2^62, so
+    * the arithmetic is exact int64 in ANY engine — no overflow, no
+    * unsigned juggling.
     */
-  def minhashBandKeys(shs: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+  val minhashP: Long = 2147483647L
+
+  /** == the banded minhash key pipeline of Dedup.minhashLshPairs:
+    * one md5 per shingle parsed to v = int of its first 15 hex chars,
+    * sig_i = min over shingles of (a_i * (v mod p) + b_i) mod p
+    * (Broder '97 with the (a,b) universal-hash family — ONE digest per
+    * shingle instead of one per (hash, shingle); Spark MLlib's
+    * MinHashLSH uses the same family), band key b = md5 of the band's
+    * sig values joined as decimal strings with '|'. Returns the
+    * `bands` band keys as one array, computed in a single pass over
+    * the shingles.
+    */
+  def minhashBandKeys(shs: ArrayData, bands: Int, rowsPerBand: Int,
+                      as: Array[Long], bs: Array[Long]): ArrayData = {
     val k = bands * rowsPerBand
-    val prefixes = Array.tabulate(k)(i => (i.toString + "|").getBytes("UTF-8"))
-    val mins = new Array[UTF8String](k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shs.numElements()
     var j = 0
     while (j < n) {
-      val shBytes = shs.getUTF8String(j).getBytes
+      val hexB = md5hex(shs.getUTF8String(j).getBytes).getBytes
+      // first 15 hex chars -> 60-bit value (always < 2^63, no sign risk)
+      var v = 0L
+      var c = 0
+      while (c < 15) {
+        val ch = hexB(c)
+        val d = if (ch <= '9') ch - '0' else ch - 'a' + 10
+        v = (v << 4) | d
+        c += 1
+      }
+      val vm = v % minhashP
       var i = 0
       while (i < k) {
-        val h = md5hex(prefixes(i), shBytes)
-        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        val h = (as(i) * vm + bs(i)) % minhashP
+        if (h < mins(i)) mins(i) = h
         i += 1
       }
       j += 1
     }
-    val sepBytes = "|".getBytes("UTF-8")
     val keys = new Array[AnyRef](bands)
     var b = 0
     while (b < bands) {
-      val md = MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder(24)
       var r = 0
       while (r < rowsPerBand) {
-        if (r > 0) md.update(sepBytes)
-        // n == 0 never reaches here in practice (callers filter empty
-        // shingle sets); guard with empty bytes for safety.
-        val m = mins(b * rowsPerBand + r)
-        if (m != null) md.update(m.getBytes)
+        if (r > 0) sb.append('|')
+        // empty shingle sets never reach here (callers filter); a
+        // Long.MaxValue sentinel would simply render as its decimal form
+        sb.append(mins(b * rowsPerBand + r))
         r += 1
       }
-      val d = md.digest()
-      val out = new Array[Byte](32)
-      var i = 0
-      while (i < 16) {
-        out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
-        out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
-        i += 1
-      }
-      keys(b) = UTF8String.fromBytes(out)
+      keys(b) = md5hex(sb.toString.getBytes("UTF-8"))
       b += 1
     }
     new GenericArrayData(keys)
@@ -268,7 +278,10 @@ case class DistinctShingles(child: Expression, k: Int)
 /** Banded minhash bucket keys of a shingle-set array (see
   * [[ShingleUtil.minhashBandKeys]]). One pass computes every band key,
   * so the plan carries a single expensive expression consumed once by
-  * posexplode — immune to projection-collapse duplication.
+  * posexplode — immune to projection-collapse duplication. The
+  * universal-hash (a, b) constants are md5-derived at construction
+  * (see [[MinhashBandKeys.hashConsts]]) — deterministic, engine-free,
+  * and inlined verbatim into the SQL oracle.
   */
 case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   extends UnaryExpression with ExpectsInputTypes {
@@ -277,16 +290,45 @@ case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_minhash_band_keys"
 
-  override protected def nullSafeEval(shs: Any): Any =
-    ShingleUtil.minhashBandKeys(shs.asInstanceOf[ArrayData], bands, rowsPerBand)
+  @transient private lazy val (as, bs) = {
+    val cs = MinhashBandKeys.hashConsts(bands * rowsPerBand)
+    (cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(shs: Any): Any =
+    ShingleUtil.minhashBandKeys(shs.asInstanceOf[ArrayData], bands,
+      rowsPerBand, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftnative.ShingleUtil" +
-        s".minhashBandKeys($c, $bands, $rowsPerBand);")
+        s".minhashBandKeys($c, $bands, $rowsPerBand, $aRef, $bRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
     copy(child = newChild)
+}
+
+object MinhashBandKeys {
+  /** Deterministic (a_i, b_i) universal-hash constants: md5-derived
+    * (like the LSH plane signs), a_i in [1, p-1], b_i in [0, p-1].
+    * Computed driver-side so SQL oracles can inline the same literal
+    * values.
+    */
+  def hashConsts(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    def h(tag: String): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"$tag|$i".getBytes("UTF-8"))
+      // first 7 bytes -> non-negative 56-bit value
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v
+    }
+    (h("a") % (ShingleUtil.minhashP - 1) + 1, h("b") % ShingleUtil.minhashP)
+  }
 }
 
 /** SimHash fingerprint of a per-token md5-hex array as a '0'/'1'
