@@ -27,32 +27,35 @@ object CleanCorpus {
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             langs: Seq[String], minQuality: Double,
-            n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+            n: Int, bands: Int, rowsPerBand: Int, tau: Double,
+            maxBucket: Long = Dedup.defaultMaxBucket,
+            mat: Materializer = Materialize.Local): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
-    // localCheckpoint: this function executes jobs anyway (see below),
-    // and `filtered` / `exact` are each scanned several times (keeper
-    // agg, verify joins, final anti-join) — without materialization
+    // Materialization barrier: this function executes jobs anyway (see
+    // below), and `filtered` / `exact` are each scanned several times
+    // (keeper agg, verify joins, final anti-join) — without a barrier
     // every scan would re-run the full langId/quality expression tree
-    // over the source.
-    val filtered = docs
+    // over the source. The mechanism is the caller's Materializer.
+    val filtered = mat(docs
       .withColumn("_st", TextAnalysis.textStats(TextAnalysis.toks(text)))
       .withColumn("lang_pred", TextAnalysis.langIdFromStats(col("_st.hits")))
       .withColumn("quality",
         TextAnalysis.qualityScoreFromStats(text, col("_st")))
       .filter(col("lang_pred").isin(langs: _*) &&
         col("quality") >= minQuality)
-      .drop("_st")
-      .localCheckpoint()
+      .drop("_st"))
     val keep = filtered.groupBy(md5(text).as("_ck"))
       .agg(min(id).as("_keeper"))
-    val exact = filtered
+    val exact = mat(filtered
       .join(keep, md5(text) === col("_ck") && id === col("_keeper"))
-      .drop("_ck", "_keeper")
-      .localCheckpoint()
+      .drop("_ck", "_keeper"))
+    // exact dedup ran FIRST, so identical-content cohorts never reach
+    // the LSH band buckets — maxBucket then only drops true near-dup
+    // pile-ups (the documented recall trade, see minhashLshPairs).
     val pairs = Dedup.minhashLshPairs(exact, idCol, textCol,
-      n, bands, rowsPerBand, tau)
-    val drops = Dedup.duplicateClusters(pairs)
+      n, bands, rowsPerBand, tau, maxBucket, mat)
+    val drops = Dedup.duplicateClusters(pairs, mat)
       .filter(!col("is_keeper"))
       .select(col("doc_id").as("_drop"))
     exact.join(drops, id === col("_drop"), "left_anti")

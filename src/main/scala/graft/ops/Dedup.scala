@@ -92,16 +92,17 @@ object Dedup {
     * when probabilistic recall guarantees are needed at 100 TB.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, maxDf: Long = 1000L): DataFrame = {
+                        n: Int, tau: Double, maxDf: Long = 1000L,
+                        mat: Materializer = Materialize.Local): DataFrame = {
     // Same materialization barriers as minhashLshPairs: the shingle
     // table feeds the inverted index AND both verify probes, and the
     // capped index feeds both sides of the candidate self-join —
     // without them every branch re-tokenizes the corpus.
-    val sets = shingleSets(docs, idCol, textCol, n).localCheckpoint()
+    val sets = mat(shingleSets(docs, idCol, textCol, n))
     val inv = sets.select($"doc_id", explode($"shs").as("sh"))
     val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf).select($"sh")
-    val cinv = inv.join(rare, Seq("sh")).localCheckpoint()
+    val cinv = mat(inv.join(rare, Seq("sh")))
     val cands = cinv.as("a").join(cinv.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -154,11 +155,11 @@ object Dedup {
     * density or high tau.
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
+                        n: Int, tau: Double,
+                        mat: Materializer = Materialize.Local): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .filter(size($"shs") > 0)
-      .localCheckpoint()
+    val sets = mat(shingleSets(docs, idCol, textCol, n)
+      .filter(size($"shs") > 0))
     val inv = sets.select($"doc_id", explode($"shs").as("sh"))
     val dfs = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
@@ -169,8 +170,8 @@ object Dedup {
       .join(sizes, Seq("doc_id"))
       .filter($"pos" <= $"sz" - ceil(lit(tau) * $"sz") + lit(1))
       .select($"doc_id", $"sh")
-      .localCheckpoint()
-    val cands = prefix.as("a").join(prefix.as("b"),
+    val prefixM = mat(prefix)
+    val cands = prefixM.as("a").join(prefixM.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -214,6 +215,34 @@ object Dedup {
     sets.select(col("*") +: sigCols: _*)
   }
 
+  /** Default band-bucket population cap for the LSH candidate joins —
+    * the same magnitude as [[ngramJaccardPairs]]'s default `maxDf`.
+    * Shared with the generated oracle SQL so the two sides cannot
+    * drift.
+    */
+  val defaultMaxBucket: Long = 1000L
+
+  /** Raw (uncapped) minhash band buckets for `sets` (doc_id, shs):
+    * one row per (doc, band) with the band's bucket key.
+    */
+  private def minhashBuckets(sets: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame =
+    sets
+      .select($"doc_id", posexplode(
+        graft.plans.Native.minhashBandKeys($"shs", bands, rowsPerBand)))
+      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
+
+  /** Keep only (band, bkey) buckets with population <= maxBucket —
+    * the quadratic-candidate guard (see [[minhashLshPairs]]).
+    */
+  private def capBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
+    val ok = buckets.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("pop"))
+      .filter($"pop" <= maxBucket)
+      .select($"band", $"bkey")
+    buckets.join(ok, Seq("band", "bkey"))
+  }
+
   /** MinHash + LSH banded near-dup pairs: signatures are split into
     * `bands` bands of `rowsPerBand`; documents colliding in any band
     * become candidates; candidates are verified with the exact shingle
@@ -221,31 +250,41 @@ object Dedup {
     *
     * This is the 100 TB path: cost is O(corpus x bands) for bucketing
     * plus the (tiny) verified-candidate join, not O(corpus^2).
+    *
+    * `maxBucket` caps band-bucket POPULATION: a degenerate corpus
+    * region (thousands of near-identical boilerplate docs — the common
+    * case in web-crawl dedup) lands whole cohorts in one band bucket,
+    * and the candidate self-join would go O(m²) in that bucket before
+    * verification — AQE skew-split rebalances partitions but cannot
+    * reduce the pair count. Buckets over the cap are DROPPED from
+    * candidate generation (the q22 `maxDf` pattern); pairs whose only
+    * shared buckets are over-cap are missed by construction — that is
+    * the documented recall trade, quantified per-corpus by
+    * [[lshBucketStats]]. EXACT duplicates are the cheap case this cap
+    * deliberately routes elsewhere: find them first with
+    * [[exactGroups]] (as [[CleanCorpus.clean]] does) so only true
+    * near-dups reach the LSH stage.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
-                      tau: Double): DataFrame = {
+                      tau: Double, maxBucket: Long = defaultMaxBucket,
+                      mat: Materializer = Materialize.Local): DataFrame = {
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     // The shingle table feeds three plan branches (bucketing + both
     // verify probes) and the bucket table feeds both sides of the
     // candidate self-join. Without a materialization barrier every
     // branch re-tokenizes and re-hashes the whole corpus (a broadcast
-    // self-join defeats ReusedExchange). localCheckpoint computes each
-    // ONCE — at cluster scale this is the signature table a production
-    // dedup pipeline persists anyway; recomputing the corpus pass 4x is
-    // strictly worse at any scale. (Eager, like duplicateClusters /
-    // CleanCorpus — documented trade.)
-    val sets = shingleSets(docs, idCol, textCol, n)
-      .filter(size($"shs") > 0)
-      .localCheckpoint()
+    // self-join defeats ReusedExchange). The barrier mechanism is the
+    // caller's Materializer: local checkpoint on local[*], reliable
+    // checkpoint / persisted signature table at cluster scale.
+    val sets = mat(shingleSets(docs, idCol, textCol, n)
+      .filter(size($"shs") > 0))
     // Band keys come from ONE fused native expression consumed once by
     // posexplode (sig_i = universal-hash min over one md5 per shingle,
     // bkey = md5 over the band's decimal-rendered sigs — identical to
     // the withMinhashSignature + band-md5 composition).
-    val buckets = sets
-      .select($"doc_id", posexplode(
-        graft.plans.Native.minhashBandKeys($"shs", bands, rowsPerBand)))
-      .select($"doc_id", $"pos".as("band"), $"col".as("bkey"))
-      .localCheckpoint()
+    val buckets = mat(capBuckets(
+      minhashBuckets(sets, bands, rowsPerBand), maxBucket))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -264,6 +303,27 @@ object Dedup {
     verified.filter($"jaccard" >= tau)
   }
 
+  /** Audit of the minhash band buckets against a population cap: ONE
+    * row (n_buckets, n_dropped_buckets, n_docs_in_dropped) — the
+    * dropped-bucket exposure a production run records next to its
+    * [[minhashLshPairs]] output so the `maxBucket` recall trade is
+    * measured, not assumed. Linear: one bucketing pass + one
+    * two-level aggregate.
+    */
+  def lshBucketStats(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, bands: Int, rowsPerBand: Int,
+                     maxBucket: Long): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .filter(size($"shs") > 0)
+    minhashBuckets(sets, bands, rowsPerBand)
+      .groupBy($"band", $"bkey").agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when($"pop" > maxBucket, 1L).otherwise(0L))
+          .as("n_dropped_buckets"),
+        sum(when($"pop" > maxBucket, $"pop").otherwise(0L))
+          .as("n_docs_in_dropped"))
+  }
+
 
   /** Cross-corpus n-gram contamination check (train-set
     * DEcontamination): pairs of (left doc, right doc) sharing at least
@@ -276,15 +336,14 @@ object Dedup {
     */
   def crossContamination(left: DataFrame, lId: String, lText: String,
                          right: DataFrame, rId: String, rText: String,
-                         n: Int, maxDf: Long, minShared: Int): DataFrame = {
+                         n: Int, maxDf: Long, minShared: Int,
+                         mat: Materializer = Materialize.Local): DataFrame = {
     // Each side's shingle table feeds its inverted index and a verify
     // probe — materialize once per side (see minhashLshPairs).
-    val lSets = shingleSets(left, lId, lText, n)
-      .select($"doc_id".as("left_id"), $"shs".as("l_shs"))
-      .localCheckpoint()
-    val rSets = shingleSets(right, rId, rText, n)
-      .select($"doc_id".as("right_id"), $"shs".as("r_shs"))
-      .localCheckpoint()
+    val lSets = mat(shingleSets(left, lId, lText, n)
+      .select($"doc_id".as("left_id"), $"shs".as("l_shs")))
+    val rSets = mat(shingleSets(right, rId, rText, n)
+      .select($"doc_id".as("right_id"), $"shs".as("r_shs")))
     val rInv = rSets.select($"right_id", explode($"r_shs").as("sh"))
     val rRare = rInv.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf).select($"sh")
@@ -301,43 +360,100 @@ object Dedup {
   }
 
   // --------------------------------------------------------- clustering
-  /** Duplicate clusters from a near-dup pair list: connected components
-    * by iterative min-label propagation (the Pregel/GraphX pattern as
-    * plain DataFrame joins). Returns one row per document appearing in
-    * any pair: (doc_id, cluster_id = min doc id in its component,
-    * is_keeper = this doc is that minimum) — the "keep one copy per
-    * duplicate group" decision a dedup pipeline actually needs.
+  /** Connected components over an undirected pair list via the
+    * ALTERNATING large-star / small-star algorithm (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC'14): O(log² n) rounds worst-case and
+    * ~log₂(diameter) in practice, vs O(diameter) for plain min-label
+    * propagation — near-dup chains (boilerplate gradients A~B~C~…)
+    * produce high-diameter components at corpus scale, which is
+    * exactly where propagation stalls.
     *
-    * The driver-side loop iterates O(component diameter) times (each
-    * pass halves label distance at worst; near-dup components are
-    * shallow in practice) and stops at the exact fixpoint; every
-    * iteration is one shuffle join + aggregate, localCheckpoint()ed so
-    * lineage (and replanning cost) stays flat. This is the legitimate
-    * use of a driver loop: iteration COUNT is tiny and data never
-    * leaves the cluster.
+    * Each round is ONE Spark job: the convergence test (edge count +
+    * new-edge count vs the previous round) is folded into the same
+    * aggregate action that materializes the round's cache — no
+    * separate isEmpty/count job. Edges are kept canonical (u > v)
+    * throughout; both star operations emit (bigger, smaller) by
+    * construction, so no re-canonicalization shuffle is needed.
+    *
+    * Per round: large-star connects every node's LARGER neighbors to
+    * the minimum of its closed neighborhood; small-star connects the
+    * smaller neighbors (and the node itself) to that minimum. Both
+    * preserve connectivity; the fixpoints are exactly the star graphs
+    * rooted at each component's minimum id (the paper's Lemma 1-3), so
+    * on convergence every non-root carries one edge to its component
+    * min.
+    *
+    * Returns (labels, rounds): labels = (id, lbl = component min id).
     */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("lbl", $"id")
-      .localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("nid")).agg(min($"lbl").as("nlbl"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
-          least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-        .localCheckpoint()
-      converged = next.select($"id", $"lbl".as("lbl_new"))
-        .join(labels.select($"id", $"lbl".as("lbl_old")), Seq("id"))
-        .filter($"lbl_new" =!= $"lbl_old")
-        .isEmpty
-      labels = next
+  def connectedComponentsWithRounds(pairs: DataFrame, maxRounds: Int = 64,
+      mat: Materializer = Materialize.Local): (DataFrame, Int) = {
+    val base = mat(pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter($"u" =!= $"v").distinct())
+    // single consumer (the final left join) — no barrier needed
+    val nodes = base.select($"u".as("id"))
+      .unionByName(base.select($"v".as("id"))).distinct()
+    var edges = base
+    var prevCount = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      // large-star: m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+      // Output is canonical: v > u >= m.
+      val sym = edges.select($"u", $"v")
+        .unionByName(edges.select($"v".as("u"), $"u".as("v")))
+      val lmin = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"u", $"mv").as("m"))
+      val ls = sym.join(lmin, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // small-star over the (max → min)-directed ls: m = min(Γ(u) ∪
+      // {u}) = min(Γ(u)); emit (v, m) for v ∈ Γ(u) \ {m}, plus (u, m).
+      // Output is canonical: every emitted left side exceeds m.
+      val smin = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(smin, Seq("u"))
+        .select($"v".as("u2"), $"m").filter($"u2" =!= $"m")
+        .unionByName(smin.select($"u".as("u2"), $"m"))
+        .select($"u2".as("u"), $"m".as("v"))
+        .distinct()
+      // ONE action per round: `iterative` is a LAZY lineage-truncating
+      // barrier, so the aggregate below both materializes the round
+      // frame and returns (edge count, edges-not-in-previous count).
+      // Both sets are distinct and canonical, so equal counts + no new
+      // edges <=> the round was a fixpoint (= a star forest, per the
+      // paper).
+      val next = mat.iterative(ss.join(
+          edges.select($"u", $"v").withColumn("_old", lit(1)),
+          Seq("u", "v"), "left"))
+      val row = next.agg(count(lit(1)).as("cnt"),
+        sum(when($"_old".isNull, 1L).otherwise(0L)).as("n_new")).head()
+      val cnt = row.getLong(0)
+      val nNew = if (row.isNullAt(1)) 0L else row.getLong(1)
+      done = nNew == 0L && cnt == prevCount
+      prevCount = cnt
+      edges = next.select($"u", $"v")
     }
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge in $maxRounds rounds")
+    // star edges point every non-root at its component minimum
+    val labels = nodes.join(
+        edges.select($"u".as("id"), $"v".as("lbl")), Seq("id"), "left")
+      .select($"id", coalesce($"lbl", $"id").as("lbl"))
+    (labels, rounds)
+  }
+
+  /** Duplicate clusters from a near-dup pair list: one row per document
+    * appearing in any pair — (doc_id, cluster_id = min doc id in its
+    * component, is_keeper = this doc is that minimum), the "keep one
+    * copy per duplicate group" decision a dedup pipeline actually
+    * needs. Components via [[connectedComponentsWithRounds]].
+    */
+  def duplicateClusters(pairs: DataFrame,
+      mat: Materializer = Materialize.Local): DataFrame = {
+    val (labels, _) = connectedComponentsWithRounds(pairs, mat = mat)
     labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"),
       ($"lbl" === $"id").as("is_keeper"))
   }
@@ -355,11 +471,18 @@ object Dedup {
     * keeps bandLen >= 16 (>= 65k buckets/band), which is what a >= 1e8
     * document corpus needs. maxDist is capped at 7 (bandLen 8) — beyond
     * that the buckets are too coarse to prune anything.
+    *
+    * `maxBucket` caps band-bucket population exactly like
+    * [[minhashLshPairs]] — same quadratic-candidate guard, same
+    * documented recall trade (route exact duplicates through
+    * [[exactGroups]] first).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxBucket: Long = defaultMaxBucket,
+                   mat: Materializer = Materialize.Local): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist must be 0..7 (bandLen >= 8), got $maxDist")
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     val bits = 64
     val nBands = maxDist + 1
     val base = bits / nBands
@@ -379,9 +502,10 @@ object Dedup {
     }
     // Materialize once: both sides of the candidate self-join read the
     // bucket table (same barrier rationale as minhashLshPairs).
-    val buckets = fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
-      .localCheckpoint()
+    val buckets = mat(capBuckets(
+      fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
+        .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey")),
+      maxBucket))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

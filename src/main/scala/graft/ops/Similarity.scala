@@ -84,11 +84,11 @@ object Similarity {
     * nBits). Returns (id_a, id_b, cos_sim) with id_a < id_b.
     */
   def cosineDupPairs(corpus: DataFrame, tau: Double, nBits: Int,
-                     dims: Int): DataFrame = {
+                     dims: Int,
+                     mat: Materializer = Materialize.Local): DataFrame = {
     // Materialize once: both sides of the candidate self-join read the
     // bucketed corpus (same barrier rationale as Dedup.minhashLshPairs).
-    val b = corpus.withColumn("bucket", signBucket($"qv", nBits, dims))
-      .localCheckpoint()
+    val b = mat(corpus.withColumn("bucket", signBucket($"qv", nBits, dims)))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -185,7 +185,8 @@ object Similarity {
     * of the (tiny) centroid set + one shuffle for the aggregate.
     */
   def kmeansCentroids(corpus: DataFrame, stride: Long,
-                      iters: Int): DataFrame = {
+                      iters: Int,
+                      mat: Materializer = Materialize.Local): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // named encoders instead of spark.implicits._ (its $-interpolator
     // would clash with the package-level ColStr one this file uses)
@@ -193,7 +194,7 @@ object Similarity {
       org.apache.spark.sql.Encoders.scalaLong
     implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
-    var cents = strideCentroids(corpus, stride).localCheckpoint()
+    var cents = mat(strideCentroids(corpus, stride))
     for (_ <- 1 to iters) {
       val assigned = corpus.crossJoin(broadcast(cents))
         .select($"vec_id", $"qv", $"cent_id",
@@ -208,7 +209,7 @@ object Similarity {
         .map { case (cid, (s, n)) => (cid, s.map(_ / n)) }
         .toDF("cent_id", "c_qv")
         .withColumn("c_n2", qnorm2($"c_qv"))
-      cents = updated.localCheckpoint()
+      cents = mat(updated)
     }
     cents
   }

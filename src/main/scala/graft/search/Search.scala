@@ -178,6 +178,70 @@ object Search {
     * df is computed as a distributed aggregate and broadcast back.
     * Returns (id, score_fp) for docs with score > 0.
     */
+  /** Fixed-point BM25 ranked search (k1 = 1.2, b = 0.75 — the
+    * classic Robertson parameterization; the ranking family behind the
+    * reference's ES relevance scores, app/main.py:88-97, restated
+    * deterministically). Per query token t in document d:
+    *
+    *   idf(t)  = ln((N + 1) / (df(t) + 0.5))
+    *   tfpart  = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *           = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)    with avgdl = T/N
+    *   contrib = floor(idf · tfpart · 1e6), summed per doc as int64.
+    *
+    * tfpart's numerator/denominator are EXACT int64 products (the
+    * k1/b rationals folded in: 22 = 10·(k1+1), 3 = 10·k1·(1−b),
+    * 9 = 10·k1·b for k1 = 6/5, b = 3/4), so the only floating steps
+    * are one ln on a ratio of exact int64-derived doubles, one
+    * division, and one fixed-shape product — bit-identical across
+    * engines (probe-verified JVM vs DuckDB). Int64 bound:
+    * 10·tf·T + 9·dl·N needs T·max(tf)·10 < 2^63 — holds to ~1e13
+    * corpus tokens at realistic tf; beyond that pre-scale T and N
+    * (they enter numerator and denominator symmetrically).
+    *
+    * Unlike [[idfSearch]] (raw TF×N/df), BM25 SATURATES term
+    * frequency (doubling tf must not double the score) and normalizes
+    * by document length — long documents stop out-ranking short ones
+    * on repeated terms, the mis-ranking a raw-IDF user actually hits.
+    *
+    * Scale shape (same as [[idfSearch]]): corpus stats (N, total
+    * tokens T) are ONE broadcast single-row aggregate kept in-plan —
+    * no driver count; df is broadcast; per-doc length dl is carried
+    * through the explode so no corpus-sized join is ever shuffled;
+    * one real shuffle (the tf aggregate). Returns (id, score_fp)
+    * with score_fp > 0; descending score_fp = BM25 ranking.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryToks: Seq[String]): DataFrame = {
+    val toksAll = docs.select(col(idCol).as("id"),
+      analyze(col(textCol)).as("toks"))
+    val stats = broadcast(toksAll.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size($"toks")).cast("long").as("t_toks")))
+    val toks = toksAll
+      .select($"id", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("tok"))
+      .filter($"tok".isin(queryToks: _*))
+    val df_ = toks.select($"id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    // dl is constant per id — max() re-attaches it through the
+    // aggregate without a second corpus join
+    val tf = toks.groupBy($"id", $"tok")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    tf.join(broadcast(df_), Seq("tok"))
+      .crossJoin(stats)
+      .withColumn("idf",
+        log(($"n_docs".cast("double") + lit(1.0)) /
+          ($"df".cast("double") + lit(0.5))))
+      .withColumn("tfpart",
+        (lit(22L) * $"tf" * $"t_toks").cast("double") /
+          (lit(10L) * $"tf" * $"t_toks" + lit(3L) * $"t_toks" +
+            lit(9L) * $"dl" * $"n_docs").cast("double"))
+      .withColumn("contrib",
+        floor($"idf" * $"tfpart" * lit(1e6)).cast("long"))
+      .groupBy($"id").agg(sum($"contrib").as("score_fp"))
+      .filter($"score_fp" > 0)
+  }
+
   def idfSearch(docs: DataFrame, idCol: String, textCol: String,
                 queryToks: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),

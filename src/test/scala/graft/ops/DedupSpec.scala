@@ -157,6 +157,54 @@ class DedupSpec extends SparkSpec {
     assert(got.filter($"is_keeper").count() === 1L)
   }
 
+  test("minhashLshPairs maxBucket cap: boilerplate cohort cannot go quadratic") {
+    // 300 identical docs land in ONE band bucket per band — without the
+    // cap the candidate self-join is C(300,2) x 4 before verification.
+    val docs = (0L until 300L).map(i => (i, dupText)).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, tau = 0.5, maxBucket = 50L)
+    assert(capped.count() === 0L) // every bucket over cap -> no candidates
+    // the audit surfaces exactly what the cap dropped
+    val st = Dedup.lshBucketStats(docs, "doc_id", "text", 3, 4, 2, 50L).head()
+    assert(st.getAs[Long]("n_buckets") === 4L)
+    assert(st.getAs[Long]("n_dropped_buckets") === 4L)
+    assert(st.getAs[Long]("n_docs_in_dropped") === 1200L) // 300 docs x 4 bands
+    // identical content is the exactGroups case — the cheap path the cap
+    // deliberately routes these to still finds every copy
+    val g = Dedup.exactGroups(docs, "doc_id", "text").head()
+    assert(g.getAs[Long]("n_copies") === 300L)
+    // a genuine near-dup pair elsewhere in the corpus survives the cap
+    val near = "rare unique sentence about voles swimming in the misty river"
+    val mixed = docs.unionByName(
+      Seq((1000L, near), (1001L, near + " tonight")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairs(mixed, "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, tau = 0.3, maxBucket = 50L).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1000L &&
+      r.getAs[Long]("doc_b") == 1001L))
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") >= 1000L))
+  }
+
+  test("simhashPairs maxBucket cap drops boilerplate cohorts") {
+    val docs = (0L until 100L).map(i => (i, dupText)).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+      maxBucket = 10L).count() === 0L)
+    // under the cap the pairs come back (3 docs -> 3 identical pairs)
+    assert(Dedup.simhashPairs(docs.filter($"doc_id" < 3), "doc_id", "text",
+      maxDist = 3).count() === 3L)
+  }
+
+  test("connectedComponents: 1000-edge path converges in ~log2(n) rounds") {
+    // A near-dup CHAIN (boilerplate gradient) is the adversarial case
+    // for min-label propagation: diameter 1000 => 1000 rounds there.
+    val n = 1000
+    val chain = (0L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    val bound = 2 * (math.log((n + 1).toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    assert(labels.count() === (n + 1).toLong)
+    assert(labels.filter($"lbl" =!= 0L).count() === 0L)
+  }
+
   test("simhashPairs: identical docs at distance 0; guards reject bad maxDist") {
     val df = Seq((1L, dupText), (2L, dupText),
       (3L, "argh blarg quux zork mumble frotz plugh xyzzy"))

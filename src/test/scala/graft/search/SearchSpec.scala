@@ -74,6 +74,39 @@ class SearchSpec extends SparkSpec {
       Seq("oeufs", "farine", "lait"))
   }
 
+  test("bm25Search: tf saturation and length normalization (ranking invariants)") {
+    val docs = Seq(
+      (1L, "spark alpha beta gamma"),          // tf=1, dl=4
+      (2L, "spark spark alpha beta"),          // tf=2, same dl
+      (3L, "spark alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val got = Search.bm25Search(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("score_fp"))
+      .toMap
+    assert(!got.contains(4L)) // no hit, no row
+    // saturation (k1): doubling tf raises but must NOT double the score
+    assert(got(2L) > got(1L))
+    assert(got(2L) < 2L * got(1L))
+    // length normalization (b): same tf, longer doc scores lower —
+    // the exact case raw IDF (idfSearch) scores EQUAL
+    assert(got(3L) < got(1L))
+    val idf = Search.idfSearch(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("score_fp"))
+      .toMap
+    assert(idf(3L) === idf(1L))
+  }
+
+  test("bm25Search builder is lazy (no job at construction)") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = Search.bm25Search(
+      Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("b"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "constructing bm25Search must not run a job")
+    assert(df.count() === 2L)
+  }
+
   test("idfSearch builder is lazy (no job at construction)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = Search.idfSearch(
