@@ -16,6 +16,10 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit (not just the default): the LSH band-bucket candidate
+      // self-joins rely on AQE skew-split to rebalance hot buckets
+      // under the maxBucket cap — PlanSpec asserts this stays on
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     b.getOrCreate()

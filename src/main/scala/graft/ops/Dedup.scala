@@ -282,9 +282,12 @@ object Dedup {
     // Band keys come from ONE fused native expression consumed once by
     // posexplode (sig_i = universal-hash min over one md5 per shingle,
     // bkey = md5 over the band's decimal-rendered sigs — identical to
-    // the withMinhashSignature + band-md5 composition).
-    val buckets = mat(capBuckets(
-      minhashBuckets(sets, bands, rowsPerBand), maxBucket))
+    // the withMinhashSignature + band-md5 composition). The RAW bucket
+    // table is materialized before capping: the population aggregate
+    // and the join-back both read it, and re-running the fused hash
+    // expression per consumer measurably dominates (bench q23).
+    val rawBuckets = mat(minhashBuckets(sets, bands, rowsPerBand))
+    val buckets = mat(capBuckets(rawBuckets, maxBucket))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -500,12 +503,13 @@ object Dedup {
       struct(lit(b).as("band"),
         substring($"fp", start + 1, len).as("bkey"))
     }
-    // Materialize once: both sides of the candidate self-join read the
-    // bucket table (same barrier rationale as minhashLshPairs).
-    val buckets = mat(capBuckets(
+    // Materialize once before AND after capping: the population
+    // aggregate + join-back and both self-join sides otherwise re-run
+    // the fingerprint pipeline per consumer (see minhashLshPairs).
+    val rawBuckets = mat(
       fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
-        .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey")),
-      maxBucket))
+        .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey")))
+    val buckets = mat(capBuckets(rawBuckets, maxBucket))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))

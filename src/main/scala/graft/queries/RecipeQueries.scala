@@ -69,17 +69,37 @@ object RecipeQueries {
       .mkString("(", " + ", ")")
 
   // ---------------------------------------------------------------- q40
-  /** S3 + F12: raw backup ingest (duplicates retained) + derived search
-    * view columns, scalar projection of all 1,502 rows.
+  /** The q40/q68 scalar projection of the search view (shared so the
+    * JSONL round-trip query provably emits q40's exact shape).
     */
-  def q40(s: SparkSession, dir: String): DataFrame = {
-    val raw = Recipes.searchView(Recipes.loadRaw(s))
-    raw.select(col("product_id"), col("name"), col("category"), col("url"),
+  private def ingestProjection(view: DataFrame): DataFrame =
+    view.select(col("product_id"), col("name"), col("category"), col("url"),
       col("image_url"), col("difficulty"), col("rating"),
       col("reviews_count"), col("duration_min"),
       size(col("ingredients")).cast("long").as("n_ingredients"),
       size(col("steps")).cast("long").as("n_steps"),
       col("ingredients_text"), col("steps_text"), col("updated_at"))
+
+  /** S3 + F12: raw backup ingest (duplicates retained) + derived search
+    * view columns, scalar projection of all 1,502 rows.
+    */
+  def q40(s: SparkSession, dir: String): DataFrame =
+    ingestProjection(Recipes.searchView(Recipes.loadRaw(s)))
+
+  // ---------------------------------------------------------------- q68
+  /** S2/S3 at JSONL scale THROUGH the gate: the fixture written as
+    * PARTITIONED JSONL (the multi-part backup form a distributed
+    * corpus actually writes — no single-writer coalesce), re-read via
+    * the JSONL source, then projected exactly like q40. The oracle
+    * reads the ORIGINAL fixture, so any row or field lost or mangled
+    * by the sink→source round-trip hash-mismatches. (Runs a write job
+    * at build time, like the other store-exercising paths.)
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q68_backup_jsonl").toString
+    Recipes.writeBackupJsonParts(Recipes.loadRaw(s), out, parts = 4)
+    ingestProjection(Recipes.searchView(Recipes.readBackupJsonl(s, out)))
   }
 
   // ---------------------------------------------------------------- q41
@@ -221,7 +241,8 @@ object RecipeQueries {
     "q47_steps_enumerated"  -> (q47 _),
     "q48_search_hit_count"  -> (q48 _),
     "q56_valid_filter"      -> (q56 _),
-    "q57_duration_fallback" -> (q57 _))
+    "q57_duration_fallback" -> (q57 _),
+    "q68_jsonl_roundtrip"   -> (q68 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -234,6 +255,20 @@ object RecipeQueries {
 
   val oracles: Map[String, String] = Map(
     "q40_recipes_ingest" ->
+      s"""WITH $rawCte
+         |SELECT product_id, name, category, url, image_url, difficulty,
+         | rating, reviews_count, duration_min,
+         | len(ingredients)::BIGINT AS n_ingredients,
+         | len(steps)::BIGINT AS n_steps,
+         | array_to_string(ingredients, ', ') AS ingredients_text,
+         | array_to_string(steps, ' ') AS steps_text,
+         | updated_at
+         |FROM raw""".stripMargin,
+
+    // identical to q40's oracle ON PURPOSE: the oracle reads the
+    // original fixture while the Spark side routes through the
+    // partitioned-JSONL sink+source — equality proves the round-trip
+    "q68_jsonl_roundtrip" ->
       s"""WITH $rawCte
          |SELECT product_id, name, category, url, image_url, difficulty,
          | rating, reviews_count, duration_min,

@@ -93,6 +93,14 @@ object Recipes {
   def writeBackupJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** S2 at scale: PARTITIONED JSONL backup — the multi-part form a
+    * 100 TB corpus actually writes (no single-writer coalesce);
+    * [[readBackupJsonl]] reads it back. Round-trip proven through the
+    * oracle gate by q68.
+    */
+  def writeBackupJsonParts(df: DataFrame, path: String, parts: Int): Unit =
+    df.repartition(parts).write.mode("overwrite").json(path)
+
   /** S2 fixture-parity form: one pretty-ish JSON ARRAY file, like the
     * reference's json.dump of the full record list
     * (scraper/main.py:253-259). Collects to the driver by design —

@@ -205,6 +205,33 @@ class DedupSpec extends SparkSpec {
     assert(labels.filter($"lbl" =!= 0L).count() === 0L)
   }
 
+  test("connectedComponents runs ONE action per round (convergence folded in)") {
+    // With AQE off AND broadcast joins off, one action == one Spark
+    // job, so job count measures ACTIONS exactly (AQE submits a job
+    // per shuffle stage, broadcast exchanges submit collect jobs — in
+    // either mode the count stops meaning anything). Expect: 1 eager
+    // job for the input-edge barrier + 1 aggregate action per round —
+    // the old isEmpty convergence probe would add a second action per
+    // round.
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+      val during = tracker.getJobIdsForGroup(null).length - before
+      assert(during <= rounds + 1, s"$during jobs for $rounds rounds")
+      assert(during >= rounds)
+      assert(labels.filter($"lbl" =!= 0L).count() === 0L)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("simhashPairs: identical docs at distance 0; guards reject bad maxDist") {
     val df = Seq((1L, dupText), (2L, dupText),
       (3L, "argh blarg quux zork mumble frotz plugh xyzzy"))

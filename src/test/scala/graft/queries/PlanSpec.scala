@@ -107,6 +107,28 @@ class PlanSpec extends SparkSpec {
     assert(!p62.contains("Exchange"), p62)
   }
 
+  test("band-bucket candidate joins run under AQE with skew-join enabled") {
+    // the verify/bench session source of truth — a hot band bucket at
+    // the maxBucket boundary must be AQE-skew-splittable at runtime
+    val s = graft.LocalSession.build("4")
+    assert(s.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    // and the candidate joins themselves are plain equi-joins (the
+    // shape AQE can skew-split), never cartesian
+    val docs = graft.Tables.load(s, dir, "documents")
+    val p = plan(graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      3, 4, 2, 0.5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q65 bm25: corpus stats and df sides broadcast; one real shuffle family") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "table")))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("idfSearch: df-stats and corpus-count sides are broadcast") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))
