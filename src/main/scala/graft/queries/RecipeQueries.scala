@@ -230,6 +230,20 @@ object RecipeQueries {
         .as("parsed_duration_min"))
   }
 
+  // ---------------------------------------------------------------- q69
+  /** The classic search RANKED the reference's way: multi_match
+    * best_fields BM25 over (name, ingredients_text, steps_text) —
+    * the actual ES scoring family behind app/main.py:88-97, in the
+    * engine's deterministic fixed point (exact-token form; the
+    * fuzzy-expansion hit-count form is q45). Two-token query so both
+    * per-field df statistics and the cross-field max are exercised.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame =
+    Search.bm25MultiField(
+      Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s))),
+      "product_id", Seq("name", "ingredients_text", "steps_text"),
+      Search.analyzeLiteral("tarte chocolat"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_recipes_ingest"    -> (q40 _),
     "q41_recipes_kpis"      -> (q41 _),
@@ -242,7 +256,8 @@ object RecipeQueries {
     "q48_search_hit_count"  -> (q48 _),
     "q56_valid_filter"      -> (q56 _),
     "q57_duration_fallback" -> (q57 _),
-    "q68_jsonl_roundtrip"   -> (q68 _))
+    "q68_jsonl_roundtrip"   -> (q68 _),
+    "q69_bm25_classic"      -> (q69 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -336,6 +351,41 @@ object RecipeQueries {
          |   THEN '${Recipes.placeholderImage.replace("'", "''")}'
          |   ELSE image_url END AS image_final
          |FROM d""".stripMargin
+    },
+
+    "q69_bm25_classic" -> {
+      val qts = Search.analyzeLiteral("tarte chocolat")
+      val inList = qts.map(t => s"'$t'").mkString(", ")
+      // per-field BM25 chain — same math as q65's oracle, one chain
+      // per searched field with that field's own nd/tt/df statistics
+      def fieldCte(f: String, tag: String): String =
+        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
+           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
+           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
+           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE tok IN ($inList)),
+           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
+           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
+           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+           |  FROM f_$tag GROUP BY id, tok),
+           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
+           |  SELECT id, floor(
+           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
+           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
+           |    1e6)::BIGINT AS contrib
+           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
+           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |${fieldCte("name", "n")},
+         |${fieldCte("ingredients_text", "i")},
+         |${fieldCte("steps_text", "s")}
+         |SELECT id, greatest(coalesce(s_n, 0), coalesce(s_i, 0),
+         |  coalesce(s_s, 0)) AS score_fp
+         |FROM sc_n FULL OUTER JOIN sc_i USING (id)
+         |  FULL OUTER JOIN sc_s USING (id)""".stripMargin
     },
 
     "q45_search_classic" -> {

@@ -242,6 +242,28 @@ object Search {
       .filter($"score_fp" > 0)
   }
 
+  /** Multi-field BM25 — the ES `multi_match` best_fields combination
+    * the reference's classic search actually ranks with
+    * (app/main.py:88-97; ES default type): document score = MAX over
+    * fields of that field's BM25 score (tie_breaker = 0). Each field
+    * gets its own df / length / avgdl statistics via [[bm25Search]],
+    * exactly like per-field Lucene indexes. Exact-token form (the
+    * fuzzy-expansion hit-count form is [[classic]]); every row carries
+    * a positive score by construction. Returns (id, score_fp).
+    */
+  def bm25MultiField(docs: DataFrame, idCol: String, fields: Seq[String],
+                     queryToks: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "bm25MultiField needs at least one field")
+    val perField = fields.map { f =>
+      bm25Search(docs, idCol, f, queryToks)
+        .select($"id", $"score_fp".as(s"_s_$f"))
+    }
+    val joined = perField.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val scores = fields.map(f => coalesce(col(s"_s_$f"), lit(0L)))
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+    joined.select($"id", best.as("score_fp"))
+  }
+
   def idfSearch(docs: DataFrame, idCol: String, textCol: String,
                 queryToks: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
