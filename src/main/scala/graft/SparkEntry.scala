@@ -35,5 +35,8 @@ object SparkEntry {
     // LLM-pipeline representative: MinHash+LSH dedup over documents —
     // catches candidate-explosion regressions in the bench, not just
     // correctness (VERDICT r2 item 9).
-    "q23_minhash_lsh")
+    "q23_minhash_lsh",
+    // ranked-search representative: fixed-point BM25 — catches
+    // regressions in the corpus-stats/df broadcast shape (round 4).
+    "q65_bm25_search")
 }

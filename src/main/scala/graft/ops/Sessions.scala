@@ -70,4 +70,27 @@ object Sessions {
   def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000
+
+  /** Deterministic per-key COUNT cap — the domain-cap primitive of
+    * corpus construction (keep at most `maxPerKey` documents per
+    * domain/source/language so one crawl template cannot dominate the
+    * mix). Kept rows are chosen by md5-hash order of the row id — a
+    * uniform, engine-portable "random" subset that is stable across
+    * runs and nests with [[deterministicSample]]'s bucket ordering.
+    *
+    * Scale note: the rank window co-locates each key's rows in one
+    * task — right for keys up to ~10⁷ rows. For a pathologically hot
+    * key, cap by RATE first ([[stratifiedSample]] with that key's
+    * permille ≈ maxPerKey/keyCount) to shrink it below the window's
+    * comfort zone; count-exactness only matters near the cap.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerKey)
+      .drop("_rk")
+  }
 }

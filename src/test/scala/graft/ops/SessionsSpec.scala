@@ -83,4 +83,22 @@ class SessionsSpec extends SparkSpec {
     assert(s100a.subsetOf(s300))          // thresholds nest
     assert(s100a.nonEmpty && s300.size > s100a.size)
   }
+
+  test("capPerKey keeps at most N per key, deterministically; caps nest") {
+    val df = Seq.tabulate(200)(i => (i.toLong, s"k${i % 3}")).toDF("id", "k")
+    val cap10 = Sessions.capPerKey(df, "k", "id", 10)
+    val byKey = cap10.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(byKey.values.forall(_ === 10L)) // every key saturates at 10
+    // keys under the cap keep everything
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    assert(Sessions.capPerKey(small, "k", "id", 10).count() === 3L)
+    // deterministic across partitionings, and a smaller cap nests
+    val ids10 = cap10.select("id").as[Long].collect().toSet
+    val ids10b = Sessions.capPerKey(df.repartition(7), "k", "id", 10)
+      .select("id").as[Long].collect().toSet
+    val ids5 = Sessions.capPerKey(df, "k", "id", 5)
+      .select("id").as[Long].collect().toSet
+    assert(ids10 === ids10b)
+    assert(ids5.subsetOf(ids10))
+  }
 }
