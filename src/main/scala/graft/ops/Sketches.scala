@@ -35,6 +35,62 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Count-min sketch frequency estimates (Cormode & Muthukrishnan,
+    * "An improved data stream summary: the count-min sketch and its
+    * applications", J. Algorithms 2005) with the engine's
+    * deterministic hash channel: row i maps value v to column
+    * int64(md5("i|" || v)[1..15 hex]) mod w. The sketch is one
+    * groupBy over d exploded cells per value — a partial+final
+    * aggregate, mergeable, m-bounded, never corpus-sized; the probe
+    * side is a literal table built by the SAME hash on the driver
+    * (java MD5 == Spark md5 on identical UTF-8 bytes).
+    *
+    * Returns one row per probe key: (tok, est, n_exact) — the classic
+    * CMS guarantee est >= exact holds by construction (SketchesSpec
+    * asserts), and the oracle recomputes both sides exactly, so the
+    * estimate is hash-checked, not just bounded.
+    */
+  def cmsFrequencyAudit(values: DataFrame, valueCol: Column,
+                        probeKeys: Seq[String], d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be 1..8, got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val vals = values.select(valueCol.cast("string").as("v"))
+    val cellStructs = (0 until d).map { i =>
+      struct(lit(i).as("r"),
+        pmod(conv(substring(md5(concat(lit(s"$i|"), col("v"))), 1, 15),
+          16, 10).cast("long"), lit(w.toLong)).as("c"))
+    }
+    val cells = vals
+      .select(explode(array(cellStructs: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val probeStructs = for { t <- probeKeys; r <- 0 until d } yield
+      struct(lit(t).as("tok"), lit(r).as("r"),
+        lit(cmsProbeCol(r, t, w)).as("c"))
+    val probes = values.sparkSession.range(1)
+      .select(explode(array(probeStructs: _*)).as("p"))
+      .select(col("p.tok").as("tok"), col("p.r").as("r"), col("p.c").as("c"))
+    val est = probes.join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = vals.filter(col("v").isin(probeKeys: _*))
+      .groupBy(col("v").as("tok")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("tok"), "left")
+      .select(col("tok"), col("est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+
+  /** The CMS probe column of key `t` in row `r` (driver-side twin of
+    * the in-plan hash: java MD5 == Spark md5 == DuckDB md5 on the
+    * same UTF-8 bytes). Shared with the generated oracle SQL.
+    */
+  def cmsProbeCol(r: Int, t: String, w: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r|$t".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (BigInt(hex.substring(0, 15), 16) % w).toLong
+  }
+
   /** One-row HLL cardinality audit of `valueCol`:
     * (m, n_zero, estimate, n_exact) — the sketch estimate NEXT TO the
     * exact distinct count, so the query measures its own error (the

@@ -21,6 +21,25 @@ class SketchesSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_zero") === r.getAs[Long]("n_zero"))
   }
 
+  test("CMS estimates dominate exact counts; deterministic; absent keys ok") {
+    val df = spark.range(0, 5000).select(($"id" % 50).cast("string").as("v"))
+    val keys = Seq("0", "7", "49", "absent")
+    val rows = Sketches.cmsFrequencyAudit(df, col("v"), keys, d = 4, w = 256)
+      .collect().map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("est"), r.getAs[Long]("n_exact"))).toMap
+    assert(rows.keySet === keys.toSet)
+    // every value 0..49 appears exactly 100 times
+    assert(rows("0")._2 === 100L && rows("7")._2 === 100L)
+    assert(rows("absent")._2 === 0L)
+    // the CMS guarantee: never underestimates
+    assert(rows.values.forall { case (est, exact) => est >= exact })
+    // deterministic across partitionings
+    val again = Sketches.cmsFrequencyAudit(df.repartition(5), col("v"),
+      keys, d = 4, w = 256).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
+    assert(keys.forall(k => again(k) === rows(k)._1))
+  }
+
   test("HLL small-range branch: tiny cardinalities use linear counting") {
     val df = Seq(1L, 2L, 3L, 2L, 1L).toDF("v")
     val r = Sketches.hllDistinctAudit(df, col("v")).head()
