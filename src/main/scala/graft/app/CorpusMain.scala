@@ -1,0 +1,70 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{CleanCorpus, Prep, Sessions}
+
+/** End-to-end TRAINING-CORPUS pipeline entry point — the LLM-data
+  * counterpart of [[Main]]: compose the oracle-verified corpus
+  * operators into the C4/RefinedWeb-shaped preparation flow:
+  *
+  *   load documents → language + quality filter → exact dedup →
+  *   minhash-LSH near-dup cluster resolution (CleanCorpus.clean) →
+  *   per-language count cap → deterministic sample → sequence
+  *   packing → write packed corpus.
+  *
+  * One command:
+  *   sbt "runMain graft.app.CorpusMain [sfDir] [outDir]"
+  *
+  * Every stage is an operator with its own oracle query (q50, q71,
+  * q35, q52); this object only composes them and reports stage
+  * counts (CorpusMainSpec asserts the monotone funnel).
+  */
+object CorpusMain {
+
+  final case class Report(
+      nDocs: Long, nCleaned: Long, nCapped: Long, nSampled: Long,
+      nBins: Long)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    // lang+quality gate, exact dedup, near-dup keeper resolution
+    val cleaned = CleanCorpus.clean(docs, "doc_id", "text",
+      langs = Seq("en"), minQuality = 0.7,
+      n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+    // one hot domain/language must not dominate the mix
+    val capped = Sessions.capPerKey(cleaned, "lang_pred", "doc_id",
+      maxPerKey = 100000)
+    // stable 90% training split (md5 bucket — reproducible anywhere)
+    val sampled = Sessions.deterministicSample(capped, "doc_id",
+      permille = 900)
+    // token-budget packing for the trainer
+    val packed = Prep.packBins(sampled, "doc_id", "text",
+      budgetTokens = 4096L, numShards = 8)
+    packed.write.mode("overwrite").parquet(s"$outDir/corpus_bins")
+    val persisted = spark.read.parquet(s"$outDir/corpus_bins")
+    Report(
+      nDocs = nDocs,
+      nCleaned = cleaned.count(),
+      nCapped = capped.count(),
+      nSampled = sampled.count(),
+      nBins = persisted.select(col("shard"), col("bin_id"))
+        .distinct().count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString)
+    val spark = graft.LocalSession.build(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir, outDir)
+    println(s"[corpus] out=$outDir")
+    println(s"[corpus] docs=${r.nDocs} cleaned=${r.nCleaned} " +
+      s"capped=${r.nCapped} sampled=${r.nSampled} bins=${r.nBins}")
+    spark.stop()
+  }
+}
