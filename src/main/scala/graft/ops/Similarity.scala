@@ -143,6 +143,42 @@ object Similarity {
     concat(bitChars: _*)
   }
 
+  /** Per-vector symmetric int8 quantization of a quantized (int64
+    * micro-unit) vector: codes = floor(x * 127.0 / max|x| + 0.5),
+    * range [-127, 127]. The arithmetic is (exact int) × double ÷
+    * double + double → floor — a fixed IEEE expression tree, so codes
+    * are bit-identical in any engine (the q74 oracle replays it in
+    * SQL). An all-zero vector maps to all-zero codes.
+    *
+    * Scale rationale: at 100 TB an `array<float>` embedding column is
+    * the dominant storage/shuffle cost of every ANN stage; int8 codes
+    * cut vector bytes 4× (float32 → int8) while cosine ordering is
+    * preserved to ~1/127 relative resolution — the standard
+    * scalar-quantization trade (FAISS SQ8). [[preparedInt8]] keeps the
+    * (vec_id, qv, n2) contract so brute/LSH/IVF run on codes
+    * unchanged, and q74 measures the recall cost against the exact
+    * path.
+    */
+  def quantizeInt8(qv: Column): Column = {
+    val maxabs = array_max(transform(qv, x => abs(x)))
+    when(maxabs === 0L, transform(qv, _ => lit(0L)))
+      .otherwise(transform(qv, x =>
+        floor(x.cast("double") * lit(127.0) / maxabs.cast("double")
+          + lit(0.5)).cast("long")))
+  }
+
+  /** Int8-quantized corpus in [[prepared]]'s (vec_id, qv, n2) shape —
+    * drop-in for [[knnBrute]]/[[knnLsh]]/[[knnIvf]]. `codes` is the
+    * actual `array<tinyint>` storage column (what a 100 TB index
+    * persists); `qv` carries the same values widened to int64 because
+    * the exact-dot kernel ([[qdot]]) operates on int64 arrays.
+    */
+  def preparedInt8(corpus: DataFrame): DataFrame = {
+    val q8 = corpus.select($"vec_id", quantizeInt8($"qv").as("qv"))
+    q8.withColumn("codes", transform($"qv", _.cast("tinyint")))
+      .withColumn("n2", qnorm2($"qv"))
+  }
+
   /** IVF-style approximate top-k (the inverted-file ANN family): the
     * corpus is partitioned into centroid lists — each vector assigned
     * to its nearest centroid — and a query only scans the lists of its

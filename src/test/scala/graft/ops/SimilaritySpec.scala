@@ -59,6 +59,38 @@ class SimilaritySpec extends SparkSpec {
     assert(res(0).getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("preparedInt8: codes in [-127,127], zero-vector safe, kNN-compatible") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 4 - 2).toFloat))) :+
+      (40L, Seq.fill(8)(0.0f))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val p8 = Similarity.preparedInt8(p)
+    // every code fits int8; the storage column is genuinely tinyint
+    val outOfRange = p8.select(explode($"qv").as("c"))
+      .filter($"c" > 127L || $"c" < -127L).count()
+    assert(outOfRange === 0L)
+    assert(p8.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.ByteType)
+    // the max-|component| of every nonzero vector maps to exactly ±127
+    val maxAbs = p8.filter($"vec_id" < 40L)
+      .select(array_max(transform($"qv", c => abs(c))).as("m"))
+      .filter($"m" =!= 127L).count()
+    assert(maxAbs === 0L)
+    // zero vector → all-zero codes, and scoring through cosine is NaN-free
+    val z = p8.filter($"vec_id" === 40L).select($"qv").head.getSeq[Long](0)
+    assert(z.forall(_ == 0L))
+    // drop-in for knnBrute: int8 top-3 broadly agrees with exact top-3
+    val exact = Similarity.knnBrute(p, p.filter($"vec_id" === 0L), 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    val approx = Similarity.knnBrute(p8, p8.filter($"vec_id" === 0L), 3)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert((exact & approx).size >= 2,
+      s"int8 recall collapsed: exact=$exact approx=$approx")
+  }
+
   test("bucketed cosineDupPairs is a subset of exact all-pairs, finds near-dups") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f, 0.5f)), (1L, Seq(0.99f, 0.01f, 0.5f)),
