@@ -225,8 +225,8 @@ object Dedup {
   /** Raw (uncapped) minhash band buckets for `sets` (doc_id, shs):
     * one row per (doc, band) with the band's bucket key.
     */
-  private def minhashBuckets(sets: DataFrame, bands: Int,
-                             rowsPerBand: Int): DataFrame =
+  private[graft] def minhashBuckets(sets: DataFrame, bands: Int,
+                                    rowsPerBand: Int): DataFrame =
     sets
       .select($"doc_id", posexplode(
         graft.plans.Native.minhashBandKeys($"shs", bands, rowsPerBand)))
@@ -235,7 +235,7 @@ object Dedup {
   /** Keep only (band, bkey) buckets with population <= maxBucket —
     * the quadratic-candidate guard (see [[minhashLshPairs]]).
     */
-  private def capBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
+  private[graft] def capBuckets(buckets: DataFrame, maxBucket: Long): DataFrame = {
     val ok = buckets.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("pop"))
       .filter($"pop" <= maxBucket)

@@ -111,6 +111,101 @@ object StreamingUpsert {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming incremental near-dup: each micro-batch of documents is
+    * shingled + MinHash-banded and joined against the PERSISTED
+    * signature tables (the explicit signature-table-write form of the
+    * Materializer seam), so a growing corpus is deduped by comparing
+    * each new document only against band-bucket mates — never by
+    * re-running LSH over the whole corpus.
+    *
+    * Layout under `basePath`: `sets/` (doc_id, shs — the shingle sets
+    * the exact-Jaccard verify needs), `buckets/` (doc_id, band, bkey —
+    * the LSH index), `pairs/` (doc_a, doc_b, jaccard — verified
+    * near-dup pairs, append-only). Per batch: candidates = capped
+    * band-bucket join where AT LEAST ONE side is new (old-old pairs
+    * were found when their later doc arrived), verified with exact
+    * Jaccard >= tau — identical semantics to [[Dedup.minhashLshPairs]]
+    * run on the full corpus (StreamingUpsertSpec asserts the
+    * equivalence property over N micro-batches).
+    *
+    * Contract: doc ids must be unique across the stream (upstream
+    * [[dedupWithinWatermark]] provides exactly that). Appends are
+    * at-least-once under batch replay — consumers read `pairs/` with
+    * DISTINCT (pair rows are value-identical across replays, so
+    * distinct restores exactly-once), the same contract as any
+    * append-only file sink without a transactional table format. The
+    * bucket join reads the (narrow) `buckets/` index, not the shingle
+    * sets; the verify join touches only candidate doc_ids. At true
+    * scale, partition `sets/` by a doc_id hash so the verify join
+    * prunes files instead of scanning the table.
+    */
+  def nearDupBatch(spark: SparkSession, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   n: Int, bands: Int, rowsPerBand: Int, tau: Double,
+                   basePath: String,
+                   maxBucket: Long = Dedup.defaultMaxBucket): Unit = {
+    val setsPath = s"$basePath/sets"
+    val bucketsPath = s"$basePath/buckets"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def readOrEmpty(p: String, like: DataFrame): DataFrame = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(hconf).exists(hp))
+        spark.read.schema(like.schema).parquet(p)
+      else like.limit(0)
+    }
+    val newSets = Dedup.shingleSets(batch, idCol, textCol, n)
+      .filter(size(col("shs")) > 0).localCheckpoint()
+    val newBuckets = Dedup.minhashBuckets(newSets, bands, rowsPerBand)
+      .localCheckpoint()
+    val oldSets = readOrEmpty(setsPath, newSets)
+    val oldBuckets = readOrEmpty(bucketsPath, newBuckets)
+    val all = Dedup.capBuckets(
+      oldBuckets.withColumn("is_new", lit(false))
+        .unionByName(newBuckets.withColumn("is_new", lit(true))),
+      maxBucket)
+    val cands = all.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = oldSets.unionByName(newSets)
+    val verified = cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs")))
+          .cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    // pairs first: a replay after a partial failure re-appends pairs
+    // (distinct-at-read) but never loses them against advanced state
+    verified.write.mode("append").parquet(s"$basePath/pairs")
+    newSets.write.mode("append").parquet(setsPath)
+    newBuckets.write.mode("append").parquet(bucketsPath)
+  }
+
+  /** [[nearDupBatch]] wired as the foreachBatch sink of a document
+    * stream — the streaming ingest form of the flagship dedup path.
+    */
+  def incrementalNearDup(stream: DataFrame, idCol: String,
+                         textCol: String, n: Int, bands: Int,
+                         rowsPerBand: Int, tau: Double, basePath: String,
+                         checkpoint: String,
+                         maxBucket: Long = Dedup.defaultMaxBucket): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nearDupBatch(batch.sparkSession, batch, idCol, textCol,
+          n, bands, rowsPerBand, tau, basePath, maxBucket)
+      }
+      .start()
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

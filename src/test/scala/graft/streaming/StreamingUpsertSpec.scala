@@ -132,6 +132,51 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
   }
 
+  test("incrementalNearDup over N micro-batches equals batch minhashLshPairs (property)") {
+    // Streaming/batch equivalence for the flagship dedup path: feeding
+    // the corpus through the persisted-signature-table incremental
+    // operator in 3 micro-batches must produce exactly the pair set of
+    // one batch LSH run over the whole corpus. Docs are shuffled with a
+    // fixed seed so near-dup pairs are split ACROSS batches — the
+    // new-vs-old join path is genuinely exercised.
+    implicit val sql = spark.sqlContext
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def doc(t: Int, v: Int): String = {
+      val base = (0 until 12)
+        .map(i => words((t * 3 + i) % words.length) + t).mkString(" ")
+      if (v == 0) base else s"$base variant$v"
+    }
+    val docs = (for (t <- 0 until 6; v <- 0 until 3)
+      yield ((t * 10 + v).toLong, doc(t, v))).toSeq
+    val rnd = new scala.util.Random(42)
+    val shuffled = rnd.shuffle(docs)
+    val base = tmp("incr_neardup")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingUpsert.incrementalNearDup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
+      basePath = base, checkpoint = tmp("incr_neardup_ckpt"))
+    val batchOf = shuffled.grouped(6).zipWithIndex
+      .flatMap { case (b, i) => b.map(d => d._1 -> i) }.toMap
+    try {
+      shuffled.grouped(6).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashLshPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the shuffle really did split at least one pair across batches
+    assert(streamed.exists { case (a, b) => batchOf(a) != batchOf(b) })
+  }
+
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamingUpsert.KV]
