@@ -71,6 +71,45 @@ object Sessions {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000
 
+  /** Per-million variant of [[sampleBucket]] (0..999999) — finer rate
+    * resolution for computed (non-round) sampling rates.
+    */
+  def ppmBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000
+
+  /** Temperature-scaled source mixing at T=2 (alpha=0.5 — the
+    * mT5/XLM-R multilingual-mixing standard): stratum s with count c_s
+    * is downsampled at rate sqrt(c_min / c_s), so kept counts are
+    * proportional to sqrt(c_s) — the dominant language/domain stops
+    * drowning out the tail while staying the largest. The smallest
+    * stratum is kept whole (rate 1); no stratum is upsampled.
+    *
+    * Determinism across engines: c_min/c_s is an exact-int-input
+    * double division and sqrt is correctly rounded (IEEE 754), so the
+    * per-million keep threshold floor(rate*1e6) is bit-identical in
+    * any engine — which is why alpha is FIXED at 0.5: general
+    * c_s^(alpha-1) needs pow(), whose last-ulp behavior is libm-
+    * specific and would make the q76 oracle flaky. The md5 row bucket
+    * makes the kept set stable across runs/partitionings and nested
+    * with [[deterministicSample]].
+    *
+    * Scale shape: one count aggregate, a broadcast rate table, one
+    * codegen'd filter — no extra shuffle of the corpus.
+    */
+  def sqrtTemperatureMix(df: DataFrame, strataCol: String,
+                         idCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("c_s"))
+    val cmin = broadcast(counts.agg(min(col("c_s")).as("c_min")))
+    val rates = broadcast(counts.crossJoin(cmin)
+      .select(col(strataCol),
+        floor(sqrt(col("c_min").cast("double") / col("c_s").cast("double"))
+          * lit(1000000.0)).cast("long").as("keep_ppm")))
+    df.join(rates, Seq(strataCol))
+      .filter(ppmBucket(col(idCol)) < col("keep_ppm"))
+      .drop("keep_ppm")
+  }
+
   /** Deterministic per-key COUNT cap — the domain-cap primitive of
     * corpus construction (keep at most `maxPerKey` documents per
     * domain/source/language so one crawl template cannot dominate the

@@ -47,4 +47,55 @@ object Stats {
     }
     cum.crossJoin(tot).agg(picks.head, picks.tail: _*)
   }
+
+  /** APPROXIMATE quantiles for unbounded/continuous integer domains:
+    * fixed-width binned histogram + exact-integer interpolation inside
+    * the hit bin. The estimate for percent `p` is
+    *
+    *   bin*w + ((rank_p - cumBefore - 1) * w) DIV cnt_bin
+    *
+    * with rank_p = (n-1)*p DIV 100 + 1 (the same lower-quantile rank
+    * convention as [[discretePercentiles]]) — every step is int64
+    * arithmetic, so the estimate is deterministic on any partitioning
+    * and bit-identical in any engine (q75's oracle replays it). Error
+    * is bounded by `binWidth` (the true value lies in the hit bin and
+    * the interpolation assumes uniformity within it).
+    *
+    * Scale shape: where [[discretePercentiles]]' shuffle grows with
+    * the number of DISTINCT values, this histogram is bounded by
+    * domain/binWidth — the operator for value domains too large or
+    * too continuous to histogram exactly (byte sizes, token counts at
+    * 100 TB), with the memory/error knob explicit. Nonnegative values
+    * only (rank and offset arithmetic relies on nonneg division).
+    *
+    * Returns one row with a BIGINT `p<percent>_est` column per
+    * requested percent.
+    */
+  def binnedQuantiles(df: DataFrame, valueCol: String, binWidth: Long,
+                      pcts: Seq[Int]): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0, 100], got $pcts")
+    // exact int64 floor division (the Tables.load pattern)
+    val bin = expr(s"(CAST($valueCol AS BIGINT) - " +
+      s"pmod(CAST($valueCol AS BIGINT), $binWidth)) DIV $binWidth")
+    val hist = df.groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = broadcast(df.agg(count(lit(1)).as("n")))
+    def rank(p: Int) = s"(((n - 1) * $p) DIV 100 + 1)"
+    val firstHit = pcts.map { p =>
+      min(when(expr(s"cum >= ${rank(p)}"),
+        struct(col("bin"), col("cum"), col("cnt")))).as(s"_b$p")
+    }
+    val agged = cum.crossJoin(tot)
+      .agg(firstHit.head, (firstHit.tail :+ max(col("n")).as("n")): _*)
+    val ests = pcts.map { p =>
+      expr(s"_b$p.bin * $binWidth + " +
+        s"((${rank(p)} - (_b$p.cum - _b$p.cnt) - 1) * $binWidth) DIV _b$p.cnt")
+        .as(s"p${p}_est")
+    }
+    agged.select(ests: _*)
+  }
 }

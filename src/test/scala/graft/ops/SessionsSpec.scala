@@ -101,4 +101,28 @@ class SessionsSpec extends SparkSpec {
     assert(ids10 === ids10b)
     assert(ids5.subsetOf(ids10))
   }
+
+  test("sqrtTemperatureMix: smallest stratum whole, sqrt rates, stable") {
+    // 1000 "big" docs vs 40 "small": keep rate for big = sqrt(40/1000)
+    // = 0.2, small kept entirely. md5 buckets are uniform, so the kept
+    // big count concentrates near 200.
+    val df = (Seq.tabulate(1000)(i => (i.toLong, "big")) ++
+      Seq.tabulate(40)(i => ((10000 + i).toLong, "small")))
+      .toDF("id", "src")
+    val mixed = Sessions.sqrtTemperatureMix(df, "src", "id")
+    val byKey = mixed.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(byKey("small") === 40L)
+    assert(byKey("big") > 140L && byKey("big") < 260L,
+      s"big kept ${byKey("big")}, expected ~200")
+    // deterministic across partitionings
+    val a = mixed.select("id").as[Long].collect().toSet
+    val b = Sessions.sqrtTemperatureMix(df.repartition(9), "src", "id")
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // nests with deterministicSample's bucket (same md5 family but
+    // ppm-resolution): re-running the mix on the mixed output is a
+    // no-op for the small stratum
+    assert(mixed.filter($"src" === "small").count() === 40L)
+  }
 }

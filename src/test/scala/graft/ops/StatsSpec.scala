@@ -23,4 +23,26 @@ class StatsSpec extends SparkSpec {
       Seq(0.25, 0.9)).head()
     assert(a === b)
   }
+
+  test("binnedQuantiles: exact when binWidth=1, bounded error otherwise") {
+    // binWidth=1 degenerates to one value per bin: interpolation offset
+    // is always 0 and the estimate IS the exact discrete percentile
+    val d = Seq.tabulate(300)(i => ((i * 7) % 101).toLong).toDF("x")
+    val exact = Stats.discretePercentiles(d, "x", Seq(0.5, 0.95)).head()
+    val fine = Stats.binnedQuantiles(d, "x", 1L, Seq(50, 95)).head()
+    assert(fine.getLong(0) === exact.getLong(0))
+    assert(fine.getLong(1) === exact.getLong(1))
+    // coarse bins: estimate stays within one bin width of exact
+    val coarse = Stats.binnedQuantiles(d, "x", 16L, Seq(50, 95)).head()
+    assert(math.abs(coarse.getLong(0) - exact.getLong(0)) <= 16L)
+    assert(math.abs(coarse.getLong(1) - exact.getLong(1)) <= 16L)
+  }
+
+  test("binnedQuantiles is partitioning-independent (exact int64 path)") {
+    val d = Seq.tabulate(400)(i => ((i * 13) % 211).toLong).toDF("x")
+    val a = Stats.binnedQuantiles(d, "x", 8L, Seq(25, 50, 99)).head()
+    val b = Stats.binnedQuantiles(d.repartition(17), "x", 8L,
+      Seq(25, 50, 99)).head()
+    assert(a === b)
+  }
 }
