@@ -31,6 +31,59 @@ object Dedup {
         min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Span-level (token-block) dedup — the "deduplicating training
+    * data makes language models better" (Lee et al. 2022) exact
+    * repeated-substring removal, at fixed block granularity (the form
+    * that scales: C4 does the same with three-sentence spans). Each
+    * document's tokens are cut into consecutive `spanTokens`-token
+    * blocks; a block whose text occurs >= `minRepeat` times across
+    * the WHOLE corpus is dropped everywhere except its first
+    * occurrence (min (doc_id, pos) — boilerplate headers/footers
+    * survive exactly once, unique content is untouched). Returns
+    * (doc_id, n_blocks, n_kept, text_dedup) with text_dedup the
+    * kept blocks rejoined in document order.
+    *
+    * Scale shape: one explode (corpus/spanTokens rows), one
+    * partial+final count aggregate on the block text, a join back on
+    * the block, one groupBy doc_id for reassembly — all linear, no
+    * self-joins. Contract: doc ids nonnegative and < 2^43 and docs
+    * shorter than 10^6 blocks (the (doc_id, pos) keeper key is
+    * integer-encoded as doc_id*1e6+pos so the argmin is a plain
+    * int64 min in any engine).
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int, minRepeat: Long): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.toks(col(textCol)).as("toks"))
+      .filter(size($"toks") > 0)
+    val blk = base.select($"doc_id", posexplode(
+        transform(
+          sequence(lit(1), expr(s"(size(toks) + ${spanTokens - 1}) DIV $spanTokens")),
+          i => concat_ws(" ",
+            slice($"toks", (i - lit(1)) * lit(spanTokens) + lit(1),
+              lit(spanTokens))))))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
+        $"col".as("blk"))
+    val stats = blk.groupBy($"blk").agg(
+      count(lit(1)).as("cnt"),
+      min($"doc_id" * lit(1000000L) + $"pos").as("keeper"))
+    val kept = blk.join(stats, Seq("blk"))
+      .filter($"cnt" < minRepeat ||
+        $"doc_id" * lit(1000000L) + $"pos" === $"keeper")
+    val nb = blk.groupBy($"doc_id").agg(count(lit(1)).as("n_blocks"))
+    val ko = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct($"pos", $"blk"))),
+        s => s.getField("blk"))).as("text_dedup"))
+    nb.join(ko, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_blocks",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+  }
+
   /** Last-write-wins keyed dedup (SURVEY.md §2.3 D2): latest row per
     * key by (orderCol desc, idCol desc) — the Mongo-upsert / ES-doc-id
     * semantics of the reference.

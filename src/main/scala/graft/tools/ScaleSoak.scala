@@ -64,6 +64,8 @@ object ScaleSoak {
         docs.select($"doc_id",
           graft.ops.TextAnalysis.textStats(
             graft.ops.TextAnalysis.toks($"text")).as("st")))
+      time(s"span_dedup_x$c")(
+        graft.ops.Dedup.dropRepeatedSpans(docs, "doc_id", "text", 8, 2L))
     }
     spark.stop()
   }

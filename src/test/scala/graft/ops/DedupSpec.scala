@@ -18,6 +18,31 @@ class DedupSpec extends SparkSpec {
     assert(g(1).getAs[Long]("n_copies") === 1L)
   }
 
+  test("dropRepeatedSpans: shared block survives only at first occurrence") {
+    // 4-token blocks: doc 1 = X ++ A, doc 2 = X ++ B, doc 3 == doc 1.
+    // Block X repeats 3x -> kept only in doc 1; block A repeats 2x
+    // (docs 1 and 3) -> kept only in doc 1; doc 3 loses everything.
+    val x = "one two three four"
+    val a = "alpha beta gamma delta"
+    val b = "red green blue yellow"
+    val df = Seq((1L, s"$x $a"), (2L, s"$x $b"), (3L, s"$x $a"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedSpans(df, "doc_id", "text",
+        spanTokens = 4, minRepeat = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, s"$x $a"), // first occurrence keeps both blocks
+      (2L, 2L, 1L, b),        // shared header X removed, unique tail kept
+      (3L, 2L, 0L, "")))      // full duplicate vanishes
+    // partial trailing blocks participate: a doc shorter than one span
+    // is its own single block
+    val short = Seq((7L, "lone tail"), (8L, "lone tail")).toDF("doc_id", "text")
+    val g2 = Dedup.dropRepeatedSpans(short, "doc_id", "text", 4, 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(g2 === Seq((7L, 1L, 1L, "lone tail"), (8L, 1L, 0L, "")))
+  }
+
   test("lastWriteWins keeps the newest row per key; ties broken by id desc") {
     val df = Seq(
       ("k1", 1L, "old"), ("k1", 5L, "new"),
