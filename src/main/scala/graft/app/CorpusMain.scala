@@ -3,7 +3,7 @@ package graft.app
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{CleanCorpus, Prep, Sessions}
+import graft.ops.{CleanCorpus, Dedup, Prep, Sessions}
 
 /** End-to-end TRAINING-CORPUS pipeline entry point — the LLM-data
   * counterpart of [[Main]]: compose the oracle-verified corpus
@@ -11,21 +11,22 @@ import graft.ops.{CleanCorpus, Prep, Sessions}
   *
   *   load documents → language + quality filter → exact dedup →
   *   minhash-LSH near-dup cluster resolution (CleanCorpus.clean) →
-  *   per-language count cap → deterministic sample → sequence
-  *   packing → write packed corpus.
+  *   corpus-wide span dedup (repeated-block removal) → per-language
+  *   count cap → deterministic sample → sequence packing → write
+  *   packed corpus.
   *
   * One command:
   *   sbt "runMain graft.app.CorpusMain [sfDir] [outDir]"
   *
-  * Every stage is an operator with its own oracle query (q50, q71,
-  * q35, q52); this object only composes them and reports stage
+  * Every stage is an operator with its own oracle query (q50, q77,
+  * q71, q35, q52); this object only composes them and reports stage
   * counts (CorpusMainSpec asserts the monotone funnel).
   */
 object CorpusMain {
 
   final case class Report(
-      nDocs: Long, nCleaned: Long, nCapped: Long, nSampled: Long,
-      nBins: Long)
+      nDocs: Long, nCleaned: Long, nDespanned: Long, nCapped: Long,
+      nSampled: Long, nBins: Long)
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
     val docs = Tables.load(spark, sfDir, "documents")
@@ -34,8 +35,15 @@ object CorpusMain {
     val cleaned = CleanCorpus.clean(docs, "doc_id", "text",
       langs = Seq("en"), minQuality = 0.7,
       n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+    // residual boilerplate: repeated 8-token blocks survive only at
+    // their first corpus-wide occurrence; fully-boilerplate docs drop
+    val despanned = Dedup.dropRepeatedSpans(cleaned, "doc_id", "text",
+        spanTokens = 8, minRepeat = 2L)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .join(cleaned.select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
     // one hot domain/language must not dominate the mix
-    val capped = Sessions.capPerKey(cleaned, "lang_pred", "doc_id",
+    val capped = Sessions.capPerKey(despanned, "lang_pred", "doc_id",
       maxPerKey = 100000)
     // stable 90% training split (md5 bucket — reproducible anywhere)
     val sampled = Sessions.deterministicSample(capped, "doc_id",
@@ -48,6 +56,7 @@ object CorpusMain {
     Report(
       nDocs = nDocs,
       nCleaned = cleaned.count(),
+      nDespanned = despanned.count(),
       nCapped = capped.count(),
       nSampled = sampled.count(),
       nBins = persisted.select(col("shard"), col("bin_id"))
@@ -64,7 +73,8 @@ object CorpusMain {
     val r = run(spark, sfDir, outDir)
     println(s"[corpus] out=$outDir")
     println(s"[corpus] docs=${r.nDocs} cleaned=${r.nCleaned} " +
-      s"capped=${r.nCapped} sampled=${r.nSampled} bins=${r.nBins}")
+      s"despanned=${r.nDespanned} capped=${r.nCapped} " +
+      s"sampled=${r.nSampled} bins=${r.nBins}")
     spark.stop()
   }
 }

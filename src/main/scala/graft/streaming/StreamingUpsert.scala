@@ -143,7 +143,8 @@ object StreamingUpsert {
                    idCol: String, textCol: String,
                    n: Int, bands: Int, rowsPerBand: Int, tau: Double,
                    basePath: String,
-                   maxBucket: Long = Dedup.defaultMaxBucket): Unit = {
+                   maxBucket: Long = Dedup.defaultMaxBucket,
+                   mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
     val setsPath = s"$basePath/sets"
     val bucketsPath = s"$basePath/buckets"
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -153,10 +154,12 @@ object StreamingUpsert {
         spark.read.schema(like.schema).parquet(p)
       else like.limit(0)
     }
-    val newSets = Dedup.shingleSets(batch, idCol, textCol, n)
-      .filter(size(col("shs")) > 0).localCheckpoint()
-    val newBuckets = Dedup.minhashBuckets(newSets, bands, rowsPerBand)
-      .localCheckpoint()
+    // micro-batch-local barrier (both feed two consumers: the pair
+    // join and the state append) — same Materializer seam as the
+    // batch builders; replay safety comes from the stream checkpoint
+    val newSets = mat(Dedup.shingleSets(batch, idCol, textCol, n)
+      .filter(size(col("shs")) > 0))
+    val newBuckets = mat(Dedup.minhashBuckets(newSets, bands, rowsPerBand))
     val oldSets = readOrEmpty(setsPath, newSets)
     val oldBuckets = readOrEmpty(bucketsPath, newBuckets)
     val all = Dedup.capBuckets(

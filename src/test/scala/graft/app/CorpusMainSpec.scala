@@ -14,7 +14,8 @@ class CorpusMainSpec extends SparkSpec {
     val r = CorpusMain.run(spark, "/root/testdata/sf0.001", out)
     assert(r.nDocs > 0L)
     assert(r.nCleaned > 0L && r.nCleaned <= r.nDocs)
-    assert(r.nCapped <= r.nCleaned)
+    assert(r.nDespanned > 0L && r.nDespanned <= r.nCleaned)
+    assert(r.nCapped <= r.nDespanned)
     assert(r.nSampled <= r.nCapped && r.nSampled > 0L)
     assert(r.nBins > 0L)
     val packed = spark.read.parquet(s"$out/corpus_bins")
