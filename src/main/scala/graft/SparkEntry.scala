@@ -38,5 +38,8 @@ object SparkEntry {
     "q23_minhash_lsh",
     // ranked-search representative: fixed-point BM25 — catches
     // regressions in the corpus-stats/df broadcast shape (round 4).
-    "q65_bm25_search")
+    "q65_bm25_search",
+    // span-dedup representative: explode + count-agg + join-back +
+    // reassembly, the linear no-self-join dedup shape (round 4).
+    "q77_span_dedup")
 }

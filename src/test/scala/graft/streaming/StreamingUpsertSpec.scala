@@ -177,6 +177,42 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(streamed.exists { case (a, b) => batchOf(a) != batchOf(b) })
   }
 
+  test("nearDupBatch replay: duplicated appends collapse under distinct-at-read") {
+    // The documented at-least-once contract: a replayed micro-batch
+    // re-appends value-identical rows to pairs/ AND sets/buckets/, and
+    // DISTINCT at read restores exactly-once — even though the
+    // duplicated signature rows multiply the candidate and verify
+    // joins of every LATER batch.
+    val words = Seq("kilo", "lima", "mike", "november", "oscar",
+      "papa", "quebec", "romeo", "sierra", "tango")
+    def doc(t: Int, v: Int): String = {
+      val base = (0 until 12)
+        .map(i => words((t * 3 + i) % words.length) + t).mkString(" ")
+      if (v == 0) base else s"$base variant$v"
+    }
+    val b1 = (for (t <- 0 until 3; v <- 0 until 2)
+      yield ((t * 10 + v).toLong, doc(t, v))).toSeq
+    val b2 = (for (t <- 0 until 3) yield ((t * 10 + 2).toLong, doc(t, 2))).toSeq
+    val base = tmp("neardup_replay")
+    def run(b: Seq[(Long, String)]): Unit =
+      StreamingUpsert.nearDupBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
+        basePath = base)
+    run(b1)
+    run(b1) // simulated replay: same batch appended twice
+    run(b2)
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashLshPairs((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and the raw (non-distinct) pairs table really does contain dups
+    assert(spark.read.parquet(s"$base/pairs").count() > streamed.size)
+  }
+
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamingUpsert.KV]
