@@ -23,4 +23,22 @@ class CorpusMainSpec extends SparkSpec {
     assert(packed.columns.toSet ===
       Set("doc_id", "n_tokens", "shard", "bin_id"))
   }
+
+  test("corpus pipeline is end-to-end deterministic across runs") {
+    // The composed pipeline (clean -> span dedup -> cap -> sample ->
+    // pack) must produce bit-identical packed output on every run —
+    // the whole-pipeline form of the per-operator determinism
+    // contracts (md5 buckets, exact-int arithmetic, explicit
+    // tie-breaks everywhere).
+    val out1 = Files.createTempDirectory("graft_corpus_det1").toString
+    val out2 = Files.createTempDirectory("graft_corpus_det2").toString
+    val r1 = CorpusMain.run(spark, "/root/testdata/sf0.001", out1)
+    val r2 = CorpusMain.run(spark, "/root/testdata/sf0.001", out2)
+    assert(r1 === r2)
+    val a = spark.read.parquet(s"$out1/corpus_bins")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$out2/corpus_bins")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
