@@ -52,13 +52,18 @@ object Dedup {
     * int64 min in any engine).
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                        spanTokens: Int, minRepeat: Long): DataFrame = {
+                        spanTokens: Int, minRepeat: Long,
+                        mat: Materializer = Materialize.Local): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.toks(col(textCol)).as("toks"))
       .filter(size($"toks") > 0)
-    val blk = base.select($"doc_id", posexplode(
+    // the block table feeds three plan branches (count aggregate,
+    // join-back, per-doc totals) — materialize once or the corpus is
+    // re-tokenized and re-exploded per branch (same barrier rationale
+    // as minhashLshPairs)
+    val blkPlan = base.select($"doc_id", posexplode(
         transform(
           sequence(lit(1), expr(s"(size(toks) + ${spanTokens - 1}) DIV $spanTokens")),
           i => concat_ws(" ",
@@ -66,6 +71,7 @@ object Dedup {
               lit(spanTokens))))))
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
         $"col".as("blk"))
+    val blk = mat(blkPlan)
     val stats = blk.groupBy($"blk").agg(
       count(lit(1)).as("cnt"),
       min($"doc_id" * lit(1000000L) + $"pos").as("keeper"))
