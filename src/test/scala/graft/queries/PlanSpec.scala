@@ -134,4 +134,20 @@ class PlanSpec extends SparkSpec {
     val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q76 temperature mix: rate table broadcasts back; no sort-merge join") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(graft.ops.Sessions.sqrtTemperatureMix(docs, "lang", "doc_id"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle for the rate join:\n" + p)
+  }
+
+  test("q77 span dedup: joins are equi-joins, never cartesian") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(graft.ops.Dedup.dropRepeatedSpans(docs, "doc_id", "text",
+      8, 2L, mat = graft.ops.Materialize.Off))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
