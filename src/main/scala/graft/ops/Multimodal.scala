@@ -66,6 +66,28 @@ object Multimodal {
     when(isPng(bin), conv(hex(substring(bin, 21, 4)), 16, 10).cast("long"))
       .otherwise(lit(null).cast("long"))
 
+  private def isGif(bin: Column): Column =
+    hex(substring(bin, 1, 3)) === lit("474946")
+
+  /** REAL metadata parse: GIF logical-screen width (header bytes 7-8,
+    * LITTLE-endian u16 — the byte swap is the parse); null for
+    * non-GIF blobs.
+    */
+  def gifWidth(bin: Column): Column =
+    when(isGif(bin),
+      conv(concat(hex(substring(bin, 8, 1)), hex(substring(bin, 7, 1))),
+        16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** REAL metadata parse: GIF logical-screen height (bytes 9-10,
+    * little-endian u16).
+    */
+  def gifHeight(bin: Column): Column =
+    when(isGif(bin),
+      conv(concat(hex(substring(bin, 10, 1)), hex(substring(bin, 9, 1))),
+        16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
   /** STUB feature extractor: `dims` doubles in [0,1] from 4-nibble
     * windows of the content fingerprint — a deterministic fake standing
     * in for a real image/audio embedding model (see class doc). dims <= 8

@@ -31,6 +31,18 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("gifWidth/gifHeight parse the little-endian screen descriptor; null otherwise") {
+    // GIF89a, logical screen 322x240: 0x0142 -> LE bytes 42 01,
+    // 0x00F0 -> F0 00. The byte swap IS the parse under test.
+    val gif = hexBytes("474946383961" + "4201" + "F000" + "F70000")
+    val d = Seq((1L, gif), (2L, png)).toDF("id", "bin").orderBy("id")
+    val rows = d.select(Multimodal.gifWidth($"bin"),
+      Multimodal.gifHeight($"bin")).collect()
+    assert(rows(0).getLong(0) === 322L)
+    assert(rows(0).getLong(1) === 240L)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
   test("stubFeatures: deterministic, dims-long, in [0,1]") {
     val d = Seq((1L, png)).toDF("id", "bin")
     val f1 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()
