@@ -45,4 +45,23 @@ class StatsSpec extends SparkSpec {
       Seq(25, 50, 99)).head()
     assert(a === b)
   }
+
+  test("binnedQuantiles error stays within one bin width (randomized property)") {
+    val pcts = Seq(10, 50, 90, 99)
+    val pds = Seq(0.10, 0.50, 0.90, 0.99)
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed long-tail values — the shape quantile sketches get wrong
+      val d = Seq.fill(600)(
+        math.pow(rnd.nextDouble(), 3.0) * 5000).map(_.toLong).toDF("x")
+      val exact = Stats.discretePercentiles(d, "x", pds).head()
+      val est = Stats.binnedQuantiles(d, "x", 32L, pcts).head()
+      for (i <- pcts.indices) {
+        val diff = math.abs(est.getLong(i) - exact.getLong(i))
+        assert(diff <= 32L,
+          s"seed=$seed p${pcts(i)}: est=${est.getLong(i)} " +
+            s"exact=${exact.getLong(i)} diff=$diff > binWidth")
+      }
+    }
+  }
 }
