@@ -88,6 +88,40 @@ object Multimodal {
         16, 10).cast("long"))
       .otherwise(lit(null).cast("long"))
 
+  private def isWav(bin: Column): Column =
+    hex(substring(bin, 1, 4)) === lit("52494646") &&
+      hex(substring(bin, 9, 4)) === lit("57415645")
+
+  /** REAL metadata parse: WAV channel count (fmt chunk bytes 23-24,
+    * little-endian u16). Canonical-layout contract: RIFF/WAVE with
+    * the fmt chunk first (the layout every standard PCM writer
+    * emits); null for non-WAV blobs.
+    */
+  def wavChannels(bin: Column): Column =
+    when(isWav(bin),
+      conv(concat(hex(substring(bin, 24, 1)), hex(substring(bin, 23, 1))),
+        16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** REAL metadata parse: WAV sample rate (bytes 25-28, little-endian
+    * u32 — four-byte swap).
+    */
+  def wavSampleRate(bin: Column): Column =
+    when(isWav(bin),
+      conv(concat(hex(substring(bin, 28, 1)), hex(substring(bin, 27, 1)),
+        hex(substring(bin, 26, 1)), hex(substring(bin, 25, 1))),
+        16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
+  /** REAL metadata parse: WAV bits per sample (bytes 35-36,
+    * little-endian u16).
+    */
+  def wavBitsPerSample(bin: Column): Column =
+    when(isWav(bin),
+      conv(concat(hex(substring(bin, 36, 1)), hex(substring(bin, 35, 1))),
+        16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
+
   /** STUB feature extractor: `dims` doubles in [0,1] from 4-nibble
     * windows of the content fingerprint — a deterministic fake standing
     * in for a real image/audio embedding model (see class doc). dims <= 8

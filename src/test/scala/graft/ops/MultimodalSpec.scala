@@ -43,6 +43,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("wavChannels/SampleRate/Bits parse the LE fmt chunk; null otherwise") {
+    // canonical 44.1 kHz stereo 16-bit PCM header
+    val wav = hexBytes("52494646" + "24080000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000")
+    val d = Seq((1L, wav), (2L, png)).toDF("id", "bin").orderBy("id")
+    val rows = d.select(Multimodal.wavChannels($"bin"),
+      Multimodal.wavSampleRate($"bin"),
+      Multimodal.wavBitsPerSample($"bin")).collect()
+    assert(rows(0).getLong(0) === 2L)
+    assert(rows(0).getLong(1) === 44100L)
+    assert(rows(0).getLong(2) === 16L)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
+
   test("stubFeatures: deterministic, dims-long, in [0,1]") {
     val d = Seq((1L, png)).toDF("id", "bin")
     val f1 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()
