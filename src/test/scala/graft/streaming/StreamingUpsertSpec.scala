@@ -213,6 +213,26 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/pairs").count() > streamed.size)
   }
 
+  test("nearDupBatch honors maxBucket: a boilerplate cohort cannot explode") {
+    // 80 identical docs in one batch land in ONE band bucket per band;
+    // with the cap below the cohort size the buckets are dropped and
+    // the candidate join emits nothing (the q23 maxBucket contract,
+    // wired through the streaming path). Uncapped, the same batch
+    // would verify C(80,2) = 3160 pairs.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq.tabulate(80)(i => (i.toLong, boiler))
+    val capped = tmp("neardup_capped")
+    StreamingUpsert.nearDupBatch(spark, docs.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
+      basePath = capped, maxBucket = 10L)
+    assert(spark.read.parquet(s"$capped/pairs").count() === 0L)
+    val uncapped = tmp("neardup_uncapped")
+    StreamingUpsert.nearDupBatch(spark, docs.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
+      basePath = uncapped, maxBucket = 100000L)
+    assert(spark.read.parquet(s"$uncapped/pairs").count() === 3160L)
+  }
+
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamingUpsert.KV]
