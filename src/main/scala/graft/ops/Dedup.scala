@@ -49,7 +49,9 @@ object Dedup {
     * self-joins. Contract: doc ids nonnegative and < 2^43 and docs
     * shorter than 10^6 blocks (the (doc_id, pos) keeper key is
     * integer-encoded as doc_id*1e6+pos so the argmin is a plain
-    * int64 min in any engine).
+    * int64 min in any engine). The contract is ENFORCED in-plan: a
+    * violating row raises a runtime error instead of silently
+    * corrupting first-occurrence selection (ADVICE r4).
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         spanTokens: Int, minRepeat: Long,
@@ -71,13 +73,23 @@ object Dedup {
               lit(spanTokens))))))
       .select($"doc_id", ($"pos" + 1).cast("long").as("pos"),
         $"col".as("blk"))
+      // guarded keeper key: encoding is only injective for
+      // 0 <= doc_id < 2^43 and pos < 1e6 — fail loudly past the bounds
+      // (raise_error sits in the otherwise-branch of a column every
+      // consumer reads, so it cannot be pruned away)
+      .withColumn("key",
+        when($"doc_id" >= 0L && $"doc_id" < lit(1L << 43) &&
+          $"pos" < 1000000L, $"doc_id" * lit(1000000L) + $"pos")
+          .otherwise(raise_error(concat(
+            lit("dropRepeatedSpans contract violated: need 0 <= doc_id < 2^43 "
+              + "and < 1e6 blocks/doc, got (doc_id="),
+            $"doc_id", lit(", pos="), $"pos", lit(")")))))
     val blk = mat(blkPlan)
     val stats = blk.groupBy($"blk").agg(
       count(lit(1)).as("cnt"),
-      min($"doc_id" * lit(1000000L) + $"pos").as("keeper"))
+      min($"key").as("keeper"))
     val kept = blk.join(stats, Seq("blk"))
-      .filter($"cnt" < minRepeat ||
-        $"doc_id" * lit(1000000L) + $"pos" === $"keeper")
+      .filter($"cnt" < minRepeat || $"key" === $"keeper")
     val nb = blk.groupBy($"doc_id").agg(count(lit(1)).as("n_blocks"))
     val ko = kept.groupBy($"doc_id").agg(
       count(lit(1)).as("n_kept"),

@@ -64,11 +64,25 @@ object Materialize {
 
   /** Lazy cache: no job at plan-construction time; blocks rebuilt from
     * lineage on loss.
+    *
+    * `iterative` caveat: round frames need a lineage-TRUNCATING barrier
+    * (persist nests plans — see [[Materializer.iterative]]), and the
+    * only truncating barriers are checkpoints. When the session has a
+    * checkpoint directory configured, Cache uses a lazy RELIABLE
+    * checkpoint so the fault tolerance the caller picked Cache for
+    * extends to the iterative loops; without one it falls back to the
+    * non-replicated lazy localCheckpoint (executor loss mid-loop then
+    * kills the job — configure `sparkContext.setCheckpointDir` on a
+    * real cluster).
     */
   final case class Cache(level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       extends Materializer {
     def apply(df: DataFrame): DataFrame = df.persist(level)
     override def release(df: DataFrame): Unit = { df.unpersist(); () }
+    override def iterative(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
   }
 
   /** Reliable checkpoint into `dir` (set as the session checkpoint dir

@@ -111,10 +111,13 @@ object Sketches {
         when($"w" === 0L, lit(maxRho))
           .otherwise(lit(maxRho) - length(bin($"w"))).as("rho"))
     val regs = withRho.groupBy($"bucket").agg(max($"rho").as("mj"))
+    // coalesce: an EMPTY input yields sum=NULL, which would propagate
+    // a NULL estimate through raw_est; with 0 the n_zero=m linear-
+    // counting branch fires and the empty corpus estimates 0 (ADVICE r4)
     val reduced = regs.agg(
       count(lit(1)).as("n_filled"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)"))
-        .as("sum_filled"))
+      coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")),
+        lit(0L)).as("sum_filled"))
     val exact = df.agg(countDistinct(valueCol).as("n_exact"))
     // alpha_m for m >= 128 (Flajolet). The oracle SQL spells the SAME
     // arithmetic shape, so both engines produce the identical double.

@@ -96,8 +96,10 @@ object RecipeQueries {
     * at build time, like the other store-exercising paths.)
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q68_backup_jsonl").toString
+    // per-application suffix: two concurrent gate runs on one machine
+    // must not race on a shared fixed path (ADVICE r4)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q68_backup_jsonl_${s.sparkContext.applicationId}").toString
     Recipes.writeBackupJsonParts(Recipes.loadRaw(s), out, parts = 4)
     ingestProjection(Recipes.searchView(Recipes.readBackupJsonl(s, out)))
   }

@@ -133,11 +133,21 @@ object StreamingUpsert {
     * at-least-once under batch replay — consumers read `pairs/` with
     * DISTINCT (pair rows are value-identical across replays, so
     * distinct restores exactly-once), the same contract as any
-    * append-only file sink without a transactional table format. The
+    * append-only file sink without a transactional table format; the
+    * STATE tables (`sets/`, `buckets/`) are likewise deduplicated at
+    * read below, so replayed appends cannot inflate the capBuckets
+    * population counts and spuriously drop a bucket (ADVICE r4). The
     * bucket join reads the (narrow) `buckets/` index, not the shingle
     * sets; the verify join touches only candidate doc_ids. At true
     * scale, partition `sets/` by a doc_id hash so the verify join
     * prunes files instead of scanning the table.
+    *
+    * Equivalence to [[Dedup.minhashLshPairs]] on the full corpus holds
+    * while no bucket CROSSES `maxBucket` over the stream's lifetime:
+    * a bucket that grows past the cap keeps the pairs it emitted while
+    * under cap (arrival-time semantics), whereas a full batch run
+    * drops the whole bucket — the incremental result is a SUPERSET of
+    * the batch result on such corpora, never smaller.
     */
   def nearDupBatch(spark: SparkSession, batch: DataFrame,
                    idCol: String, textCol: String,
@@ -148,10 +158,14 @@ object StreamingUpsert {
     val setsPath = s"$basePath/sets"
     val bucketsPath = s"$basePath/buckets"
     val hconf = spark.sparkContext.hadoopConfiguration
+    // distinct at read: a replayed micro-batch re-appends value-
+    // identical state rows (the writes below are deterministic), and
+    // duplicated bucket rows would double-count in the capBuckets
+    // population — dedup restores exactly-once state semantics
     def readOrEmpty(p: String, like: DataFrame): DataFrame = {
       val hp = new org.apache.hadoop.fs.Path(p)
       if (hp.getFileSystem(hconf).exists(hp))
-        spark.read.schema(like.schema).parquet(p)
+        spark.read.schema(like.schema).parquet(p).distinct()
       else like.limit(0)
     }
     // micro-batch-local barrier (both feed two consumers: the pair

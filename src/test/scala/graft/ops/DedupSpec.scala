@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     assert(g2 === Seq((7L, 1L, 1L, "lone tail"), (8L, 1L, 0L, "")))
   }
 
+  test("dropRepeatedSpans enforces its id-encoding contract (ADVICE r4)") {
+    // doc_id >= 2^43 would collide with another doc's keeper key under
+    // the doc_id*1e6+pos encoding — the guard must raise, not corrupt
+    val bad = Seq(((1L << 43) + 5L, "one two three four"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.dropRepeatedSpans(bad, "doc_id", "text", 4, 2L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(e).contains("dropRepeatedSpans contract violated"))
+    // negative ids equally rejected
+    val neg = Seq((-1L, "one two three four")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Dedup.dropRepeatedSpans(neg, "doc_id", "text", 4, 2L).collect()
+    }
+    assert(rootMsg(e2).contains("dropRepeatedSpans contract violated"))
+  }
+
   test("lastWriteWins keeps the newest row per key; ties broken by id desc") {
     val df = Seq(
       ("k1", 1L, "old"), ("k1", 5L, "new"),

@@ -48,4 +48,12 @@ class SketchesSpec extends SparkSpec {
     // counting branch; estimate must be within 1 of the truth there
     assert(math.abs(r.getAs[Double]("estimate") - 3.0) < 1.0)
   }
+
+  test("HLL on an EMPTY input estimates 0, not NULL (ADVICE r4)") {
+    val df = Seq.empty[Long].toDF("v")
+    val r = Sketches.hllDistinctAudit(df, col("v")).head()
+    assert(!r.isNullAt(r.fieldIndex("estimate")))
+    assert(r.getAs[Double]("estimate") === 0.0)
+    assert(r.getAs[Long]("n_zero") === 1024L)
+  }
 }
