@@ -41,5 +41,15 @@ object SparkEntry {
     "q65_bm25_search",
     // span-dedup representative: explode + count-agg + join-back +
     // reassembly, the linear no-self-join dedup shape (round 4).
-    "q77_span_dedup")
+    "q77_span_dedup",
+    // multi-field BM25: the single-pass tagged-explode shape (round 5
+    // rewrite) — catches regressions back toward per-field corpus scans.
+    "q69_bm25_classic",
+    // iterative path: connected components (large-star/small-star) —
+    // catches round-count / barrier regressions in the bench, not only
+    // correctness (VERDICT r4 item 7).
+    "q49_dup_clusters",
+    // composed cleaning pipeline: exact dedup -> LSH -> CC -> filters;
+    // regressions in composition order or materialization surface here.
+    "q50_clean_corpus")
 }

@@ -246,6 +246,24 @@ object RecipeQueries {
       "product_id", Seq("name", "ingredients_text", "steps_text"),
       Search.analyzeLiteral("tarte chocolat"))
 
+  // ---------------------------------------------------------------- q80
+  /** The classic search both FUZZY and BM25-RANKED — the full ES
+    * multi_match semantics behind app/main.py:88-97 composed at last:
+    * AUTO fuzzy expansion (q45's hit-set machinery) scored with
+    * per-field BM25 (q69's ranking machinery) and the Lucene
+    * (qlen−dist)/qlen fuzzy boost, so exact matches outrank fuzzy ones
+    * of equal df. Both UI-default fixture queries, top-500 each,
+    * tagged — pinning the hit-sets AND the full BM25 ranking.
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val view = Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s)))
+    def one(q: String): DataFrame =
+      Search.bm25Classic(view, q)
+        .select(lit(q).as("query"), col("product_id"), col("name"),
+          col("score_fp"))
+    one("chocolat").unionByName(one("oeufs, farine, lait"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_recipes_ingest"    -> (q40 _),
     "q41_recipes_kpis"      -> (q41 _),
@@ -259,7 +277,8 @@ object RecipeQueries {
     "q56_valid_filter"      -> (q56 _),
     "q57_duration_fallback" -> (q57 _),
     "q68_jsonl_roundtrip"   -> (q68 _),
-    "q69_bm25_classic"      -> (q69 _))
+    "q69_bm25_classic"      -> (q69 _),
+    "q80_bm25_fuzzy_search" -> (q80 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -388,6 +407,63 @@ object RecipeQueries {
          |  coalesce(s_s, 0)) AS score_fp
          |FROM sc_n FULL OUTER JOIN sc_i USING (id)
          |  FULL OUTER JOIN sc_s USING (id)""".stripMargin
+    },
+
+    "q80_bm25_fuzzy_search" -> {
+      // q69's per-field BM25 chain, with the exact-token IN-list
+      // replaced by the AUTO-fuzzy predicate and each term's contrib
+      // multiplied by the Lucene (qlen - dist)/qlen boost, summed over
+      // the query tokens it matches — float op order mirrored exactly
+      // (((idf * tfpart) * bsum) * 1e6, left-assoc in both engines).
+      def levSql(qt: String): String =
+        s"levenshtein(translate(tok, '$accFrom', '$accTo'), '${xlit(qt)}')"
+      def predSql(qts: Seq[String]): String =
+        qts.map(qt => s"(${levSql(qt)} <= ${fuzz(qt)})").mkString("(", " OR ", ")")
+      def bsumSql(qts: Seq[String]): String = qts.map { qt =>
+        val qlen = qt.codePointCount(0, qt.length)
+        s"(CASE WHEN ${levSql(qt)} <= ${fuzz(qt)} " +
+          s"THEN ($qlen - ${levSql(qt)})::DOUBLE / $qlen ELSE 0.0 END)"
+      }.mkString("(", " + ", ")")
+      def fieldCte(f: String, tag: String, qts: Seq[String]): String =
+        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
+           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
+           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
+           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE ${predSql(qts)}),
+           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
+           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
+           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+           |  FROM f_$tag GROUP BY id, tok),
+           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
+           |  SELECT id, floor(
+           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
+           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
+           |    ${bsumSql(qts)} * 1e6)::BIGINT AS contrib
+           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
+           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
+      def queryCtes(qtag: String, query: String): String = {
+        val qts = Search.analyzeLiteral(query)
+        s"""${fieldCte("name", s"${qtag}n", qts)},
+           |${fieldCte("ingredients_text", s"${qtag}i", qts)},
+           |${fieldCte("steps_text", s"${qtag}s", qts)},
+           |all_$qtag AS (SELECT id, greatest(coalesce(s_${qtag}n, 0),
+           |    coalesce(s_${qtag}i, 0), coalesce(s_${qtag}s, 0)) AS score_fp
+           |  FROM sc_${qtag}n FULL OUTER JOIN sc_${qtag}i USING (id)
+           |    FULL OUTER JOIN sc_${qtag}s USING (id)),
+           |top_$qtag AS (SELECT id, score_fp FROM all_$qtag WHERE score_fp > 0
+           |  ORDER BY score_fp DESC, id ASC LIMIT 500)""".stripMargin
+      }
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |${queryCtes("a", "chocolat")},
+         |${queryCtes("b", "oeufs, farine, lait")}
+         |SELECT 'chocolat' AS query, t.id AS product_id, v.name, t.score_fp
+         |FROM top_a t JOIN v ON v.product_id = t.id
+         |UNION ALL
+         |SELECT 'oeufs, farine, lait' AS query, t.id AS product_id, v.name, t.score_fp
+         |FROM top_b t JOIN v ON v.product_id = t.id""".stripMargin
     },
 
     "q45_search_classic" -> {

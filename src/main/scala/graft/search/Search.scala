@@ -211,57 +211,160 @@ object Search {
     * with score_fp > 0; descending score_fp = BM25 ranking.
     */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
-                 queryToks: Seq[String]): DataFrame = {
-    val toksAll = docs.select(col(idCol).as("id"),
-      analyze(col(textCol)).as("toks"))
-    val stats = broadcast(toksAll.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size($"toks")).cast("long").as("t_toks")))
-    val toks = toksAll
-      .select($"id", size($"toks").cast("long").as("dl"),
-        explode($"toks").as("tok"))
-      .filter($"tok".isin(queryToks: _*))
-    val df_ = toks.select($"id", $"tok").distinct()
-      .groupBy($"tok").agg(count(lit(1)).as("df"))
-    // dl is constant per id — max() re-attaches it through the
-    // aggregate without a second corpus join
-    val tf = toks.groupBy($"id", $"tok")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-    tf.join(broadcast(df_), Seq("tok"))
-      .crossJoin(stats)
-      .withColumn("idf",
-        log(($"n_docs".cast("double") + lit(1.0)) /
-          ($"df".cast("double") + lit(0.5))))
-      .withColumn("tfpart",
-        (lit(22L) * $"tf" * $"t_toks").cast("double") /
-          (lit(10L) * $"tf" * $"t_toks" + lit(3L) * $"t_toks" +
-            lit(9L) * $"dl" * $"n_docs").cast("double"))
-      .withColumn("contrib",
-        floor($"idf" * $"tfpart" * lit(1e6)).cast("long"))
-      .groupBy($"id").agg(sum($"contrib").as("score_fp"))
-      .filter($"score_fp" > 0)
-  }
+                 queryToks: Seq[String]): DataFrame =
+    bm25MultiField(docs, idCol, Seq(textCol), queryToks)
 
   /** Multi-field BM25 — the ES `multi_match` best_fields combination
     * the reference's classic search actually ranks with
     * (app/main.py:88-97; ES default type): document score = MAX over
     * fields of that field's BM25 score (tie_breaker = 0). Each field
-    * gets its own df / length / avgdl statistics via [[bm25Search]],
-    * exactly like per-field Lucene indexes. Exact-token form (the
-    * fuzzy-expansion hit-count form is [[classic]]); every row carries
-    * a positive score by construction. Returns (id, score_fp).
+    * keeps its own df / length / avgdl statistics, exactly like
+    * per-field Lucene indexes. Exact-token form (the fuzzy-expansion
+    * BM25 form is [[bm25Classic]]); every returned row carries a
+    * positive score by construction. Returns (id, score_fp).
+    *
+    * Scale shape — ONE pass over the corpus, not one per field:
+    *  - per-field corpus statistics (shared N, per-field total tokens
+    *    T_f) come from a single broadcast single-row aggregate — one
+    *    pruned corpus scan, no explode;
+    *  - all fields explode through ONE tagged projection
+    *    (`array(struct(field, tokens))`), with the per-(doc, field)
+    *    length dl carried through the explode, so the only corpus-sized
+    *    shuffle is the (id, field, tok) tf aggregate;
+    *  - per-(field, token) df is derived FROM the tf aggregate's output
+    *    (its row count per (field, tok) IS the distinct-doc count), so
+    *    the df branch reuses the tf shuffle (`ReusedExchange`) instead
+    *    of re-scanning the corpus, and broadcasts back;
+    *  - per-field scores fold into one conditional-sum aggregate,
+    *    `greatest` picks best_fields — no full_outer join chain.
+    * Net: 2 corpus scans and 1 corpus shuffle total, vs 3 scans and
+    * 1 shuffle PER FIELD in the per-field-composition form (9 scans for
+    * the reference's 3-field search) — at 100 TB the scan count is the
+    * operator's dominant cost.
     */
   def bm25MultiField(docs: DataFrame, idCol: String, fields: Seq[String],
-                     queryToks: Seq[String]): DataFrame = {
-    require(fields.nonEmpty, "bm25MultiField needs at least one field")
-    val perField = fields.map { f =>
-      bm25Search(docs, idCol, f, queryToks)
-        .select($"id", $"score_fp".as(s"_s_$f"))
-    }
-    val joined = perField.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
-    val scores = fields.map(f => coalesce(col(s"_s_$f"), lit(0L)))
-    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
-    joined.select($"id", best.as("score_fp"))
+                     queryToks: Seq[String]): DataFrame =
+    bm25Tagged(docs, idCol, fields,
+      tokenPred = $"tok".isin(queryToks: _*), boost = None)
+
+  /** The shared single-pass tagged BM25 core behind [[bm25MultiField]]
+    * (exact tokens, no boost) and [[bm25ClassicScores]] (fuzzy-expanded
+    * tokens with a per-term distance boost multiplier). `tokenPred`
+    * selects matching corpus tokens (evaluated on `tok`); `boost`, when
+    * present, multiplies each term's BM25 contribution before the
+    * fixed-point floor (evaluated on `tok`; exact form omits the
+    * multiplier entirely so the q65/q69 float shapes are untouched).
+    */
+  private def bm25Tagged(docs: DataFrame, idCol: String,
+                         fields: Seq[String], tokenPred: Column,
+                         boost: Option[Column]): DataFrame = {
+    require(fields.nonEmpty, "bm25 needs at least one field")
+    val stats = broadcast(docs.agg(
+      count(lit(1)).as("n_docs"),
+      fields.map(f => sum(size(analyze(col(f)))).cast("long")
+        .as(s"_t_$f")): _*))
+    val tagged = docs.select(col(idCol).as("id"),
+        explode(array(fields.map(f =>
+          struct(lit(f).as("f"), analyze(col(f)).as("toks"))): _*)).as("ft"))
+      .select($"id", col("ft.f").as("field"),
+        size(col("ft.toks")).cast("long").as("dl"),
+        explode(col("ft.toks")).as("tok"))
+      .filter(tokenPred)
+    // the ONE corpus-sized shuffle; dl is constant per (id, field) —
+    // max() re-attaches it through the aggregate without a corpus join
+    val tf = tagged.groupBy($"id", $"field", $"tok")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    // df(field, tok) = distinct docs whose field contains tok = tf's
+    // row count per (field, tok) — derived FROM the tf aggregate so the
+    // corpus is not re-tokenized for document frequencies. The filter
+    // is an always-true runtime invariant (tf is a count ≥ 1; dl is a
+    // max over sizes of non-empty exploded arrays ≥ 1) whose job is to
+    // reference tf/dl so column pruning cannot rewrite this branch's
+    // aggregate to a keys-only distinct: with both branches needing the
+    // identical aggregate, the shuffle under it canonicalizes equal and
+    // ReuseExchange serves df from the SAME exchange (one corpus scan +
+    // shuffle feeds both) instead of planning a second corpus pass.
+    val df_ = tf.filter($"tf" >= 1 && $"dl" >= 0)
+      .groupBy($"field", $"tok").agg(count(lit(1)).as("df"))
+    // pick this row's field's T_f out of the broadcast stats row
+    val tt = coalesce(fields.map(f =>
+      when($"field" === f, col(s"_t_$f"))): _*)
+    val core = $"idf" * $"tfpart"
+    val scoreExpr = boost.fold(core)(b => core * b)
+    val scored = tf.join(broadcast(df_), Seq("field", "tok"))
+      .crossJoin(stats)
+      .withColumn("tt", tt)
+      .withColumn("idf",
+        log(($"n_docs".cast("double") + lit(1.0)) /
+          ($"df".cast("double") + lit(0.5))))
+      .withColumn("tfpart",
+        (lit(22L) * $"tf" * $"tt").cast("double") /
+          (lit(10L) * $"tf" * $"tt" + lit(3L) * $"tt" +
+            lit(9L) * $"dl" * $"n_docs").cast("double"))
+      .withColumn("contrib",
+        floor(scoreExpr * lit(1e6)).cast("long"))
+    val perField = fields.map(f =>
+      coalesce(sum(when($"field" === f, $"contrib")), lit(0L))
+        .as(s"_s_$f"))
+    val best =
+      if (fields.size == 1) col(s"_s_${fields.head}")
+      else greatest(fields.map(f => col(s"_s_$f")): _*)
+    scored.groupBy($"id")
+      .agg(perField.head, perField.tail: _*)
+      .select($"id", best.as("score_fp"))
+      .filter($"score_fp" > 0)
+  }
+
+  /** Fuzzy-expanded multi-field BM25 scores — how ES `multi_match`
+    * with `fuzziness: AUTO` actually ranks (app/main.py:88-97): each
+    * query token expands to the corpus terms within its AUTO edit
+    * budget, and every expanded term is scored with ITS OWN BM25
+    * statistics (df, tf, field length), damped by the Lucene fuzzy
+    * boost `(qlen − distance) / qlen` — so an exact match strictly
+    * outranks a distance-2 match of equal df/tf/dl. Deterministic
+    * fixed-point form; per query token the boosts of all matched terms
+    * sum (a term matched by several query tokens contributes once per
+    * match, like one Boolean SHOULD clause per expansion).
+    *
+    * Same single-pass scale shape as [[bm25MultiField]]: one tagged
+    * explode, one corpus shuffle, df derived from the tf aggregate —
+    * the fuzzy predicate (length pre-filter + threshold-bounded
+    * levenshtein against literal query tokens) rides the explode
+    * filter, so expansion never materializes a vocabulary table.
+    */
+  def bm25ClassicScores(docs: DataFrame, idCol: String,
+                        fields: Seq[String], query: String): DataFrame = {
+    val qts = analyzeLiteral(query)
+    require(qts.nonEmpty, "bm25ClassicScores needs a non-empty query")
+    val pred = qts.map(qt => fuzzyPairLit($"tok", qt)).reduce(_ || _)
+    val bsum = qts.map { qt =>
+      val k = tokenFuzz(qt)
+      val qlen = qt.codePointCount(0, qt.length)
+      val d = levenshtein($"tok", lit(qt), k)
+      when((abs(length($"tok") - lit(qlen)) <= k) && (d >= 0),
+        (lit(qlen) - d).cast("double") / lit(qlen.toDouble))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    bm25Tagged(docs, idCol, fields, tokenPred = pred, boost = Some(bsum))
+  }
+
+  /** [[classic]] ranked the reference's way: fuzzy-AUTO multi_match
+    * over (name, ingredients_text, steps_text) scored with
+    * [[bm25ClassicScores]] instead of integer hit counts — the BM25
+    * ranking a user of app/main.py:88-97 actually gets, with the
+    * engine's deterministic fixed point. Top-k first (per-partition
+    * heaps), then the ≤k winners broadcast-join back for display
+    * columns — the corpus is never joined or re-sorted.
+    */
+  def bm25Classic(view: DataFrame, query: String, k: Int = 500): DataFrame = {
+    val scores = bm25ClassicScores(view, "product_id",
+      Seq("name", "ingredients_text", "steps_text"), query)
+    val topk = scores.orderBy($"score_fp".desc, $"id".asc).limit(k)
+    broadcast(topk)
+      .join(view.select(col("product_id"), col("name")),
+        topk("id") === col("product_id"))
+      .select(col("product_id"), col("name"), $"score_fp")
+      .orderBy($"score_fp".desc, col("product_id").asc)
   }
 
   def idfSearch(docs: DataFrame, idCol: String, textCol: String,

@@ -129,6 +129,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bm25MultiField: 2 corpus scans total (not per field) and df reuses the tf exchange") {
+    // AQE defers exchange reuse to runtime stages; disable it so the
+    // static plan exposes the ReuseExchange decision for the assert
+    // (runtime AQE reuses the same canonically-equal stage).
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan(Search.bm25MultiField(docs, "doc_id",
+        Seq("text", "lang", "source"), Seq("spark", "table")))
+      assert("Scan parquet".r.findAllIn(p).length === 2,
+        "corpus must scan exactly twice (stats + tagged explode), not per field:\n" + p)
+      assert(p.contains("ReusedExchange"),
+        "df must be served from the tf exchange, not a corpus re-scan:\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bm25ClassicScores keeps the single-pass shape under the fuzzy predicate") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan(Search.bm25ClassicScores(docs, "doc_id",
+        Seq("text", "lang"), "spark tables"))
+      assert("Scan parquet".r.findAllIn(p).length === 2, p)
+      assert(p.contains("ReusedExchange"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("idfSearch: df-stats and corpus-count sides are broadcast") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val p = plan(Search.idfSearch(docs, "doc_id", "text", Seq("spark", "table")))

@@ -97,6 +97,36 @@ class SearchSpec extends SparkSpec {
     assert(idf(3L) === idf(1L))
   }
 
+  test("bm25ClassicScores: exact match outranks a distance-2 match of equal df/tf/dl") {
+    val docs = Seq(
+      (1L, "chocolat aaa bbb"),   // exact term,      boost 1
+      (2L, "chocolaxx aaa bbb")   // distance-2 term, boost (8-2)/8
+    ).toDF("doc_id", "text")
+    val got = Search.bm25ClassicScores(docs, "doc_id", Seq("text"), "chocolat")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("score_fp"))
+      .toMap
+    // both docs hit (fuzzy expansion reaches chocolaxx), same df/tf/dl —
+    // only the fuzzy boost separates them
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25Classic('chocolat') hits exactly the fuzzy hit-set, ranked by BM25") {
+    val rows = Search.bm25Classic(view, "chocolat")
+      .select($"product_id", $"score_fp").as[(String, Long)].collect()
+    // same fuzzy expansion as classic() => same hit-set cardinality (q45)
+    assert(rows.length === 214)
+    val classicIds = Search.classic(view, "chocolat")
+      .select($"product_id").as[String].collect().toSet
+    assert(rows.map(_._1).toSet === classicIds)
+    // ranked score-desc with id tie-break, scores all positive
+    assert(rows.forall(_._2 > 0))
+    assert(rows.sliding(2).forall {
+      case Array((i1, s1), (i2, s2)) => s1 > s2 || (s1 == s2 && i1 < i2)
+      case _ => true
+    })
+  }
+
   test("bm25Search builder is lazy (no job at construction)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = Search.bm25Search(
