@@ -110,6 +110,74 @@ object Sessions {
       .drop("keep_ppm")
   }
 
+  /** Hot-key-safe [[sessionize]]: the same gap rule computed in two
+    * bounded phases instead of one unbounded per-key window. Phase 1
+    * splits each key's history by a coarse time bucket
+    * (`bucketSeconds`, default one day — must be >= `gapSeconds`) and
+    * sessionizes each (key, bucket) chunk locally; phase 2 merges
+    * sessions across bucket boundaries with a window over the per-
+    * (key, bucket) SUMMARIES (first/last event time, local session
+    * count) — rows per key = number of active buckets, never number
+    * of events. A session crosses the boundary exactly when the gap
+    * from the previous bucket's last event to this bucket's first
+    * event is <= `gapSeconds`; the merge then shifts every local id
+    * by the cumulative session count of the preceding buckets.
+    *
+    * Output rows and `session_id` values are IDENTICAL to
+    * [[sessionize]] (SessionsSpec proves it, including on a key
+    * holding half the corpus); only the task-size bound changes: the
+    * widest window is max events per (key, bucket), so one
+    * pathological key (billions of events over years) no longer
+    * serializes into a single task at 100 TB.
+    */
+  def sessionizeBucketed(df: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, gapSeconds: Long,
+                         bucketSeconds: Long = 86400L): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    require(bucketSeconds >= gapSeconds,
+      s"bucketSeconds ($bucketSeconds) must be >= gapSeconds ($gapSeconds): " +
+        "a gap can span at most one bucket boundary")
+    val bktMicros = bucketSeconds * 1000000L
+    // floor bucket in exact int64 (pmod keeps pre-1970 negatives exact)
+    val withBkt = df
+      .withColumn("_um", unix_micros(col(tsCol)))
+      .withColumn("_bkt",
+        expr(s"(_um - ((_um % $bktMicros + $bktMicros) % $bktMicros)) DIV $bktMicros"))
+    // phase 1: local sessionization within each (key, bucket) chunk
+    val w1 = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prev = lag(col("_um"), 1).over(w1)
+    val local = withBkt
+      .withColumn("_new",
+        when(prev.isNull || col("_um") - prev > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_lsid", sum(col("_new")).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+    // phase 2: per-(key, bucket) summaries + the tiny merge window
+    val summ = local.groupBy(col(keyCol), col("_bkt"))
+      .agg(min(col("_um")).as("_first_um"), max(col("_um")).as("_last_um"),
+        max(col("_lsid")).as("_n_sess"))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("_bkt").asc)
+    val prevLast = lag(col("_last_um"), 1).over(w2)
+    // _m = 1 when this bucket's first session does NOT merge into the
+    // previous bucket's last session (no previous bucket, or gap
+    // exceeded); each bucket contributes _n_sess - (1 - _m) new ids
+    val merged = summ
+      .withColumn("_m",
+        when(prevLast.isNull ||
+          col("_first_um") - prevLast > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("_base", coalesce(
+        sum(col("_n_sess") - (lit(1L) - col("_m"))).over(
+          w2.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("_bkt"), col("_m"), col("_base"))
+    local.join(merged, Seq(keyCol, "_bkt"))
+      .withColumn("session_id",
+        col("_base") + col("_lsid") - (lit(1L) - col("_m")))
+      .drop("_um", "_bkt", "_lsid", "_m", "_base")
+  }
+
   /** Deterministic per-key COUNT cap — the domain-cap primitive of
     * corpus construction (keep at most `maxPerKey` documents per
     * domain/source/language so one crawl template cannot dominate the
@@ -131,5 +199,36 @@ object Sessions {
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= maxPerKey)
       .drop("_rk")
+  }
+
+  /** Hot-key-safe [[capPerKey]]: the same kept set via a two-phase
+    * tournament. Phase 1 ranks within (key, salt) — the hot key's rows
+    * spread over `salts` concurrent tasks — and keeps each salt's top
+    * `maxPerKey`; phase 2 re-ranks the <= salts * maxPerKey survivors
+    * per key and keeps the true top `maxPerKey`. Any row in the global
+    * per-key top-m is necessarily in its salt's top-m, so the result
+    * is IDENTICAL to [[capPerKey]] (SessionsSpec proves it, including
+    * on a key holding half the corpus); the salt comes from the same
+    * md5 channel as the rank order, so no new hash family is
+    * introduced. Phase-2 task size is bounded by salts * maxPerKey
+    * per key — tune `salts` to executor count, not data size.
+    */
+  def capPerKeySalted(df: DataFrame, keyCol: String, idCol: String,
+                      maxPerKey: Int, salts: Int = 64): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val h = md5(col(idCol).cast("string"))
+    val withSalt = df.withColumn("_salt",
+      pmod(conv(substring(h, 9, 4), 16, 10).cast("long"), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(keyCol), col("_salt"))
+      .orderBy(h.asc, col(idCol).asc)
+    val survivors = withSalt
+      .withColumn("_rk1", row_number().over(w1))
+      .filter(col("_rk1") <= maxPerKey)
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(h.asc, col(idCol).asc)
+    survivors.withColumn("_rk2", row_number().over(w2))
+      .filter(col("_rk2") <= maxPerKey)
+      .drop("_salt", "_rk1", "_rk2")
   }
 }

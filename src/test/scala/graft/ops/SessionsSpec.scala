@@ -102,6 +102,59 @@ class SessionsSpec extends SparkSpec {
     assert(ids5.subsetOf(ids10))
   }
 
+  test("capPerKeySalted == capPerKey on an adversarial hot key (half the corpus)") {
+    // one key holds 5000 of 10000 rows; the rest spread over 50 keys
+    val rows = Seq.tabulate(5000)(i => (i.toLong, "hot")) ++
+      Seq.tabulate(5000)(i => ((100000 + i).toLong, s"k${i % 50}"))
+    val df = rows.toDF("id", "k").repartition(7)
+    val want = Sessions.capPerKey(df, "k", "id", 37)
+      .select("id", "k").as[(Long, String)].collect().toSet
+    for (salts <- Seq(1, 8, 64)) {
+      val got = Sessions.capPerKeySalted(df, "k", "id", 37, salts)
+        .select("id", "k").as[(Long, String)].collect().toSet
+      assert(got === want, s"salts=$salts must reproduce capPerKey exactly")
+    }
+    // schema passthrough: no helper columns leak
+    assert(Sessions.capPerKeySalted(df, "k", "id", 37).columns.toSeq
+      === df.columns.toSeq)
+  }
+
+  test("sessionizeBucketed == sessionize, including cross-boundary merges and a hot key") {
+    // hot key: 2000 events every 20 min spanning many day buckets —
+    // every bucket boundary lands mid-session (20 min < 30 min gap),
+    // so the summary-window merge path is exercised hundreds of times;
+    // plus sparse keys with multi-day dead gaps (no-merge path over
+    // non-adjacent buckets)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hot = Seq.tabulate(2000)(i =>
+      ("hot", i.toLong, new java.sql.Timestamp(base + i * 1200_000L)))
+    val sparse = Seq.tabulate(40)(i =>
+      (s"s${i % 5}", (10000 + i).toLong,
+        new java.sql.Timestamp(base + i * 50_000_000L)))
+    val df = (hot ++ sparse).toDF("user", "event_id", "ts").repartition(5)
+    val want = Sessions.sessionize(df, "user", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toSet
+    val got = Sessions.sessionizeBucketed(df, "user", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // the hot key's 2000-event run at 20-min spacing is ONE session
+    // end-to-end despite crossing ~27 day-bucket boundaries
+    val hotIds = Sessions.sessionizeBucketed(df, "user", "ts", "event_id", 1800L)
+      .filter($"user" === "hot").select("session_id").as[Long].collect().toSet
+    assert(hotIds === Set(1L))
+    // gap exactly at a bucket boundary: 1800s gap does not split, 1801 does
+    val edge = events(
+      ("u", 1L, "2024-01-01 23:45:00"),
+      ("u", 2L, "2024-01-02 00:15:00"),   // 1800s across midnight -> same
+      ("u", 3L, "2024-01-02 00:45:01"))   // 1801s -> new session
+    val e = Sessions.sessionizeBucketed(edge, "user", "ts", "event_id", 1800L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(e(1L) === 1L && e(2L) === 1L && e(3L) === 2L)
+    intercept[IllegalArgumentException](
+      Sessions.sessionizeBucketed(edge, "user", "ts", "event_id",
+        gapSeconds = 3600L, bucketSeconds = 1800L))
+  }
+
   test("sqrtTemperatureMix: smallest stratum whole, sqrt rates, stable") {
     // 1000 "big" docs vs 40 "small": keep rate for big = sqrt(40/1000)
     // = 0.2, small kept entirely. md5 buckets are uniform, so the kept
