@@ -45,7 +45,18 @@ object Tables {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key variant: joins/aggregates keyed on ALL of `keys` read
+    * the bucketed distribution for free (e.g. the LSH band-bucket
+    * table bucketed by (band, bkey) self-joins with zero Exchange).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucketing key")
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 }

@@ -359,6 +359,16 @@ object Dedup {
     // expression per consumer measurably dominates (bench q23).
     val rawBuckets = mat(minhashBuckets(sets, bands, rowsPerBand))
     val buckets = mat(capBuckets(rawBuckets, maxBucket))
+    lshVerifiedPairs(sets, buckets, tau)
+  }
+
+  /** Candidate self-join + exact-Jaccard verification over a (capped)
+    * band-bucket table — the shared tail of [[minhashLshPairs]] and
+    * [[minhashLshPairsFromTable]]. `sets` must carry (doc_id, shs),
+    * `buckets` (doc_id, band, bkey).
+    */
+  private def lshVerifiedPairs(sets: DataFrame, buckets: DataFrame,
+                               tau: Double): DataFrame = {
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -375,6 +385,53 @@ object Dedup {
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
           .as("jaccard"))
     verified.filter($"jaccard" >= tau)
+  }
+
+  /** Persist the LSH dedup assets as BUCKETED catalog tables — the
+    * batch counterpart of the streaming path's persisted signature
+    * tables ([[graft.streaming.StreamingUpsert.incrementalNearDup]]).
+    * Pay the shingle/minhash computation and the shuffle ONCE at
+    * write time; every later [[minhashLshPairsFromTable]] run reads
+    * them back with the hash distribution already on disk:
+    *   - `setsTable` (doc_id, shs) bucketed by doc_id — the verify
+    *     probes read it pre-distributed;
+    *   - `bucketsTable` (doc_id, band, bkey) bucketed by (band, bkey)
+    *     — the candidate self-join and the population-cap aggregate
+    *     both key on exactly the bucket columns, so neither plans an
+    *     Exchange (asserted in PlanSpec).
+    * The bucket table is derived from the PERSISTED sets table, so
+    * document text is tokenized and hashed exactly once. At 100 TB
+    * this is the repeat-dedup asset: incremental corpus drops re-run
+    * candidate generation against unchanged signatures instead of
+    * re-hashing the corpus.
+    */
+  def writeLshAssets(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, bands: Int, rowsPerBand: Int,
+                     setsTable: String, bucketsTable: String,
+                     numBuckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    Tables.writeBucketed(
+      shingleSets(docs, idCol, textCol, n).filter(size($"shs") > 0),
+      setsTable, Seq("doc_id"), numBuckets)
+    Tables.writeBucketed(
+      minhashBuckets(spark.table(setsTable), bands, rowsPerBand),
+      bucketsTable, Seq("band", "bkey"), numBuckets)
+  }
+
+  /** [[minhashLshPairs]] over assets persisted by [[writeLshAssets]]:
+    * identical output (same cap, same verification) with no shingle
+    * or minhash computation at query time, and a zero-Exchange
+    * candidate self-join (the band-bucket table's bucketing IS the
+    * join distribution).
+    */
+  def minhashLshPairsFromTable(spark: org.apache.spark.sql.SparkSession,
+                               setsTable: String, bucketsTable: String,
+                               tau: Double,
+                               maxBucket: Long = defaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
+    val sets = spark.table(setsTable)
+    val buckets = capBuckets(spark.table(bucketsTable), maxBucket)
+    lshVerifiedPairs(sets, buckets, tau)
   }
 
   /** Audit of the minhash band buckets against a population cap: ONE

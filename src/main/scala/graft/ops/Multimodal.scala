@@ -122,6 +122,79 @@ object Multimodal {
         16, 10).cast("long"))
       .otherwise(lit(null).cast("long"))
 
+  // ------------------------------------------------ JPEG SOF walk
+  /** SOF marker set: C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC). */
+  private val sofMarkers = Seq(
+    "C0", "C1", "C2", "C3", "C5", "C6", "C7",
+    "C9", "CA", "CB", "CD", "CE", "CF")
+
+  /** Hex chars of byte `bytePos` (1-based) in hex string `hx`. */
+  private def byteHex(hx: Column, bytePos: Column): Column =
+    hx.substr((bytePos * 2 - 1).cast("int"), lit(2))
+
+  /** Big-endian u16 at byte `bytePos` (1-based) of hex string `hx`. */
+  private def u16be(hx: Column, bytePos: Column): Column =
+    conv(hx.substr((bytePos * 2 - 1).cast("int"), lit(4)), 16, 10)
+      .cast("long")
+
+  /** REAL metadata parse: JPEG dimensions from the SOF frame header.
+    *
+    * Unlike PNG/GIF/WAV, JPEG dimensions are NOT at a fixed offset:
+    * the file is a sequence of variable-length segments
+    * (`FF <marker> <u16 len> <payload>`), and width/height live in the
+    * first start-of-frame segment (SOF0..SOF15 minus DHT/JPG/DAC),
+    * whose position depends on every APPn/DQT/COM segment before it.
+    * This walks the segment chain as a pure Column expression: an
+    * `aggregate` fold over `maxSegments` steps carrying a
+    * (pos, width, height) struct — each step either finds SOF (records
+    * `height` at byte pos+5, `width` at pos+7, both big-endian u16),
+    * hops `2 + segLen` bytes forward, or stops (null pos) on
+    * truncated/invalid input. Bounded scan: only the first `scanBytes`
+    * bytes are hexed, so cost per row is O(scanBytes + maxSegments),
+    * shuffle-free and codegen-resident like the other header parses.
+    *
+    * Returns struct(jpeg_width, jpeg_height); both null for non-JPEG
+    * blobs or JPEGs whose SOF lies beyond the scan window.
+    */
+  def jpegDims(bin: Column, maxSegments: Int = 16,
+               scanBytes: Int = 2048): Column = {
+    require(maxSegments >= 1 && scanBytes >= 16,
+      s"need maxSegments>=1, scanBytes>=16; got $maxSegments/$scanBytes")
+    val hx = hex(substring(bin, 1, scanBytes))
+    val nullL = lit(null).cast("long")
+    val stopped = struct(nullL.as("pos"), nullL.as("w"), nullL.as("h"))
+    val init = struct(lit(3L).as("pos"), nullL.as("w"), nullL.as("h"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val hxLen = length(hx).cast("long")
+        // marker bytes pos..pos+1 fully inside the scan window
+        val canMarker = (pos + 1) * 2 <= hxLen
+        val isFf = byteHex(hx, pos) === lit("FF")
+        val marker = byteHex(hx, pos + 1)
+        val isSof = marker.isin(sofMarkers: _*)
+        // SOF payload: len(2) precision(1) height(2) width(2)
+        val canSof = (pos + 8) * 2 <= hxLen
+        val canLen = (pos + 3) * 2 <= hxLen
+        val segLen = u16be(hx, pos + 2)
+        when(pos.isNull, acc) // already stopped or found
+          .when(!canMarker || !isFf, stopped)
+          .when(isSof && canSof,
+            struct(nullL.as("pos"),
+              u16be(hx, pos + 7).as("w"), u16be(hx, pos + 5).as("h")))
+          .when(!isSof && canLen && segLen >= 2,
+            struct((pos + 2 + segLen).as("pos"),
+              nullL.as("w"), nullL.as("h")))
+          .otherwise(stopped)
+      })
+    val isJpeg = hx.startsWith("FFD8FF")
+    struct(
+      when(isJpeg, walked.getField("w")).otherwise(nullL).as("jpeg_width"),
+      when(isJpeg, walked.getField("h")).otherwise(nullL).as("jpeg_height"))
+  }
+
   /** STUB feature extractor: `dims` doubles in [0,1] from 4-nibble
     * windows of the content fingerprint — a deterministic fake standing
     * in for a real image/audio embedding model (see class doc). dims <= 8

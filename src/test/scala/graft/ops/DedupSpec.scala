@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("minhashLshPairsFromTable == minhashLshPairs (persisted-asset path)") {
+    val df = Seq((1L, dupText), (2L, dupText + " iota"),
+      (3L, "now for something completely different in every way indeed"),
+      (4L, dupText + " kappa"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeLshAssets(df, "doc_id", "text", 3, 4, 2,
+        "lsh_sets_t", "lsh_buckets_t", 4)
+      val inline = Dedup.minhashLshPairs(df, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val fromTable = Dedup.minhashLshPairsFromTable(spark,
+        "lsh_sets_t", "lsh_buckets_t", tau = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fromTable === inline)
+      assert(fromTable.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lsh_sets_t")
+      spark.sql("DROP TABLE IF EXISTS lsh_buckets_t")
+    }
+  }
+
   test("crossContamination finds cross-corpus shingle overlap, never within-corpus") {
     val train = Seq((1L, dupText), (2L, "no overlap here at all whatsoever"))
       .toDF("doc_id", "text")

@@ -58,6 +58,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
+  test("jpegDims walks SOF segments: baseline, progressive, truncated, non-JPEG") {
+    // baseline JFIF: SOI + APP0(16) + SOF0 640x480
+    val base = hexBytes("FFD8" +
+      "FFE00010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000" +
+      "FFC00011" + "08" + "01E0" + "0280" + "03" + "012200" + "021101" + "031101")
+    // progressive: SOI + APP0 + DQT(5) + SOF2 100x50 — the walker must
+    // hop the extra segment, not assume a fixed SOF offset
+    val prog = hexBytes("FFD8" +
+      "FFE00010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000" +
+      "FFDB0005" + "001122" +
+      "FFC2000B" + "08" + "0032" + "0064" + "01" + "011100")
+    val d = Seq((1L, base), (2L, prog), (3L, jpeg), (4L, png))
+      .toDF("id", "bin").orderBy("id")
+    val rows = d.select(Multimodal.jpegDims($"bin").as("j"))
+      .select($"j.jpeg_width", $"j.jpeg_height").collect()
+    assert(rows(0).getLong(0) === 640L && rows(0).getLong(1) === 480L)
+    assert(rows(1).getLong(0) === 100L && rows(1).getLong(1) === 50L)
+    // truncated header: walk runs off the blob -> null dims, no error
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    // non-JPEG magic -> null dims
+    assert(rows(3).isNullAt(0) && rows(3).isNullAt(1))
+  }
+
+  test("jpegDims: DHT (C4) is not a SOF marker and is hopped, not parsed") {
+    // SOI + DHT(len 5) + SOF0 8x4: C4 sits inside the C0-CF block but is
+    // a Huffman table; reading dims from it would yield garbage.
+    val d0 = hexBytes("FFD8" + "FFC40005" + "AABBCC" +
+      "FFC0000B" + "08" + "0004" + "0008" + "01" + "011100")
+    val rows = Seq((1L, d0)).toDF("id", "bin")
+      .select(Multimodal.jpegDims($"bin").as("j"))
+      .select($"j.jpeg_width", $"j.jpeg_height").collect()
+    assert(rows(0).getLong(0) === 8L && rows(0).getLong(1) === 4L)
+  }
+
   test("stubFeatures: deterministic, dims-long, in [0,1]") {
     val d = Seq((1L, png)).toDF("id", "bin")
     val f1 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()

@@ -86,6 +86,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q84: persisted LSH assets — candidate self-join and cap aggregate plan no Exchange") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    graft.ops.Dedup.writeLshAssets(docs, "doc_id", "text", 3, 4, 2,
+      "lsh_sets_plan", "lsh_buckets_plan", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // disable broadcast so the assert proves the BUCKETED distribution
+      // (not a broadcast) is what removes the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val b = spark.table("lsh_buckets_plan")
+      val selfJoin = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      val pJoin = plan(selfJoin)
+      assert(!pJoin.contains("Exchange"),
+        s"bucketed candidate self-join must not shuffle:\n$pJoin")
+      // population-cap aggregate keys on exactly the bucket columns
+      val pAgg = plan(b.groupBy("band", "bkey").count())
+      assert(!pAgg.contains("Exchange"),
+        s"cap aggregate over bucketed scan must not shuffle:\n$pAgg")
+      assert(selfJoin.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS lsh_sets_plan")
+      spark.sql("DROP TABLE IF EXISTS lsh_buckets_plan")
+    }
+  }
+
   test("q58 exact jaccard: candidate join is an equi-join, never cartesian") {
     val p = plan(OpsQueries.q58(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
