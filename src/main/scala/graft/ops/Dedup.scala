@@ -58,14 +58,29 @@ object Dedup {
                         mat: Materializer = Materialize.Local): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.toks(col(textCol)).as("toks"))
-      .filter(size($"toks") > 0)
     // the block table feeds three plan branches (count aggregate,
     // join-back, per-doc totals) — materialize once or the corpus is
     // re-tokenized and re-exploded per branch (same barrier rationale
     // as minhashLshPairs)
-    val blkPlan = base.select($"doc_id", posexplode(
+    val blk = mat(spanBlocks(docs, idCol, textCol, spanTokens))
+    val stats = blk.groupBy($"blk").agg(
+      count(lit(1)).as("cnt"),
+      min($"key").as("keeper"))
+    reassembleSpans(blk, stats, minRepeat)
+  }
+
+  /** The (doc_id, pos, blk, key) block table of [[dropRepeatedSpans]]:
+    * consecutive `spanTokens`-token blocks per document, with the
+    * contract-guarded integer keeper key. Shared with the incremental
+    * streaming path ([[graft.streaming.StreamingUpsert]]) so batch and
+    * stream cut IDENTICAL blocks.
+    */
+  private[graft] def spanBlocks(docs: DataFrame, idCol: String,
+                                textCol: String, spanTokens: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.toks(col(textCol)).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", posexplode(
         transform(
           sequence(lit(1), expr(s"(size(toks) + ${spanTokens - 1}) DIV $spanTokens")),
           i => concat_ws(" ",
@@ -84,10 +99,14 @@ object Dedup {
             lit("dropRepeatedSpans contract violated: need 0 <= doc_id < 2^43 "
               + "and < 1e6 blocks/doc, got (doc_id="),
             $"doc_id", lit(", pos="), $"pos", lit(")")))))
-    val blk = mat(blkPlan)
-    val stats = blk.groupBy($"blk").agg(
-      count(lit(1)).as("cnt"),
-      min($"key").as("keeper"))
+
+  /** Join a block table against per-block stats (blk, cnt, keeper),
+    * drop repeated non-keeper blocks, and reassemble per-doc output —
+    * the shared tail of [[dropRepeatedSpans]] and the streaming
+    * reconstruction.
+    */
+  private[graft] def reassembleSpans(blk: DataFrame, stats: DataFrame,
+                                     minRepeat: Long): DataFrame = {
     val kept = blk.join(stats, Seq("blk"))
       .filter($"cnt" < minRepeat || $"key" === $"keeper")
     val nb = blk.groupBy($"doc_id").agg(count(lit(1)).as("n_blocks"))

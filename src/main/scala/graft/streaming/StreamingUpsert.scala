@@ -223,6 +223,121 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------------------------- incremental span dedup
+
+  private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Completed (has _SUCCESS) stats versions under `basePath/stats`,
+    * as (version, path).
+    */
+  private def statsVersions(spark: SparkSession,
+                            basePath: String): Seq[(Long, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/stats")
+    val f = hfs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v=") &&
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        scala.util.Try(name.drop(2).toLong).toOption
+          .map(_ -> st.getPath.toString)
+      else None
+    }
+  }
+
+  /** One micro-batch of incremental span-level dedup state — the
+    * streaming form of [[Dedup.dropRepeatedSpans]] (Lee et al. span
+    * dedup), maintaining two persisted assets under `basePath`:
+    *
+    *   - `blocks/batch=<id>/` — the batch's (doc_id, pos, blk, key)
+    *     block table ([[Dedup.spanBlocks]], IDENTICAL block cutting to
+    *     the batch operator). One directory per micro-batch,
+    *     OVERWRITTEN on replay — appends are idempotent, not merely
+    *     at-least-once (the ADVICE r4 per-batchId pattern).
+    *   - `stats/v=<id>/` — per-block (cnt, keeper) totals over ALL
+    *     blocks seen so far. Count and min-key merge associatively, so
+    *     version N is derived from version N-1 plus ONLY this batch's
+    *     blocks — the corpus is never re-exploded or re-aggregated.
+    *     Replay safety: a re-run of batch N re-reads version N-1
+    *     (pruning always keeps one predecessor) and overwrites v=N,
+    *     reproducing it exactly; versions older than the predecessor
+    *     are pruned after the write. Readers only trust versions with
+    *     a _SUCCESS marker.
+    *
+    * Arriving documents are thus judged against historical block
+    * counts at O(batch + |stats|) cost per batch. The corpus-wide
+    * result is materialized by [[spanDedupFromState]], which is
+    * EXACTLY equal to the batch operator on the unioned input
+    * (asserted in StreamingUpsertSpec) — unlike the LSH cap there is
+    * no divergence case, because the merge is lossless.
+    */
+  def spanStateBatch(spark: SparkSession, batch: DataFrame,
+                     idCol: String, textCol: String, spanTokens: Int,
+                     batchId: Long, basePath: String,
+                     mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    // batch block table — explodes ONLY this batch's documents; feeds
+    // two consumers (block write + stats aggregate), so one barrier
+    val blk = mat(Dedup.spanBlocks(batch, idCol, textCol, spanTokens))
+    blk.write.mode("overwrite").parquet(s"$basePath/blocks/batch=$batchId")
+    val batchStats = blk.groupBy(col("blk")).agg(
+      count(lit(1)).cast("long").as("cnt"),
+      min(col("key")).as("keeper"))
+    val versions = statsVersions(spark, basePath).filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(batchStats.schema).parquet(p)
+      case None         => batchStats.limit(0)
+    }
+    prev.unionByName(batchStats)
+      .groupBy(col("blk"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("keeper")).as("keeper"))
+      .write.mode("overwrite").parquet(s"$basePath/stats/v=$batchId")
+    // prune: keep the predecessor (needed if THIS batch replays) and
+    // the version just written; everything older is unreachable
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, basePath)
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** Corpus-wide span-dedup result from the state written by
+    * [[spanStateBatch]]: joins the persisted block table (already
+    * exploded — no re-tokenization) against the latest completed
+    * per-block stats and reassembles documents. Output is identical
+    * to [[Dedup.dropRepeatedSpans]] over the union of all batches.
+    */
+  def spanDedupFromState(spark: SparkSession, basePath: String,
+                         minRepeat: Long): DataFrame = {
+    require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
+    val latest = statsVersions(spark, basePath).sortBy(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no completed span-dedup stats under $basePath/stats"))
+    val blk = spark.read.parquet(s"$basePath/blocks")
+      .select(col("doc_id"), col("pos"), col("blk"), col("key"))
+    val stats = spark.read.parquet(latest._2)
+    Dedup.reassembleSpans(blk, stats, minRepeat)
+  }
+
+  /** [[spanStateBatch]] wired as the foreachBatch sink of a document
+    * stream — arriving documents extend the span-dedup state
+    * incrementally; [[spanDedupFromState]] materializes the deduped
+    * corpus on demand.
+    */
+  def incrementalSpanDedup(stream: DataFrame, idCol: String,
+                           textCol: String, spanTokens: Int,
+                           basePath: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spanStateBatch(batch.sparkSession, batch, idCol, textCol,
+          spanTokens, batchId, basePath)
+      }
+      .start()
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

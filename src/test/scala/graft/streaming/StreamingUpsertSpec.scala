@@ -177,6 +177,71 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(streamed.exists { case (a, b) => batchOf(a) != batchOf(b) })
   }
 
+  test("incrementalSpanDedup over N micro-batches equals batch dropRepeatedSpans (property)") {
+    // Streaming/batch equivalence for span dedup: feeding documents in
+    // 3 micro-batches and reconstructing from state must EXACTLY equal
+    // one batch dropRepeatedSpans over the union — count and min-key
+    // merge losslessly, so unlike the LSH cap there is no divergence
+    // case. The repeated 4-token boilerplate block is planted across
+    // batches so the keeper (global min key) arrives in a different
+    // batch than later copies.
+    implicit val sql = spark.sqlContext
+    val boiler = "all rights reserved copyright"
+    def doc(i: Int): String =
+      if (i % 2 == 0) s"$boiler unique$i content$i words$i here$i"
+      else s"fresh$i text$i body$i prose$i $boiler"
+    val docs = (0 until 12).map(i => (i.toLong, doc(i)))
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(docs)
+    val base = tmp("incr_span")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingUpsert.incrementalSpanDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      spanTokens = 4, basePath = base, checkpoint = tmp("incr_span_ckpt"))
+    try {
+      shuffled.grouped(4).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingUpsert.spanDedupFromState(spark, base, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Dedup.dropRepeatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 12)
+    // the boilerplate block really was dropped somewhere (kept < blocks)
+    assert(streamed.exists(r => r._3 < r._2))
+    // only the latest stats version plus its predecessor survive pruning
+    assert(new java.io.File(s"$base/stats").listFiles().count(_.isDirectory) <= 2)
+  }
+
+  test("spanStateBatch replay: re-running a batch leaves state unchanged (idempotent)") {
+    // The ADVICE r4 pattern under test: blocks/batch=<id> and
+    // stats/v=<id> are OVERWRITTEN on replay and v=<id> is rebuilt from
+    // its predecessor, so a re-run cannot double-count block
+    // populations (unlike append-only state).
+    val b1 = Seq((1L, "red green blue yellow common block text here"),
+      (2L, "common block text here and some more words"))
+    val b2 = Seq((3L, "common block text here third arrival now yes"))
+    val base = tmp("span_replay")
+    def run(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.spanStateBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4, batchId = id, basePath = base)
+    run(b1, 0L)
+    run(b1, 0L) // simulated replay of batch 0
+    run(b2, 1L)
+    run(b2, 1L) // simulated replay of batch 1
+    val streamed = StreamingUpsert.spanDedupFromState(spark, base, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Dedup.dropRepeatedSpans((b1 ++ b2).toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
+
   test("nearDupBatch replay: duplicated appends collapse under distinct-at-read") {
     // The documented at-least-once contract: a replayed micro-batch
     // re-appends value-identical rows to pairs/ AND sets/buckets/, and
