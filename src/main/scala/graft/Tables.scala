@@ -54,7 +54,14 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "need at least one bucketing key")
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket keys first: without it every write
+    // task emits a file PER bucket (nPartitions x buckets small
+    // files — slow to list and scan); with it, rows land on the task
+    // that owns their bucket (same Murmur3 hash both sides), one file
+    // per bucket. This IS the pay-once shuffle the bucketed asset
+    // amortizes.
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
