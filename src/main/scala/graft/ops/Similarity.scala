@@ -311,6 +311,135 @@ object Similarity {
       .filter($"rank" <= k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou et al. 2011; the FAISS PQ
+    * shape): each `dims`-dim vector is split into `m` subvectors of
+    * dims/m components, and each subspace gets its own codebook. Here
+    * the codebook entries are the subvectors of the deterministic
+    * stride-seed vectors ([[strideCentroids]] — the same
+    * oracle-portable seed selection the IVF path uses; production
+    * swaps in per-subspace k-means without touching the
+    * encode/ADC machinery). Output: (sub_id 1..m, cent_id, c_sub,
+    * c_n2) — m × (corpus/stride) rows, tiny, broadcastable.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, dims: Int,
+                  stride: Long): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims, got m=$m dims=$dims")
+    val dsub = dims / m
+    strideCentroids(corpus, stride)
+      .select($"cent_id", posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"c_qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select(($"pos" + 1).cast("long").as("sub_id"), $"cent_id",
+        $"col".as("c_sub"))
+      .withColumn("c_n2", qnorm2($"c_sub"))
+  }
+
+  /** PQ encoding: each vector becomes `m` small codes — the nearest
+    * codebook entry per subspace by EXACT int64 squared L2 distance
+    * (argmin over c_n2 − 2·dot; the vector's own subnorm is constant
+    * per row and drops out), ties to the smaller cent_id. Output
+    * (vec_id, codes array<long>) — at 100 TB this is the index
+    * column: m bytes-ish per vector instead of dims × 8, the same
+    * storage story as [[preparedInt8]] but at a much deeper
+    * compression point.
+    *
+    * Scale shape: one corpus scan, a ×m Generate (no shuffle), a
+    * broadcast join against the codebook, then two partial+final
+    * aggregates (argmin per (vec, sub), assembly per vec) — the
+    * second aggregate's input is m rows per vector, already tiny.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+               dims: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims, got m=$m dims=$dims")
+    val dsub = dims / m
+    corpus.select($"vec_id", posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
+        $"col".as("v_sub"))
+      .join(broadcast(codebooks), Seq("sub_id"))
+      .select($"vec_id", $"sub_id", $"cent_id",
+        ($"c_n2" - lit(2L) * qdot($"v_sub", $"c_sub")).as("d2p"))
+      .groupBy($"vec_id", $"sub_id")
+      .agg(min_by($"cent_id", struct($"d2p", $"cent_id")).as("code"))
+      .groupBy($"vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"sub_id", $"code"))),
+        s => s.getField("code")).as("codes"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): the query
+    * keeps its full vector; each candidate's dot product and norm are
+    * reconstructed from per-(subspace, code) lookup tables
+    * (q·x̂ = Σ_j q_sub_j · c(j, code_j), ‖x̂‖² = Σ_j c_n2 — both exact
+    * int64 since reconstruction is concatenation), cosine taken at
+    * the very end in double. The corpus side touches ONLY the codes
+    * column: the scan/shuffle volume of the ranking stage is the
+    * compressed index, never the raw vectors — the whole point of PQ
+    * at 100 TB. LUTs are (queries × m × ksub) rows — broadcast.
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+            m: Int, dims: Int, k: Int): DataFrame = {
+    val dsub = dims / m
+    val lut = broadcast(queries
+      .select($"vec_id".as("query_id"), $"n2".as("q_n2"), posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select($"query_id", $"q_n2",
+        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("q_sub"))
+      .join(codebooks, Seq("sub_id"))
+      .select($"query_id", $"q_n2", $"sub_id", $"cent_id",
+        qdot($"q_sub", $"c_sub").as("pdot"), $"c_n2"))
+    val scored = pqEncode(corpus, codebooks, m, dims)
+      .select($"vec_id", posexplode($"codes"))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
+        $"col".as("cent_id"))
+      .join(lut, Seq("sub_id", "cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"pdot").as("rdot"), sum($"c_n2").as("r_n2"),
+        max($"q_n2").as("q_n2"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** PQ shortlist + exact re-rank — the production PQ serving shape
+    * (FAISS's ADC + refine): [[knnPq]] ranks a `shortlist` of
+    * candidates from the compressed codes alone, then ONLY those
+    * shortlist rows fetch their full vectors for an exact cosine
+    * re-rank. At 100 TB the full-vector column is touched for
+    * queries × shortlist rows instead of the whole corpus — the scan
+    * stays on the codes, the fetch is a selective equi-join. Recall
+    * recovers most of the ADC approximation loss (q85 measures raw
+    * ADC, q86 measures this re-ranked form, same audit protocol).
+    */
+  def knnPqRerank(corpus: DataFrame, queries: DataFrame,
+                  codebooks: DataFrame, m: Int, dims: Int, k: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val cand = knnPq(corpus, queries, codebooks, m, dims, shortlist)
+      .select($"query_id", $"neighbor_id")
+    val q = broadcast(queries.select($"vec_id".as("query_id"),
+      $"qv".as("q_qv"), $"n2".as("q_n2")))
+    val scored = broadcast(cand)
+      .join(corpus, $"neighbor_id" === $"vec_id")
+      .join(q, Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** LSH-bucketed approximate top-k: queries only compare against
     * corpus vectors in the same sign bucket (plus the per-query exact
     * re-rank). Recall depends on nBits; with small nBits and clustered

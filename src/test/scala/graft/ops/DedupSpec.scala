@@ -287,9 +287,22 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val tracker = spark.sparkContext.statusTracker
-      val before = tracker.getJobIdsForGroup(null).length
+      // the status store is fed by the async listener bus — under a
+      // full-suite run it can lag behind submitted jobs, so poll until
+      // the count stops moving before trusting either snapshot
+      def stableJobCount(): Int = {
+        var prev = tracker.getJobIdsForGroup(null).length
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val cur = tracker.getJobIdsForGroup(null).length
+          if (cur == prev) same += 1 else { same = 0; prev = cur }
+        }
+        prev
+      }
+      val before = stableJobCount()
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
-      val during = tracker.getJobIdsForGroup(null).length - before
+      val during = stableJobCount() - before
       assert(during <= rounds + 1, s"$during jobs for $rounds rounds")
       assert(during >= rounds)
       assert(labels.filter($"lbl" =!= 0L).count() === 0L)

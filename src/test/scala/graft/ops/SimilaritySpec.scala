@@ -166,6 +166,64 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.forall(_.getAs[Long]("neighbor_id") < 20L))
   }
 
+  test("pqEncode: seed vectors encode to their own codebook entries; codes are m long") {
+    val rnd = new scala.util.Random(11)
+    val dims = 8
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+    // stride 10 over ids 0..39 -> seeds {0,10,20,30}, 4 codebook
+    // entries per subspace
+    assert(cb.select("sub_id").distinct().count() === 4L)
+    assert(cb.count() === 16L)
+    val codes = Similarity.pqEncode(p, cb, m = 4, dims = dims)
+    assert(codes.count() === 40L)
+    assert(codes.filter(size($"codes") =!= 4).count() === 0L)
+    // a seed vector's subvectors are AT distance 0 from its own
+    // entries, so every code must be its own cent_id
+    val seedCodes = codes.filter($"vec_id".isin(0L, 10L, 20L, 30L))
+      .select($"vec_id", $"codes").collect()
+    seedCodes.foreach { r =>
+      assert(r.getSeq[Long](1).forall(_ === r.getLong(0)),
+        s"seed ${r.getLong(0)} encoded as ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("knnPq: ADC ranks the query's cluster on top; self excluded, k respected") {
+    val rnd = new scala.util.Random(13)
+    val dims = 8
+    // 4 well-separated clusters of 10, one seed per cluster at
+    // stride 10 (ids 0/10/20/30). Every cluster-0 member encodes to
+    // seed 0's entries in all subspaces, so its reconstruction is
+    // seed 0 exactly — identical ADC cosine for all of them.
+    // centers separated by 10 in EVERY component, so each member's
+    // nearest codebook entry per subspace is its own cluster's seed
+    // (noise is ±0.01 — never enough to flip a code)
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+    val res = Similarity.knnPq(p, p.filter($"vec_id" === 0L), cb,
+      m = 4, dims = dims, k = 5)
+    val got = res.orderBy($"rank").collect()
+    assert(got.length === 5)
+    assert(got.forall(_.getAs[Long]("neighbor_id") !== 0L))
+    // all top-5 from the query's cluster (ids 1..9), all at the SAME
+    // reconstructed cosine (identical codes), ties broken by id asc
+    assert(got.forall(r => (1L to 9L).contains(r.getAs[Long]("neighbor_id"))))
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_.getAs[Double]("cos_sim")).distinct.length === 1)
+    assert(got.head.getAs[Double]("cos_sim") > 0.9)
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),
