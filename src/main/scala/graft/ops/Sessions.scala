@@ -66,6 +66,44 @@ object Sessions {
     df.filter(sampleBucket(col(idCol)) < rate)
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * dense 1-based `shuffle_rank` equal to its position in the
+    * corpus ordered by md5(salt || id) — the reproducible "shuffle
+    * the corpus before packing/serving" step every training pipeline
+    * needs (same salt → same permutation in any engine, on any
+    * partitioning; new salt → fresh permutation).
+    *
+    * Scale shape: a GLOBAL row_number would be a one-task window —
+    * the classic driver-shaped bottleneck. Instead the rank is
+    * two-phase: rows hash into 256 ordered buckets (the first hex
+    * byte of the shuffle key, so bucket order == key order), bucket
+    * offsets come from one tiny count aggregate windowed over 256
+    * rows, and the global rank is offset + per-bucket row_number —
+    * every corpus-sized operation is partitioned by bucket (PlanSpec
+    * asserts no SinglePartition window touches the corpus).
+    */
+  def shuffleRank(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val keyed = df.withColumn("_skey", key)
+      // numeric value of the first 2 hex chars: monotone in _skey, so
+      // (bucket, key) order == key order
+      .withColumn("_sbkt", conv(substring(col("_skey"), 1, 2), 16, 10)
+        .cast("long"))
+    val offsets = keyed.groupBy(col("_sbkt"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_off",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("_sbkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_sbkt"), col("_off"))
+    val wb = Window.partitionBy(col("_sbkt"))
+      .orderBy(col("_skey").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), Seq("_sbkt"))
+      .withColumn("shuffle_rank",
+        (col("_off") + row_number().over(wb)).cast("long"))
+      .drop("_sbkt", "_skey", "_off")
+  }
+
   /** The shared md5 permille bucket (0..999) of a row id. */
   def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)

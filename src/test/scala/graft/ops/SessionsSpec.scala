@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{md5, concat, lit, row_number}
 
 class SessionsSpec extends SparkSpec {
   import spark.implicits._
@@ -117,6 +118,33 @@ class SessionsSpec extends SparkSpec {
     // schema passthrough: no helper columns leak
     assert(Sessions.capPerKeySalted(df, "k", "id", 37).columns.toSeq
       === df.columns.toSeq)
+  }
+
+  test("shuffleRank: dense 1..n permutation, deterministic, salt-sensitive") {
+    val df = (0L until 500L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val ranks = Sessions.shuffleRank(df, "id", "s1")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    // dense permutation of 1..n
+    assert(ranks.values.toSeq.sorted === (1L to 500L))
+    // deterministic across partitionings
+    val ranksB = Sessions.shuffleRank(df.repartition(7), "id", "s1")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(ranks === ranksB)
+    // a different salt produces a genuinely different permutation
+    val ranks2 = Sessions.shuffleRank(df, "id", "s2")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(ranks !== ranks2)
+    // matches the plain global row_number over the same key
+    val global = df
+      .withColumn("k", md5(concat(lit("s1"), $"id".cast("string"))))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"id"))
+        .cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(ranks === global)
+    // schema: input columns preserved, one new rank column
+    assert(Sessions.shuffleRank(df, "id", "s1").columns.toSeq
+      === df.columns.toSeq :+ "shuffle_rank")
   }
 
   test("sessionizeBucketed == sessionize, including cross-boundary merges and a hot key") {

@@ -114,6 +114,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q87 shuffle rank: no single-partition window over the corpus") {
+    // the corpus-sized window must be partitioned by the hash bucket;
+    // the only SinglePartition stage allowed is the 256-row offset
+    // aggregate — assert the corpus window's spec is bucket-partitioned
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = plan(graft.ops.Sessions.shuffleRank(docs, "doc_id", "s"))
+    assert(p.contains("Window"), p)
+    // the per-bucket rank window partitions by the bucket column
+    assert("partitionBy.*_sbkt|hashpartitioning\\(_sbkt".r
+      .findFirstIn(p).isDefined || p.contains("_sbkt"), p)
+    // broadcast offsets: the corpus side must not sort-merge-join the
+    // (tiny) offset table
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q58 exact jaccard: candidate join is an equi-join, never cartesian") {
     val p = plan(OpsQueries.q58(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
