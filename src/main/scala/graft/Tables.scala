@@ -54,6 +54,17 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "need at least one bucketing key")
+    val spark = df.sparkSession
+    // overwrite only replaces a table the CURRENT catalog knows; a
+    // location left behind by an earlier session (in-memory catalog,
+    // same warehouse dir) fails CREATE with LOCATION_ALREADY_EXISTS —
+    // drop both the catalog entry and any stale directory first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     // repartition on the bucket keys first: without it every write
     // task emits a file PER bucket (nPartitions x buckets small
     // files — slow to list and scan); with it, rows land on the task
