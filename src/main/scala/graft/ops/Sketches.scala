@@ -80,6 +80,65 @@ object Sketches {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
+  /** Deterministic Bloom filter membership audit (Bloom, "Space/time
+    * trade-offs in hash coding with allowable errors", CACM 1970):
+    * value v sets bit int64(md5("bloomJ|" || v)[1..15 hex]) mod m for
+    * J in 0 until k — the same md5 channel as CMS/HLL, so any engine
+    * rebuilds the identical filter. The filter is represented as the
+    * distinct set-bit table (<= m rows, broadcastable); a probe is
+    * bloom-positive iff ALL k of its bits are set.
+    *
+    * Output one row per probe: (tok, in_exact, in_bloom) with the
+    * classic one-sided guarantee in_bloom >= in_exact (no false
+    * negatives, SketchesSpec asserts); false positives on the absent
+    * probes ARE the measured error — size m against the expected
+    * distinct count, the audit shows what an undersized filter costs.
+    *
+    * Scale shape: one linear pass, a x k Generate, one distinct
+    * aggregate bounded by m (partial dedup caps each partition's
+    * contribution at m rows), broadcast probe join — mergeable,
+    * never corpus-sized.
+    */
+  def bloomMembershipAudit(values: DataFrame, valueCol: Column,
+                           probeKeys: Seq[String], m: Int,
+                           k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
+    require(m >= 2, s"m must be >= 2, got $m")
+    val vals = values.select(valueCol.cast("string").as("v"))
+    val bitExprs = (0 until k).map { j =>
+      pmod(conv(substring(md5(concat(lit(s"bloom$j|"), col("v"))), 1, 15),
+        16, 10).cast("long"), lit(m.toLong))
+    }
+    val bits = vals.select(explode(array(bitExprs: _*)).as("pos"))
+      .distinct().withColumn("hit", lit(1L))
+    val probeStructs = for { t <- probeKeys; j <- 0 until k } yield
+      struct(lit(t).as("tok"), lit(bloomProbeBit(j, t, m)).as("pos"))
+    val probes = values.sparkSession.range(1)
+      .select(explode(array(probeStructs: _*)).as("p"))
+      .select(col("p.tok").as("tok"), col("p.pos").as("pos"))
+    val inBloom = probes.join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("in_bloom"))
+    val inExact = vals.filter(col("v").isin(probeKeys: _*))
+      .select(col("v").as("tok")).distinct()
+      .withColumn("in_exact", lit(1L))
+    inBloom.join(inExact, Seq("tok"), "left")
+      .select(col("tok"),
+        coalesce(col("in_exact"), lit(0L)).as("in_exact"),
+        col("in_bloom"))
+  }
+
+  /** The Bloom bit of key `t` under hash row `j` (driver-side twin of
+    * the in-plan hash, like [[cmsProbeCol]]). Shared with the
+    * generated oracle SQL.
+    */
+  def bloomProbeBit(j: Int, t: String, m: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bloom$j|$t".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (BigInt(hex.substring(0, 15), 16) % m).toLong
+  }
+
   /** The CMS probe column of key `t` in row `r` (driver-side twin of
     * the in-plan hash: java MD5 == Spark md5 == DuckDB md5 on the
     * same UTF-8 bytes). Shared with the generated oracle SQL.

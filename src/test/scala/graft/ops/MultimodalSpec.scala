@@ -92,6 +92,37 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).getLong(0) === 8L && rows(0).getLong(1) === 4L)
   }
 
+  test("jpegDims never throws on adversarial bytes (fuzz property)") {
+    // random blobs, random truncations of a valid JPEG, and blobs that
+    // start FFD8FF but continue with garbage: the walker must return
+    // (possibly null) dims without error — a malformed segment chain
+    // is data, not an exception, at corpus scale
+    val rnd = new scala.util.Random(99)
+    val valid = hexBytes("FFD8" +
+      "FFE00010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000" +
+      "FFC00011" + "08" + "01E0" + "0280" + "03" + "012200" + "021101" + "031101")
+    val fuzz: Seq[(Long, Array[Byte])] =
+      (0 until 40).map { i =>
+        (i.toLong, Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+      } ++
+      (0 until valid.length).map { n =>
+        (100L + n, valid.take(n))
+      } ++
+      (0 until 20).map { i =>
+        (200L + i, hexBytes("FFD8FF") ++
+          Array.fill(rnd.nextInt(48))(rnd.nextInt(256).toByte))
+      }
+    val rows = fuzz.toDF("id", "bin")
+      .select(Multimodal.jpegDims($"bin").as("j"))
+      .select($"j.jpeg_width", $"j.jpeg_height").collect()
+    assert(rows.length === fuzz.length) // no row errored
+    // full valid header still parses inside the fuzz batch
+    val full = Seq((1L, valid)).toDF("id", "bin")
+      .select(Multimodal.jpegDims($"bin").as("j"))
+      .select($"j.jpeg_width").head()
+    assert(full.getLong(0) === 640L)
+  }
+
   test("stubFeatures: deterministic, dims-long, in [0,1]") {
     val d = Seq((1L, png)).toDF("id", "bin")
     val f1 = d.select(Multimodal.stubFeatures($"bin", 8)).as[Seq[Double]].head()

@@ -56,4 +56,28 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Double]("estimate") === 0.0)
     assert(r.getAs[Long]("n_zero") === 1024L)
   }
+
+  test("Bloom filter: no false negatives; one-sided bound; tiny m saturates") {
+    val df = (0L until 100L).toDF("v")
+    val probes = Seq("0", "5", "99", "x1", "x2", "x3", "x4", "x5")
+    val rows = Sketches.bloomMembershipAudit(df, col("v"), probes,
+        m = 4096, k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === probes.toSet)
+    // every present probe is found; in_bloom >= in_exact everywhere
+    Seq("0", "5", "99").foreach(t => assert(rows(t) === ((1L, 1L))))
+    rows.values.foreach { case (ex, bl) => assert(bl >= ex) }
+    // absent probes under a roomy filter: 300 set bits of 4096 ->
+    // P(single FP) ~ (300/4096)^3 ~ 4e-4; these 5 fixed probes were
+    // checked to be negatives (deterministic hashes, not luck)
+    Seq("x1", "x2", "x3", "x4", "x5").foreach(t =>
+      assert(rows(t) === ((0L, 0L))))
+    // saturated filter (m=8): every probe positive, present or not —
+    // the undersized-m failure mode the q88 audit makes measurable
+    val sat = Sketches.bloomMembershipAudit(df, col("v"), probes,
+        m = 8, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sat.values.forall(_ === 1L))
+  }
 }
