@@ -182,6 +182,40 @@ object TextAnalysis {
         ipv4Pat, "<IP>"),
       longNumPat, "<NUM>")
 
+  // ---------------------------------------------- URL canonicalization
+  /** URL canonicalization for crawl dedup — the normalizer that sits
+    * in front of first-occurrence URL dedup (D1): two spellings of
+    * one resource must collapse to one key BEFORE hashing, or the
+    * dedup silently keeps both. Steps (documented, deterministic,
+    * regex syntax limited to the Java∩RE2 subset like the PII
+    * patterns so the oracle runs the same expressions):
+    *   1. strip the fragment (`#...` — never sent to the server);
+    *   2. drop tracking parameters (utm_*, gclid, fbclid), keeping
+    *      the separator so later params survive;
+    *   3. collapse separator runs (`?&` → `?`, `&&` → `&`) and drop a
+    *      trailing `?`/`&`;
+    *   4. lowercase the scheme and authority (host) ONLY — paths and
+    *      query values are case-sensitive per RFC 3986 and left
+    *      alone.
+    * Pure regexp chain — codegen, shuffle-free, linear.
+    */
+  val trackingParamPat = "([?&])(?:utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*"
+  val schemeHostPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag, trackingParamPat, "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+    val prefix = regexp_extract(collapsed, schemeHostPat, 0)
+    when(prefix === "", collapsed)
+      .otherwise(concat(lower(prefix),
+        regexp_replace(collapsed, schemeHostPat, "")))
+  }
+
   /** Repeated n-gram fraction — the C4/Gopher-family repetition signal
     * (boilerplate and looping text score high): 1 - distinct/total
     * word n-grams, 0.0 for docs shorter than n tokens. Total count is

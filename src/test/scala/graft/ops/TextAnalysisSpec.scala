@@ -105,4 +105,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getString(1) === rows(1).getString(1))
     assert(rows(2).getString(1).length === 32) // md5 fallback
   }
+
+  test("canonicalizeUrl: fragment/tracking strip, host lowercase, path case kept") {
+    val cases = Seq(
+      // fragment + mid-query tracking param; path case preserved
+      "http://WWW.Site.ORG/A/b?x=1&utm_medium=email&y=2#frag" ->
+        "http://www.site.org/A/b?x=1&y=2",
+      // only-tracking query collapses away entirely
+      "https://Host.Com/path?gclid=abc123" -> "https://host.com/path",
+      // tracking first, real param survives
+      "https://host.com/path?fbclid=z&q=1" -> "https://host.com/path?q=1",
+      // non-http scheme, no query: only case normalization
+      "ftp://Mixed.Case.Host/File.TXT" -> "ftp://mixed.case.host/File.TXT",
+      // no scheme: NOTHING is lowercased (no authority to normalize)
+      "no-scheme/Path?utm_source=x" -> "no-scheme/Path",
+      // clean URL unchanged
+      "https://h.co/p?a=1&b=2" -> "https://h.co/p?a=1&b=2",
+      // fragment-only suffix
+      "https://H.co/p#only-fragment" -> "https://h.co/p",
+      // multiple tracking params bracketing a real one
+      "https://h.co/p?utm_a=1&keep=2&utm_b=3" -> "https://h.co/p?keep=2")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.canonicalizeUrl($"url")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
+  }
 }
