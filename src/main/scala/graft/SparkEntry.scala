@@ -51,5 +51,12 @@ object SparkEntry {
     "q49_dup_clusters",
     // composed cleaning pipeline: exact dedup -> LSH -> CC -> filters;
     // regressions in composition order or materialization surface here.
-    "q50_clean_corpus")
+    "q50_clean_corpus",
+    // vector-index representative: PQ ADC ranking over codes +
+    // broadcast LUTs — the first ANN family member in the bench
+    // (round 5); catches regressions toward raw-vector ranking scans.
+    "q85_pq_recall",
+    // rank/sort representative: bucketed two-phase global shuffle
+    // rank — catches regressions toward a single-task global window.
+    "q87_shuffle_rank")
 }
