@@ -372,6 +372,49 @@ object Similarity {
         s => s.getField("code")).as("codes"))
   }
 
+  /** The broadcast ADC lookup table: per (query, subspace, codebook
+    * entry), the exact int64 partial dot q_sub · c_sub plus the
+    * entry's subnorm — (queries × m × ksub) rows, tiny.
+    */
+  private def pqLut(queries: DataFrame, codebooks: DataFrame, m: Int,
+                    dims: Int): DataFrame = {
+    val dsub = dims / m
+    broadcast(queries
+      .select($"vec_id".as("query_id"), $"n2".as("q_n2"), posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select($"query_id", $"q_n2",
+        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("q_sub"))
+      .join(codebooks, Seq("sub_id"))
+      .select($"query_id", $"q_n2", $"sub_id", $"cent_id",
+        qdot($"q_sub", $"c_sub").as("pdot"), $"c_n2"))
+  }
+
+  /** ADC scoring + top-k over an exploded code table (vec_id, sub_id,
+    * cent_id) — shared tail of [[knnPq]] and [[knnIvfPq]]. The code
+    * table may carry a query_id column (IVF-restricted candidates);
+    * then the LUT join includes it so each candidate scores only
+    * against its probing queries.
+    */
+  private def adcTopK(codeRows: DataFrame, lut: DataFrame,
+                      k: Int): DataFrame = {
+    val joinKeys =
+      if (codeRows.columns.contains("query_id"))
+        Seq("query_id", "sub_id", "cent_id")
+      else Seq("sub_id", "cent_id")
+    val scored = codeRows.join(lut, joinKeys)
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"pdot").as("rdot"), sum($"c_n2").as("r_n2"),
+        max($"q_n2").as("q_n2"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** PQ top-k via asymmetric distance computation (ADC): the query
     * keeps its full vector; each candidate's dot product and norm are
     * reconstructed from per-(subspace, code) lookup tables
@@ -384,27 +427,79 @@ object Similarity {
     */
   def knnPq(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
             m: Int, dims: Int, k: Int): DataFrame = {
-    val dsub = dims / m
-    val lut = broadcast(queries
-      .select($"vec_id".as("query_id"), $"n2".as("q_n2"), posexplode(
-        transform(sequence(lit(1), lit(m)),
-          i => slice($"qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
-      .select($"query_id", $"q_n2",
-        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("q_sub"))
-      .join(codebooks, Seq("sub_id"))
-      .select($"query_id", $"q_n2", $"sub_id", $"cent_id",
-        qdot($"q_sub", $"c_sub").as("pdot"), $"c_n2"))
-    val scored = pqEncode(corpus, codebooks, m, dims)
+    val codeRows = pqEncode(corpus, codebooks, m, dims)
       .select($"vec_id", posexplode($"codes"))
       .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
         $"col".as("cent_id"))
-      .join(lut, Seq("sub_id", "cent_id"))
-      .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id")
-      .agg(sum($"pdot").as("rdot"), sum($"c_n2").as("r_n2"),
-        max($"q_n2").as("q_n2"))
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
+    adcTopK(codeRows, pqLut(queries, codebooks, m, dims), k)
+  }
+
+  /** IVF-PQ: the production index composition (FAISS IVFPQ) — a
+    * coarse quantizer partitions the corpus into centroid lists, a
+    * query ADC-scans ONLY its `nProbe` closest lists, and each
+    * candidate is scored from its PQ codes. At 100 TB this multiplies
+    * the two savings: the probe restriction cuts the scanned ROWS to
+    * nProbe/nLists of the corpus, and PQ cuts the BYTES per scanned
+    * row to the code width — the full-vector column is never read.
+    * Both centroid sets broadcast; the candidate restriction is an
+    * equi-join on cent_id.
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame,
+               coarse: DataFrame, codebooks: DataFrame,
+               m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(coarse)
+    val assigned = corpus.crossJoin(cents)
+      .select($"vec_id", $"cent_id",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cent_id", struct($"cos_c", -$"cent_id")).as("cent_id"))
+    val wp = Window.partitionBy($"query_id")
+      .orderBy($"cos_c".desc, $"cent_id".asc)
+    val probes = queries.crossJoin(cents)
+      .select($"vec_id".as("query_id"), $"cent_id",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"cent_id")
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .select($"vec_id", $"query_id")
+    val codeRows = pqEncode(corpus, codebooks, m, dims)
+      .join(cand, Seq("vec_id"))
+      .select($"vec_id", $"query_id", posexplode($"codes"))
+      .select($"vec_id", $"query_id",
+        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("cent_id"))
+    adcTopK(codeRows, pqLut(queries, codebooks, m, dims), k)
+  }
+
+  /** IVF-PQ shortlist + exact re-rank — the full production serving
+    * shape (IVFPQ + refine): [[knnIvfPq]] ranks a `shortlist` from
+    * codes within the probed lists; only those rows fetch full
+    * vectors for the exact cosine top-k.
+    */
+  def knnIvfPqRerank(corpus: DataFrame, queries: DataFrame,
+                     coarse: DataFrame, codebooks: DataFrame,
+                     m: Int, dims: Int, k: Int, nProbe: Int,
+                     shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val cand = knnIvfPq(corpus, queries, coarse, codebooks, m, dims,
+        shortlist, nProbe)
+      .select($"query_id", $"neighbor_id")
+    rerankExact(cand, corpus, queries, k)
+  }
+
+  /** Exact cosine re-rank of a (query_id, neighbor_id) candidate
+    * table: only candidate rows fetch full vectors (selective
+    * equi-join), shared by the PQ and IVF-PQ refine paths.
+    */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select($"vec_id".as("query_id"),
+      $"qv".as("q_qv"), $"n2".as("q_n2")))
+    val scored = broadcast(cand)
+      .join(corpus, $"neighbor_id" === $"vec_id")
+      .join(q, Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -427,17 +522,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
     val cand = knnPq(corpus, queries, codebooks, m, dims, shortlist)
       .select($"query_id", $"neighbor_id")
-    val q = broadcast(queries.select($"vec_id".as("query_id"),
-      $"qv".as("q_qv"), $"n2".as("q_n2")))
-    val scored = broadcast(cand)
-      .join(corpus, $"neighbor_id" === $"vec_id")
-      .join(q, Seq("query_id"))
-      .select($"query_id", $"neighbor_id",
-        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    rerankExact(cand, corpus, queries, k)
   }
 
   /** LSH-bucketed approximate top-k: queries only compare against

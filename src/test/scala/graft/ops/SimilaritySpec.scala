@@ -224,6 +224,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head.getAs[Double]("cos_sim") > 0.9)
   }
 
+  test("knnIvfPq: probe restriction keeps the query's cluster; rerank is exact there") {
+    val rnd = new scala.util.Random(17)
+    val dims = 8
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d + 1).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+    val coarse = Similarity.strideCentroids(p, 10L)
+    // nProbe=1: only the query's own list is ADC-scanned, so every
+    // neighbor is from cluster 0 (ids 1..9)
+    val res = Similarity.knnIvfPq(p, p.filter($"vec_id" === 0L), coarse, cb,
+      m = 4, dims = dims, k = 5, nProbe = 1)
+    val ids = res.orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(ids.length === 5)
+    assert(ids.forall(n => n >= 1L && n <= 9L))
+    // rerank within the probed list equals brute force restricted to it
+    val rr = Similarity.knnIvfPqRerank(p, p.filter($"vec_id" === 0L),
+        coarse, cb, m = 4, dims = dims, k = 5, nProbe = 1, shortlist = 9)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id"))
+    val brute = Similarity.knnBrute(
+        p.filter($"vec_id" <= 9L), p.filter($"vec_id" === 0L), 5)
+      .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id"))
+    assert(rr.toSeq === brute.toSeq)
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),
