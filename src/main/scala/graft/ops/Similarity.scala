@@ -426,8 +426,19 @@ object Similarity {
     * at 100 TB. LUTs are (queries × m × ksub) rows — broadcast.
     */
   def knnPq(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
-            m: Int, dims: Int, k: Int): DataFrame = {
-    val codeRows = pqEncode(corpus, codebooks, m, dims)
+            m: Int, dims: Int, k: Int): DataFrame =
+    knnPqOnCodes(pqEncode(corpus, codebooks, m, dims), queries,
+      codebooks, m, dims, k)
+
+  /** ADC top-k over a PRECOMPUTED (vec_id, codes) table — the serve
+    * path when the codes are a persisted index asset (encode once at
+    * build time, like [[graft.ops.Dedup.writeLshAssets]]); per-query
+    * cost is then the codes scan + broadcast LUT join only.
+    */
+  def knnPqOnCodes(codes: DataFrame, queries: DataFrame,
+                   codebooks: DataFrame, m: Int, dims: Int,
+                   k: Int): DataFrame = {
+    val codeRows = codes
       .select($"vec_id", posexplode($"codes"))
       .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
         $"col".as("cent_id"))
