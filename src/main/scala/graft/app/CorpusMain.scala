@@ -12,15 +12,15 @@ import graft.ops.{CleanCorpus, Dedup, Prep, Sessions}
   *   load documents → language + quality filter → exact dedup →
   *   minhash-LSH near-dup cluster resolution (CleanCorpus.clean) →
   *   corpus-wide span dedup (repeated-block removal) → per-language
-  *   count cap → deterministic sample → sequence packing → write
-  *   packed corpus.
+  *   count cap → deterministic sample → deterministic training-order
+  *   shuffle → sequence packing → write packed corpus.
   *
   * One command:
   *   sbt "runMain graft.app.CorpusMain [sfDir] [outDir]"
   *
   * Every stage is an operator with its own oracle query (q50, q77,
-  * q71, q35, q52); this object only composes them and reports stage
-  * counts (CorpusMainSpec asserts the monotone funnel).
+  * q71, q35, q87, q52); this object only composes them and reports
+  * stage counts (CorpusMainSpec asserts the monotone funnel).
   */
 object CorpusMain {
 
@@ -48,9 +48,18 @@ object CorpusMain {
     // stable 90% training split (md5 bucket — reproducible anywhere)
     val sampled = Sessions.deterministicSample(capped, "doc_id",
       permille = 900)
-    // token-budget packing for the trainer
-    val packed = Prep.packBins(sampled, "doc_id", "text",
-      budgetTokens = 4096L, numShards = 8)
+    // reproducible training-order shuffle BEFORE packing: bins are
+    // filled in permuted order, so each bin mixes sources instead of
+    // replaying ingest order (salt pins the permutation; bump it for
+    // a fresh epoch order)
+    val shuffled = Sessions.shuffleRank(sampled, "doc_id",
+      salt = "graft-corpus-v1")
+    // token-budget packing for the trainer, sharded/ordered by the
+    // shuffle rank; doc_id joined back for lineage
+    val packed = Prep.packBins(shuffled, "shuffle_rank", "text",
+        budgetTokens = 4096L, numShards = 8)
+      .join(shuffled.select(col("doc_id"), col("shuffle_rank")),
+        Seq("shuffle_rank"))
     packed.write.mode("overwrite").parquet(s"$outDir/corpus_bins")
     val persisted = spark.read.parquet(s"$outDir/corpus_bins")
     Report(

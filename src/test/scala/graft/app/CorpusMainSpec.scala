@@ -21,7 +21,11 @@ class CorpusMainSpec extends SparkSpec {
     val packed = spark.read.parquet(s"$out/corpus_bins")
     assert(packed.count() === r.nSampled)
     assert(packed.columns.toSet ===
-      Set("doc_id", "n_tokens", "shard", "bin_id"))
+      Set("doc_id", "shuffle_rank", "n_tokens", "shard", "bin_id"))
+    // the shuffle rank is a dense permutation of the sampled docs
+    val ranks = packed.select("shuffle_rank")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks === (1L to r.nSampled))
   }
 
   test("corpus pipeline is end-to-end deterministic across runs") {
