@@ -104,6 +104,23 @@ object Sessions {
       .drop("_sbkt", "_skey", "_off")
   }
 
+  /** Deterministic weight-proportional sampling: row kept iff its
+    * per-million md5 bucket < floor(1e6 * clamp(weight, 0, 1)) — each
+    * row's keep probability IS its weight (a quality score, a source
+    * prior), reproducible across runs/partitionings/engines like the
+    * other md5-bucket samplers, and nested with them (same bucket
+    * channel). The threshold is floor of a product of deterministic
+    * doubles — a fixed IEEE expression, so the kept set is
+    * bit-identical in any engine (no pow/ln, whose last-ulp behavior
+    * is libm-specific). Weight 1 keeps every bucket, weight 0 none.
+    * Pure filter: codegen, shuffle-free, linear.
+    */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weightCol: String): DataFrame =
+    df.filter(ppmBucket(col(idCol)) <
+      floor(least(greatest(col(weightCol), lit(0.0)), lit(1.0))
+        * lit(1000000.0)).cast("long"))
+
   /** The shared md5 permille bucket (0..999) of a row id. */
   def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)

@@ -147,6 +147,33 @@ class SessionsSpec extends SparkSpec {
       === df.columns.toSeq :+ "shuffle_rank")
   }
 
+  test("weightedSample: keep probability tracks the weight; clamped; deterministic") {
+    val n = 4000L
+    val df = (0L until n).map(i => (i, (i % 4) match {
+      case 0 => 0.0   // never kept
+      case 1 => 0.25
+      case 2 => 0.75
+      case _ => 1.0   // always kept
+    })).toDF("id", "w")
+    val kept = Sessions.weightedSample(df, "id", "w")
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0.0))
+    assert(byW(1.0) === n / 4) // weight 1 keeps everything
+    // md5 buckets are uniform: kept fraction within 25% of the weight
+    assert(math.abs(byW(0.25).toDouble / (n / 4) - 0.25) < 0.0625)
+    assert(math.abs(byW(0.75).toDouble / (n / 4) - 0.75) < 0.1875)
+    // deterministic across partitionings
+    val again = Sessions.weightedSample(df.repartition(7), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+    // out-of-range weights clamp instead of misbehaving
+    val clamped = Seq((1L, -0.5), (2L, 7.0)).toDF("id", "w")
+    val ck = Sessions.weightedSample(clamped, "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(ck === Set(2L))
+  }
+
   test("sessionizeBucketed == sessionize, including cross-boundary merges and a hot key") {
     // hot key: 2000 events every 20 min spanning many day buckets —
     // every bucket boundary lands mid-session (20 min < 30 min gap),
