@@ -129,6 +129,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("PQ serve path reads ONLY the codes column from the index (q85/q91 byte claim)") {
+    import graft.ops.Similarity
+    val p = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 8, dims = 64, stride = 25L)
+    val out = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    // the persisted index: (vec_id, codes) next to the raw vectors —
+    // the serve scan must prune the vector column away entirely
+    Similarity.pqEncode(p, cb, 8, 64)
+      .join(p.select(col("vec_id"), col("qv")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(out)
+    val codes = spark.read.parquet(out)
+    val served = Similarity.knnPqOnCodes(
+      codes, p.filter(col("vec_id") < 5), cb, 8, 64, 10)
+    val scanLine = plan(served).linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains(out))
+      .getOrElse(fail("no parquet scan of the codes table in the plan"))
+    assert(scanLine.contains("codes"), scanLine)
+    assert(!scanLine.contains("qv"),
+      s"serve scan must prune the raw-vector column:\n$scanLine")
+  }
+
+  test("q92 weighted sampling stays scan-shaped (no shuffle)") {
+    val p = plan(OpsQueries.q92(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q58 exact jaccard: candidate join is an equi-join, never cartesian") {
     val p = plan(OpsQueries.q58(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
