@@ -56,6 +56,10 @@ object SparkEntry {
     // broadcast LUTs — the first ANN family member in the bench
     // (round 5); catches regressions toward raw-vector ranking scans.
     "q85_pq_recall",
+    // IVF-PQ served from the persisted index (round 6): build + probe
+    // + ADC + re-rank — catches regressions toward query-time corpus
+    // re-encode (VERDICT r5 "What's wrong" #1).
+    "q94_ivfpq_index_recall",
     // rank/sort representative: bucketed two-phase global shuffle
     // rank — catches regressions toward a single-task global window.
     "q87_shuffle_rank")

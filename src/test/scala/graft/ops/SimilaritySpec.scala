@@ -255,6 +255,46 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.toSeq === brute.toSeq)
   }
 
+  test("IVF-PQ served from the persisted index equals the inline composition") {
+    val rnd = new scala.util.Random(17)
+    val dims = 8
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d + 1).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+    val coarse = Similarity.strideCentroids(p, 10L)
+    val qs = p.filter($"vec_id".isin(0L, 11L))
+    Similarity.writePqIndex(p, coarse, cb, m = 4, dims = dims,
+      "pq_index_spec", numBuckets = 4)
+    try {
+      def collectRows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"query_id", $"neighbor_id", $"cos_sim", $"rank")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._4))
+      val inline = collectRows(Similarity.knnIvfPqRerank(p, qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2, shortlist = 9))
+      val served = collectRows(Similarity.knnIvfPqRerankOnIndex(spark,
+        "pq_index_spec", p, qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2, shortlist = 9))
+      assert(served.nonEmpty)
+      assert(served.toSeq === inline.toSeq)
+      // and the raw-ADC form agrees too (no rerank masking a drift)
+      val inlineAdc = collectRows(Similarity.knnIvfPq(p, qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2))
+      val servedAdc = collectRows(Similarity.knnIvfPqOnIndex(spark,
+        "pq_index_spec", qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2))
+      assert(servedAdc.toSeq === inlineAdc.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_index_spec")
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),

@@ -151,6 +151,36 @@ class PlanSpec extends SparkSpec {
       s"serve scan must prune the raw-vector column:\n$scanLine")
   }
 
+  test("q94 IVF-PQ index serve: probe join broadcasts; index scan prunes to codes") {
+    import graft.ops.Similarity
+    val p = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 8, dims = 64, stride = 25L)
+    val coarse = Similarity.strideCentroids(p, 25L)
+    Similarity.writePqIndex(p, coarse, cb, m = 8, dims = 64,
+      "pq_index_plan", numBuckets = 8)
+    try {
+      val served = Similarity.knnIvfPqOnIndex(spark, "pq_index_plan",
+        p.filter(col("vec_id") < 5), coarse, cb,
+        m = 8, dims = 64, k = 10, nProbe = 2)
+      val pl = plan(served)
+      // candidate restriction = broadcast of the (tiny) probe list;
+      // the index side must never shuffle on cent_id to meet it
+      assert(pl.contains("BroadcastHashJoin"), pl)
+      assert(!pl.contains("Exchange hashpartitioning(cent_id"),
+        s"index side must not shuffle for the probe join:\n$pl")
+      // the index scan reads codes + keys only — no raw-vector column
+      // exists in the table, and the plan must not scan the corpus
+      // parquet at all (the queries/codebook sides read it; the
+      // CANDIDATE side is the persisted index)
+      val scanLine = pl.linesIterator
+        .find(l => l.contains("ReadSchema") && l.contains("pq_index_plan"))
+        .getOrElse(fail(s"no scan of the index table in the plan:\n$pl"))
+      assert(scanLine.contains("codes"), scanLine)
+      assert(!scanLine.contains("qv"), scanLine)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_index_plan")
+  }
+
   test("q92 weighted sampling stays scan-shaped (no shuffle)") {
     val p = plan(OpsQueries.q92(spark, dir))
     assert(!p.contains("Exchange"), p)
