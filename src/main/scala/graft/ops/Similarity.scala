@@ -228,6 +228,8 @@ object Similarity {
     // would clash with the package-level ColStr one this file uses)
     implicit val keyEnc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
+    implicit val vecEnc: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
     var cents = mat(strideCentroids(corpus, stride))
@@ -241,6 +243,7 @@ object Similarity {
         .select($"_a.cent_id".as("cent_id"), $"_a.qv".as("qv"))
       val updated = assigned.as[(Long, Seq[Long])]
         .groupByKey(_._1)
+        .mapValues(_._2)
         .agg(vecSumCount.toColumn)
         .map { case (cid, (s, n)) => (cid, s.map(_ / n)) }
         .toDF("cent_id", "c_qv")
@@ -252,17 +255,19 @@ object Similarity {
 
   /** Exact element-wise int64 vector sum + count (partial+final
     * aggregate; addition is associative+commutative, so the result is
-    * partitioning-independent).
+    * partitioning-independent). Keying is the caller's groupByKey —
+    * [[kmeansCentroids]] folds per cent_id, [[pqCodebooksTrained]]
+    * per (sub_id, cent_id).
     */
   private val vecSumCount =
     new org.apache.spark.sql.expressions.Aggregator[
-        (Long, Seq[Long]), (Seq[Long], Long), (Seq[Long], Long)] {
+        Seq[Long], (Seq[Long], Long), (Seq[Long], Long)] {
       private def add(a: Seq[Long], b: Seq[Long]): Seq[Long] =
         if (a.isEmpty) b else if (b.isEmpty) a
         else a.lazyZip(b).map(Math.addExact)
       def zero: (Seq[Long], Long) = (Seq.empty, 0L)
-      def reduce(b: (Seq[Long], Long), r: (Long, Seq[Long])): (Seq[Long], Long) =
-        (add(b._1, r._2), b._2 + 1L)
+      def reduce(b: (Seq[Long], Long), r: Seq[Long]): (Seq[Long], Long) =
+        (add(b._1, r), b._2 + 1L)
       def merge(x: (Seq[Long], Long), y: (Seq[Long], Long)): (Seq[Long], Long) =
         (add(x._1, y._1), x._2 + y._2)
       def finish(r: (Seq[Long], Long)): (Seq[Long], Long) = r
@@ -335,6 +340,70 @@ object Similarity {
       .select(($"pos" + 1).cast("long").as("sub_id"), $"cent_id",
         $"col".as("c_sub"))
       .withColumn("c_n2", qnorm2($"c_sub"))
+  }
+
+  /** Per-subspace k-means-TRAINED PQ codebooks — the FAISS training
+    * step the stride-seed [[pqCodebooks]] stands in for: each of the
+    * `m` subspaces runs its own deterministic Lloyd's loop over the
+    * corpus' subvectors, seeded by the stride-seed entries. Assignment
+    * uses the SAME exact-int64 squared-L2 argmin and (d2, cent_id asc)
+    * tie-break as [[pqEncode]]; the update is the element-wise exact
+    * int64 mean (truncating division) via the same partial+final
+    * Aggregator as [[kmeansCentroids]], so codebooks are quantized
+    * int64 vectors, bit-identical on any partitioning (SimilaritySpec
+    * determinism property), and the q93 oracle replays every
+    * iteration in SQL. Entries that lose all members are dropped
+    * (the deterministic empty-cluster policy).
+    *
+    * Why it matters at scale: PROFILE.md's measured recall ladder
+    * (raw ADC 0–4/10 on the gate corpus with stride seeds) is the
+    * cost of UNTRAINED codebooks — the code budget is spent on
+    * arbitrary corpus points instead of subspace centroids. Training
+    * is per-subspace k-means on dsub-dim vectors: one broadcast of
+    * the (m × ksub)-entry codebook + two partial+final aggregates per
+    * iteration, never a corpus self-join. The output feeds
+    * [[pqEncode]] / [[writePqIndex]] / the ADC family unchanged.
+    */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int, dims: Int,
+                         stride: Long, iters: Int,
+                         mat: Materializer = Materialize.Local): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims, got m=$m dims=$dims")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dsub = dims / m
+    implicit val keyEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]()
+    implicit val vecEnc: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Long, Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Seq[Long])]()
+    // the (vec_id, sub_id, v_sub) subvector table feeds every
+    // iteration's assignment — materialize the explode once
+    val ve = mat(corpus.select($"vec_id", posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
+        $"col".as("v_sub")))
+    var cb = mat(pqCodebooks(corpus, m, dims, stride))
+    for (_ <- 1 to iters) {
+      val assigned = ve.join(broadcast(cb), Seq("sub_id"))
+        .select($"vec_id", $"sub_id", $"v_sub", $"cent_id",
+          ($"c_n2" - lit(2L) * qdot($"v_sub", $"c_sub")).as("d2p"))
+        .groupBy($"vec_id", $"sub_id")
+        .agg(min_by(struct($"cent_id", $"v_sub"),
+          struct($"d2p", $"cent_id")).as("_a"))
+        .select($"sub_id", $"_a.cent_id".as("cent_id"),
+          $"_a.v_sub".as("v_sub"))
+      val updated = assigned.as[(Long, Long, Seq[Long])]
+        .groupByKey(r => (r._1, r._2))
+        .mapValues(_._3)
+        .agg(vecSumCount.toColumn)
+        .map { case ((sub, cent), (s, n)) => (sub, cent, s.map(_ / n)) }
+        .toDF("sub_id", "cent_id", "c_sub")
+        .withColumn("c_n2", qnorm2($"c_sub"))
+      cb = mat(updated)
+    }
+    cb
   }
 
   /** PQ encoding: each vector becomes `m` small codes — the nearest

@@ -255,6 +255,60 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.toSeq === brute.toSeq)
   }
 
+  test("pqCodebooksTrained: deterministic across partitionings; entries move to cluster means") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    // 4 clusters whose stride seeds (ids 0/10/20/30) are OFF-center
+    // members: training must pull each subspace entry toward the
+    // cluster's true mean, and determinism must hold on any layout
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.4 - 0.2).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").cache()
+    val cb = Similarity.pqCodebooksTrained(p, m = 4, dims = dims,
+      stride = 10L, iters = 2)
+    // m * ksub entries at most (empty entries may drop), dsub-long
+    val got = cb.orderBy($"sub_id", $"cent_id").collect()
+    assert(got.nonEmpty && got.length <= 16)
+    assert(got.forall(_.getSeq[Long](2).length === 2))
+    // bit-deterministic under a different input partitioning
+    val got2 = Similarity.pqCodebooksTrained(p.repartition(7), m = 4,
+        dims = dims, stride = 10L, iters = 2)
+      .orderBy($"sub_id", $"cent_id").collect()
+    assert(got2.map(_.toString).toSeq === got.map(_.toString).toSeq)
+    // iters = 0 degenerates to the stride-seed codebooks exactly
+    val seed = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+      .orderBy($"sub_id", $"cent_id").collect()
+    val zero = Similarity.pqCodebooksTrained(p, m = 4, dims = dims,
+        stride = 10L, iters = 0)
+      .orderBy($"sub_id", $"cent_id").collect()
+    assert(zero.map(_.toString).toSeq === seed.map(_.toString).toSeq)
+    // training strictly improves the total encode distortion (the
+    // k-means objective): sum of min squared-L2 over the corpus
+    def distortion(book: org.apache.spark.sql.DataFrame): Long = {
+      val ve = p.select($"vec_id", posexplode(
+          transform(sequence(lit(1), lit(4)),
+            i => slice($"qv", (i - lit(1)) * lit(2) + lit(1), lit(2)))))
+        .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
+          $"col".as("v_sub"))
+      ve.join(broadcast(book), Seq("sub_id"))
+        .select($"vec_id", $"sub_id",
+          (Similarity.qdot($"v_sub", $"v_sub") + $"c_n2"
+            - lit(2L) * Similarity.qdot($"v_sub", $"c_sub")).as("d2"))
+        .groupBy($"vec_id", $"sub_id").agg(min($"d2").as("d2"))
+        .agg(sum($"d2")).head.getLong(0)
+    }
+    val dSeed = distortion(Similarity.pqCodebooks(p, 4, dims, 10L))
+    val dTrained = distortion(cb)
+    assert(dTrained < dSeed,
+      s"training must reduce distortion: seed=$dSeed trained=$dTrained")
+  }
+
   test("IVF-PQ served from the persisted index equals the inline composition") {
     val rnd = new scala.util.Random(17)
     val dims = 8
