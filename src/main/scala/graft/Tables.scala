@@ -47,6 +47,22 @@ object Tables {
                     buckets: Int): Unit =
     writeBucketed(df, table, Seq(key), buckets)
 
+  /** Plain (unbucketed) managed-table write with the same
+    * stale-location handling as [[writeBucketed]] — for tiny asset
+    * tables (e.g. a 1-row statistics table) where bucketing buys
+    * nothing.
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   /** Multi-key variant: joins/aggregates keyed on ALL of `keys` read
     * the bucketed distribution for free (e.g. the LSH band-bucket
     * table bucketed by (band, bkey) self-joins with zero Exchange).

@@ -246,6 +246,28 @@ object RecipeQueries {
       "product_id", Seq("name", "ingredients_text", "steps_text"),
       Search.analyzeLiteral("tarte chocolat"))
 
+  // ---------------------------------------------------------------- q96
+  /** q69's multi-field BM25 classic search served from PERSISTED
+    * index tables over all three search fields — the closest
+    * structural restatement of the reference's architecture: ES keeps
+    * a per-field inverted index warm between searches
+    * (docker-compose.yml:33-45); here [[Search.writeBm25Index]] is
+    * that index and [[Search.bm25MultiFieldFromIndex]] the repeat
+    * search. Same oracle as q69 proves result identity.
+    */
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (post, dfT, st) = (s"graft_bm25c_post_$sfx", s"graft_bm25c_df_$sfx",
+      s"graft_bm25c_stats_$sfx")
+    Search.writeBm25Index(
+      Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s))),
+      "product_id", Seq("name", "ingredients_text", "steps_text"),
+      post, dfT, st)
+    Search.bm25MultiFieldFromIndex(s, post, dfT, st,
+      Seq("name", "ingredients_text", "steps_text"),
+      Search.analyzeLiteral("tarte chocolat"))
+  }
+
   // ---------------------------------------------------------------- q80
   /** The classic search both FUZZY and BM25-RANKED — the full ES
     * multi_match semantics behind app/main.py:88-97 composed at last:
@@ -278,6 +300,7 @@ object RecipeQueries {
     "q57_duration_fallback" -> (q57 _),
     "q68_jsonl_roundtrip"   -> (q68 _),
     "q69_bm25_classic"      -> (q69 _),
+    "q96_bm25_classic_index" -> (q96 _),
     "q80_bm25_fuzzy_search" -> (q80 _))
 
   // =============================================================== SQL
@@ -288,6 +311,44 @@ object RecipeQueries {
       |   WHEN regexp_extract(hh, '(\d+)\s*h', 1) = ''
       |     THEN coalesce(nullif(regexp_extract(hh, 'temps\s*[:\s]\s*(\d+)\s*m', 1), '')::BIGINT, 0)
       |   ELSE 0 END)""".stripMargin
+
+  /** q69's multi-field BM25 oracle — per-field chain, same math as
+    * q65's oracle with each field's own nd/tt/df statistics. Shared
+    * verbatim by q96 (the persisted-index serve path must be
+    * result-identical).
+    */
+  private lazy val bm25ClassicOracle: String = {
+      val qts = Search.analyzeLiteral("tarte chocolat")
+      val inList = qts.map(t => s"'$t'").mkString(", ")
+      def fieldCte(f: String, tag: String): String =
+        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
+           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
+           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
+           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE tok IN ($inList)),
+           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
+           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
+           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+           |  FROM f_$tag GROUP BY id, tok),
+           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
+           |  SELECT id, floor(
+           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
+           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
+           |    1e6)::BIGINT AS contrib
+           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
+           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |${fieldCte("name", "n")},
+         |${fieldCte("ingredients_text", "i")},
+         |${fieldCte("steps_text", "s")}
+         |SELECT id, greatest(coalesce(s_n, 0), coalesce(s_i, 0),
+         |  coalesce(s_s, 0)) AS score_fp
+         |FROM sc_n FULL OUTER JOIN sc_i USING (id)
+         |  FULL OUTER JOIN sc_s USING (id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_recipes_ingest" ->
@@ -374,40 +435,11 @@ object RecipeQueries {
          |FROM d""".stripMargin
     },
 
-    "q69_bm25_classic" -> {
-      val qts = Search.analyzeLiteral("tarte chocolat")
-      val inList = qts.map(t => s"'$t'").mkString(", ")
-      // per-field BM25 chain — same math as q65's oracle, one chain
-      // per searched field with that field's own nd/tt/df statistics
-      def fieldCte(f: String, tag: String): String =
-        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
-           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
-           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
-           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE tok IN ($inList)),
-           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
-           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
-           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
-           |  FROM f_$tag GROUP BY id, tok),
-           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
-           |  SELECT id, floor(
-           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
-           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
-           |    1e6)::BIGINT AS contrib
-           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
-           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
-      s"""WITH $rawCte,
-         |$dedupCte,
-         |v AS (SELECT product_id, name,
-         |  array_to_string(ingredients, ', ') AS ingredients_text,
-         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
-         |${fieldCte("name", "n")},
-         |${fieldCte("ingredients_text", "i")},
-         |${fieldCte("steps_text", "s")}
-         |SELECT id, greatest(coalesce(s_n, 0), coalesce(s_i, 0),
-         |  coalesce(s_s, 0)) AS score_fp
-         |FROM sc_n FULL OUTER JOIN sc_i USING (id)
-         |  FULL OUTER JOIN sc_s USING (id)""".stripMargin
-    },
+    "q69_bm25_classic" -> bm25ClassicOracle,
+    // q96 = q69 served from the persisted BM25 index tables; the
+    // oracle is q69's verbatim — the index path must be
+    // result-identical.
+    "q96_bm25_classic_index" -> bm25ClassicOracle,
 
     "q80_bm25_fuzzy_search" -> {
       // q69's per-field BM25 chain, with the exact-token IN-list

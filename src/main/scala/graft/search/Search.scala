@@ -259,21 +259,7 @@ object Search {
                          fields: Seq[String], tokenPred: Column,
                          boost: Option[Column]): DataFrame = {
     require(fields.nonEmpty, "bm25 needs at least one field")
-    val stats = broadcast(docs.agg(
-      count(lit(1)).as("n_docs"),
-      fields.map(f => sum(size(analyze(col(f)))).cast("long")
-        .as(s"_t_$f")): _*))
-    val tagged = docs.select(col(idCol).as("id"),
-        explode(array(fields.map(f =>
-          struct(lit(f).as("f"), analyze(col(f)).as("toks"))): _*)).as("ft"))
-      .select($"id", col("ft.f").as("field"),
-        size(col("ft.toks")).cast("long").as("dl"),
-        explode(col("ft.toks")).as("tok"))
-      .filter(tokenPred)
-    // the ONE corpus-sized shuffle; dl is constant per (id, field) —
-    // max() re-attaches it through the aggregate without a corpus join
-    val tf = tagged.groupBy($"id", $"field", $"tok")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+    val tf = bm25Tf(docs, idCol, fields, Some(tokenPred))
     // df(field, tok) = distinct docs whose field contains tok = tf's
     // row count per (field, tok) — derived FROM the tf aggregate so the
     // corpus is not re-tokenized for document frequencies. The filter
@@ -286,6 +272,51 @@ object Search {
     // shuffle feeds both) instead of planning a second corpus pass.
     val df_ = tf.filter($"tf" >= 1 && $"dl" >= 0)
       .groupBy($"field", $"tok").agg(count(lit(1)).as("df"))
+    bm25ScoreTail(tf, df_, broadcast(bm25Stats(docs, fields)),
+      fields, boost)
+  }
+
+  /** The 1-row corpus statistics every BM25 form shares: document
+    * count N plus per-field total token count T_f (avgdl_f = T_f/N is
+    * folded into the integer tfpart rationals downstream).
+    */
+  private def bm25Stats(docs: DataFrame, fields: Seq[String]): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      fields.map(f => sum(size(analyze(col(f)))).cast("long")
+        .as(s"_t_$f")): _*)
+
+  /** The tagged single-pass per-(doc, field, token) tf aggregate —
+    * one explode over all fields, dl carried through, `tokenPred`
+    * (when present) applied BEFORE the aggregate so a query-time call
+    * shuffles only matching tokens; None = the full inverted index
+    * (what [[writeBm25Index]] persists).
+    */
+  private def bm25Tf(docs: DataFrame, idCol: String, fields: Seq[String],
+                     tokenPred: Option[Column]): DataFrame = {
+    val tagged = docs.select(col(idCol).as("id"),
+        explode(array(fields.map(f =>
+          struct(lit(f).as("f"), analyze(col(f)).as("toks"))): _*)).as("ft"))
+      .select($"id", col("ft.f").as("field"),
+        size(col("ft.toks")).cast("long").as("dl"),
+        explode(col("ft.toks")).as("tok"))
+    val kept = tokenPred.fold(tagged)(tagged.filter)
+    // the ONE corpus-sized shuffle; dl is constant per (id, field) —
+    // max() re-attaches it through the aggregate without a corpus join
+    kept.groupBy($"id", $"field", $"tok")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+  }
+
+  /** The shared BM25 scoring tail: tf (id, field, tok, tf, dl) joined
+    * with broadcast df (field, tok, df) and the broadcast 1-row stats,
+    * fixed-point contribution per term, per-field conditional sums,
+    * `greatest` best_fields. Identical expression tree for the inline
+    * ([[bm25Tagged]]) and persisted-index ([[bm25FromIndex]]) paths —
+    * which is what makes the index path oracle-identical.
+    */
+  private def bm25ScoreTail(tf: DataFrame, df_ : DataFrame,
+                            stats: DataFrame, fields: Seq[String],
+                            boost: Option[Column]): DataFrame = {
     // pick this row's field's T_f out of the broadcast stats row
     val tt = coalesce(fields.map(f =>
       when($"field" === f, col(s"_t_$f"))): _*)
@@ -315,6 +346,99 @@ object Search {
       .filter($"score_fp" > 0)
   }
 
+  /** Persist the BM25 statistics assets as catalog tables — the
+    * engine-native form of what the reference's ES index IS: a
+    * persisted inverted statistics structure
+    * (docker-compose.yml:33-45 keeps it warm between searches).
+    * Three tables:
+    *   - `postingsTable` (id, field, tok, tf, dl) — the full tagged
+    *     inverted index, bucketed by tok: a query-token filter prunes
+    *     at the scan and the score join reads pre-distributed rows;
+    *   - `dfTable` (field, tok, df) — per-(field, token) document
+    *     frequency, derived FROM the persisted postings (the corpus
+    *     is tokenized exactly once), bucketed by tok;
+    *   - `statsTable` — the 1-row (n_docs, per-field T_f) aggregate.
+    * Pay the corpus tokenize + shuffle ONCE at build time; every
+    * later [[bm25FromIndex]] search reads only these tables — at
+    * 100 TB repeat search cost drops from a corpus scan + shuffle per
+    * query to a pruned postings scan (the writeLshAssets /
+    * writePqIndex pattern applied to ranked search).
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, fields: Seq[String],
+                     postingsTable: String, dfTable: String,
+                     statsTable: String, numBuckets: Int = 32): Unit = {
+    require(fields.nonEmpty, "bm25 needs at least one field")
+    val spark = docs.sparkSession
+    graft.Tables.writeBucketed(bm25Tf(docs, idCol, fields, None),
+      postingsTable, Seq("tok"), numBuckets)
+    graft.Tables.writeBucketed(
+      spark.table(postingsTable)
+        .groupBy($"field", $"tok").agg(count(lit(1)).as("df")),
+      dfTable, Seq("tok"), numBuckets)
+    graft.Tables.writeTable(bm25Stats(docs, fields), statsTable)
+  }
+
+  /** BM25 scores from the persisted index — result-identical to the
+    * corresponding inline form (same scoring tail, same df values:
+    * for any token passing `tokenPred`, the full-index tf rows are
+    * exactly the inline filtered aggregate's). No tokenize, no corpus
+    * scan, no corpus shuffle at query time; exact-token predicates
+    * prune the bucketed postings scan.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                    postingsTable: String, dfTable: String,
+                    statsTable: String, fields: Seq[String],
+                    tokenPred: Column,
+                    boost: Option[Column] = None): DataFrame =
+    bm25ScoreTail(
+      spark.table(postingsTable).filter(tokenPred),
+      spark.table(dfTable).filter(tokenPred),
+      broadcast(spark.table(statsTable)), fields, boost)
+
+  /** [[bm25MultiField]] served from the persisted index (exact
+    * tokens; q95/q96 prove oracle-identity with q65/q69).
+    */
+  def bm25MultiFieldFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              postingsTable: String, dfTable: String,
+                              statsTable: String, fields: Seq[String],
+                              queryToks: Seq[String]): DataFrame =
+    bm25FromIndex(spark, postingsTable, dfTable, statsTable, fields,
+      tokenPred = $"tok".isin(queryToks: _*))
+
+  /** [[bm25ClassicScores]] served from the persisted index: the AUTO
+    * fuzzy expansion rides the postings scan as a predicate on the
+    * token column — the expansion is resolved against the INDEX's
+    * vocabulary (each matched term scored with its own persisted
+    * statistics), never by re-tokenizing the corpus.
+    */
+  def bm25ClassicScoresFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                 postingsTable: String, dfTable: String,
+                                 statsTable: String, fields: Seq[String],
+                                 query: String): DataFrame = {
+    val (pred, bsum) = fuzzyPredBoost(query)
+    bm25FromIndex(spark, postingsTable, dfTable, statsTable, fields,
+      tokenPred = pred, boost = Some(bsum))
+  }
+
+  /** The fuzzy-expansion predicate + Lucene-style boost sum for a
+    * literal query — shared by [[bm25ClassicScores]] (inline) and
+    * [[bm25ClassicScoresFromIndex]] so the two forms cannot drift.
+    */
+  private def fuzzyPredBoost(query: String): (Column, Column) = {
+    val qts = analyzeLiteral(query)
+    require(qts.nonEmpty, "bm25 classic needs a non-empty query")
+    val pred = qts.map(qt => fuzzyPairLit($"tok", qt)).reduce(_ || _)
+    val bsum = qts.map { qt =>
+      val k = tokenFuzz(qt)
+      val qlen = qt.codePointCount(0, qt.length)
+      val d = levenshtein($"tok", lit(qt), k)
+      when((abs(length($"tok") - lit(qlen)) <= k) && (d >= 0),
+        (lit(qlen) - d).cast("double") / lit(qlen.toDouble))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    (pred, bsum)
+  }
+
   /** Fuzzy-expanded multi-field BM25 scores — how ES `multi_match`
     * with `fuzziness: AUTO` actually ranks (app/main.py:88-97): each
     * query token expands to the corpus terms within its AUTO edit
@@ -334,17 +458,7 @@ object Search {
     */
   def bm25ClassicScores(docs: DataFrame, idCol: String,
                         fields: Seq[String], query: String): DataFrame = {
-    val qts = analyzeLiteral(query)
-    require(qts.nonEmpty, "bm25ClassicScores needs a non-empty query")
-    val pred = qts.map(qt => fuzzyPairLit($"tok", qt)).reduce(_ || _)
-    val bsum = qts.map { qt =>
-      val k = tokenFuzz(qt)
-      val qlen = qt.codePointCount(0, qt.length)
-      val d = levenshtein($"tok", lit(qt), k)
-      when((abs(length($"tok") - lit(qlen)) <= k) && (d >= 0),
-        (lit(qlen) - d).cast("double") / lit(qlen.toDouble))
-        .otherwise(lit(0.0))
-    }.reduce(_ + _)
+    val (pred, bsum) = fuzzyPredBoost(query)
     bm25Tagged(docs, idCol, fields, tokenPred = pred, boost = Some(bsum))
   }
 

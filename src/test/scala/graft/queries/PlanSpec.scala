@@ -181,6 +181,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_index_plan")
   }
 
+  test("q95 BM25 index serve: no corpus tokenize, token filter pushed to postings scan") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    Search.writeBm25Index(docs, "doc_id", Seq("text"),
+      "bm25_plan_post", "bm25_plan_df", "bm25_plan_stats", numBuckets = 4)
+    try {
+      val served = Search.bm25MultiFieldFromIndex(spark,
+        "bm25_plan_post", "bm25_plan_df", "bm25_plan_stats",
+        Seq("text"), Seq("spark", "table", "window"))
+      val pl = plan(served)
+      // no explode anywhere: the query must never re-tokenize text —
+      // inline BM25 plans carry two Generate nodes
+      assert(!pl.contains("Generate"),
+        s"index serve path must not tokenize the corpus:\n$pl")
+      // the exact-token predicate reaches the postings parquet scan
+      val scanLine = pl.linesIterator
+        .find(l => l.contains("PushedFilters") && l.contains("bm25_plan_post"))
+        .getOrElse(fail(s"no pushed filter on the postings scan:\n$pl"))
+      assert(scanLine.contains("In(tok"), scanLine)
+    } finally Seq("bm25_plan_post", "bm25_plan_df", "bm25_plan_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("q92 weighted sampling stays scan-shaped (no shuffle)") {
     val p = plan(OpsQueries.q92(spark, dir))
     assert(!p.contains("Exchange"), p)

@@ -127,6 +127,36 @@ class SearchSpec extends SparkSpec {
     })
   }
 
+  test("bm25 from the persisted index equals the inline forms (exact + fuzzy)") {
+    Search.writeBm25Index(view, "product_id",
+      Seq("name", "ingredients_text", "steps_text"),
+      "bm25_spec_post", "bm25_spec_df", "bm25_spec_stats", numBuckets = 4)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"id", $"score_fp").as[(String, Long)].collect()
+          .sortBy(identity)
+      val fields = Seq("name", "ingredients_text", "steps_text")
+      // exact-token multi-field form
+      val toks = Search.analyzeLiteral("tarte chocolat")
+      val inline = rows(Search.bm25MultiField(view, "product_id",
+        fields, toks))
+      val served = rows(Search.bm25MultiFieldFromIndex(spark,
+        "bm25_spec_post", "bm25_spec_df", "bm25_spec_stats", fields, toks))
+      assert(served.nonEmpty)
+      assert(served.toSeq === inline.toSeq)
+      // fuzzy-expanded classic form: the AUTO expansion resolved
+      // against the index vocabulary must match the corpus expansion
+      val inlineF = rows(Search.bm25ClassicScores(view, "product_id",
+        fields, "chocolat"))
+      val servedF = rows(Search.bm25ClassicScoresFromIndex(spark,
+        "bm25_spec_post", "bm25_spec_df", "bm25_spec_stats", fields,
+        "chocolat"))
+      assert(servedF.nonEmpty)
+      assert(servedF.toSeq === inlineF.toSeq)
+    } finally Seq("bm25_spec_post", "bm25_spec_df", "bm25_spec_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25Search builder is lazy (no job at construction)") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val df = Search.bm25Search(
