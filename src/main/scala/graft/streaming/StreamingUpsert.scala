@@ -338,6 +338,67 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------------------------- incremental PQ encode
+
+  /** One micro-batch of incremental PQ encoding against FROZEN
+    * codebooks: the batch's documents are quantized
+    * ([[graft.ops.Similarity.prepared]]) and encoded
+    * ([[graft.ops.Similarity.pqEncode]] — the exact-int64 argmin, so
+    * codes are value-identical on replay), and the (vec_id, codes)
+    * table is written to `codes/batch=<id>/`, OVERWRITTEN on replay —
+    * idempotent appends, the [[spanStateBatch]] per-batchId pattern.
+    *
+    * Why: a 100 TB corpus grows between index rebuilds; without this
+    * seam any addition means re-encoding the whole corpus
+    * ([[graft.ops.Similarity.writePqIndex]] is the full-build form).
+    * Encoding is per-row given the codebooks, so the union of
+    * per-batch encodes EQUALS the batch encode of the union — exactly,
+    * with no divergence case — PROVIDED the codebooks are frozen
+    * (trained once, persisted, passed to every batch). Training inside
+    * the stream would make early batches' codes stale; that is an
+    * index REBUILD, not an append.
+    *
+    * Contract: vec_ids unique across the stream (upstream
+    * [[dedupWithinWatermark]]); a vec_id re-delivered in a LATER batch
+    * re-encodes to value-identical rows, which [[pqCodesFromState]]
+    * collapses with distinct-at-read (the nearDupBatch at-least-once
+    * contract).
+    */
+  def pqEncodeBatch(spark: SparkSession, batch: DataFrame,
+                    idCol: String, vecCol: String, codebooks: DataFrame,
+                    m: Int, dims: Int, batchId: Long,
+                    basePath: String): Unit =
+    graft.ops.Similarity.pqEncode(
+        graft.ops.Similarity.prepared(batch, idCol, vecCol),
+        codebooks, m, dims)
+      .write.mode("overwrite").parquet(s"$basePath/codes/batch=$batchId")
+
+  /** The accumulated (vec_id, codes) table from state written by
+    * [[pqEncodeBatch]] — the drop-in codes input for
+    * [[graft.ops.Similarity.knnPqOnCodes]]. Distinct-at-read restores
+    * exactly-once under cross-batch re-delivery (rows are
+    * value-identical by the frozen-codebook determinism).
+    */
+  def pqCodesFromState(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/codes")
+      .select(col("vec_id"), col("codes")).distinct()
+
+  /** [[pqEncodeBatch]] wired as the foreachBatch sink of an embedding
+    * stream — arriving vectors extend the compressed index
+    * incrementally against the frozen codebooks.
+    */
+  def incrementalPqEncode(stream: DataFrame, idCol: String,
+                          vecCol: String, codebooks: DataFrame,
+                          m: Int, dims: Int, basePath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqEncodeBatch(batch.sparkSession, batch, idCol, vecCol,
+          codebooks, m, dims, batchId, basePath)
+      }
+      .start()
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

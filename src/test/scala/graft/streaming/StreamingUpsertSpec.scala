@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 import graft.ops.Dedup
 
@@ -296,6 +297,79 @@ class StreamingUpsertSpec extends SparkSpec {
       "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
       basePath = uncapped, maxBucket = 100000L)
     assert(spark.read.parquet(s"$uncapped/pairs").count() === 3160L)
+  }
+
+  test("incrementalPqEncode over N micro-batches equals batch pqEncode (property)") {
+    // Frozen codebooks + per-row encoding => union of per-batch
+    // encodes EXACTLY equals the batch encode of the union; the codes
+    // accumulated from state must serve knnPqOnCodes identically.
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(29)
+    val dims = 8
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepared(all, "vec_id", "embedding")
+    // codebooks trained ONCE (on the initial corpus), then frozen
+    val cb = Similarity.pqCodebooksTrained(p, m = 4, dims = dims,
+      stride = 10L, iters = 1).cache()
+    cb.count()
+    val base = tmp("incr_pq")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingUpsert.incrementalPqEncode(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cb, m = 4, dims = dims, basePath = base,
+      checkpoint = tmp("incr_pq_ckpt"))
+    try {
+      rnd.shuffle(vecs).grouped(10).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingUpsert.pqCodesFromState(spark, base)
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = Similarity.pqEncode(p, cb, 4, dims)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamed === batch)
+    assert(streamed.size === 30)
+    // the state-backed codes serve ADC identically to the inline path
+    val qs = p.filter(col("vec_id") < 2)
+    val served = Similarity.knnPqOnCodes(
+        StreamingUpsert.pqCodesFromState(spark, base), qs, cb, 4, dims, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    val inline = Similarity.knnPq(p, qs, cb, 4, dims, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served === inline)
+  }
+
+  test("pqEncodeBatch replay + cross-batch re-delivery collapse under distinct-at-read") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(31)
+    val dims = 8
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepared(all, "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+      .cache()
+    cb.count()
+    val base = tmp("pq_replay")
+    def run(b: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamingUpsert.pqEncodeBatch(spark, b.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cb, 4, dims, id, base)
+    val (b1, b2) = vecs.splitAt(12)
+    run(b1, 0L)
+    run(b1, 0L)            // same-batchId replay: overwrite, idempotent
+    run(b2 ++ b1.take(3), 1L) // cross-batch re-delivery of 3 vectors
+    val streamed = StreamingUpsert.pqCodesFromState(spark, base)
+      .as[(Long, Seq[Long])].collect()
+    // distinct-at-read: one row per vec_id despite the re-delivery
+    assert(streamed.length === 20)
+    assert(streamed.toMap ===
+      Similarity.pqEncode(p, cb, 4, dims).as[(Long, Seq[Long])].collect().toMap)
   }
 
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
