@@ -21,6 +21,12 @@ class MainSpec extends SparkSpec {
     assert(r.classicHits === 214L)  // q45 golden
     assert(r.frigoHits === 500L)    // q46 golden (500-cap)
     assert(r.classicTopId.nonEmpty)
+    // the served ranking is the BM25 one (q80's path): the reported
+    // winner must equal bm25Classic's rank-1 row on the same view
+    val bm25Top = graft.search.Search.bm25Classic(
+        spark.read.parquet(s"$out/search_view"), "chocolat")
+      .head().getAs[String]("product_id")
+    assert(r.classicTopId === bm25Top)
     // the persisted outputs exist and are readable
     assert(spark.read.parquet(s"$out/canonical").count() === 1490L)
     val view = spark.read.parquet(s"$out/search_view")
