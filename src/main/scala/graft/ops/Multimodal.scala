@@ -156,8 +156,21 @@ object Multimodal {
     * Returns struct(jpeg_width, jpeg_height); both null for non-JPEG
     * blobs or JPEGs whose SOF lies beyond the scan window.
     */
+  /** Default JPEG scan window. Real-world JPEGs carry large pre-SOF
+    * metadata — an APP1/EXIF block with an embedded thumbnail
+    * routinely exceeds 2 KB, and a single APPn segment can reach the
+    * u16 length cap (65535 bytes) — so the default window is 64 KB:
+    * any JPEG whose SOF follows at most `maxSegments` segments of any
+    * legal size parses. Cost is bounded by the ACTUAL blob length
+    * (substring caps at the data), so small blobs pay nothing; only
+    * genuinely metadata-heavy rows hex up to 64 KB. The q81 oracle
+    * windows its hex to the same constant, so engine/oracle parity is
+    * structural, not fixture-dependent (ADVICE r5).
+    */
+  val defaultJpegScanBytes: Int = 65536
+
   def jpegDims(bin: Column, maxSegments: Int = 16,
-               scanBytes: Int = 2048): Column = {
+               scanBytes: Int = defaultJpegScanBytes): Column = {
     require(maxSegments >= 1 && scanBytes >= 16,
       s"need maxSegments>=1, scanBytes>=16; got $maxSegments/$scanBytes")
     val hx = hex(substring(bin, 1, scanBytes))

@@ -81,6 +81,25 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3).isNullAt(0) && rows(3).isNullAt(1))
   }
 
+  test("jpegDims: a >2KB APP1 (large EXIF) fits the default window, misses a 2KB one") {
+    // SOI + one 2102-byte APP1 (EXIF-with-thumbnail shape) + SOF0
+    // 400x320 — SOF starts at byte 2107, beyond the old 2048 default
+    val bigExif = hexBytes("FFD8" + "FFE10836" + ("00" * 2100) +
+      "FFC00011" + "08" + "0140" + "0190" + "03" + "012200" + "021101" +
+      "031101")
+    val d = Seq((1L, bigExif)).toDF("id", "bin")
+    // default window (64 KB): parsed
+    val ok = d.select(Multimodal.jpegDims($"bin").as("j"))
+      .select($"j.jpeg_width", $"j.jpeg_height").head()
+    assert(ok.getLong(0) === 400L && ok.getLong(1) === 320L)
+    // a 2 KB window stops at the window edge: null dims, no error —
+    // the documented miss mode when the window is undersized
+    val miss = d.select(
+        Multimodal.jpegDims($"bin", scanBytes = 2048).as("j"))
+      .select($"j.jpeg_width", $"j.jpeg_height").head()
+    assert(miss.isNullAt(0) && miss.isNullAt(1))
+  }
+
   test("jpegDims: DHT (C4) is not a SOF marker and is hopped, not parsed") {
     // SOI + DHT(len 5) + SOF0 8x4: C4 sits inside the C0-CF block but is
     // a Huffman table; reading dims from it would yield garbage.
