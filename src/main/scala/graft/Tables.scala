@@ -48,19 +48,48 @@ object Tables {
     writeBucketed(df, table, Seq(key), buckets)
 
   /** Plain (unbucketed) managed-table write with the same
-    * stale-location handling as [[writeBucketed]] — for tiny asset
+    * stage-then-swap safety as [[writeBucketed]] — for tiny asset
     * tables (e.g. a 1-row statistics table) where bucketing buys
     * nothing.
     */
-  def writeTable(df: DataFrame, table: String): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  def writeTable(df: DataFrame, table: String): Unit =
+    stageAndSwap(df.sparkSession, table) { stage =>
+      df.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    }
+
+  /** Drop `t` from the catalog AND delete its default managed
+    * location: `overwrite` only replaces a table the CURRENT catalog
+    * knows; a directory left behind by an earlier session (in-memory
+    * catalog, same warehouse dir) fails CREATE with
+    * LOCATION_ALREADY_EXISTS otherwise.
+    */
+  private def dropWithLocation(spark: SparkSession, t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+      t.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Stage-then-swap table replacement: `write(stage)` builds the
+    * replacement under a staging name while the CURRENT `table` (if
+    * any) stays registered and readable the whole time; only after
+    * the staged write completes is the old table dropped and the
+    * staged one renamed into place (ALTER TABLE RENAME moves a
+    * managed table's directory with it). A failure mid-write —
+    * including a df that fails at execution — leaves the previous
+    * version untouched (ADVICE r5: pre-deleting the target first
+    * left NO table at all on failure, a regression vs plain
+    * overwrite for the repeat-dedup assets this feeds).
+    */
+  private def stageAndSwap(spark: SparkSession, table: String)
+                          (write: String => Unit): Unit = {
+    val stage = table + "__stage"
+    dropWithLocation(spark, stage) // clear residue of a failed run
+    write(stage)
+    dropWithLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
   }
 
   /** Multi-key variant: joins/aggregates keyed on ALL of `keys` read
@@ -70,27 +99,18 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     buckets: Int): Unit = {
     require(keys.nonEmpty, "need at least one bucketing key")
-    val spark = df.sparkSession
-    // overwrite only replaces a table the CURRENT catalog knows; a
-    // location left behind by an earlier session (in-memory catalog,
-    // same warehouse dir) fails CREATE with LOCATION_ALREADY_EXISTS —
-    // drop both the catalog entry and any stale directory first
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    // repartition on the bucket keys first: without it every write
-    // task emits a file PER bucket (nPartitions x buckets small
-    // files — slow to list and scan); with it, rows land on the task
-    // that owns their bucket (same Murmur3 hash both sides), one file
-    // per bucket. This IS the pay-once shuffle the bucketed asset
-    // amortizes.
-    df.repartition(buckets, keys.map(col): _*)
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    stageAndSwap(df.sparkSession, table) { stage =>
+      // repartition on the bucket keys first: without it every write
+      // task emits a file PER bucket (nPartitions x buckets small
+      // files — slow to list and scan); with it, rows land on the task
+      // that owns their bucket (same Murmur3 hash both sides), one file
+      // per bucket. This IS the pay-once shuffle the bucketed asset
+      // amortizes.
+      df.repartition(buckets, keys.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(stage)
+    }
   }
 }

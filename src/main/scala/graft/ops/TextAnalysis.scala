@@ -194,13 +194,21 @@ object TextAnalysis {
     *      the separator so later params survive;
     *   3. collapse separator runs (`?&` → `?`, `&&` → `&`) and drop a
     *      trailing `?`/`&`;
-    *   4. lowercase the scheme and authority (host) ONLY — paths and
-    *      query values are case-sensitive per RFC 3986 and left
-    *      alone.
+    *   4. lowercase the scheme and HOST only — userinfo (user:pass@),
+    *      paths and query values are case-sensitive per RFC 3986 and
+    *      left alone.
     * Pure regexp chain — codegen, shuffle-free, linear.
     */
   val trackingParamPat = "([?&])(?:utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*"
   val schemeHostPat = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+  /** The scheme://authority prefix split into (scheme://, userinfo@,
+    * host): userinfo is case-SENSITIVE per RFC 3986 §3.2.1 and must
+    * survive canonicalization unchanged — only scheme and host are
+    * case-insensitive. The userinfo group is greedy, so a (formally
+    * illegal) '@' inside userinfo still leaves the host = the part
+    * after the LAST '@', which is the only RFC-consistent reading.
+    */
+  val schemeUiHostPat = "^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)?([^/?#]*)"
 
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
@@ -210,9 +218,11 @@ object TextAnalysis {
         regexp_replace(noTrack, "\\?&+", "?"),
         "&&+", "&"),
       "[?&]+$", "")
-    val prefix = regexp_extract(collapsed, schemeHostPat, 0)
-    when(prefix === "", collapsed)
-      .otherwise(concat(lower(prefix),
+    val scheme = regexp_extract(collapsed, schemeUiHostPat, 1)
+    val ui = regexp_extract(collapsed, schemeUiHostPat, 2)
+    val host = regexp_extract(collapsed, schemeUiHostPat, 3)
+    when(scheme === "", collapsed)
+      .otherwise(concat(lower(scheme), ui, lower(host),
         regexp_replace(collapsed, schemeHostPat, "")))
   }
 

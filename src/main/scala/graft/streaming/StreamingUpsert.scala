@@ -276,9 +276,26 @@ object StreamingUpsert {
                      idCol: String, textCol: String, spanTokens: Int,
                      batchId: Long, basePath: String,
                      mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    // First-occurrence-wins across batches (ADVICE r5): a doc_id
+    // re-delivered in a LATER micro-batch (at-least-once upstream)
+    // would append its blocks a second time and silently inflate the
+    // stats counts AND the per-doc reassembly — unlike a same-batchId
+    // replay, which the overwrite below already handles. Arriving
+    // docs whose id exists in any OTHER batch's block state are
+    // dropped; the seen-set read prunes to the doc_id column, and the
+    // current batch's own directory is excluded so a replay does not
+    // anti-join against its previous partial attempt.
+    val blocksRoot = new org.apache.hadoop.fs.Path(s"$basePath/blocks")
+    val fresh =
+      if (hfs(spark, blocksRoot).exists(blocksRoot)) {
+        val seen = spark.read.parquet(blocksRoot.toString)
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id")).distinct()
+        batch.join(seen, batch(idCol) === seen("doc_id"), "left_anti")
+      } else batch
     // batch block table — explodes ONLY this batch's documents; feeds
     // two consumers (block write + stats aggregate), so one barrier
-    val blk = mat(Dedup.spanBlocks(batch, idCol, textCol, spanTokens))
+    val blk = mat(Dedup.spanBlocks(fresh, idCol, textCol, spanTokens))
     blk.write.mode("overwrite").parquet(s"$basePath/blocks/batch=$batchId")
     val batchStats = blk.groupBy(col("blk")).agg(
       count(lit(1)).cast("long").as("cnt"),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Asset-table write safety: the stage-then-swap contract (ADVICE r5)
+  * — a failed replacement write must leave the previous version
+  * registered and readable, and a successful one must atomically-ish
+  * swap while keeping the bucket spec.
+  */
+class TablesSpec extends SparkSpec {
+  import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+
+  test("writeBucketed: failed replacement write preserves the previous table") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Tables.writeBucketed(v1, "tables_spec_swap", Seq("k"), 2)
+    assert(spark.table("tables_spec_swap").count() === 2L)
+    // a df that fails AT EXECUTION (raise_error fires on the data),
+    // after the old table was already in place
+    val bad = Seq((3L, "c")).toDF("k", "v")
+      .withColumn("v", when(col("k") > 0L,
+        raise_error(lit("boom"))).otherwise(col("v")))
+    intercept[Exception] {
+      Tables.writeBucketed(bad, "tables_spec_swap", Seq("k"), 2)
+    }
+    // the previous version survives, still 2 rows, still bucketed
+    val back = spark.table("tables_spec_swap")
+    assert(back.count() === 2L)
+    assert(back.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(spark.sql("DESCRIBE TABLE EXTENDED tables_spec_swap")
+      .filter(col("col_name") === "Num Buckets").count() === 1L)
+    // and a subsequent good write still replaces cleanly
+    val v2 = Seq((7L, "z")).toDF("k", "v")
+    Tables.writeBucketed(v2, "tables_spec_swap", Seq("k"), 2)
+    assert(spark.table("tables_spec_swap").as[(Long, String)]
+      .collect().toSet === Set((7L, "z")))
+    spark.sql("DROP TABLE IF EXISTS tables_spec_swap")
+  }
+
+  test("writeTable: failed replacement preserves the previous 1-row asset") {
+    val v1 = Seq((10L, 20L)).toDF("a", "b")
+    Tables.writeTable(v1, "tables_spec_plain")
+    val bad = Seq((1L, 2L)).toDF("a", "b")
+      .withColumn("b", when(col("a") > 0L,
+        raise_error(lit("boom")).cast("long")).otherwise(col("b")))
+    intercept[Exception] {
+      Tables.writeTable(bad, "tables_spec_plain")
+    }
+    assert(spark.table("tables_spec_plain").as[(Long, Long)]
+      .collect().toSeq === Seq((10L, 20L)))
+    spark.sql("DROP TABLE IF EXISTS tables_spec_plain")
+  }
+}

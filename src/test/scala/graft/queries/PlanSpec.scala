@@ -116,16 +116,30 @@ class PlanSpec extends SparkSpec {
 
   test("q87 shuffle rank: no single-partition window over the corpus") {
     // the corpus-sized window must be partitioned by the hash bucket;
-    // the only SinglePartition stage allowed is the 256-row offset
-    // aggregate — assert the corpus window's spec is bucket-partitioned
+    // the only global (empty-partition-spec) window allowed is the
+    // one over the 256-row bucket aggregate. Asserted on the logical
+    // Window nodes directly — a string match on the plan text was
+    // vacuous (ADVICE r5): any plan mentioning _sbkt passed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val docs = graft.Tables.load(spark, dir, "documents")
-    val p = plan(graft.ops.Sessions.shuffleRank(docs, "doc_id", "s"))
-    assert(p.contains("Window"), p)
-    // the per-bucket rank window partitions by the bucket column
-    assert("partitionBy.*_sbkt|hashpartitioning\\(_sbkt".r
-      .findFirstIn(p).isDefined || p.contains("_sbkt"), p)
+    val df = graft.ops.Sessions.shuffleRank(docs, "doc_id", "s")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size === 2, s"expected rank + offsets windows, got $wins")
+    val (globalWins, bucketWins) = wins.partition(_.partitionSpec.isEmpty)
+    // the corpus rank window partitions by the hash bucket
+    assert(bucketWins.size === 1 &&
+      bucketWins.head.partitionSpec.exists(_.toString.contains("_sbkt")),
+      s"corpus rank window lost its bucket partition spec:\n$wins")
+    // the one global window runs over the bucket-count AGGREGATE
+    // (256 rows), never over corpus-sized input
+    assert(globalWins.size === 1 && globalWins.head.child.collectFirst {
+        case a: Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("_sbkt")) => a
+      }.isDefined,
+      s"a single-partition window runs over non-aggregated input:\n$wins")
     // broadcast offsets: the corpus side must not sort-merge-join the
     // (tiny) offset table
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 

@@ -243,6 +243,33 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(streamed.size === 3)
   }
 
+  test("spanStateBatch: a doc_id re-delivered in a LATER batch is dropped (first wins)") {
+    // Cross-batch at-least-once delivery (not a same-batchId replay):
+    // without the seen-set anti-join, doc 2's blocks would count twice
+    // in the stats and reassemble twice (ADVICE r5). The re-delivered
+    // copy even carries DIFFERENT text — first occurrence must win.
+    val b1 = Seq((1L, "red green blue yellow common block text here"),
+      (2L, "common block text here and some more words"))
+    val b2 = Seq((2L, "mutated re-delivery of doc two changed text"),
+      (3L, "common block text here third arrival now yes"))
+    val base = tmp("span_redelivery")
+    StreamingUpsert.spanStateBatch(spark, b1.toDF("doc_id", "text"),
+      "doc_id", "text", spanTokens = 4, batchId = 0L, basePath = base)
+    StreamingUpsert.spanStateBatch(spark, b2.toDF("doc_id", "text"),
+      "doc_id", "text", spanTokens = 4, batchId = 1L, basePath = base)
+    val streamed = StreamingUpsert.spanDedupFromState(spark, base, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // equals the batch operator over the FIRST-occurrence union
+    val firstWins = b1 ++ b2.filterNot(d => b1.exists(_._1 == d._1))
+    val batch = Dedup.dropRepeatedSpans(firstWins.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+    // doc 2 reassembles from its ORIGINAL text, not the mutated copy
+    assert(streamed.find(_._1 == 2L).exists(_._4.contains("some more words")))
+  }
+
   test("nearDupBatch replay: duplicated appends collapse under distinct-at-read") {
     // The documented at-least-once contract: a replayed micro-batch
     // re-appends value-identical rows to pairs/ AND sets/buckets/, and
