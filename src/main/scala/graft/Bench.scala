@@ -35,10 +35,21 @@ object Bench {
     // Three timed runs per query, best kept: single-run numbers on a
     // shared box are dominated by scheduler noise (observed 1.3s vs
     // 13s for the same plan); min-of-N is the standard steady-state
-    // throughput estimator. All runs are reported so the recorded
-    // number is auditable against the spread.
+    // throughput estimator. The iterative / composition-heavy queries
+    // showed multi-second spread even across 3 runs (r5: q49 at
+    // 2.13/8.07/2.42s, a 7.25s q01 outlier), so they get 5 timed runs
+    // (VERDICT r5 item 7). All runs AND per-query medians are
+    // reported so the recorded min is auditable against the spread.
+    val extraRuns = Set(
+      "q01_pricing_summary", "q49_dup_clusters", "q50_clean_corpus")
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = names.map { name =>
-      val times = (1 to 3).flatMap { _ =>
+      val nRuns = if (extraRuns(name)) 5 else 3
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { force(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case NonFatal(e) => report(name, "timed", e); None }
@@ -47,6 +58,9 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val meds = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
+    }.mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -56,7 +70,7 @@ object Bench {
     val total =
       if (results.exists(_._2 < 0)) -1.0
       else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,23 @@ object ProfileBm25 {
     time("fuzzy bm25ClassicScores") {
       Search.bm25ClassicScores(docs, "doc_id", fields, "data modell sparc")
     }
+    // round 6: the persisted BM25 statistics asset (VERDICT r5 item 4)
+    // — build once, then repeat searches read only the index tables
+    val t0 = System.nanoTime()
+    Search.writeBm25Index(docs, "doc_id", fields,
+      "profile_bm25_post", "profile_bm25_df", "profile_bm25_stats")
+    println(f"bm25 index build             ${(System.nanoTime() - t0) / 1e9}%.3f s (once)")
+    time("exact FROM INDEX (r6)") {
+      Search.bm25MultiFieldFromIndex(spark, "profile_bm25_post",
+        "profile_bm25_df", "profile_bm25_stats", fields, qts)
+    }
+    time("fuzzy FROM INDEX (r6)") {
+      Search.bm25ClassicScoresFromIndex(spark, "profile_bm25_post",
+        "profile_bm25_df", "profile_bm25_stats", fields,
+        "data modell sparc")
+    }
+    Seq("profile_bm25_post", "profile_bm25_df", "profile_bm25_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }
 }

@@ -74,6 +74,31 @@ object ProfilePq {
       Similarity.knnIvfPqRerank(p, queries, coarse, cb, 8, 64, 10,
         nProbe = 8, shortlist = 50)
     }
+    // round 6: the persisted IVF-PQ index (VERDICT r5 item 1) — build
+    // once, then the serve path reads only (vec_id, cent_id, codes)
+    val t0 = System.nanoTime()
+    Similarity.writePqIndex(p, coarse, cb, 8, 64, "profile_pq_index")
+    println(f"ivf-pq index build       ${(System.nanoTime() - t0) / 1e9}%.3f s (once)")
+    time("ivf-pq + rerank ON INDEX") {
+      Similarity.knnIvfPqRerankOnIndex(spark, "profile_pq_index", p,
+        queries, coarse, cb, 8, 64, 10, nProbe = 8, shortlist = 50)
+    }
+    // round 6: trained vs stride-seed codebooks — raw-ADC recall of 10
+    // exact neighbors per query (the q85/q93 audit, totalled)
+    def recall(book: DataFrame): Long = {
+      val exact = Similarity.knnBrute(p, queries, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.knnPq(p, queries, book, 8, 64, 10)
+        .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+      exact.join(approx,
+          col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"))
+        .count()
+    }
+    println(s"raw-ADC recall/50: stride-seed=${recall(cb)} " +
+      Seq(1, 2, 4).map(i => s"trained($i)=${recall(
+        Similarity.pqCodebooksTrained(p, 8, 64, 25L, iters = i))}")
+        .mkString(" "))
+    spark.sql("DROP TABLE IF EXISTS profile_pq_index")
     spark.stop()
   }
 }
