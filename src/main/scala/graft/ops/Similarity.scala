@@ -629,6 +629,26 @@ object Similarity {
     rerankExact(cand, corpus, queries, k)
   }
 
+  /** Observability audit of a persisted IVF-PQ index
+    * ([[writePqIndex]] output): ONE row — list count, vector count,
+    * min/max/singleton list populations — the
+    * [[graft.ops.Dedup.lshBucketStats]] analog for the ANN tier.
+    * Probe cost and tail latency are governed by list-population
+    * skew (a hot list makes every probe touching it slow; empty and
+    * singleton lists waste the centroid budget), so a production
+    * build records this next to the index asset. Linear: one
+    * codes-free index scan + a two-level aggregate.
+    */
+  def pqIndexStats(spark: org.apache.spark.sql.SparkSession,
+                   indexTable: String): DataFrame =
+    spark.table(indexTable)
+      .groupBy($"cent_id").agg(count(lit(1)).as("pop"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum($"pop").as("n_vecs"),
+        min($"pop").as("min_pop"),
+        max($"pop").as("max_pop"),
+        sum(when($"pop" === 1L, 1L).otherwise(0L)).as("n_singleton"))
+
   /** IVF-PQ shortlist + exact re-rank — the full production serving
     * shape (IVFPQ + refine): [[knnIvfPq]] ranks a `shortlist` from
     * codes within the probed lists; only those rows fetch full

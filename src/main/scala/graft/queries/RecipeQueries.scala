@@ -286,6 +286,29 @@ object RecipeQueries {
     one("chocolat").unionByName(one("oeufs, farine, lait"))
   }
 
+  // ---------------------------------------------------------------- q97
+  /** q80's fuzzy BM25-ranked classic search served END-TO-END from
+    * the persisted index ([[Search.bm25ClassicOnIndex]]): scoring
+    * reads only the index tables, the view is touched by the ≤500-row
+    * display join — the reference's full serving shape (ES scores
+    * from its warm index, fetches _source for the page of hits).
+    * Same oracle as q80 proves the served page — ranking AND display
+    * columns — is result-identical.
+    */
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val view = Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(s)))
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (post, dfT, st) = (s"graft_bm25x_post_$sfx", s"graft_bm25x_df_$sfx",
+      s"graft_bm25x_stats_$sfx")
+    Search.writeBm25Index(view, "product_id",
+      Seq("name", "ingredients_text", "steps_text"), post, dfT, st)
+    def one(q: String): DataFrame =
+      Search.bm25ClassicOnIndex(s, post, dfT, st, view, q)
+        .select(lit(q).as("query"), col("product_id"), col("name"),
+          col("score_fp"))
+    one("chocolat").unionByName(one("oeufs, farine, lait"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_recipes_ingest"    -> (q40 _),
     "q41_recipes_kpis"      -> (q41 _),
@@ -301,7 +324,8 @@ object RecipeQueries {
     "q68_jsonl_roundtrip"   -> (q68 _),
     "q69_bm25_classic"      -> (q69 _),
     "q96_bm25_classic_index" -> (q96 _),
-    "q80_bm25_fuzzy_search" -> (q80 _))
+    "q80_bm25_fuzzy_search" -> (q80 _),
+    "q97_bm25_fuzzy_index"  -> (q97 _))
 
   // =============================================================== SQL
   private val parseDurationSql =
@@ -349,6 +373,67 @@ object RecipeQueries {
          |FROM sc_n FULL OUTER JOIN sc_i USING (id)
          |  FULL OUTER JOIN sc_s USING (id)""".stripMargin
   }
+
+  /** q80's fuzzy BM25-ranked classic-search oracle - shared
+    * verbatim by q97 (the persisted-index serve path must be
+    * result-identical).
+    */
+  private lazy val bm25FuzzyOracle: String = {
+      // q69's per-field BM25 chain, with the exact-token IN-list
+      // replaced by the AUTO-fuzzy predicate and each term's contrib
+      // multiplied by the Lucene (qlen - dist)/qlen boost, summed over
+      // the query tokens it matches — float op order mirrored exactly
+      // (((idf * tfpart) * bsum) * 1e6, left-assoc in both engines).
+      def levSql(qt: String): String =
+        s"levenshtein(translate(tok, '$accFrom', '$accTo'), '${xlit(qt)}')"
+      def predSql(qts: Seq[String]): String =
+        qts.map(qt => s"(${levSql(qt)} <= ${fuzz(qt)})").mkString("(", " OR ", ")")
+      def bsumSql(qts: Seq[String]): String = qts.map { qt =>
+        val qlen = qt.codePointCount(0, qt.length)
+        s"(CASE WHEN ${levSql(qt)} <= ${fuzz(qt)} " +
+          s"THEN ($qlen - ${levSql(qt)})::DOUBLE / $qlen ELSE 0.0 END)"
+      }.mkString("(", " + ", ")")
+      def fieldCte(f: String, tag: String, qts: Seq[String]): String =
+        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
+           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
+           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
+           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE ${predSql(qts)}),
+           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
+           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
+           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+           |  FROM f_$tag GROUP BY id, tok),
+           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
+           |  SELECT id, floor(
+           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
+           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
+           |    ${bsumSql(qts)} * 1e6)::BIGINT AS contrib
+           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
+           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
+      def queryCtes(qtag: String, query: String): String = {
+        val qts = Search.analyzeLiteral(query)
+        s"""${fieldCte("name", s"${qtag}n", qts)},
+           |${fieldCte("ingredients_text", s"${qtag}i", qts)},
+           |${fieldCte("steps_text", s"${qtag}s", qts)},
+           |all_$qtag AS (SELECT id, greatest(coalesce(s_${qtag}n, 0),
+           |    coalesce(s_${qtag}i, 0), coalesce(s_${qtag}s, 0)) AS score_fp
+           |  FROM sc_${qtag}n FULL OUTER JOIN sc_${qtag}i USING (id)
+           |    FULL OUTER JOIN sc_${qtag}s USING (id)),
+           |top_$qtag AS (SELECT id, score_fp FROM all_$qtag WHERE score_fp > 0
+           |  ORDER BY score_fp DESC, id ASC LIMIT 500)""".stripMargin
+      }
+      s"""WITH $rawCte,
+         |$dedupCte,
+         |v AS (SELECT product_id, name,
+         |  array_to_string(ingredients, ', ') AS ingredients_text,
+         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
+         |${queryCtes("a", "chocolat")},
+         |${queryCtes("b", "oeufs, farine, lait")}
+         |SELECT 'chocolat' AS query, t.id AS product_id, v.name, t.score_fp
+         |FROM top_a t JOIN v ON v.product_id = t.id
+         |UNION ALL
+         |SELECT 'oeufs, farine, lait' AS query, t.id AS product_id, v.name, t.score_fp
+         |FROM top_b t JOIN v ON v.product_id = t.id""".stripMargin
+    }
 
   val oracles: Map[String, String] = Map(
     "q40_recipes_ingest" ->
@@ -441,62 +526,11 @@ object RecipeQueries {
     // result-identical.
     "q96_bm25_classic_index" -> bm25ClassicOracle,
 
-    "q80_bm25_fuzzy_search" -> {
-      // q69's per-field BM25 chain, with the exact-token IN-list
-      // replaced by the AUTO-fuzzy predicate and each term's contrib
-      // multiplied by the Lucene (qlen - dist)/qlen boost, summed over
-      // the query tokens it matches — float op order mirrored exactly
-      // (((idf * tfpart) * bsum) * 1e6, left-assoc in both engines).
-      def levSql(qt: String): String =
-        s"levenshtein(translate(tok, '$accFrom', '$accTo'), '${xlit(qt)}')"
-      def predSql(qts: Seq[String]): String =
-        qts.map(qt => s"(${levSql(qt)} <= ${fuzz(qt)})").mkString("(", " OR ", ")")
-      def bsumSql(qts: Seq[String]): String = qts.map { qt =>
-        val qlen = qt.codePointCount(0, qt.length)
-        s"(CASE WHEN ${levSql(qt)} <= ${fuzz(qt)} " +
-          s"THEN ($qlen - ${levSql(qt)})::DOUBLE / $qlen ELSE 0.0 END)"
-      }.mkString("(", " + ", ")")
-      def fieldCte(f: String, tag: String, qts: Seq[String]): String =
-        s"""d_$tag AS (SELECT product_id AS id, ${toksSql(f)} AS toks FROM v),
-           |st_$tag AS (SELECT count(*)::BIGINT AS nd, sum(len(toks))::BIGINT AS tt FROM d_$tag),
-           |tk_$tag AS (SELECT id, len(toks)::BIGINT AS dl, unnest(toks) AS tok FROM d_$tag),
-           |f_$tag AS (SELECT id, dl, tok FROM tk_$tag WHERE ${predSql(qts)}),
-           |dfv_$tag AS (SELECT tok, count(*)::BIGINT AS df
-           |  FROM (SELECT DISTINCT id, tok FROM f_$tag) x GROUP BY tok),
-           |tfv_$tag AS (SELECT id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
-           |  FROM f_$tag GROUP BY id, tok),
-           |sc_$tag AS (SELECT id, sum(contrib)::BIGINT AS s_$tag FROM (
-           |  SELECT id, floor(
-           |    ln((nd::DOUBLE + 1.0) / (df::DOUBLE + 0.5)) *
-           |    ((22 * tf * tt)::DOUBLE / (10 * tf * tt + 3 * tt + 9 * dl * nd)::DOUBLE) *
-           |    ${bsumSql(qts)} * 1e6)::BIGINT AS contrib
-           |  FROM tfv_$tag JOIN dfv_$tag USING (tok) CROSS JOIN st_$tag) s
-           |GROUP BY id HAVING sum(contrib) > 0)""".stripMargin
-      def queryCtes(qtag: String, query: String): String = {
-        val qts = Search.analyzeLiteral(query)
-        s"""${fieldCte("name", s"${qtag}n", qts)},
-           |${fieldCte("ingredients_text", s"${qtag}i", qts)},
-           |${fieldCte("steps_text", s"${qtag}s", qts)},
-           |all_$qtag AS (SELECT id, greatest(coalesce(s_${qtag}n, 0),
-           |    coalesce(s_${qtag}i, 0), coalesce(s_${qtag}s, 0)) AS score_fp
-           |  FROM sc_${qtag}n FULL OUTER JOIN sc_${qtag}i USING (id)
-           |    FULL OUTER JOIN sc_${qtag}s USING (id)),
-           |top_$qtag AS (SELECT id, score_fp FROM all_$qtag WHERE score_fp > 0
-           |  ORDER BY score_fp DESC, id ASC LIMIT 500)""".stripMargin
-      }
-      s"""WITH $rawCte,
-         |$dedupCte,
-         |v AS (SELECT product_id, name,
-         |  array_to_string(ingredients, ', ') AS ingredients_text,
-         |  array_to_string(steps, ' ') AS steps_text FROM dedup),
-         |${queryCtes("a", "chocolat")},
-         |${queryCtes("b", "oeufs, farine, lait")}
-         |SELECT 'chocolat' AS query, t.id AS product_id, v.name, t.score_fp
-         |FROM top_a t JOIN v ON v.product_id = t.id
-         |UNION ALL
-         |SELECT 'oeufs, farine, lait' AS query, t.id AS product_id, v.name, t.score_fp
-         |FROM top_b t JOIN v ON v.product_id = t.id""".stripMargin
-    },
+    "q80_bm25_fuzzy_search" -> bm25FuzzyOracle,
+    // q97 = q80 served from the persisted BM25 index tables (scores
+    // from the index, display join on the <=k winners); the oracle is
+    // q80's verbatim - the serve path must be result-identical.
+    "q97_bm25_fuzzy_index" -> bm25FuzzyOracle,
 
     "q45_search_classic" -> {
       val qts = Search.analyzeLiteral("chocolat")

@@ -420,6 +420,29 @@ object Search {
       tokenPred = pred, boost = Some(bsum))
   }
 
+  /** [[bm25Classic]] served from the persisted index — the complete
+    * user-facing classic search (AUTO-fuzzy BM25 ranking + display
+    * columns + top-k) where scoring touches ONLY the index tables;
+    * the corpus view is read once by the ≤k-row display join. This is
+    * the reference's serving shape end-to-end: ES scores from its
+    * warm index and fetches _source for the page of hits
+    * (app/main.py:88-97). q97 proves it against q80's oracle.
+    */
+  def bm25ClassicOnIndex(spark: org.apache.spark.sql.SparkSession,
+                         postingsTable: String, dfTable: String,
+                         statsTable: String, view: DataFrame,
+                         query: String, k: Int = 500): DataFrame = {
+    val scores = bm25ClassicScoresFromIndex(spark, postingsTable,
+      dfTable, statsTable,
+      Seq("name", "ingredients_text", "steps_text"), query)
+    val topk = scores.orderBy($"score_fp".desc, $"id".asc).limit(k)
+    broadcast(topk)
+      .join(view.select(col("product_id"), col("name")),
+        topk("id") === col("product_id"))
+      .select(col("product_id"), col("name"), $"score_fp")
+      .orderBy($"score_fp".desc, col("product_id").asc)
+  }
+
   /** The fuzzy-expansion predicate + Lucene-style boost sum for a
     * literal query — shared by [[bm25ClassicScores]] (inline) and
     * [[bm25ClassicScoresFromIndex]] so the two forms cannot drift.
