@@ -280,7 +280,7 @@ object Search {
     * count N plus per-field total token count T_f (avgdl_f = T_f/N is
     * folded into the integer tfpart rationals downstream).
     */
-  private def bm25Stats(docs: DataFrame, fields: Seq[String]): DataFrame =
+  private[graft] def bm25Stats(docs: DataFrame, fields: Seq[String]): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
       fields.map(f => sum(size(analyze(col(f)))).cast("long")
@@ -292,7 +292,7 @@ object Search {
     * shuffles only matching tokens; None = the full inverted index
     * (what [[writeBm25Index]] persists).
     */
-  private def bm25Tf(docs: DataFrame, idCol: String, fields: Seq[String],
+  private[graft] def bm25Tf(docs: DataFrame, idCol: String, fields: Seq[String],
                      tokenPred: Option[Column]): DataFrame = {
     val tagged = docs.select(col(idCol).as("id"),
         explode(array(fields.map(f =>
@@ -314,7 +314,7 @@ object Search {
     * ([[bm25Tagged]]) and persisted-index ([[bm25FromIndex]]) paths —
     * which is what makes the index path oracle-identical.
     */
-  private def bm25ScoreTail(tf: DataFrame, df_ : DataFrame,
+  private[graft] def bm25ScoreTail(tf: DataFrame, df_ : DataFrame,
                             stats: DataFrame, fields: Seq[String],
                             boost: Option[Column]): DataFrame = {
     // pick this row's field's T_f out of the broadcast stats row

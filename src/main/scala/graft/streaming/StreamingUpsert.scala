@@ -228,12 +228,14 @@ object StreamingUpsert {
   private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Completed (has _SUCCESS) stats versions under `basePath/stats`,
-    * as (version, path).
+  /** Completed (has _SUCCESS) `v=<id>` versions under `versionsDir`,
+    * as (version, path) — the shared versioned-state directory layout
+    * of [[spanStateBatch]] (per-block stats) and [[bm25IndexBatch]]
+    * (per-(field, token) df).
     */
   private def statsVersions(spark: SparkSession,
-                            basePath: String): Seq[(Long, String)] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$basePath/stats")
+                            versionsDir: String): Seq[(Long, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(versionsDir)
     val f = hfs(spark, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
@@ -300,7 +302,8 @@ object StreamingUpsert {
     val batchStats = blk.groupBy(col("blk")).agg(
       count(lit(1)).cast("long").as("cnt"),
       min(col("key")).as("keeper"))
-    val versions = statsVersions(spark, basePath).filter(_._1 < batchId)
+    val versions = statsVersions(spark, s"$basePath/stats")
+      .filter(_._1 < batchId)
     val prev = versions.sortBy(_._1).lastOption match {
       case Some((_, p)) => spark.read.schema(batchStats.schema).parquet(p)
       case None         => batchStats.limit(0)
@@ -312,7 +315,7 @@ object StreamingUpsert {
     // prune: keep the predecessor (needed if THIS batch replays) and
     // the version just written; everything older is unreachable
     val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
-    statsVersions(spark, basePath)
+    statsVersions(spark, s"$basePath/stats")
       .filterNot { case (v, _) => keep.contains(v) }
       .foreach { case (_, p) =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -329,7 +332,8 @@ object StreamingUpsert {
   def spanDedupFromState(spark: SparkSession, basePath: String,
                          minRepeat: Long): DataFrame = {
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
-    val latest = statsVersions(spark, basePath).sortBy(_._1).lastOption
+    val latest = statsVersions(spark, s"$basePath/stats")
+      .sortBy(_._1).lastOption
       .getOrElse(throw new IllegalStateException(
         s"no completed span-dedup stats under $basePath/stats"))
     val blk = spark.read.parquet(s"$basePath/blocks")
@@ -413,6 +417,115 @@ object StreamingUpsert {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         pqEncodeBatch(batch.sparkSession, batch, idCol, vecCol,
           codebooks, m, dims, batchId, basePath)
+      }
+      .start()
+
+  // ------------------------------------------- incremental BM25 index
+
+  /** One micro-batch of incremental BM25 index maintenance — the
+    * streaming form of [[graft.search.Search.writeBm25Index]],
+    * completing the incremental story for the third persisted asset
+    * family (LSH: [[nearDupBatch]]; PQ: [[pqEncodeBatch]]; BM25:
+    * here). This is what the reference's ES deployment actually does:
+    * documents are INDEXED as they arrive; searches read the warm
+    * index. State under `basePath`:
+    *
+    *   - `postings/batch=<id>/` — the batch's (id, field, tok, tf,
+    *     dl) tagged postings ([[graft.search.Search.bm25Tf]], the
+    *     IDENTICAL tokenize/aggregate as the batch builder),
+    *     overwritten on replay;
+    *   - `df/v=<id>/` — per-(field, token) document frequency over
+    *     ALL postings so far. df is an additive count, so version N =
+    *     version N-1 + this batch's df — the corpus is never
+    *     re-aggregated ([[spanStateBatch]]'s versioned-state rules:
+    *     predecessor kept for replay, older versions pruned, readers
+    *     trust only _SUCCESS);
+    *   - `counts/batch=<id>/` — the batch's 1-row (n_docs, per-field
+    *     T_f) corpus statistics; totals are the sum over batch dirs
+    *     (B tiny rows at read).
+    *
+    * First-occurrence-wins across batches: a doc_id re-delivered in a
+    * LATER batch is dropped via the same prior-batches anti-join as
+    * [[spanStateBatch]] — otherwise its tf rows would double-score
+    * and df/N would inflate. Same-batchId replay is idempotent by
+    * overwrite + predecessor-derived df.
+    */
+  def bm25IndexBatch(spark: SparkSession, batch: DataFrame,
+                     idCol: String, fields: Seq[String], batchId: Long,
+                     basePath: String,
+                     mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$basePath/postings")
+    val fresh =
+      if (hfs(spark, postingsRoot).exists(postingsRoot)) {
+        val seen = spark.read.parquet(postingsRoot.toString)
+          .filter(col("batch") =!= batchId)
+          .select(col("id")).distinct()
+        batch.join(seen, batch(idCol) === seen("id"), "left_anti")
+      } else batch
+    // the batch postings feed three consumers (postings write, df
+    // aggregate, nothing else corpus-sized) — one barrier
+    val tf = mat(graft.search.Search.bm25Tf(fresh, idCol, fields, None))
+    tf.write.mode("overwrite").parquet(s"$basePath/postings/batch=$batchId")
+    graft.search.Search.bm25Stats(fresh, fields)
+      .write.mode("overwrite").parquet(s"$basePath/counts/batch=$batchId")
+    val batchDf = tf.groupBy(col("field"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val versions = statsVersions(spark, s"$basePath/df")
+      .filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(batchDf.schema).parquet(p)
+      case None         => batchDf.limit(0)
+    }
+    prev.unionByName(batchDf)
+      .groupBy(col("field"), col("tok"))
+      .agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$basePath/df/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/df")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** BM25 scores from the state written by [[bm25IndexBatch]] —
+    * result-identical to [[graft.search.Search.bm25MultiField]] over
+    * the union of all batches (same scoring tail; q100 proves it
+    * against q65's oracle). Query cost: a token-filtered postings
+    * scan, the latest df version filtered the same way, and a sum
+    * over B tiny count rows — the corpus is never re-tokenized.
+    */
+  def bm25FromState(spark: SparkSession, basePath: String,
+                    fields: Seq[String], queryToks: Seq[String]): DataFrame = {
+    val pred = col("tok").isin(queryToks: _*)
+    val tf = spark.read.parquet(s"$basePath/postings")
+      .select(col("id"), col("field"), col("tok"), col("tf"), col("dl"))
+      .filter(pred)
+    val latest = statsVersions(spark, s"$basePath/df")
+      .sortBy(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no completed df version under $basePath/df"))
+    val df_ = spark.read.parquet(latest._2).filter(pred)
+    val stats = broadcast(spark.read.parquet(s"$basePath/counts")
+      .groupBy()
+      .agg(sum(col("n_docs")).as("n_docs"),
+        fields.map(f => sum(col(s"_t_$f")).as(s"_t_$f")): _*))
+    graft.search.Search.bm25ScoreTail(tf, df_, stats, fields, None)
+  }
+
+  /** [[bm25IndexBatch]] wired as the foreachBatch sink of a document
+    * stream — arriving documents extend the inverted index
+    * incrementally; [[bm25FromState]] serves searches from it.
+    */
+  def incrementalBm25Index(stream: DataFrame, idCol: String,
+                           fields: Seq[String], basePath: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bm25IndexBatch(batch.sparkSession, batch, idCol, fields,
+          batchId, basePath)
       }
       .start()
 

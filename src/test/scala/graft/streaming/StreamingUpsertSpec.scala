@@ -399,6 +399,70 @@ class StreamingUpsertSpec extends SparkSpec {
       Similarity.pqEncode(p, cb, 4, dims).as[(Long, Seq[Long])].collect().toMap)
   }
 
+  test("incrementalBm25Index over N micro-batches equals batch bm25MultiField (property)") {
+    // df is an additive count and the corpus stats are additive sums,
+    // so the versioned incremental index must score EXACTLY like the
+    // batch engine over the union — including df values that straddle
+    // batch boundaries (the same token arriving in every batch).
+    implicit val sql = spark.sqlContext
+    import graft.search.Search
+    val docs = (0 until 12).map { i =>
+      (i.toLong, s"spark data engine row$i " +
+        (if (i % 2 == 0) "table window query" else "stream batch") +
+        s" filler$i text common words")
+    }
+    val rnd = new scala.util.Random(41)
+    val base = tmp("incr_bm25")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingUpsert.incrementalBm25Index(
+      in.toDF().toDF("doc_id", "text"), "doc_id", Seq("text"),
+      basePath = base, checkpoint = tmp("incr_bm25_ckpt"))
+    try {
+      rnd.shuffle(docs).grouped(4).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val toks = Seq("spark", "table", "common")
+    val streamed = StreamingUpsert.bm25FromState(spark, base,
+        Seq("text"), toks)
+      .as[(Long, Long)].collect().toSet
+    val batch = Search.bm25MultiField(docs.toDF("doc_id", "text"),
+        "doc_id", Seq("text"), toks)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // only the latest df version plus its predecessor survive pruning
+    assert(new java.io.File(s"$base/df").listFiles()
+      .count(_.isDirectory) <= 2)
+  }
+
+  test("bm25IndexBatch: replay and cross-batch re-delivery keep scores exact") {
+    import graft.search.Search
+    val b1 = Seq((1L, "spark table common words here"),
+      (2L, "common spark text and more spark"))
+    val b2 = Seq((2L, "mutated redelivery must be ignored"),
+      (3L, "table common window third doc"))
+    val base = tmp("bm25_replay")
+    def run(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.bm25IndexBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", Seq("text"), batchId = id, basePath = base)
+    run(b1, 0L)
+    run(b1, 0L) // same-batchId replay: overwrite + predecessor-derived df
+    run(b2, 1L) // doc 2 re-delivered with different text: first wins
+    run(b2, 1L)
+    val toks = Seq("spark", "table", "common")
+    val streamed = StreamingUpsert.bm25FromState(spark, base,
+        Seq("text"), toks)
+      .as[(Long, Long)].collect().toSet
+    val firstWins = b1 ++ b2.filterNot(d => b1.exists(_._1 == d._1))
+    val batch = Search.bm25MultiField(firstWins.toDF("doc_id", "text"),
+        "doc_id", Seq("text"), toks)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("latestPerKey custom state emits the running LWW row (mapGroupsWithState)") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamingUpsert.KV]
