@@ -580,6 +580,16 @@ object Similarity {
     * is exactly what the PQ index exists to avoid reading per query,
     * and before this asset existed the query path re-encoded the
     * corpus per run (VERDICT r5 "What's wrong" #1).
+    *
+    * Sizing `coarse` (measured, ScaleSoakIndex/PROFILE r6): the build
+    * cost is corpus × |coarse| exact cosines, so a stride-derived
+    * centroid set (|coarse| ∝ n) makes the build quadratic while a
+    * fixed stride keeps LIST SIZE constant — which is why the serve
+    * path measured flat across a 10× corpus. Production picks
+    * |coarse| ≈ √n (the FAISS nlist guidance) or trains
+    * [[kmeansCentroids]] on a sample; any (cent_id, c_qv, c_n2)
+    * table works — the stride seed here is the oracle-portable demo
+    * parameterization.
     */
   def writePqIndex(corpus: DataFrame, coarse: DataFrame,
                    codebooks: DataFrame, m: Int, dims: Int,
