@@ -83,6 +83,38 @@ object PlanAudit {
           graft.ops.Similarity.knnPq(p,
             p.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
             cb, 8, 64, 10)
+        },
+      ("q94 IVF-PQ index serve (round 6) — the candidate side is the " +
+        "persisted (vec_id, cent_id, codes) table joined against " +
+        "BROADCAST probes; no corpus scan, no encode, no raw-vector " +
+        "column anywhere in the ADC stage (only the tiny query side " +
+        "reads embeddings)") ->
+        fmt {
+          import org.apache.spark.sql.functions.col
+          val p = graft.ops.Similarity.prepared(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding")
+          val cb = graft.ops.Similarity.pqCodebooks(p, 8, 64, 25L)
+          val coarse = graft.ops.Similarity.strideCentroids(p, 25L)
+          graft.ops.Similarity.writePqIndex(p, coarse, cb, 8, 64,
+            "planaudit_pq_index", numBuckets = 4)
+          graft.ops.Similarity.knnIvfPqOnIndex(spark,
+            "planaudit_pq_index", p.filter(col("vec_id") < 5),
+            coarse, cb, 8, 64, 10, nProbe = 2)
+        },
+      ("q95 bm25 index serve (round 6) — NO Generate anywhere (the " +
+        "corpus is never re-tokenized): the token IN-filter is pushed " +
+        "into the bucketed postings scan, df and the 1-row stats " +
+        "broadcast, and the only shuffle is the per-doc score " +
+        "aggregate over matching postings rows") ->
+        fmt {
+          Search.writeBm25Index(
+            spark.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", Seq("text"), "planaudit_bm25_post",
+            "planaudit_bm25_df", "planaudit_bm25_stats", numBuckets = 4)
+          Search.bm25MultiFieldFromIndex(spark, "planaudit_bm25_post",
+            "planaudit_bm25_df", "planaudit_bm25_stats", Seq("text"),
+            OpsQueries.idfQueryToks)
         })
 
     val body = sections.map { case (title, plan) =>
