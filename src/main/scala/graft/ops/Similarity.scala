@@ -593,12 +593,20 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, coarse: DataFrame,
                    codebooks: DataFrame, m: Int, dims: Int,
-                   indexTable: String, numBuckets: Int = 32): Unit = {
-    val assigned = coarseAssign(corpus, broadcast(coarse))
-    val codes = pqEncode(corpus, codebooks, m, dims)
-    Tables.writeBucketed(assigned.join(codes, Seq("vec_id")),
+                   indexTable: String, numBuckets: Int = 32): Unit =
+    Tables.writeBucketed(pqIndexRows(corpus, coarse, codebooks, m, dims),
       indexTable, Seq("cent_id"), numBuckets)
-  }
+
+  /** The (vec_id, cent_id, codes) index rows for `corpus` — the
+    * shared build step of [[writePqIndex]] (batch, bucketed catalog
+    * table) and [[graft.streaming.StreamingUpsert.pqIndexBatch]]
+    * (incremental, per-batch state), so the two index forms are
+    * row-identical by construction.
+    */
+  def pqIndexRows(corpus: DataFrame, coarse: DataFrame,
+                  codebooks: DataFrame, m: Int, dims: Int): DataFrame =
+    coarseAssign(corpus, broadcast(coarse))
+      .join(pqEncode(corpus, codebooks, m, dims), Seq("vec_id"))
 
   /** IVF-PQ top-k over an index persisted by [[writePqIndex]] —
     * result-identical to [[knnIvfPq]] (same coarse rule, same codes;
@@ -612,9 +620,20 @@ object Similarity {
   def knnIvfPqOnIndex(spark: org.apache.spark.sql.SparkSession,
                       indexTable: String, queries: DataFrame,
                       coarse: DataFrame, codebooks: DataFrame,
+                      m: Int, dims: Int, k: Int, nProbe: Int): DataFrame =
+    knnIvfPqOnCodes(spark.table(indexTable), queries, coarse, codebooks,
+      m, dims, k, nProbe)
+
+  /** [[knnIvfPqOnIndex]] over an explicit (vec_id, cent_id, codes)
+    * DataFrame — the same serve plan for index rows that are not a
+    * catalog table, e.g. the incrementally accumulated state of
+    * [[graft.streaming.StreamingUpsert.pqIndexFromState]].
+    */
+  def knnIvfPqOnCodes(idx: DataFrame, queries: DataFrame,
+                      coarse: DataFrame, codebooks: DataFrame,
                       m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
     val probes = probeLists(queries, broadcast(coarse), nProbe)
-    val codeRows = spark.table(indexTable)
+    val codeRows = idx
       .join(broadcast(probes), Seq("cent_id"))
       .select($"vec_id", $"query_id", posexplode($"codes"))
       .select($"vec_id", $"query_id",

@@ -420,6 +420,50 @@ object StreamingUpsert {
       }
       .start()
 
+  /** One micro-batch of incremental IVF-PQ INDEX maintenance —
+    * [[pqEncodeBatch]]'s shape with the coarse assignment included,
+    * so the accumulated state has [[graft.ops.Similarity.writePqIndex]]'s
+    * exact (vec_id, cent_id, codes) rows (shared builder:
+    * [[graft.ops.Similarity.pqIndexRows]]) and a growing corpus is
+    * servable through the SAME probe/ADC path as the batch-built
+    * index. Both quantizers must be FROZEN (trained once, persisted,
+    * passed to every batch) — the same contract, for the same reason,
+    * as [[pqEncodeBatch]]'s codebooks.
+    */
+  def pqIndexBatch(spark: SparkSession, batch: DataFrame,
+                   idCol: String, vecCol: String, coarse: DataFrame,
+                   codebooks: DataFrame, m: Int, dims: Int,
+                   batchId: Long, basePath: String): Unit =
+    graft.ops.Similarity.pqIndexRows(
+        graft.ops.Similarity.prepared(batch, idCol, vecCol),
+        coarse, codebooks, m, dims)
+      .write.mode("overwrite").parquet(s"$basePath/index/batch=$batchId")
+
+  /** The accumulated (vec_id, cent_id, codes) index from state
+    * written by [[pqIndexBatch]] — the drop-in `idx` input for
+    * [[graft.ops.Similarity.knnIvfPqOnCodes]]. Distinct-at-read, as
+    * [[pqCodesFromState]].
+    */
+  def pqIndexFromState(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(s"$basePath/index")
+      .select(col("vec_id"), col("cent_id"), col("codes")).distinct()
+
+  /** [[pqIndexBatch]] wired as the foreachBatch sink of an embedding
+    * stream.
+    */
+  def incrementalPqIndex(stream: DataFrame, idCol: String,
+                         vecCol: String, coarse: DataFrame,
+                         codebooks: DataFrame, m: Int, dims: Int,
+                         basePath: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqIndexBatch(batch.sparkSession, batch, idCol, vecCol, coarse,
+          codebooks, m, dims, batchId, basePath)
+      }
+      .start()
+
   // ------------------------------------------- incremental BM25 index
 
   /** One micro-batch of incremental BM25 index maintenance — the

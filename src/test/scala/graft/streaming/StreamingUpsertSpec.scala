@@ -399,6 +399,51 @@ class StreamingUpsertSpec extends SparkSpec {
       Similarity.pqEncode(p, cb, 4, dims).as[(Long, Seq[Long])].collect().toMap)
   }
 
+  test("incrementalPqIndex state serves IVF-PQ identically to the batch index (property)") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(37)
+    val dims = 8
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepared(all, "vec_id", "embedding")
+    // both quantizers trained once, then frozen across batches
+    val coarse = Similarity.strideCentroids(p, 10L).cache()
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+      .cache()
+    coarse.count(); cb.count()
+    val base = tmp("incr_pq_idx")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingUpsert.incrementalPqIndex(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, cb, m = 4, dims = dims, basePath = base,
+      checkpoint = tmp("incr_pq_idx_ckpt"))
+    try {
+      rnd.shuffle(vecs).grouped(10).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qs = p.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    val served = rows(Similarity.knnIvfPqOnCodes(
+      StreamingUpsert.pqIndexFromState(spark, base), qs, coarse, cb,
+      m = 4, dims = dims, k = 5, nProbe = 2))
+    val inline = rows(Similarity.knnIvfPq(p, qs, coarse, cb,
+      m = 4, dims = dims, k = 5, nProbe = 2))
+    assert(served.nonEmpty)
+    assert(served === inline)
+    // and the state rows ARE the batch builder's rows
+    val stateRows = StreamingUpsert.pqIndexFromState(spark, base)
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    val batchRows = Similarity.pqIndexRows(p, coarse, cb, 4, dims)
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(stateRows === batchRows)
+  }
+
   test("incrementalBm25Index over N micro-batches equals batch bm25MultiField (property)") {
     // df is an additive count and the corpus stats are additive sums,
     // so the versioned incremental index must score EXACTLY like the
