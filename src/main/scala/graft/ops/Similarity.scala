@@ -658,6 +658,172 @@ object Similarity {
     rerankExact(cand, corpus, queries, k)
   }
 
+  // ------------------------------------------------ residual encoding
+
+  /** The residual corpus — each vector minus its coarse centroid
+    * (FAISS IVFPQ's `by_residual`, the default in production FAISS):
+    * output (vec_id, cent_id, qv = x − c(cent_id), n2 = ‖residual‖²).
+    * The assignment rule is bit-identical to [[coarseAssign]] (argmax
+    * cosine, ties to the smaller cent_id) so an index built from this
+    * frame lands vectors in the same lists as the non-residual path.
+    * Residuals of quantized int64 vectors are exact int64 element-wise
+    * differences — no new approximation enters here.
+    *
+    * Why residuals: within a list, vectors share their centroid's
+    * direction, so residuals concentrate near the origin with far less
+    * variance than raw vectors — the same m-byte code budget quantizes
+    * a much smaller cell of space, which is where FAISS IVFPQ's recall
+    * advantage over flat PQ comes from. Measured here the same way
+    * (q101 vs q91's recall audit protocol, PROFILE round 6).
+    *
+    * Scale shape: one corpus scan (broadcast nested-loop against the
+    * tiny centroid set), one shuffle for the skew-immune max_by fold —
+    * identical to [[coarseAssign]]; the subtraction rides the same
+    * projection. The output feeds [[pqCodebooks]] /
+    * [[pqCodebooksTrained]] / [[pqEncode]] UNCHANGED (it has the same
+    * (vec_id, qv, n2) contract as [[prepared]]).
+    */
+  def residualCorpus(corpus: DataFrame, coarse: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(coarse))
+      .select($"vec_id", $"qv", $"cent_id", $"c_qv",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"cent_id", $"qv", $"c_qv"),
+        struct($"cos_c", -$"cent_id")).as("_a"))
+      .select($"vec_id", $"_a.cent_id".as("cent_id"),
+        zip_with($"_a.qv", $"_a.c_qv", (x, c) => x - c).as("qv"))
+      .withColumn("n2", qnorm2($"qv"))
+
+  /** The (vec_id, cent_id, codes) index rows of the RESIDUAL IVF-PQ
+    * index: codes are [[pqEncode]] over [[residualCorpus]], the list
+    * id is the coarse assignment the residual was taken against —
+    * same schema as [[pqIndexRows]], so the bucketed-asset and
+    * incremental-state plumbing is shared. `rcb` must be codebooks
+    * over the SAME residual frame (stride-seeded or trained).
+    */
+  def pqIndexRowsResidual(corpus: DataFrame, coarse: DataFrame,
+                          rcb: DataFrame, m: Int, dims: Int): DataFrame = {
+    val res = residualCorpus(corpus, coarse)
+    res.select($"vec_id", $"cent_id")
+      .join(pqEncode(res, rcb, m, dims), Seq("vec_id"))
+  }
+
+  /** Persist the residual IVF-PQ index as a bucketed catalog table —
+    * [[writePqIndex]]'s residual twin; serve with
+    * [[knnIvfPqResidualOnIndex]].
+    */
+  def writePqIndexResidual(corpus: DataFrame, coarse: DataFrame,
+                           rcb: DataFrame, m: Int, dims: Int,
+                           indexTable: String, numBuckets: Int = 32): Unit =
+    Tables.writeBucketed(pqIndexRowsResidual(corpus, coarse, rcb, m, dims),
+      indexTable, Seq("cent_id"), numBuckets)
+
+  /** Per-query probe lists that KEEP the exact query·centroid dot —
+    * the residual ADC needs it (q·x̂ = q·c + q·r̂). Output (query_id,
+    * list_id, qc_dot); same probe rule as [[probeLists]].
+    */
+  private def probeListsWithDot(queries: DataFrame, cents: DataFrame,
+                                nProbe: Int): DataFrame = {
+    val wp = Window.partitionBy($"query_id")
+      .orderBy($"cos_c".desc, $"list_id".asc)
+    queries.crossJoin(cents)
+      .select($"vec_id".as("query_id"), $"cent_id".as("list_id"),
+        qdot($"qv", $"c_qv").as("qc_dot"),
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"list_id", $"qc_dot")
+  }
+
+  /** The centroid × residual-codebook cross table the residual norm
+    * needs (‖x̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖², and c·r̂ decomposes per
+    * subspace because subspaces partition the dims): per (list_id,
+    * sub_id, code) the exact dot of the centroid's subvector with the
+    * codebook entry, plus the centroid's norm. |lists| × m × ksub
+    * rows — FAISS precomputes exactly this table; broadcast.
+    */
+  private def coarseCross(coarse: DataFrame, rcb: DataFrame,
+                          m: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    coarse
+      .select($"cent_id".as("list_id"), $"c_n2".as("l_n2"), posexplode(
+        transform(sequence(lit(1), lit(m)),
+          i => slice($"c_qv", (i - lit(1)) * lit(dsub) + lit(1), lit(dsub)))))
+      .select($"list_id", $"l_n2",
+        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("l_sub"))
+      .join(rcb.select($"sub_id", $"cent_id", $"c_sub"), Seq("sub_id"))
+      .select($"list_id", $"l_n2", $"sub_id", $"cent_id",
+        qdot($"l_sub", $"c_sub").as("cdot"))
+  }
+
+  /** Residual-encoded IVF-PQ top-k over an explicit (vec_id, cent_id,
+    * codes) index (built by [[pqIndexRowsResidual]]): reconstruction
+    * is x̂ = c + r̂, so q·x̂ = qc_dot + Σ_j q_sub·r̂_sub (probe table +
+    * LUT) and ‖x̂‖² = ‖c‖² + 2·Σ_j c_sub·r̂_sub + Σ_j ‖r̂_sub‖² (cross
+    * table + LUT) — every term an exact int64 lookup, cosine taken
+    * once in double at the end. Per-query cost is identical in shape
+    * to [[knnIvfPqOnCodes]]: broadcast probes → equi-join on the list
+    * id against the codes table → ADC over m codes per candidate; the
+    * raw vector column is never read. The two extra joins (qc_dot,
+    * cross) are against broadcast tables of probe/codebook size.
+    */
+  def knnIvfPqResidualOnCodes(idx: DataFrame, queries: DataFrame,
+                              coarse: DataFrame, rcb: DataFrame,
+                              m: Int, dims: Int, k: Int,
+                              nProbe: Int): DataFrame = {
+    val probes = broadcast(probeListsWithDot(queries, broadcast(coarse),
+      nProbe))
+    val cross = broadcast(coarseCross(coarse, rcb, m, dims))
+    val codeRows = idx
+      .withColumnRenamed("cent_id", "list_id")
+      .join(probes, Seq("list_id"))
+      .select($"vec_id", $"query_id", $"list_id", $"qc_dot",
+        posexplode($"codes"))
+      .select($"vec_id", $"query_id", $"list_id", $"qc_dot",
+        ($"pos" + 1).cast("long").as("sub_id"), $"col".as("cent_id"))
+    val scored = codeRows
+      .join(pqLut(queries, rcb, m, dims), Seq("query_id", "sub_id", "cent_id"))
+      .join(cross, Seq("list_id", "sub_id", "cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg((max($"qc_dot") + sum($"pdot")).as("rdot"),
+        (max($"l_n2") + lit(2L) * sum($"cdot") + sum($"c_n2")).as("r_n2"),
+        max($"q_n2").as("q_n2"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** [[knnIvfPqResidualOnCodes]] over a table persisted by
+    * [[writePqIndexResidual]].
+    */
+  def knnIvfPqResidualOnIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexTable: String, queries: DataFrame,
+                              coarse: DataFrame, rcb: DataFrame,
+                              m: Int, dims: Int, k: Int,
+                              nProbe: Int): DataFrame =
+    knnIvfPqResidualOnCodes(spark.table(indexTable), queries, coarse, rcb,
+      m, dims, k, nProbe)
+
+  /** Residual IVF-PQ shortlist + exact re-rank from the persisted
+    * index — the full FAISS-default serving shape (IVFPQ with
+    * by_residual + refine).
+    */
+  def knnIvfPqResidualRerankOnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, corpus: DataFrame, queries: DataFrame,
+      coarse: DataFrame, rcb: DataFrame, m: Int, dims: Int,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val cand = knnIvfPqResidualOnIndex(spark, indexTable, queries, coarse,
+        rcb, m, dims, shortlist, nProbe)
+      .select($"query_id", $"neighbor_id")
+    rerankExact(cand, corpus, queries, k)
+  }
+
   /** Observability audit of a persisted IVF-PQ index
     * ([[writePqIndex]] output): ONE row — list count, vector count,
     * min/max/singleton list populations — the

@@ -349,6 +349,63 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_index_spec")
   }
 
+  test("residual IVF-PQ: stride-1 coarse zeroes residuals making ADC exactly brute force; index serve matches on-codes") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cos_sim", $"rank")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    // stride 1: every vector is its own coarse centroid, so every
+    // residual is EXACTLY zero (self-cosine 1.0 beats any other
+    // direction on this random corpus), every residual-codebook entry
+    // is the zero vector, reconstruction is x̂ = c + 0 = x, and the
+    // three-term ADC (q·c + q·r̂; ‖c‖² + 2·c·r̂ + ‖r̂‖²) degenerates to
+    // the exact cosine — full-probe residual IVF-PQ IS brute force,
+    // cosines included. This pins all three ADC terms at once.
+    val self = Similarity.strideCentroids(p, 1L)
+    val res0 = Similarity.residualCorpus(p, self)
+    assert(res0.filter($"n2" =!= 0L).count() === 0L)
+    assert(res0.filter($"cent_id" =!= $"vec_id").count() === 0L)
+    val rcb0 = Similarity.pqCodebooks(res0, m = 4, dims = dims, stride = 7L)
+    val idx0 = Similarity.pqIndexRowsResidual(p, self, rcb0,
+      m = 4, dims = dims)
+    val qs = p.filter($"vec_id" < 3)
+    val adc = collectRows(Similarity.knnIvfPqResidualOnCodes(idx0, qs,
+      self, rcb0, m = 4, dims = dims, k = 5, nProbe = 30))
+    val brute = collectRows(Similarity.knnBrute(p, qs, 5))
+    assert(adc === brute)
+    // a real (stride-10) coarse quantizer: the persisted-table serve
+    // path is row-identical to the on-codes form it wraps
+    val coarse = Similarity.strideCentroids(p, 10L)
+    val rcb = Similarity.pqCodebooks(Similarity.residualCorpus(p, coarse),
+      m = 4, dims = dims, stride = 7L)
+    Similarity.writePqIndexResidual(p, coarse, rcb, m = 4, dims = dims,
+      "pq_residx_spec", numBuckets = 4)
+    try {
+      val onCodes = collectRows(Similarity.knnIvfPqResidualOnCodes(
+        Similarity.pqIndexRowsResidual(p, coarse, rcb, m = 4, dims = dims),
+        qs, coarse, rcb, m = 4, dims = dims, k = 5, nProbe = 2))
+      val served = collectRows(Similarity.knnIvfPqResidualOnIndex(spark,
+        "pq_residx_spec", qs, coarse, rcb, m = 4, dims = dims,
+        k = 5, nProbe = 2))
+      assert(served.nonEmpty)
+      assert(served === onCodes)
+      // the re-ranked form respects k and self-exclusion
+      val rr = Similarity.knnIvfPqResidualRerankOnIndex(spark,
+        "pq_residx_spec", p, qs, coarse, rcb, m = 4, dims = dims,
+        k = 5, nProbe = 2, shortlist = 9).collect()
+      assert(rr.nonEmpty)
+      assert(rr.forall(r => r.getAs[Long]("rank") <= 5L &&
+        r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    } finally spark.sql("DROP TABLE IF EXISTS pq_residx_spec")
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),

@@ -195,6 +195,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_index_plan")
   }
 
+  test("q101 residual IVF-PQ index serve: probe join broadcasts; index scan prunes to codes") {
+    import graft.ops.Similarity
+    val p = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 25L)
+    val rcb = Similarity.pqCodebooks(Similarity.residualCorpus(p, coarse),
+      m = 8, dims = 64, stride = 13L)
+    Similarity.writePqIndexResidual(p, coarse, rcb, m = 8, dims = 64,
+      "pq_residx_plan", numBuckets = 8)
+    try {
+      val served = Similarity.knnIvfPqResidualOnIndex(spark,
+        "pq_residx_plan", p.filter(col("vec_id") < 5), coarse, rcb,
+        m = 8, dims = 64, k = 10, nProbe = 2)
+      val pl = plan(served)
+      // the residual serve adds two more broadcast-side tables (q·c
+      // probe dots, centroid × codebook cross) — the index side must
+      // STILL never shuffle to meet any of them
+      assert(pl.contains("BroadcastHashJoin"), pl)
+      assert(!pl.contains("Exchange hashpartitioning(list_id") &&
+        !pl.contains("Exchange hashpartitioning(cent_id"),
+        s"index side must not shuffle for the probe/cross joins:\n$pl")
+      val scanLine = pl.linesIterator
+        .find(l => l.contains("ReadSchema") && l.contains("pq_residx_plan"))
+        .getOrElse(fail(s"no scan of the index table in the plan:\n$pl"))
+      assert(scanLine.contains("codes"), scanLine)
+      assert(!scanLine.contains("qv"), scanLine)
+    } finally spark.sql("DROP TABLE IF EXISTS pq_residx_plan")
+  }
+
   test("q95 BM25 index serve: no corpus tokenize, token filter pushed to postings scan") {
     val docs = graft.Tables.load(spark, dir, "documents")
     Search.writeBm25Index(docs, "doc_id", Seq("text"),
