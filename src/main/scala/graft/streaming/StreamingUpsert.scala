@@ -464,6 +464,43 @@ object StreamingUpsert {
       }
       .start()
 
+  /** [[pqIndexBatch]] with RESIDUAL encoding (FAISS `by_residual`):
+    * new arrivals assign to the FROZEN coarse quantizer, encode their
+    * residuals against the FROZEN residual codebooks
+    * ([[graft.ops.Similarity.pqIndexRowsResidual]] — row-identical to
+    * the batch builder by construction), and append. The accumulated
+    * state reads through [[pqIndexFromState]] unchanged and serves
+    * via [[graft.ops.Similarity.knnIvfPqResidualOnCodes]]. Same
+    * replay contract as [[pqIndexBatch]] (per-batchId overwrite +
+    * distinct-at-read).
+    */
+  def pqResidualIndexBatch(spark: SparkSession, batch: DataFrame,
+                           idCol: String, vecCol: String,
+                           coarse: DataFrame, codebooks: DataFrame,
+                           m: Int, dims: Int, batchId: Long,
+                           basePath: String): Unit =
+    graft.ops.Similarity.pqIndexRowsResidual(
+        graft.ops.Similarity.prepared(batch, idCol, vecCol),
+        coarse, codebooks, m, dims)
+      .write.mode("overwrite").parquet(s"$basePath/index/batch=$batchId")
+
+  /** [[pqResidualIndexBatch]] wired as the foreachBatch sink of an
+    * embedding stream — the incremental maintenance loop of the
+    * residual IVF-PQ index asset.
+    */
+  def incrementalPqResidualIndex(stream: DataFrame, idCol: String,
+                                 vecCol: String, coarse: DataFrame,
+                                 codebooks: DataFrame, m: Int, dims: Int,
+                                 basePath: String,
+                                 checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pqResidualIndexBatch(batch.sparkSession, batch, idCol, vecCol,
+          coarse, codebooks, m, dims, batchId, basePath)
+      }
+      .start()
+
   // ------------------------------------------- incremental BM25 index
 
   /** One micro-batch of incremental BM25 index maintenance — the

@@ -102,6 +102,25 @@ object PlanAudit {
             "planaudit_pq_index", p.filter(col("vec_id") < 5),
             coarse, cb, 8, 64, 10, nProbe = 2)
         },
+      ("q101 residual IVF-PQ index serve (round 6) — same candidate " +
+        "shape as q94 with the three extra exact terms all BROADCAST " +
+        "(q·c probe dots, centroid×codebook cross table, LUT); the " +
+        "index scan is still codes-only — residual encoding adds " +
+        "recall, not query-time scan volume") ->
+        fmt {
+          import org.apache.spark.sql.functions.col
+          val p = graft.ops.Similarity.prepared(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding")
+          val coarse = graft.ops.Similarity.strideCentroids(p, 25L)
+          val rcb = graft.ops.Similarity.pqCodebooks(
+            graft.ops.Similarity.residualCorpus(p, coarse), 8, 64, 13L)
+          graft.ops.Similarity.writePqIndexResidual(p, coarse, rcb, 8, 64,
+            "planaudit_pq_residx", numBuckets = 4)
+          graft.ops.Similarity.knnIvfPqResidualOnIndex(spark,
+            "planaudit_pq_residx", p.filter(col("vec_id") < 5),
+            coarse, rcb, 8, 64, 10, nProbe = 2)
+        },
       ("q95 bm25 index serve (round 6) — NO Generate anywhere (the " +
         "corpus is never re-tokenized): the token IN-filter is pushed " +
         "into the bucketed postings scan, df and the 1-row stats " +

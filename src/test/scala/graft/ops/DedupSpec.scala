@@ -289,20 +289,25 @@ class DedupSpec extends SparkSpec {
       val tracker = spark.sparkContext.statusTracker
       // the status store is fed by the async listener bus — under a
       // full-suite run it can lag behind submitted jobs, so poll until
-      // the count stops moving before trusting either snapshot
-      def stableJobCount(): Int = {
-        var prev = tracker.getJobIdsForGroup(null).length
+      // the HIGHEST job id stops moving before trusting a snapshot.
+      // (Job ids, not counts: the store evicts old jobs past
+      // spark.ui.retainedJobs, so a length delta can even go NEGATIVE
+      // late in a suite run; max id is monotone and eviction-proof.)
+      def stableMaxJobId(): Int = {
+        def cur() = tracker.getJobIdsForGroup(null)
+          .maxOption.getOrElse(-1)
+        var prev = cur()
         var same = 0
         while (same < 3) {
           Thread.sleep(100)
-          val cur = tracker.getJobIdsForGroup(null).length
-          if (cur == prev) same += 1 else { same = 0; prev = cur }
+          val c = cur()
+          if (c == prev) same += 1 else { same = 0; prev = c }
         }
         prev
       }
-      val before = stableJobCount()
+      val before = stableMaxJobId()
       val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
-      val during = stableJobCount() - before
+      val during = stableMaxJobId() - before
       assert(during <= rounds + 1, s"$during jobs for $rounds rounds")
       assert(during >= rounds)
       assert(labels.filter($"lbl" =!= 0L).count() === 0L)

@@ -444,6 +444,55 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(stateRows === batchRows)
   }
 
+  test("incrementalPqResidualIndex state serves residual IVF-PQ identically to the batch index (property)") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(43)
+    val dims = 8
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepared(all, "vec_id", "embedding")
+    // coarse quantizer AND residual codebooks trained once on the
+    // full corpus, then frozen across batches (the FAISS contract:
+    // training is a batch job, maintenance is incremental)
+    val coarse = Similarity.strideCentroids(p, 10L).cache()
+    val rcb = Similarity.pqCodebooks(Similarity.residualCorpus(p, coarse),
+      m = 4, dims = dims, stride = 7L).cache()
+    coarse.count(); rcb.count()
+    val base = tmp("incr_pq_residx")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingUpsert.incrementalPqResidualIndex(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      coarse, rcb, m = 4, dims = dims, basePath = base,
+      checkpoint = tmp("incr_pq_residx_ckpt"))
+    try {
+      rnd.shuffle(vecs).grouped(10).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val qs = p.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    val served = rows(Similarity.knnIvfPqResidualOnCodes(
+      StreamingUpsert.pqIndexFromState(spark, base), qs, coarse, rcb,
+      m = 4, dims = dims, k = 5, nProbe = 2))
+    val inline = rows(Similarity.knnIvfPqResidualOnCodes(
+      Similarity.pqIndexRowsResidual(p, coarse, rcb, 4, dims),
+      qs, coarse, rcb, m = 4, dims = dims, k = 5, nProbe = 2))
+    assert(served.nonEmpty)
+    assert(served === inline)
+    // the state rows ARE the batch builder's rows — the per-batch
+    // residual encode loses nothing vs encoding the union at once
+    val stateRows = StreamingUpsert.pqIndexFromState(spark, base)
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    val batchRows = Similarity.pqIndexRowsResidual(p, coarse, rcb, 4, dims)
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(stateRows === batchRows)
+  }
+
   test("incrementalBm25Index over N micro-batches equals batch bm25MultiField (property)") {
     // df is an additive count and the corpus stats are additive sums,
     // so the versioned incremental index must score EXACTLY like the
