@@ -60,6 +60,10 @@ object SparkEntry {
     // + ADC + re-rank — catches regressions toward query-time corpus
     // re-encode (VERDICT r5 "What's wrong" #1).
     "q94_ivfpq_index_recall",
+    // residual-encoded IVF-PQ (round 6, FAISS by_residual): the
+    // three-term ADC must stay broadcast-only — a regression toward
+    // shuffling the cross/probe tables surfaces here as a cliff.
+    "q101_ivfpq_residual_recall",
     // rank/sort representative: bucketed two-phase global shuffle
     // rank — catches regressions toward a single-task global window.
     "q87_shuffle_rank")
