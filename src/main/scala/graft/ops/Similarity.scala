@@ -702,8 +702,12 @@ object Similarity {
     * over the SAME residual frame (stride-seeded or trained).
     */
   def pqIndexRowsResidual(corpus: DataFrame, coarse: DataFrame,
-                          rcb: DataFrame, m: Int, dims: Int): DataFrame = {
-    val res = residualCorpus(corpus, coarse)
+                          rcb: DataFrame, m: Int, dims: Int,
+                          mat: Materializer = Materialize.Local): DataFrame = {
+    // both join branches (the assignment keys and the encode input)
+    // consume the residual frame — without a barrier each branch
+    // re-runs the corpus × centroids assignment (build-time cost ×2)
+    val res = mat(residualCorpus(corpus, coarse))
     res.select($"vec_id", $"cent_id")
       .join(pqEncode(res, rcb, m, dims), Seq("vec_id"))
   }
