@@ -365,6 +365,52 @@ object Similarity {
     topKByCos(scored, k)
   }
 
+  // ------------------------------------------- OPQ-style rotation
+
+  /** The signed-permutation rotation table for `seed`: output
+    * position i takes source dimension π(i) with sign σ(π(i)), where
+    * π ranks the dimensions by md5(seed || d) and σ(d) flips on the
+    * parity of that hash's first hex digit. Derivation is pure
+    * string/hash arithmetic so any engine replays it (the q106
+    * oracle re-derives it in SQL with the same md5 text).
+    */
+  def rotationSpec(seed: String, dims: Int): Seq[(Int, Int)] = {
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (1 to dims).sortBy(d => hex(seed + d)).map { d =>
+      (d, if (Character.digit(hex(seed + d).charAt(0), 16) % 2 == 0) 1
+          else -1)
+    }
+  }
+
+  /** OPQ-style rotation of a [[prepared]] corpus: a deterministic
+    * SIGNED PERMUTATION of the dimensions (the OPQ family's
+    * random-rotation member — Ge et al., "Optimized Product
+    * Quantization", CVPR 2013, the R-init FAISS's OPQMatrix also
+    * starts from). A signed permutation is an orthogonal matrix, so
+    * dot products, norms, and therefore EXACT kNN are preserved
+    * bit-for-bit (entries are ±1 — the arithmetic stays in int64; no
+    * float rotation error enters, unlike a learned dense rotation).
+    * What changes is the PQ SUBSPACE PARTITION: `m` consecutive
+    * blocks of the rotated layout mix dimensions the raw layout
+    * grouped together, decorrelating per-subspace energy — the
+    * variance-balancing effect the OPQ paper measures for its random
+    * baseline. Everything downstream ([[pqCodebooks]],
+    * [[pqCodebooksTrained]], [[pqEncode]], the index builders)
+    * consumes the rotated frame UNCHANGED; queries must be rotated
+    * with the same seed.
+    *
+    * Scale shape: a per-row projection — no shuffle, no UDF, stays
+    * inside whole-stage codegen.
+    */
+  def rotate(corpus: DataFrame, seed: String, dims: Int): DataFrame =
+    corpus.select($"vec_id",
+      array(rotationSpec(seed, dims).map { case (d, s) =>
+        element_at($"qv", d) * lit(s.toLong)
+      }: _*).as("qv"),
+      $"n2")
+
   // ------------------------------------------------ product quantization
 
   /** Product-quantization codebooks (Jégou et al. 2011; the FAISS PQ
@@ -377,6 +423,23 @@ object Similarity {
     * encode/ADC machinery). Output: (sub_id 1..m, cent_id, c_sub,
     * c_n2) — m × (corpus/stride) rows, tiny, broadcastable.
     */
+  /** Production codebook sizing — the ksub analog of
+    * [[coarseForCorpus]] (round-7 soak finding): a FIXED stride makes
+    * ksub = n/stride grow with the corpus, so the encode —
+    * corpus × m × ksub argmin lookups — and the per-query LUT go
+    * QUADRATIC/linear where FAISS holds ksub constant (256 entries =
+    * 8-bit codes). The re-soaked 1×→10× build was flat-per-row only
+    * after fixing ksub; with stride=25 it measured 27 s at 10× even
+    * with √n coarse lists. One count() at build time sizes the
+    * stride; everything downstream is [[pqCodebooks]] unchanged.
+    */
+  def pqCodebooksForCorpus(corpus: DataFrame, m: Int, dims: Int,
+                           ksub: Int): DataFrame = {
+    require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+    pqCodebooks(corpus, m, dims,
+      stride = math.max(1L, corpus.count() / ksub))
+  }
+
   def pqCodebooks(corpus: DataFrame, m: Int, dims: Int,
                   stride: Long): DataFrame = {
     require(m >= 1 && dims % m == 0,
@@ -689,14 +752,27 @@ object Similarity {
     */
   def knnIvfPqOnCodes(idx: DataFrame, queries: DataFrame,
                       coarse: DataFrame, codebooks: DataFrame,
-                      m: Int, dims: Int, k: Int, nProbe: Int): DataFrame = {
+                      m: Int, dims: Int, k: Int, nProbe: Int): DataFrame =
+    topKByCos(
+      ivfAdcScores(idx, queries, coarse, codebooks, m, dims, nProbe), k)
+
+  /** [[knnIvfPqOnCodes]] WITHOUT the final top-k — every probed
+    * candidate's ADC cosine. The compacted-state serve scores the
+    * bucketed index table and the uncompacted delta with two calls
+    * and max-merges the candidate-sized frames before ranking
+    * ([[graft.streaming.StreamingUpsert.pqIndexServe]]).
+    */
+  private[graft] def ivfAdcScores(idx: DataFrame, queries: DataFrame,
+                                  coarse: DataFrame, codebooks: DataFrame,
+                                  m: Int, dims: Int,
+                                  nProbe: Int): DataFrame = {
     val probes = probeLists(queries, broadcast(coarse), nProbe)
     val codeRows = idx
       .join(broadcast(probes), Seq("cent_id"))
       .select($"vec_id", $"query_id", posexplode($"codes"))
       .select($"vec_id", $"query_id",
         ($"pos" + 1).cast("long").as("sub_id"), $"col".as("cent_id"))
-    adcTopK(codeRows, pqLut(queries, codebooks, m, dims), k)
+    adcScores(codeRows, pqLut(queries, codebooks, m, dims))
   }
 
   /** [[knnIvfPqRerank]] served from the persisted index: ADC
@@ -874,7 +950,18 @@ object Similarity {
   def knnIvfPqResidualOnCodes(idx: DataFrame, queries: DataFrame,
                               coarse: DataFrame, rcb: DataFrame,
                               m: Int, dims: Int, k: Int,
-                              nProbe: Int): DataFrame = {
+                              nProbe: Int): DataFrame =
+    topKByCos(
+      residualAdcScores(idx, queries, coarse, rcb, m, dims, nProbe), k)
+
+  /** [[knnIvfPqResidualOnCodes]] WITHOUT the final top-k — the
+    * residual twin of [[ivfAdcScores]], for the compacted-state
+    * serve's index+delta merge.
+    */
+  private[graft] def residualAdcScores(idx: DataFrame, queries: DataFrame,
+                                       coarse: DataFrame, rcb: DataFrame,
+                                       m: Int, dims: Int,
+                                       nProbe: Int): DataFrame = {
     val probes = broadcast(probeListsWithDot(queries, broadcast(coarse),
       nProbe))
     val cross = broadcast(coarseCross(coarse, rcb, m, dims))
@@ -885,7 +972,7 @@ object Similarity {
         posexplode($"codes"))
       .select($"vec_id", $"query_id", $"list_id", $"qc_dot",
         ($"pos" + 1).cast("long").as("sub_id"), $"col".as("cent_id"))
-    val scored = codeRows
+    codeRows
       .join(pqLut(queries, rcb, m, dims), Seq("query_id", "sub_id", "cent_id"))
       .join(cross, Seq("list_id", "sub_id", "cent_id"))
       .filter($"vec_id" =!= $"query_id")
@@ -895,7 +982,6 @@ object Similarity {
         max($"q_n2").as("q_n2"))
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"rdot", $"r_n2", $"q_n2").as("cos_sim"))
-    topKByCos(scored, k)
   }
 
   /** [[knnIvfPqResidualOnCodes]] over a table persisted by

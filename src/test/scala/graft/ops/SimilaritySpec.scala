@@ -469,6 +469,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansCentroidsFrom(sample, seeds, iters = 2)))
   }
 
+  test("rotate: signed permutation is orthogonal — norms and exact kNN preserved bit-for-bit") {
+    val rnd = new scala.util.Random(67)
+    val dims = 16
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // the spec is a bijection over 1..dims with ±1 signs, stable
+    val spec = Similarity.rotationSpec("rotspec", dims)
+    assert(spec.map(_._1).sorted === (1 to dims))
+    assert(spec.forall(s => s._2 == 1 || s._2 == -1))
+    assert(spec.count(_._2 == -1) > 0) // a seed that flips something
+    assert(spec === Similarity.rotationSpec("rotspec", dims))
+    val r = Similarity.rotate(p, "rotspec", dims)
+    // ±1 entries keep everything in int64: norms are IDENTICAL...
+    val n2 = p.select($"vec_id", $"n2").as[(Long, Long)].collect().toMap
+    Similarity.rotate(p, "rotspec", dims).select($"vec_id", $"n2")
+      .as[(Long, Long)].collect()
+      .foreach { case (id, v) => assert(v === n2(id)) }
+    // ...and exact kNN — ids, ranks, AND the double cosines — is
+    // unchanged (dot products of int64 rotated pairs are bitwise
+    // equal, so the one double division at the end is too)
+    val qs = p.filter($"vec_id" < 3)
+    val rqs = r.filter($"vec_id" < 3)
+    def knn(c: org.apache.spark.sql.DataFrame,
+            q: org.apache.spark.sql.DataFrame) =
+      Similarity.knnBrute(c, q, 5)
+        .select($"query_id", $"neighbor_id", $"cos_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(knn(r, rqs) === knn(p, qs))
+  }
+
   test("knnLsh only pairs within buckets and ranks like brute force there") {
     val p = Similarity.prepared(emb(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.95f, 0.05f)), (2L, Seq(-1.0f, -0.1f))),

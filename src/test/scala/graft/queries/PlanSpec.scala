@@ -224,6 +224,47 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_residx_plan")
   }
 
+  test("post-compaction streaming serve: the plan IS the zero-Exchange bucketed probe join") {
+    import graft.ops.Similarity
+    import graft.streaming.StreamingUpsert
+    val p = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 8, dims = 64, stride = 25L)
+    val coarse = Similarity.strideCentroids(p, 25L)
+    val base = java.nio.file.Files.createTempDirectory("compact_plan")
+      .toString
+    // two streamed batches, then compaction folds them into the
+    // bucketed asset and truncates state (VERDICT r6 #2) — from here
+    // serve must NOT pay the old full-state .distinct() shuffle
+    val (b0, b1) = (p.filter(col("vec_id") % 2 === 0),
+      p.filter(col("vec_id") % 2 === 1))
+    Seq(b0, b1).zipWithIndex.foreach { case (b, i) =>
+      Similarity.pqIndexRows(b, coarse, cb, 8, 64)
+        .write.mode("overwrite").parquet(s"$base/index/batch=$i")
+    }
+    StreamingUpsert.compactPqIndexState(spark, base,
+      "compact_plan_tbl", numBuckets = 8)
+    try {
+      val served = StreamingUpsert.pqIndexServe(spark, base,
+        "compact_plan_tbl", p.filter(col("vec_id") < 5), coarse, cb,
+        m = 8, dims = 64, k = 10, nProbe = 2)
+      val pl = plan(served)
+      assert(pl.contains("BroadcastHashJoin"), pl)
+      assert(!pl.contains("Exchange hashpartitioning(cent_id"),
+        s"post-compaction serve must not shuffle the index:\n$pl")
+      // no distinct over the index either: HashAggregate only for the
+      // ADC/rank tail, never keyed on the full (vec_id, cent_id,
+      // codes) row — the old state path's per-query distinct
+      assert(!pl.contains("Exchange hashpartitioning(vec_id"),
+        s"post-compaction serve must not distinct the index:\n$pl")
+      val scanLine = pl.linesIterator
+        .find(l => l.contains("ReadSchema") && l.contains("compact_plan_tbl"))
+        .getOrElse(fail(s"no scan of the compacted table in the plan:\n$pl"))
+      assert(scanLine.contains("codes"), scanLine)
+      assert(!scanLine.contains("qv"), scanLine)
+    } finally spark.sql("DROP TABLE IF EXISTS compact_plan_tbl")
+  }
+
   test("q95 BM25 index serve: no corpus tokenize, token filter pushed to postings scan") {
     val docs = graft.Tables.load(spark, dir, "documents")
     Search.writeBm25Index(docs, "doc_id", Seq("text"),

@@ -493,6 +493,115 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(stateRows === batchRows)
   }
 
+  test("compactPqIndexState folds state into the bucketed asset; serve merges table + delta exactly") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(53)
+    val dims = 8
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 10L).cache()
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+      .cache()
+    coarse.count(); cb.count()
+    val base = tmp("compact_pq_idx")
+    val tbl = "compact_pq_idx_tbl"
+    val slices = vecs.grouped(10).toSeq
+    def feed(batch: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamingUpsert.pqIndexBatch(spark, batch.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", coarse, cb, m = 4, dims = dims, id, base)
+    def batchDirs(): Seq[String] = {
+      val d = new java.io.File(s"$base/index")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("batch="))
+    }
+    val qs = p.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cent_id"), col("codes"))
+        .as[(Long, Long, Seq[Long])].collect().toSet
+    try {
+      feed(slices(0), 0); feed(slices(1), 1)
+      StreamingUpsert.compactPqIndexState(spark, base, tbl, numBuckets = 4)
+      // consumed batch dirs truncated; table == batch builder's rows
+      // over exactly the compacted slices
+      assert(batchDirs().isEmpty)
+      val p01 = Similarity.prepared(
+        (slices(0) ++ slices(1)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      assert(idxRows(spark.table(tbl)) ===
+        idxRows(Similarity.pqIndexRows(p01, coarse, cb, 4, dims)))
+      // no delta: serve == the persisted-index serve == inline
+      val served0 = rows(StreamingUpsert.pqIndexServe(spark, base, tbl,
+        qs, coarse, cb, m = 4, dims = dims, k = 5, nProbe = 2))
+      assert(served0 === rows(Similarity.knnIvfPq(p01, qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2)))
+      // slice 2 arrives post-compaction, and one slice-0 vector is
+      // re-delivered with it (at-least-once beyond the watermark) —
+      // it now exists in BOTH the table and the delta
+      feed(slices(2) ++ slices(0).take(1), 2)
+      assert(batchDirs() === Seq("batch=2"))
+      val served1 = rows(StreamingUpsert.pqIndexServe(spark, base, tbl,
+        qs, coarse, cb, m = 4, dims = dims, k = 5, nProbe = 2))
+      assert(served1 === rows(Similarity.knnIvfPq(p, qs, coarse, cb,
+        m = 4, dims = dims, k = 5, nProbe = 2)))
+      // re-compaction folds the delta (cross-source duplicate
+      // collapses: distinct rows == full batch build), and a further
+      // compaction with no state is a no-op
+      StreamingUpsert.compactPqIndexState(spark, base, tbl, numBuckets = 4)
+      assert(batchDirs().isEmpty)
+      assert(idxRows(spark.table(tbl)) ===
+        idxRows(Similarity.pqIndexRows(p, coarse, cb, 4, dims)))
+      StreamingUpsert.compactPqIndexState(spark, base, tbl, numBuckets = 4)
+      val served2 = rows(StreamingUpsert.pqIndexServe(spark, base, tbl,
+        qs, coarse, cb, m = 4, dims = dims, k = 5, nProbe = 2))
+      assert(served2 === served1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("compactPqIndexState + pqResidualIndexServe: residual family shares the compaction path") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(61)
+    val dims = 8
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 8L).cache()
+    val rcb = Similarity.pqCodebooks(Similarity.residualCorpus(p, coarse),
+      m = 4, dims = dims, stride = 5L).cache()
+    coarse.count(); rcb.count()
+    val base = tmp("compact_pq_residx")
+    val tbl = "compact_pq_residx_tbl"
+    val slices = vecs.grouped(12).toSeq
+    def feed(batch: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamingUpsert.pqResidualIndexBatch(spark,
+        batch.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        coarse, rcb, m = 4, dims = dims, id, base)
+    val qs = p.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    try {
+      feed(slices(0), 0)
+      StreamingUpsert.compactPqIndexState(spark, base, tbl, numBuckets = 4)
+      feed(slices(1), 1) // delta
+      val served = rows(StreamingUpsert.pqResidualIndexServe(spark, base,
+        tbl, qs, coarse, rcb, m = 4, dims = dims, k = 5, nProbe = 2))
+      val inline = rows(Similarity.knnIvfPqResidualOnCodes(
+        Similarity.pqIndexRowsResidual(p, coarse, rcb, 4, dims),
+        qs, coarse, rcb, m = 4, dims = dims, k = 5, nProbe = 2))
+      assert(served.nonEmpty)
+      assert(served === inline)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("incrementalBm25Index over N micro-batches equals batch bm25MultiField (property)") {
     // df is an additive count and the corpus stats are additive sums,
     // so the versioned incremental index must score EXACTLY like the
