@@ -1051,8 +1051,8 @@ object Similarity {
     * table: only candidate rows fetch full vectors (selective
     * equi-join), shared by the PQ and IVF-PQ refine paths.
     */
-  private def rerankExact(cand: DataFrame, corpus: DataFrame,
-                          queries: DataFrame, k: Int): DataFrame = {
+  private[graft] def rerankExact(cand: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select($"vec_id".as("query_id"),
       $"qv".as("q_qv"), $"n2".as("q_n2")))
     val scored = broadcast(cand)

@@ -774,6 +774,118 @@ object StreamingUpsert {
     graft.search.Search.bm25ScoreTail(tf, df_, stats, fields, None)
   }
 
+  /** Fold the accumulated BM25 batch state into the bucketed catalog
+    * assets — [[compactPqIndexState]]'s pattern for the third index
+    * family. Postings batch directories (disjoint by doc — the
+    * seen-ids gate drops cross-batch re-delivery) fold into the
+    * tok-bucketed postings table; the per-batch 1-row corpus counts
+    * fold into a single accumulated stats row; exactly the
+    * snapshotted directories are deleted after each swap commits.
+    * The df version chain and the seen-ids asset are NOT touched:
+    * both are already compact (one live version each), and future
+    * micro-batches derive version N from version N−1 — truncating
+    * them would silently reset document frequencies.
+    *
+    * Serve afterwards via [[bm25FromCompactedState]]: the postings
+    * side becomes the bucket-pruned, predicate-pushed table scan of
+    * the batch asset (q95's plan) plus only the uncompacted delta.
+    */
+  def compactBm25State(spark: SparkSession, basePath: String,
+                       postingsTable: String, statsTable: String,
+                       numBuckets: Int = 32): Unit = {
+    def dirs(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$basePath/$sub")
+      val f = hfs(spark, root)
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+    }
+    val post = dirs("postings")
+    val cnts = dirs("counts")
+    require(post.nonEmpty || cnts.nonEmpty ||
+      spark.catalog.tableExists(postingsTable),
+      s"nothing to compact under $basePath and no table $postingsTable")
+    if (post.nonEmpty) {
+      val pCols = Seq("id", "field", "tok", "tf", "dl").map(col)
+      val state = spark.read.parquet(post: _*).select(pCols: _*)
+      val all = if (spark.catalog.tableExists(postingsTable))
+        spark.table(postingsTable).select(pCols: _*).unionByName(state)
+      else state
+      graft.Tables.writeBucketed(all, postingsTable, Seq("tok"), numBuckets)
+    }
+    if (cnts.nonEmpty) {
+      val state = spark.read.parquet(cnts: _*)
+      val all = if (spark.catalog.tableExists(statsTable))
+        spark.table(statsTable).unionByName(state)
+      else state
+      // counts are additive sums — fold to the single accumulated row
+      graft.Tables.writeTable(
+        all.groupBy().agg(sum(col("n_docs")).as("n_docs"),
+          all.columns.filter(_.startsWith("_t_")).map(c =>
+            sum(col(c)).as(c)).toSeq: _*),
+        statsTable)
+    }
+    (post ++ cnts).foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+  }
+
+  /** BM25 scores over compacted-table + delta state — the serving
+    * face of [[incrementalBm25Index]] + [[compactBm25State]],
+    * result-identical to [[bm25FromState]] (q100's contract) and,
+    * with an empty delta, plan-identical to the persisted-asset serve
+    * ([[graft.search.Search.bm25FromIndex]]'s shape: token predicate
+    * pushed into the bucket-pruned postings table scan, no corpus
+    * tokenize). Document frequencies come from the streaming df
+    * chain's latest version — already global and compact — and the
+    * corpus stats from the folded row plus any delta counts.
+    */
+  def bm25FromCompactedState(spark: SparkSession, basePath: String,
+                             postingsTable: String, statsTable: String,
+                             fields: Seq[String],
+                             queryToks: Seq[String]): DataFrame = {
+    val pred = col("tok").isin(queryToks: _*)
+    val pCols = Seq("id", "field", "tok", "tf", "dl").map(col)
+    def dirs(sub: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$basePath/$sub")
+      val f = hfs(spark, root)
+      if (!f.exists(root)) Seq.empty
+      else f.listStatus(root).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.toString)
+    }
+    val post = dirs("postings")
+    val tfTable =
+      if (spark.catalog.tableExists(postingsTable))
+        Seq(spark.table(postingsTable).select(pCols: _*).filter(pred))
+      else Seq.empty
+    val tfDelta =
+      if (post.nonEmpty)
+        Seq(spark.read.parquet(post: _*).select(pCols: _*).filter(pred))
+      else Seq.empty
+    require(tfTable.nonEmpty || tfDelta.nonEmpty,
+      s"nothing to serve: no table $postingsTable and no postings " +
+        s"state under $basePath")
+    val tf = (tfTable ++ tfDelta).reduce(_ unionByName _)
+    val latest = statsVersions(spark, s"$basePath/df")
+      .sortBy(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no completed df version under $basePath/df"))
+    val df_ = spark.read.parquet(latest._2).filter(pred)
+    val cnts = dirs("counts")
+    val statRows =
+      (if (spark.catalog.tableExists(statsTable))
+        Seq(spark.table(statsTable)) else Seq.empty) ++
+      (if (cnts.nonEmpty) Seq(spark.read.parquet(cnts: _*)) else Seq.empty)
+    val stats = broadcast(statRows.reduce(_ unionByName _)
+      .groupBy()
+      .agg(sum(col("n_docs")).as("n_docs"),
+        fields.map(f => sum(col(s"_t_$f")).as(s"_t_$f")): _*))
+    graft.search.Search.bm25ScoreTail(tf, df_, stats, fields, None)
+  }
+
   /** [[bm25IndexBatch]] wired as the foreachBatch sink of a document
     * stream — arriving documents extend the inverted index
     * incrementally; [[bm25FromState]] serves searches from it.

@@ -640,6 +640,57 @@ class StreamingUpsertSpec extends SparkSpec {
       .count(_.isDirectory) <= 2)
   }
 
+  test("compactBm25State folds postings/counts into the asset tables; serve stays exact across compactions") {
+    implicit val sql = spark.sqlContext
+    import graft.search.Search
+    val docs = (0 until 12).map { i =>
+      (i.toLong, s"spark data engine row$i " +
+        (if (i % 2 == 0) "table window query" else "stream batch") +
+        s" filler$i text common words")
+    }
+    val base = tmp("compact_bm25")
+    val (postT, statT) = ("compact_bm25_post", "compact_bm25_stats")
+    def feed(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.bm25IndexBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", Seq("text"), id, base)
+    def batchDirs(sub: String): Int = {
+      val d = new java.io.File(s"$base/$sub")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        f.getName.startsWith("batch="))
+    }
+    val toks = Seq("spark", "table", "common")
+    def served() = StreamingUpsert.bm25FromCompactedState(spark, base,
+        postT, statT, Seq("text"), toks)
+      .as[(Long, Double)].collect().toMap
+    def batchRef(n: Int) = Search.bm25MultiField(
+        docs.take(n).toDF("doc_id", "text"), "doc_id", Seq("text"), toks)
+      .as[(Long, Double)].collect().toMap
+    try {
+      val slices = docs.grouped(4).toSeq
+      feed(slices(0), 0); feed(slices(1), 1)
+      StreamingUpsert.compactBm25State(spark, base, postT, statT,
+        numBuckets = 4)
+      assert(batchDirs("postings") === 0 && batchDirs("counts") === 0)
+      // df chain untouched by compaction (future batches need it)
+      assert(new java.io.File(s"$base/df").exists())
+      assert(served() === batchRef(8))
+      // a post-compaction batch serves from table + delta...
+      feed(slices(2), 2)
+      assert(batchDirs("postings") === 1)
+      assert(served() === batchRef(12))
+      // ...and the next compaction folds it; serve unchanged
+      // (pre-compaction the delta-only path equals bm25FromState —
+      // the existing incremental property; post-compaction the
+      // batch dirs bm25FromState reads are gone by design)
+      StreamingUpsert.compactBm25State(spark, base, postT, statT,
+        numBuckets = 4)
+      assert(batchDirs("postings") === 0)
+      assert(served() === batchRef(12))
+    } finally Seq(postT, statT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25IndexBatch: replay and cross-batch re-delivery keep scores exact") {
     import graft.search.Search
     val b1 = Seq((1L, "spark table common words here"),
