@@ -117,6 +117,8 @@ object Tables {
     */
   private def stageAndSwap(spark: SparkSession, table: String)
                           (write: String => Unit): Unit = {
+    require(!table.contains("."),
+      s"asset tables are session-local unqualified names, got '$table'")
     val lock = swapLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
       val stage = table + "__stage"

@@ -40,6 +40,35 @@ object ProfileRotation {
       recall(Similarity.rotate(p0, seed, 64).localCheckpoint(),
         s"seed=$seed")
     }
+
+    // the q102 protocol (trained coarse + trained residual codebooks
+    // + index + probe/three-term-ADC + re-rank) — does rotation still
+    // help once residual encoding has removed most block structure?
+    def residualRecall(p: DataFrame, label: String): Unit = {
+      val coarse = Similarity.kmeansCentroids(p, stride = 25L, iters = 2)
+      val rcb = Similarity.pqCodebooksTrained(
+        Similarity.residualCorpus(p, coarse), m = 8, dims = 64,
+        stride = 13L, iters = 2)
+      val qs = p.filter(col("vec_id") < 5)
+      val exact = Similarity.knnBrute(p, qs, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.knnIvfPqResidualOnCodes(
+          Similarity.pqIndexRowsResidual(p, coarse, rcb, 8, 64),
+          qs, coarse, rcb, m = 8, dims = 64, k = 50, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val rr = Similarity.rerankExact(approx, p, qs, 10)
+        .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+      val found = exact.join(rr,
+          col("query_id") === col("a_q") &&
+            col("neighbor_id") === col("a_n"), "left")
+        .agg(count(col("a_n")), count(lit(1))).head()
+      println(s"[rot-res] $label recall ${found.getLong(0)}/${found.getLong(1)}")
+    }
+    residualRecall(p0, "unrotated(q102)")
+    Seq("rot1", "rot3", "rot7").foreach { seed =>
+      residualRecall(Similarity.rotate(p0, seed, 64).localCheckpoint(),
+        s"seed=$seed")
+    }
     spark.stop()
   }
 }

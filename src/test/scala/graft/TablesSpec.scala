@@ -37,6 +37,33 @@ class TablesSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS tables_spec_swap")
   }
 
+  test("stageAndSwap recovers a dangling complete stage (crash between drop and rename)") {
+    // ADVICE r6: the drop→rename window is not atomic. Simulate a
+    // writer that crashed inside it — the staged table is complete
+    // and registered, the target is gone — and assert the NEXT build
+    // (a) does not fail on the leftover stage, (b) leaves the final
+    // content of the new write, (c) leaves no stage behind.
+    val v1 = Seq((1L, "a")).toDF("k", "v")
+    Tables.writeTable(v1, "tables_spec_rec")
+    Seq((2L, "b")).toDF("k", "v").write.mode("overwrite")
+      .format("parquet").saveAsTable("tables_spec_rec__stage")
+    spark.sql("DROP TABLE tables_spec_rec") // the crash window
+    val v3 = Seq((3L, "c")).toDF("k", "v")
+    Tables.writeTable(v3, "tables_spec_rec")
+    assert(spark.table("tables_spec_rec").as[(Long, String)]
+      .collect().toSet === Set((3L, "c")))
+    assert(!spark.catalog.tableExists("tables_spec_rec__stage"))
+    spark.sql("DROP TABLE IF EXISTS tables_spec_rec")
+  }
+
+  test("asset table names must be unqualified (the quoting contract)") {
+    val v = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Tables.writeTable(v, "somedb.tables_spec_q")
+    }
+    assert(e.getMessage.contains("unqualified"))
+  }
+
   test("writeTable: failed replacement preserves the previous 1-row asset") {
     val v1 = Seq((10L, 20L)).toDF("a", "b")
     Tables.writeTable(v1, "tables_spec_plain")
