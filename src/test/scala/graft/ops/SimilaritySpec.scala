@@ -469,6 +469,33 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansCentroidsFrom(sample, seeds, iters = 2)))
   }
 
+  test("pqCodebooksForCorpus pins ksub: entries per subspace bounded, equal to the stride form") {
+    val rnd = new scala.util.Random(71)
+    val dims = 8
+    val rows = (0L until 100L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooksForCorpus(p, m = 4, dims = dims,
+      ksub = 10)
+    // stride = n/ksub = 10 → ceil(100/10) = 10 entries per subspace,
+    // and the helper IS pqCodebooks at that stride
+    val perSub = cb.groupBy($"sub_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perSub.values.forall(_ <= 10L))
+    val explicit = Similarity.pqCodebooks(p, m = 4, dims = dims,
+      stride = 10L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"sub_id", $"cent_id", $"c_sub").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(key(cb) === key(explicit))
+    // tiny corpus: stride clamps to 1 (every vector a seed), no crash
+    val tiny = Similarity.prepared(rows.take(3).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(Similarity.pqCodebooksForCorpus(tiny, m = 4, dims = dims,
+      ksub = 10).count() > 0L)
+  }
+
   test("rotate: signed permutation is orthogonal — norms and exact kNN preserved bit-for-bit") {
     val rnd = new scala.util.Random(67)
     val dims = 16
