@@ -558,16 +558,27 @@ object StreamingUpsert {
 
   // ------------------------------- index-state compaction and serving
 
-  /** The uncompacted `batch=<id>` directories under `basePath/index`. */
-  private def indexDeltaDirs(spark: SparkSession,
-                             basePath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$basePath/index")
-    val f = hfs(spark, root)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+  /** Completed `batch=<id>` directories under `root` — the _SUCCESS
+    * gate matters for COMPACTION and the delta serve: a micro-batch
+    * mid-write (no marker yet) must be neither folded into the asset
+    * nor scored; it becomes visible atomically when its marker lands,
+    * exactly like the [[statsVersions]] readers.
+    */
+  private def batchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val f = hfs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch=") &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.toString)
   }
+
+  /** The uncompacted `batch=<id>` directories under `basePath/index`. */
+  private def indexDeltaDirs(spark: SparkSession,
+                             basePath: String): Seq[String] =
+    batchDirs(spark, s"$basePath/index")
 
   /** Fold the accumulated per-batch IVF-PQ index state — written by
     * [[pqIndexBatch]] or [[pqResidualIndexBatch]], same schema — into
@@ -793,16 +804,8 @@ object StreamingUpsert {
   def compactBm25State(spark: SparkSession, basePath: String,
                        postingsTable: String, statsTable: String,
                        numBuckets: Int = 32): Unit = {
-    def dirs(sub: String): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$basePath/$sub")
-      val f = hfs(spark, root)
-      if (!f.exists(root)) Seq.empty
-      else f.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString)
-    }
-    val post = dirs("postings")
-    val cnts = dirs("counts")
+    val post = batchDirs(spark, s"$basePath/postings")
+    val cnts = batchDirs(spark, s"$basePath/counts")
     require(post.nonEmpty || cnts.nonEmpty ||
       spark.catalog.tableExists(postingsTable),
       s"nothing to compact under $basePath and no table $postingsTable")
@@ -848,15 +851,7 @@ object StreamingUpsert {
                              queryToks: Seq[String]): DataFrame = {
     val pred = col("tok").isin(queryToks: _*)
     val pCols = Seq("id", "field", "tok", "tf", "dl").map(col)
-    def dirs(sub: String): Seq[String] = {
-      val root = new org.apache.hadoop.fs.Path(s"$basePath/$sub")
-      val f = hfs(spark, root)
-      if (!f.exists(root)) Seq.empty
-      else f.listStatus(root).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.toString)
-    }
-    val post = dirs("postings")
+    val post = batchDirs(spark, s"$basePath/postings")
     val tfTable =
       if (spark.catalog.tableExists(postingsTable))
         Seq(spark.table(postingsTable).select(pCols: _*).filter(pred))
@@ -874,7 +869,7 @@ object StreamingUpsert {
       .getOrElse(throw new IllegalStateException(
         s"no completed df version under $basePath/df"))
     val df_ = spark.read.parquet(latest._2).filter(pred)
-    val cnts = dirs("counts")
+    val cnts = batchDirs(spark, s"$basePath/counts")
     val statRows =
       (if (spark.catalog.tableExists(statsTable))
         Seq(spark.table(statsTable)) else Seq.empty) ++

@@ -111,6 +111,35 @@ object ScaleSoakIndex {
         Similarity.knnIvfPqRerankOnIndex(spark, s"soak_pq_idx_x$c", p,
           queries, coarse, cb, 8, 64, 10, nProbe = 8, shortlist = 50))
 
+      // streaming-state serve (VERDICT r6 #2): the retired path paid
+      // a full .distinct() of ALL accumulated batch dirs per query;
+      // the compacted path scores the bucketed table + one delta dir
+      // (with a deliberate table∕delta duplicate batch to exercise
+      // the max-merge) and must stay flat as state accumulates.
+      val stBase = s"/tmp/scale_soak_index/state_x$c"
+      val stTbl = s"soak_state_idx_x$c"
+      val stPath = new org.apache.hadoop.fs.Path(stBase)
+      val stFs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (stFs.exists(stPath)) stFs.delete(stPath, true)
+      spark.sql(s"DROP TABLE IF EXISTS $stTbl")
+      (0 until 4).foreach { i =>
+        Similarity.pqIndexRows(p.filter($"vec_id" % 4 === i), coarse, cb, 8, 64)
+          .write.mode("overwrite").parquet(s"$stBase/index/batch=$i")
+      }
+      time(s"ann_serve_state_old_x$c")(
+        Similarity.knnIvfPqOnCodes(
+          graft.streaming.StreamingUpsert.pqIndexFromState(spark, stBase),
+          queries, coarse, cb, 8, 64, 10, nProbe = 8))
+      timeUnit(s"ann_state_compact_x$c")(
+        graft.streaming.StreamingUpsert.compactPqIndexState(spark, stBase, stTbl))
+      // a post-compaction delta that re-delivers an already-compacted
+      // slice — the worst case for the merge
+      Similarity.pqIndexRows(p.filter($"vec_id" % 4 === 3), coarse, cb, 8, 64)
+        .write.mode("overwrite").parquet(s"$stBase/index/batch=4")
+      time(s"ann_serve_state_compacted_x$c")(
+        graft.streaming.StreamingUpsert.pqIndexServe(spark, stBase, stTbl,
+          queries, coarse, cb, 8, 64, 10, nProbe = 8))
+
       val toks = Seq("spark", "table", "window")
       time(s"bm25_inline_x$c")(
         Search.bm25Search(docs, "doc_id", "text", toks))
@@ -122,8 +151,8 @@ object ScaleSoakIndex {
           s"soak_bm25_df_x$c", s"soak_bm25_st_x$c", Seq("text"), toks))
     }
     Seq(1, 3, 10).foreach { c =>
-      Seq(s"soak_pq_idx_x$c", s"soak_bm25_post_x$c", s"soak_bm25_df_x$c",
-        s"soak_bm25_st_x$c").foreach(t =>
+      Seq(s"soak_pq_idx_x$c", s"soak_state_idx_x$c", s"soak_bm25_post_x$c",
+        s"soak_bm25_df_x$c", s"soak_bm25_st_x$c").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
     spark.stop()
