@@ -414,6 +414,169 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------- compacted incremental LSH near-dup
+
+  /** One micro-batch of near-dup maintenance against COMPACTED LSH
+    * assets — the state-shuffle-free redesign of [[nearDupBatch]]
+    * (round 7; [[nearDupBatch]] re-reads ALL accumulated
+    * sets/buckets with a `.distinct()` and self-joins the union per
+    * micro-batch, so every batch shuffles the entire state). Here
+    * the accumulated state lives in the [[graft.ops.Dedup.writeLshAssets]]
+    * table layout (sets bucketed by doc_id, band-buckets by
+    * (band, bkey)) plus small per-batch delta dirs, and the batch's
+    * work is:
+    *
+    *   1. first-occurrence gate ([[freshAgainstSeen]] — replaces the
+    *      value-identical-row-collapse the old distinct provided);
+    *   2. shingle + minhash ONLY the fresh batch;
+    *   3. update the additive (band, bkey, cnt) population asset
+    *      (`bstats/v=<id>` — the df version pattern), and admit
+    *      buckets whose population-so-far ≤ maxBucket: exactly
+    *      [[graft.ops.Dedup.capBuckets]]'s rule as [[nearDupBatch]]
+    *      applies it, without re-counting state;
+    *   4. candidates = the BROADCAST new admitted bucket rows joined
+    *      against table + delta + batch bucket rows — the state side
+    *      is scanned, never shuffled;
+    *   5. exact-Jaccard verify via the sets table + delta, probed by
+    *      the broadcast candidate ids;
+    *   6. overwrite-mode per-batch writes (pairs/sets/buckets under
+    *      `batch=<id>` — replay-idempotent) + the seen append.
+    *
+    * Fold the deltas periodically with [[compactLshState]]. Output
+    * pairs are [[nearDupPairsFromState]]; equivalence with the batch
+    * operator is the StreamingUpsertSpec property ([[nearDupBatch]]'s
+    * same documented cap caveat: the cap judges population-so-far,
+    * so a bucket that crosses the cap mid-stream keeps pairs found
+    * while it was under it).
+    */
+  def nearDupBatchCompacted(spark: SparkSession, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int, bands: Int, rowsPerBand: Int,
+                            tau: Double, basePath: String,
+                            setsTable: String, bucketsTable: String,
+                            batchId: Long,
+                            maxBucket: Long = Dedup.defaultMaxBucket,
+                            mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val newSets = mat(Dedup.shingleSets(fresh, idCol, textCol, n)
+      .filter(size(col("shs")) > 0))
+    val newBuckets = mat(Dedup.minhashBuckets(newSets, bands, rowsPerBand))
+    // additive bucket-population stats — version N = N−1 + batch
+    val versions = statsVersions(spark, s"$basePath/bstats")
+      .filter(_._1 < batchId)
+    val newCnt = newBuckets.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val prevCnt = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(newCnt.schema).parquet(p)
+      case None         => newCnt.limit(0)
+    }
+    prevCnt.unionByName(newCnt)
+      .groupBy(col("band"), col("bkey"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$basePath/bstats/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/bstats")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+    val admitted = spark.read.parquet(s"$basePath/bstats/v=$batchId")
+      .filter(col("cnt") <= maxBucket).select(col("band"), col("bkey"))
+    // state readers: compacted table + completed delta dirs from
+    // OTHER batches (a replay must not join its own prior attempt)
+    def stateOf(table: String, sub: String, like: DataFrame): DataFrame = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+        .filterNot(_.endsWith(s"batch=$batchId"))
+      val parts =
+        (if (spark.catalog.tableExists(table))
+          Seq(spark.table(table).select(like.columns.map(col): _*))
+        else Seq.empty) ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.schema(like.schema).parquet(dirs: _*))
+        else Seq.empty)
+      parts.foldLeft(like.limit(0))(_ unionByName _)
+    }
+    val newAdm = broadcast(
+      newBuckets.join(admitted, Seq("band", "bkey")))
+    val allB = stateOf(bucketsTable, "buckets", newBuckets)
+      .unionByName(newBuckets)
+    val cands = newAdm.as("nb").join(allB.as("ab"),
+        col("nb.band") === col("ab.band") &&
+          col("nb.bkey") === col("ab.bkey") &&
+          col("nb.doc_id") =!= col("ab.doc_id"))
+      .select(least(col("nb.doc_id"), col("ab.doc_id")).as("doc_a"),
+        greatest(col("nb.doc_id"), col("ab.doc_id")).as("doc_b"))
+      .distinct()
+    val allS = stateOf(setsTable, "sets", newSets).unionByName(newSets)
+    val bc = broadcast(cands)
+    val verified = bc
+      .join(allS.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(allS.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs")))
+          .cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    verified.write.mode("overwrite").parquet(s"$basePath/pairs/batch=$batchId")
+    newSets.write.mode("overwrite").parquet(s"$basePath/sets/batch=$batchId")
+    newBuckets.write.mode("overwrite")
+      .parquet(s"$basePath/buckets/batch=$batchId")
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Fold the accumulated LSH delta dirs into the bucketed asset
+    * tables ([[graft.ops.Dedup.writeLshAssets]]'s layout) and
+    * truncate them — [[compactPqIndexState]]'s pattern for the LSH
+    * family. The seen/bstats version chains stay (compact, and
+    * future batches derive from their predecessors).
+    */
+  def compactLshState(spark: SparkSession, basePath: String,
+                      setsTable: String, bucketsTable: String,
+                      numBuckets: Int = 32): Unit = {
+    def fold(sub: String, table: String, cols: Seq[String],
+             keys: Seq[String]): Seq[String] = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+      if (dirs.nonEmpty) {
+        val state = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
+        val all = if (spark.catalog.tableExists(table))
+          spark.table(table).select(cols.map(col): _*).unionByName(state)
+        else state
+        graft.Tables.writeBucketed(all.distinct(), table, keys, numBuckets)
+      }
+      dirs
+    }
+    val consumed =
+      fold("sets", setsTable, Seq("doc_id", "shs"), Seq("doc_id")) ++
+      fold("buckets", bucketsTable, Seq("band", "bkey", "doc_id"),
+        Seq("band", "bkey"))
+    consumed.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+  }
+
+  /** All verified near-dup pairs found so far by
+    * [[nearDupBatchCompacted]]. Each pair is found exactly once (the
+    * seen gate keeps a doc from ever being "new" twice), so this is
+    * a plain union of the per-batch results.
+    */
+  def nearDupPairsFromState(spark: SparkSession,
+                            basePath: String): DataFrame = {
+    val dirs = batchDirs(spark, s"$basePath/pairs")
+    require(dirs.nonEmpty, s"no completed pair batches under $basePath/pairs")
+    spark.read.parquet(dirs: _*)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
+  }
+
   // ------------------------------------------- incremental PQ encode
 
   /** One micro-batch of incremental PQ encoding against FROZEN

@@ -178,6 +178,65 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(streamed.exists { case (a, b) => batchOf(a) != batchOf(b) })
   }
 
+  test("nearDupBatchCompacted + compactLshState equals batch minhashLshPairs (property)") {
+    // the state-shuffle-free incremental LSH: same corpus/protocol as
+    // the incrementalNearDup property, but fed through the compacted
+    // form with a mid-stream compaction, a post-compaction batch, and
+    // a cross-batch re-delivery — the pair set must still be exactly
+    // the batch operator's.
+    implicit val sql = spark.sqlContext
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    def doc(t: Int, v: Int): String = {
+      val base = (0 until 12)
+        .map(i => words((t * 3 + i) % words.length) + t).mkString(" ")
+      if (v == 0) base else s"$base variant$v"
+    }
+    val docs = (for (t <- 0 until 6; v <- 0 until 3)
+      yield ((t * 10 + v).toLong, doc(t, v))).toSeq
+    val rnd = new scala.util.Random(42)
+    val shuffled = rnd.shuffle(docs)
+    val base = tmp("compact_neardup")
+    val (setsT, bktT) = ("compact_lsh_sets", "compact_lsh_buckets")
+    def feed(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.nearDupBatchCompacted(spark,
+        b.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 2, tau = 0.5,
+        basePath = base, setsTable = setsT, bucketsTable = bktT,
+        batchId = id)
+    try {
+      val slices = shuffled.grouped(6).toSeq
+      feed(slices(0), 0)
+      StreamingUpsert.compactLshState(spark, base, setsT, bktT,
+        numBuckets = 4)
+      // post-compaction batches join against the bucketed tables;
+      // batch 2 re-delivers a batch-0 doc (dropped by the seen gate)
+      feed(slices(1), 1)
+      feed(slices(2) ++ slices(0).take(1), 2)
+      val streamed = StreamingUpsert.nearDupPairsFromState(spark, base)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val batch = Dedup.minhashLshPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // replaying the last batch changes nothing (overwrite + seen
+      // predecessor rules)
+      feed(slices(2) ++ slices(0).take(1), 2)
+      val replayed = StreamingUpsert.nearDupPairsFromState(spark, base)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(replayed === streamed)
+      // a second compaction folds the remaining deltas; the tables
+      // then hold exactly the batch builder's rows
+      StreamingUpsert.compactLshState(spark, base, setsT, bktT,
+        numBuckets = 4)
+      val tblSets = spark.table(setsT).select($"doc_id")
+        .as[Long].collect().toSet
+      assert(tblSets === docs.map(_._1).toSet)
+    } finally Seq(setsT, bktT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("incrementalSpanDedup over N micro-batches equals batch dropRepeatedSpans (property)") {
     // Streaming/batch equivalence for span dedup: feeding documents in
     // 3 micro-batches and reconstructing from state must EXACTLY equal
