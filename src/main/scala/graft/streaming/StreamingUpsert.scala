@@ -492,7 +492,8 @@ object StreamingUpsert {
         .filterNot(_.endsWith(s"batch=$batchId"))
       val parts =
         (if (spark.catalog.tableExists(table))
-          Seq(spark.table(table).select(like.columns.map(col): _*))
+          Seq(spark.table(table)
+            .select(like.columns.toIndexedSeq.map(col): _*))
         else Seq.empty) ++
         (if (dirs.nonEmpty)
           Seq(spark.read.schema(like.schema).parquet(dirs: _*))
@@ -532,6 +533,26 @@ object StreamingUpsert {
     recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
       s"$basePath/seen")
   }
+
+  /** [[nearDupBatchCompacted]] wired as the foreachBatch sink of a
+    * document stream — the compacted-asset twin of
+    * [[incrementalNearDup]].
+    */
+  def incrementalNearDupCompacted(stream: DataFrame, idCol: String,
+                                  textCol: String, n: Int, bands: Int,
+                                  rowsPerBand: Int, tau: Double,
+                                  basePath: String, setsTable: String,
+                                  bucketsTable: String,
+                                  checkpoint: String,
+                                  maxBucket: Long = Dedup.defaultMaxBucket): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatchCompacted(batch.sparkSession, batch, idCol, textCol,
+          n, bands, rowsPerBand, tau, basePath, setsTable, bucketsTable,
+          batchId, maxBucket)
+      }
+      .start()
 
   /** Fold the accumulated LSH delta dirs into the bucketed asset
     * tables ([[graft.ops.Dedup.writeLshAssets]]'s layout) and
