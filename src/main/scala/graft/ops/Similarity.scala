@@ -627,12 +627,21 @@ object Similarity {
     */
   def knnPqOnCodes(codes: DataFrame, queries: DataFrame,
                    codebooks: DataFrame, m: Int, dims: Int,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    topKByCos(pqAdcScores(codes, queries, codebooks, m, dims), k)
+
+  /** [[knnPqOnCodes]] WITHOUT the final top-k — the flat-PQ member of
+    * the scorer family ([[ivfAdcScores]]/[[residualAdcScores]]), for
+    * the compacted-state serve's table+delta merge.
+    */
+  private[graft] def pqAdcScores(codes: DataFrame, queries: DataFrame,
+                                 codebooks: DataFrame, m: Int,
+                                 dims: Int): DataFrame = {
     val codeRows = codes
       .select($"vec_id", posexplode($"codes"))
       .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
         $"col".as("cent_id"))
-    adcTopK(codeRows, pqLut(queries, codebooks, m, dims), k)
+    adcScores(codeRows, pqLut(queries, codebooks, m, dims))
   }
 
   /** IVF-PQ: the production index composition (FAISS IVFPQ) — a

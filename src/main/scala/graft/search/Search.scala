@@ -447,7 +447,7 @@ object Search {
     * literal query — shared by [[bm25ClassicScores]] (inline) and
     * [[bm25ClassicScoresFromIndex]] so the two forms cannot drift.
     */
-  private def fuzzyPredBoost(query: String): (Column, Column) = {
+  private[graft] def fuzzyPredBoost(query: String): (Column, Column) = {
     val qts = analyzeLiteral(query)
     require(qts.nonEmpty, "bm25 classic needs a non-empty query")
     val pred = qts.map(qt => fuzzyPairLit($"tok", qt)).reduce(_ || _)

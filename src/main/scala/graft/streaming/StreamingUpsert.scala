@@ -1,7 +1,7 @@
 package graft
 package streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import graft.ops.Dedup
@@ -643,6 +643,65 @@ object StreamingUpsert {
     spark.read.parquet(s"$basePath/codes")
       .select(col("vec_id"), col("codes")).distinct()
 
+  /** Fold the accumulated (vec_id, codes) state written by
+    * [[pqEncodeBatch]] into a plain catalog table and truncate the
+    * consumed batch dirs — the flat-PQ member of the compaction
+    * family. Flat-PQ ADC scans the whole codes table per query (no
+    * probe pruning exists to preserve), so the asset is unbucketed;
+    * the win is the retired per-query `.distinct()` and the bounded
+    * file count.
+    */
+  def compactPqCodesState(spark: SparkSession, basePath: String,
+                          codesTable: String): Unit = {
+    val dirs = batchDirs(spark, s"$basePath/codes")
+    require(dirs.nonEmpty || spark.catalog.tableExists(codesTable),
+      s"nothing to compact: no batch state under $basePath/codes " +
+        s"and no table $codesTable")
+    if (dirs.isEmpty) return
+    val cols = Seq("vec_id", "codes").map(col)
+    val state = spark.read.parquet(dirs: _*).select(cols: _*)
+    val all = (if (spark.catalog.tableExists(codesTable))
+        spark.table(codesTable).select(cols: _*).unionByName(state)
+      else state).distinct()
+    graft.Tables.writeTable(all, codesTable)
+    dirs.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+  }
+
+  /** Flat-PQ ADC top-k over compacted-table + delta codes state —
+    * [[pqIndexServe]]'s shape for the [[pqEncodeBatch]] family
+    * (score both sides, max-merge the value-identical duplicates,
+    * rank once).
+    */
+  def pqCodesServe(spark: SparkSession, basePath: String,
+                   codesTable: String, queries: DataFrame,
+                   codebooks: DataFrame, m: Int, dims: Int,
+                   k: Int): DataFrame = {
+    val dirs = batchDirs(spark, s"$basePath/codes")
+    val hasTable = spark.catalog.tableExists(codesTable)
+    require(hasTable || dirs.nonEmpty,
+      s"nothing to serve: no table $codesTable and no codes state " +
+        s"under $basePath")
+    val frames =
+      (if (hasTable)
+        Seq(spark.table(codesTable).select(col("vec_id"), col("codes")))
+      else Nil) ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.parquet(dirs: _*)
+            .select(col("vec_id"), col("codes")).distinct())
+        else Nil)
+    val scored = frames.map(f =>
+      graft.ops.Similarity.pqAdcScores(f, queries, codebooks, m, dims))
+      .reduce(_ unionByName _)
+    val merged =
+      if (frames.sizeIs == 1) scored
+      else scored.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cos_sim")).as("cos_sim"))
+    graft.ops.Similarity.topKByCos(merged, k)
+  }
+
   /** [[pqEncodeBatch]] wired as the foreachBatch sink of an embedding
     * stream — arriving vectors extend the compressed index
     * incrementally against the frozen codebooks.
@@ -1032,8 +1091,36 @@ object StreamingUpsert {
   def bm25FromCompactedState(spark: SparkSession, basePath: String,
                              postingsTable: String, statsTable: String,
                              fields: Seq[String],
-                             queryToks: Seq[String]): DataFrame = {
-    val pred = col("tok").isin(queryToks: _*)
+                             queryToks: Seq[String]): DataFrame =
+    bm25FromCompactedStatePred(spark, basePath, postingsTable,
+      statsTable, fields, col("tok").isin(queryToks: _*), None)
+
+  /** The fuzzy AUTO classic search served from compacted BM25 state —
+    * [[graft.search.Search.bm25ClassicScoresFromIndex]]'s contract
+    * (the expansion resolves as a predicate against the persisted
+    * vocabulary; each matched term scores with its own statistics)
+    * over table + delta.
+    */
+  def bm25ClassicFromCompactedState(spark: SparkSession, basePath: String,
+                                    postingsTable: String,
+                                    statsTable: String,
+                                    fields: Seq[String],
+                                    query: String): DataFrame = {
+    val (pred, bsum) = graft.search.Search.fuzzyPredBoost(query)
+    bm25FromCompactedStatePred(spark, basePath, postingsTable,
+      statsTable, fields, pred, Some(bsum))
+  }
+
+  /** Predicate/boost core of [[bm25FromCompactedState]] /
+    * [[bm25ClassicFromCompactedState]].
+    */
+  private def bm25FromCompactedStatePred(spark: SparkSession,
+                                         basePath: String,
+                                         postingsTable: String,
+                                         statsTable: String,
+                                         fields: Seq[String],
+                                         pred: Column,
+                                         boost: Option[Column]): DataFrame = {
     val pCols = Seq("id", "field", "tok", "tf", "dl").map(col)
     val post = batchDirs(spark, s"$basePath/postings")
     val tfTable =
@@ -1062,7 +1149,7 @@ object StreamingUpsert {
       .groupBy()
       .agg(sum(col("n_docs")).as("n_docs"),
         fields.map(f => sum(col(s"_t_$f")).as(s"_t_$f")): _*))
-    graft.search.Search.bm25ScoreTail(tf, df_, stats, fields, None)
+    graft.search.Search.bm25ScoreTail(tf, df_, stats, fields, boost)
   }
 
   /** [[bm25IndexBatch]] wired as the foreachBatch sink of a document

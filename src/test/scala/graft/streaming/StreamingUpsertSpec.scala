@@ -750,6 +750,80 @@ class StreamingUpsertSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("compactPqCodesState + pqCodesServe: flat-PQ codes family shares the compaction pattern") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(73)
+    val dims = 8
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 8L)
+      .cache()
+    cb.count()
+    val base = tmp("compact_pq_codes")
+    val tbl = "compact_pq_codes_tbl"
+    val slices = vecs.grouped(12).toSeq
+    def feed(b: Seq[(Long, Seq[Float])], id: Long): Unit =
+      StreamingUpsert.pqEncodeBatch(spark, b.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cb, m = 4, dims = dims, id, base)
+    val qs = p.filter(col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .as[(Long, Long, Long)].collect().toSet
+    try {
+      feed(slices(0), 0)
+      StreamingUpsert.compactPqCodesState(spark, base, tbl)
+      // delta + a re-delivered slice-0 vector (table∕delta duplicate)
+      feed(slices(1) ++ slices(0).take(1), 1)
+      val served = rows(StreamingUpsert.pqCodesServe(spark, base, tbl,
+        qs, cb, m = 4, dims = dims, k = 5))
+      val inline = rows(Similarity.knnPq(p, qs, cb, m = 4, dims = dims,
+        k = 5))
+      assert(served.nonEmpty)
+      assert(served === inline)
+      // fold the delta; serve unchanged, state dirs gone
+      StreamingUpsert.compactPqCodesState(spark, base, tbl)
+      assert(!new java.io.File(s"$base/codes").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      assert(rows(StreamingUpsert.pqCodesServe(spark, base, tbl,
+        qs, cb, m = 4, dims = dims, k = 5)) === inline)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("bm25ClassicFromCompactedState equals the inline fuzzy classic scores") {
+    implicit val sql = spark.sqlContext
+    import graft.search.Search
+    val docs = Seq(
+      (1L, "creamy tomato soup with basil"),
+      (2L, "tomato and basil pasta bake"),
+      (3L, "chocolate cake with dark frosting"),
+      (4L, "tomatoes roasted slowly in the oven"),
+      (5L, "soup of leek and potato"))
+    val base = tmp("compact_bm25_classic")
+    val (postT, statT) = ("cbmc_post", "cbmc_stats")
+    def feed(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.bm25IndexBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", Seq("text"), id, base)
+    try {
+      feed(docs.take(3), 0)
+      StreamingUpsert.compactBm25State(spark, base, postT, statT,
+        numBuckets = 2)
+      feed(docs.drop(3), 1) // delta
+      val query = "tomato soup"
+      val served = StreamingUpsert.bm25ClassicFromCompactedState(spark,
+          base, postT, statT, Seq("text"), query)
+        .as[(Long, Double)].collect().toMap
+      val inline = Search.bm25ClassicScores(docs.toDF("doc_id", "text"),
+          "doc_id", Seq("text"), query)
+        .as[(Long, Double)].collect().toMap
+      assert(served.nonEmpty)
+      assert(served === inline)
+    } finally Seq(postT, statT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bm25IndexBatch: replay and cross-batch re-delivery keep scores exact") {
     import graft.search.Search
     val b1 = Seq((1L, "spark table common words here"),
