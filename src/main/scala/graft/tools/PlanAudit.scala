@@ -134,6 +134,44 @@ object PlanAudit {
           Search.bm25MultiFieldFromIndex(spark, "planaudit_bm25_post",
             "planaudit_bm25_df", "planaudit_bm25_stats", Seq("text"),
             OpsQueries.idfQueryToks)
+        },
+      ("q87 shuffle rank (round 7) — invariants: exactly ONE Exchange " +
+        "on the corpus path (the _sbkt hash repartition feeding the " +
+        "PARTITIONED per-bucket window); the only global-sort window " +
+        "runs over the 256-row offsets aggregate, which comes back " +
+        "via BroadcastExchange (pinned after the r6 bench drift " +
+        "profiled to box noise — ProfileQ87, PROFILE.md round 7)") ->
+        fmt(graft.ops.Sessions.shuffleRank(
+          graft.Tables.load(spark, dir, "documents"), "doc_id", "seed1")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("shuffle_rank"))),
+      ("post-compaction streaming IVF-PQ serve (round 7) — after " +
+        "compactPqIndexState folds the batch state into the bucketed " +
+        "asset, pqIndexServe with an empty delta IS q94's serve plan: " +
+        "broadcast probes, codes-only scan of the compacted table, no " +
+        "Exchange on cent_id, no index-keyed distinct (the retired " +
+        "state path shuffled the whole accumulated index per query)") ->
+        fmt {
+          import org.apache.spark.sql.functions.col
+          val p = graft.ops.Similarity.prepared(
+            spark.read.parquet(s"$dir/embeddings.parquet"),
+            "vec_id", "embedding")
+          val cb = graft.ops.Similarity.pqCodebooks(p, 8, 64, 25L)
+          val coarse = graft.ops.Similarity.strideCentroids(p, 25L)
+          val base = java.nio.file.Files
+            .createTempDirectory("planaudit_state").toString
+          Seq(0, 1).foreach { i =>
+            graft.ops.Similarity.pqIndexRows(
+                p.filter(org.apache.spark.sql.functions.pmod(
+                  col("vec_id"), org.apache.spark.sql.functions.lit(2)) === i),
+                coarse, cb, 8, 64)
+              .write.mode("overwrite").parquet(s"$base/index/batch=$i")
+          }
+          graft.streaming.StreamingUpsert.compactPqIndexState(spark,
+            base, "planaudit_compact_idx", numBuckets = 4)
+          graft.streaming.StreamingUpsert.pqIndexServe(spark, base,
+            "planaudit_compact_idx", p.filter(col("vec_id") < 5),
+            coarse, cb, 8, 64, 10, nProbe = 2)
         })
 
     val body = sections.map { case (title, plan) =>
