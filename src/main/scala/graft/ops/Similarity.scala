@@ -723,9 +723,62 @@ object Similarity {
     */
   def writePqIndex(corpus: DataFrame, coarse: DataFrame,
                    codebooks: DataFrame, m: Int, dims: Int,
-                   indexTable: String, numBuckets: Int = 32): Unit =
+                   indexTable: String, numBuckets: Int = 32): Unit = {
     Tables.writeBucketed(pqIndexRows(corpus, coarse, codebooks, m, dims),
       indexTable, Seq("cent_id"), numBuckets)
+    Tables.writeTable(pqIndexManifest(coarse, codebooks, m, dims),
+      indexTable + "__manifest")
+  }
+
+  /** One-row provenance manifest written next to every persisted PQ
+    * index: the build parameters plus exact-int64 content checksums
+    * of the two quantizer tables. Serving an index against the WRONG
+    * coarse set or codebooks silently returns garbage rankings (the
+    * probes address lists that were assigned under different
+    * centroids; the LUT decodes codes against different entries) —
+    * [[requirePqIndexCompatible]] turns that into a fail-fast check a
+    * serving session runs ONCE at startup, off the per-query path.
+    * Checksums are order-independent sums over the broadcast-size
+    * tables, so the check costs two tiny aggregates.
+    */
+  def pqIndexManifest(coarse: DataFrame, codebooks: DataFrame,
+                      m: Int, dims: Int): DataFrame = {
+    val coarseSum = coarse.agg(
+      count(lit(1)).as("n_lists"),
+      sum($"cent_id" * 31L + $"c_n2").as("coarse_checksum"))
+    val cbSum = codebooks.agg(
+      count(lit(1)).as("n_cb_entries"),
+      sum($"sub_id" * 131L + $"cent_id" * 31L + $"c_n2")
+        .as("cb_checksum"))
+    coarseSum.crossJoin(cbSum)
+      .select(lit(m).as("m"), lit(dims).as("dims"),
+        $"n_lists", $"coarse_checksum", $"n_cb_entries", $"cb_checksum")
+  }
+
+  /** Fail fast when a persisted PQ index is about to be served with
+    * quantizers it was not built with — see [[pqIndexManifest]].
+    * No-op (with a warning condition impossible to hit silently) for
+    * pre-manifest indexes: absence of the manifest table throws, so
+    * rebuild or skip the check explicitly.
+    */
+  def requirePqIndexCompatible(spark: org.apache.spark.sql.SparkSession,
+                               indexTable: String, coarse: DataFrame,
+                               codebooks: DataFrame, m: Int,
+                               dims: Int): Unit = {
+    val manTable = indexTable + "__manifest"
+    require(spark.catalog.tableExists(manTable),
+      s"no manifest $manTable — index predates manifests; rebuild " +
+        "with writePqIndex/writePqIndexResidual")
+    val want = pqIndexManifest(coarse, codebooks, m, dims).head()
+    val have = spark.table(manTable).head()
+    Seq("m", "dims", "n_lists", "coarse_checksum", "n_cb_entries",
+      "cb_checksum").foreach { f =>
+      require(want.getAs[Any](f) == have.getAs[Any](f),
+        s"index $indexTable is incompatible with the supplied " +
+          s"quantizers: manifest $f = ${have.getAs[Any](f)}, " +
+          s"supplied $f = ${want.getAs[Any](f)}")
+    }
+  }
 
   /** The (vec_id, cent_id, codes) index rows for `corpus` — the
     * shared build step of [[writePqIndex]] (batch, bucketed catalog
@@ -905,6 +958,8 @@ object Similarity {
     requireHealthyCodebook(rcb, "residual")
     Tables.writeBucketed(pqIndexRowsResidual(corpus, coarse, rcb, m, dims),
       indexTable, Seq("cent_id"), numBuckets)
+    Tables.writeTable(pqIndexManifest(coarse, rcb, m, dims),
+      indexTable + "__manifest")
   }
 
   /** Per-query probe lists that KEEP the exact query·centroid dot —

@@ -469,6 +469,45 @@ class SimilaritySpec extends SparkSpec {
       Similarity.kmeansCentroidsFrom(sample, seeds, iters = 2)))
   }
 
+  test("index manifest: serve-time compatibility check rejects foreign quantizers") {
+    val rnd = new scala.util.Random(79)
+    val dims = 8
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 10L)
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 7L)
+    Similarity.writePqIndex(p, coarse, cb, m = 4, dims = dims,
+      "pq_manifest_idx", numBuckets = 2)
+    try {
+      // the quantizers it was built with pass...
+      Similarity.requirePqIndexCompatible(spark, "pq_manifest_idx",
+        coarse, cb, m = 4, dims = dims)
+      // ...a codebook from a DIFFERENT seeding does not (this is the
+      // silent-garbage footgun: probes and LUT would decode against
+      // entries the codes were never assigned to)
+      val foreign = Similarity.pqCodebooks(p, m = 4, dims = dims,
+        stride = 9L)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.requirePqIndexCompatible(spark, "pq_manifest_idx",
+          coarse, foreign, m = 4, dims = dims)
+      }
+      assert(e.getMessage.contains("incompatible"))
+      // wrong geometry fails on the parameter row, not a checksum
+      intercept[IllegalArgumentException] {
+        Similarity.requirePqIndexCompatible(spark, "pq_manifest_idx",
+          coarse, cb, m = 2, dims = dims)
+      }
+      // a missing manifest is an explicit error, not a silent pass
+      intercept[IllegalArgumentException] {
+        Similarity.requirePqIndexCompatible(spark, "no_such_index",
+          coarse, cb, m = 4, dims = dims)
+      }
+    } finally Seq("pq_manifest_idx", "pq_manifest_idx__manifest")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("pqCodebooksForCorpus pins ksub: entries per subspace bounded, equal to the stride form") {
     val rnd = new scala.util.Random(71)
     val dims = 8
