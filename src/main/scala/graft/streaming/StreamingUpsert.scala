@@ -378,6 +378,111 @@ object StreamingUpsert {
       }
   }
 
+  /** The high-water batch id already folded into the compacted
+    * blocks table (−1 if no compaction has run). Stored as a tiny
+    * text file rewritten via temp+rename; dirs at or below it are
+    * replay resurrections whose rows are already in the table.
+    */
+  private def compactedUpTo(spark: SparkSession, basePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/_compacted_upto")
+    val f = hfs(spark, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeCompactedUpTo(spark: SparkSession, basePath: String,
+                                 upto: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$basePath/_compacted_upto")
+    val tmp = new org.apache.hadoop.fs.Path(s"$basePath/_compacted_upto.tmp")
+    val f = hfs(spark, p)
+    val out = f.create(tmp, true)
+    try out.write(upto.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  private def batchIdOf(dir: String): Long =
+    dir.substring(dir.lastIndexOf("batch=") + "batch=".length).toLong
+
+  /** Fold the accumulated span-dedup block state into a doc_id-
+    * bucketed catalog table — the span family's compaction. Unlike
+    * the score-merge serves, block rows cannot be deduplicated at a
+    * candidate level (duplicate (doc_id, pos) rows would corrupt the
+    * reassembly concat), so folded batches are tracked by a
+    * high-water `_compacted_upto` marker: a compacted batch dir
+    * resurrected by a stream replay is EXCLUDED (and deleted here) —
+    * its rows are already in the table; rows are otherwise unique by
+    * construction (per-batch overwrite + the seen-ids gate), so no
+    * distinct is needed anywhere. The stats/seen version chains stay
+    * untouched, as in the other families.
+    */
+  def compactSpanState(spark: SparkSession, basePath: String,
+                       blocksTable: String, numBuckets: Int = 32): Unit = {
+    val upto = compactedUpTo(spark, basePath)
+    val (stale, freshDirs) = batchDirs(spark, s"$basePath/blocks")
+      .partition(d => batchIdOf(d) <= upto)
+    stale.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+    require(freshDirs.nonEmpty || spark.catalog.tableExists(blocksTable),
+      s"nothing to compact: no new batch state under $basePath/blocks " +
+        s"and no table $blocksTable")
+    if (freshDirs.isEmpty) return
+    val cols = Seq("doc_id", "pos", "blk", "key").map(col)
+    val state = spark.read.parquet(freshDirs: _*).select(cols: _*)
+    val all = if (spark.catalog.tableExists(blocksTable))
+      spark.table(blocksTable).select(cols: _*).unionByName(state)
+    else state
+    graft.Tables.writeBucketed(all, blocksTable, Seq("doc_id"), numBuckets)
+    writeCompactedUpTo(spark, basePath,
+      freshDirs.map(batchIdOf).max max upto)
+    freshDirs.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
+  }
+
+  /** [[spanDedupFromState]] over compacted-table + delta blocks —
+    * result-identical to [[Dedup.dropRepeatedSpans]] over the union
+    * of all batches (the doc_id bucketing feeds the reassembly's
+    * per-document grouping without a shuffle; the stats side is the
+    * version chain's latest, unchanged by compaction).
+    */
+  def spanDedupFromCompactedState(spark: SparkSession, basePath: String,
+                                  blocksTable: String,
+                                  minRepeat: Long): DataFrame = {
+    require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
+    val upto = compactedUpTo(spark, basePath)
+    val dirs = batchDirs(spark, s"$basePath/blocks")
+      .filter(d => batchIdOf(d) > upto)
+    val hasTable = spark.catalog.tableExists(blocksTable)
+    require(hasTable || dirs.nonEmpty,
+      s"nothing to serve: no table $blocksTable and no block state " +
+        s"under $basePath/blocks")
+    val cols = Seq("doc_id", "pos", "blk", "key").map(col)
+    val parts =
+      (if (hasTable) Seq(spark.table(blocksTable).select(cols: _*))
+      else Seq.empty) ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.parquet(dirs: _*).select(cols: _*))
+        else Seq.empty)
+    val blk = parts.reduce(_ unionByName _)
+    val latest = statsVersions(spark, s"$basePath/stats")
+      .sortBy(_._1).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no completed span-dedup stats under $basePath/stats"))
+    Dedup.reassembleSpans(blk, spark.read.parquet(latest._2), minRepeat)
+  }
+
   /** Corpus-wide span-dedup result from the state written by
     * [[spanStateBatch]]: joins the persisted block table (already
     * exploded — no re-tokenization) against the latest completed

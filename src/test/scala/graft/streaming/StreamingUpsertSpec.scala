@@ -277,6 +277,52 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(new java.io.File(s"$base/stats").listFiles().count(_.isDirectory) <= 2)
   }
 
+  test("compactSpanState: table+delta serve equals batch dropRepeatedSpans; resurrected dirs excluded") {
+    implicit val sql = spark.sqlContext
+    val boiler = "all rights reserved copyright"
+    def doc(i: Int): String =
+      if (i % 2 == 0) s"$boiler unique$i content$i words$i here$i"
+      else s"fresh$i text$i body$i prose$i $boiler"
+    val docs = (0 until 12).map(i => (i.toLong, doc(i)))
+    val base = tmp("compact_span")
+    val tbl = "compact_span_blk"
+    def feed(b: Seq[(Long, String)], id: Long): Unit =
+      StreamingUpsert.spanStateBatch(spark, b.toDF("doc_id", "text"),
+        "doc_id", "text", spanTokens = 4, id, base)
+    def served() = StreamingUpsert.spanDedupFromCompactedState(spark,
+        base, tbl, minRepeat = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    try {
+      val slices = docs.grouped(4).toSeq
+      feed(slices(0), 0); feed(slices(1), 1)
+      StreamingUpsert.compactSpanState(spark, base, tbl, numBuckets = 4)
+      // folded dirs gone; marker recorded
+      assert(!new java.io.File(s"$base/blocks").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      feed(slices(2), 2) // delta
+      val batch = Dedup.dropRepeatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", spanTokens = 4, minRepeat = 2L)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(served() === batch)
+      StreamingUpsert.compactSpanState(spark, base, tbl, numBuckets = 4)
+      assert(served() === batch)
+      // the realistic resurrection: the stream crashed after batch 2's
+      // dir write but before its checkpoint commit, compaction folded
+      // the completed dir, and the restart REPLAYS batch 2 — its dir
+      // reappears with id ≤ the high-water marker and must be excluded
+      // (its rows are already in the table; double block rows would
+      // corrupt the reassembly)
+      feed(slices(2), 2)
+      assert(new java.io.File(s"$base/blocks/batch=2").exists())
+      assert(served() === batch)
+      // the next compaction deletes the stale dir without re-folding
+      StreamingUpsert.compactSpanState(spark, base, tbl, numBuckets = 4)
+      assert(!new java.io.File(s"$base/blocks").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("batch=")))
+      assert(served() === batch)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("spanStateBatch replay: re-running a batch leaves state unchanged (idempotent)") {
     // The ADVICE r4 pattern under test: blocks/batch=<id> and
     // stats/v=<id> are OVERWRITTEN on replay and v=<id> is rebuilt from
