@@ -668,8 +668,13 @@ object StreamingUpsert {
   def compactLshState(spark: SparkSession, basePath: String,
                       setsTable: String, bucketsTable: String,
                       numBuckets: Int = 32): Unit = {
+    // dirs deleted per-fold, directly after each swap commits — the
+    // same crash-window reasoning as compactBm25State (a dir that
+    // survived its own fold would double its rows in the state union;
+    // the distincts downstream mask it for LSH, but masked is not
+    // consistent)
     def fold(sub: String, table: String, cols: Seq[String],
-             keys: Seq[String]): Seq[String] = {
+             keys: Seq[String]): Unit = {
       val dirs = batchDirs(spark, s"$basePath/$sub")
       if (dirs.nonEmpty) {
         val state = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
@@ -677,17 +682,15 @@ object StreamingUpsert {
           spark.table(table).select(cols.map(col): _*).unionByName(state)
         else state
         graft.Tables.writeBucketed(all.distinct(), table, keys, numBuckets)
+        dirs.foreach { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hfs(spark, hp).delete(hp, true)
+        }
       }
-      dirs
     }
-    val consumed =
-      fold("sets", setsTable, Seq("doc_id", "shs"), Seq("doc_id")) ++
-      fold("buckets", bucketsTable, Seq("band", "bkey", "doc_id"),
-        Seq("band", "bkey"))
-    consumed.foreach { d =>
-      val hp = new org.apache.hadoop.fs.Path(d)
-      hfs(spark, hp).delete(hp, true)
-    }
+    fold("sets", setsTable, Seq("doc_id", "shs"), Seq("doc_id"))
+    fold("buckets", bucketsTable, Seq("band", "bkey", "doc_id"),
+      Seq("band", "bkey"))
   }
 
   /** All verified near-dup pairs found so far by
@@ -953,6 +956,15 @@ object StreamingUpsert {
     * [[pqIndexServe]]'s max-merge) collapse. Cost is one shuffle of
     * the index per COMPACTION — the amortized event — instead of per
     * query.
+    *
+    * Concurrency: a serve whose plan listed a batch directory that
+    * compaction deletes mid-execution fails with missing files (the
+    * standard non-transactional-filesystem caveat; every row it
+    * wanted is in the table, so a retry succeeds). Run compaction in
+    * the maintenance window, or point retry-capable readers at it —
+    * the same contract as any file-listing-based view without a
+    * transactional table format. This applies to every compact*
+    * in this file.
     */
   def compactPqIndexState(spark: SparkSession, basePath: String,
                           indexTable: String,
@@ -1157,6 +1169,17 @@ object StreamingUpsert {
     require(post.nonEmpty || cnts.nonEmpty ||
       spark.catalog.tableExists(postingsTable),
       s"nothing to compact under $basePath and no table $postingsTable")
+    // each family's dirs are deleted IMMEDIATELY after its own swap
+    // commits: deleting both at the end would leave a crash window
+    // (between the two folds) where postings rows exist in BOTH the
+    // table and the still-present dirs — the serve union would then
+    // double every tf. Per-fold deletion keeps every intermediate
+    // state consistent: a crash between folds leaves postings
+    // compacted-and-truncated and counts still delta-served.
+    def delete(dirs: Seq[String]): Unit = dirs.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(d)
+      hfs(spark, hp).delete(hp, true)
+    }
     if (post.nonEmpty) {
       val pCols = Seq("id", "field", "tok", "tf", "dl").map(col)
       val state = spark.read.parquet(post: _*).select(pCols: _*)
@@ -1164,6 +1187,7 @@ object StreamingUpsert {
         spark.table(postingsTable).select(pCols: _*).unionByName(state)
       else state
       graft.Tables.writeBucketed(all, postingsTable, Seq("tok"), numBuckets)
+      delete(post)
     }
     if (cnts.nonEmpty) {
       val state = spark.read.parquet(cnts: _*)
@@ -1176,10 +1200,7 @@ object StreamingUpsert {
           all.columns.filter(_.startsWith("_t_")).map(c =>
             sum(col(c)).as(c)).toSeq: _*),
         statsTable)
-    }
-    (post ++ cnts).foreach { d =>
-      val hp = new org.apache.hadoop.fs.Path(d)
-      hfs(spark, hp).delete(hp, true)
+      delete(cnts)
     }
   }
 
