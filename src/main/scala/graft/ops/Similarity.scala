@@ -289,10 +289,13 @@ object Similarity {
     * Determinism / oracle portability: the sample is the shared md5
     * permille bucket ([[Sessions.sampleBucket]] — engine-portable,
     * nests with every other sampler); seeds are the sample's `nLists`
-    * smallest vec_ids (TakeOrderedAndProject — distributed top-k, no
-    * global sort); training is [[kmeansCentroidsFrom]]'s exact-int64
-    * Lloyd loop over the SAMPLE. Every step replays in SQL (q103's
-    * oracle).
+    * HASH-smallest vec_ids (ordered by md5("coarse-seed" || vec_id) —
+    * smallest-RAW-id seeds would correlate with insertion order,
+    * which at crawl scale means one time slice of the corpus seeding
+    * every list; TakeOrderedAndProject either way — distributed
+    * top-k, no global sort); training is [[kmeansCentroidsFrom]]'s
+    * exact-int64 Lloyd loop over the SAMPLE. Every step replays in
+    * SQL (q103/q109's oracles).
     */
   def coarseForCorpus(corpus: DataFrame, nLists: Int,
                       samplePermille: Int = 100, iters: Int = 2,
@@ -300,7 +303,10 @@ object Similarity {
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
     val sample = corpus.filter(
       Sessions.sampleBucket($"vec_id") < samplePermille)
-    val seeds = sample.orderBy($"vec_id").limit(nLists)
+    val seeds = sample
+      .orderBy(md5(concat(lit("coarse-seed"), $"vec_id".cast("string"))),
+        $"vec_id")
+      .limit(nLists)
       .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
     kmeansCentroidsFrom(sample, seeds, iters, mat)
   }

@@ -460,10 +460,16 @@ class SimilaritySpec extends SparkSpec {
     val c2 = Similarity.coarseForCorpus(p.repartition(7), nLists = 4,
       samplePermille = 500, iters = 2)
     assert(key(c1) === key(c2))
-    // by construction: the hash sample's 4 smallest ids as seeds,
-    // trained by kmeansCentroidsFrom over the SAMPLE
+    // by construction: the hash sample's 4 HASH-smallest ids as seeds
+    // (decorrelated from insertion order), trained by
+    // kmeansCentroidsFrom over the SAMPLE
     val sample = p.filter(Sessions.sampleBucket($"vec_id") < 500)
-    val seeds = sample.orderBy($"vec_id").limit(4)
+    val seeds = sample
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("coarse-seed"),
+          $"vec_id".cast("string"))), $"vec_id")
+      .limit(4)
       .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
     assert(key(c1) === key(
       Similarity.kmeansCentroidsFrom(sample, seeds, iters = 2)))
