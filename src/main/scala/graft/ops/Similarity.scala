@@ -286,29 +286,48 @@ object Similarity {
     * ∝ n and the build quadratic (measured 3.7 → 27.1 s across a 10×
     * corpus, PROFILE r6).
     *
+    * The TRAINING set is additionally capped at
+    * `trainPerList × nLists` points (the FAISS guidance band —
+    * 39…256 points per centroid): a permille fraction alone still
+    * grows with the corpus, so at 10⁹ vectors a 10% sample would put
+    * 10⁸ rows through every Lloyd iteration (sample × √n cosines —
+    * the build-side blow-up all of round 7 is about). The cap keeps
+    * training cost O(nLists² × trainPerList), independent of corpus
+    * size, while the corpus-wide assignment in the index build stays
+    * the only O(n × √n) pass.
+    *
     * Determinism / oracle portability: the sample is the shared md5
     * permille bucket ([[Sessions.sampleBucket]] — engine-portable,
-    * nests with every other sampler); seeds are the sample's `nLists`
-    * HASH-smallest vec_ids (ordered by md5("coarse-seed" || vec_id) —
-    * smallest-RAW-id seeds would correlate with insertion order,
-    * which at crawl scale means one time slice of the corpus seeding
-    * every list; TakeOrderedAndProject either way — distributed
-    * top-k, no global sort); training is [[kmeansCentroidsFrom]]'s
-    * exact-int64 Lloyd loop over the SAMPLE. Every step replays in
-    * SQL (q103/q109's oracles).
+    * nests with every other sampler); the training cap and the seeds
+    * are HASH-smallest prefixes of it (ordered by
+    * md5("coarse-train"/"coarse-seed" || vec_id) — smallest-RAW-id
+    * prefixes would correlate with insertion order, which at crawl
+    * scale means one time slice of the corpus training every list;
+    * TakeOrderedAndProject either way — distributed top-k, no global
+    * sort); training is [[kmeansCentroidsFrom]]'s exact-int64 Lloyd
+    * loop over the capped train set. Every step replays in SQL
+    * (q103/q109's oracles).
     */
   def coarseForCorpus(corpus: DataFrame, nLists: Int,
                       samplePermille: Int = 100, iters: Int = 2,
+                      trainPerList: Int = 64,
                       mat: Materializer = Materialize.Local): DataFrame = {
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
+    require(trainPerList >= 1, s"trainPerList must be >= 1, got $trainPerList")
     val sample = corpus.filter(
       Sessions.sampleBucket($"vec_id") < samplePermille)
-    val seeds = sample
+    val cap = math.min(nLists.toLong * trainPerList,
+      Int.MaxValue.toLong).toInt
+    val train = sample
+      .orderBy(md5(concat(lit("coarse-train"), $"vec_id".cast("string"))),
+        $"vec_id")
+      .limit(cap)
+    val seeds = train
       .orderBy(md5(concat(lit("coarse-seed"), $"vec_id".cast("string"))),
         $"vec_id")
       .limit(nLists)
       .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
-    kmeansCentroidsFrom(sample, seeds, iters, mat)
+    kmeansCentroidsFrom(train, seeds, iters, mat)
   }
 
   /** Exact element-wise int64 vector sum + count (partial+final

@@ -462,17 +462,31 @@ class SimilaritySpec extends SparkSpec {
     assert(key(c1) === key(c2))
     // by construction: the hash sample's 4 HASH-smallest ids as seeds
     // (decorrelated from insertion order), trained by
-    // kmeansCentroidsFrom over the SAMPLE
+    // kmeansCentroidsFrom over the capped train set (the cap is a
+    // no-op here: 4 × 64 > the sample)
+    import org.apache.spark.sql.functions.{md5 => fmd5, concat => fcat, lit => flit}
+    def hashOrd(tag: String) =
+      fmd5(fcat(flit(tag), $"vec_id".cast("string")))
     val sample = p.filter(Sessions.sampleBucket($"vec_id") < 500)
     val seeds = sample
-      .orderBy(org.apache.spark.sql.functions.md5(
-        org.apache.spark.sql.functions.concat(
-          org.apache.spark.sql.functions.lit("coarse-seed"),
-          $"vec_id".cast("string"))), $"vec_id")
+      .orderBy(hashOrd("coarse-seed"), $"vec_id")
       .limit(4)
       .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
     assert(key(c1) === key(
       Similarity.kmeansCentroidsFrom(sample, seeds, iters = 2)))
+    // the training cap binds when trainPerList is small: deterministic
+    // across partitionings and equal to the explicit loop over the
+    // hash-capped train prefix
+    val c3 = Similarity.coarseForCorpus(p, nLists = 2,
+      samplePermille = 500, iters = 1, trainPerList = 3)
+    assert(c3.count() <= 2L)
+    assert(key(c3) === key(Similarity.coarseForCorpus(p.repartition(5),
+      nLists = 2, samplePermille = 500, iters = 1, trainPerList = 3)))
+    val train = sample.orderBy(hashOrd("coarse-train"), $"vec_id").limit(6)
+    val seeds2 = train.orderBy(hashOrd("coarse-seed"), $"vec_id").limit(2)
+      .select($"vec_id".as("cent_id"), $"qv".as("c_qv"), $"n2".as("c_n2"))
+    assert(key(c3) === key(
+      Similarity.kmeansCentroidsFrom(train, seeds2, iters = 1)))
   }
 
   test("index manifest: serve-time compatibility check rejects foreign quantizers") {
