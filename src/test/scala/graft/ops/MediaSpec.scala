@@ -1,0 +1,231 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic 6x4 test pattern: channel ramps with distinct slopes
+  private val W = 6
+  private val H = 4
+  private def pix(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 40 + y * 3) % 256, (y * 60 + x * 7) % 256, (x * 11 + y * 13) % 256)
+  private val fixture = Media.pngFixture(W, H)(pix)
+
+  // the independently-computed expected features of the pattern
+  private case class Feat(rs: Long, gs: Long, bs: Long, ls: Long,
+                          hist: Seq[Long])
+  private def featOf(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)): Feat = {
+    var rs = 0L; var gs = 0L; var bs = 0L; var ls = 0L
+    val hist = Array.ofDim[Long](8)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      rs += r; gs += g; bs += b
+      val l = Media.luma(r, g, b)
+      ls += l; hist(l / 32) += 1
+    }
+    Feat(rs, gs, bs, ls, hist.toSeq)
+  }
+  private val expect = featOf(W, H, pix)
+
+  test("encodePngStored emits a standard PNG: ImageIO round-trips pixels") {
+    val img = ImageIO.read(new ByteArrayInputStream(fixture))
+    assert(img != null && img.getWidth === W && img.getHeight === H)
+    for (y <- 0 until H; x <- 0 until W) {
+      val p = img.getRGB(x, y)
+      val (r, g, b) = pix(x, y)
+      assert(((p >>> 16) & 0xFF, (p >>> 8) & 0xFF, p & 0xFF) === ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+    assert(fixture.length.toLong === Media.pngStoredSize(W, H))
+  }
+
+  test("decodeImages: real features off the own-encoder fixture; text fails") {
+    val df = Seq((1L, fixture), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "bin")
+    val rows = Media.decodeImages(df, "id", "bin")
+      .orderBy("id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Boolean]("ok"))
+    assert(r1.getAs[Long]("width") === W.toLong)
+    assert(r1.getAs[Long]("height") === H.toLong)
+    assert(r1.getAs[Long]("px_count") === (W * H).toLong)
+    assert(r1.getAs[Long]("r_sum") === expect.rs)
+    assert(r1.getAs[Long]("g_sum") === expect.gs)
+    assert(r1.getAs[Long]("b_sum") === expect.bs)
+    assert(r1.getAs[Long]("lum_sum") === expect.ls)
+    assert(r1.getAs[Seq[Long]]("lum_hist") === expect.hist)
+    val r2 = rows(1)
+    assert(!r2.getAs[Boolean]("ok"))
+    assert(r2.isNullAt(r2.fieldIndex("width")))
+    assert(r2.getAs[Long]("n_bytes") === "not an image".getBytes("UTF-8").length)
+  }
+
+  test("cross-encoder: an ImageIO-written PNG and BMP decode to the same features") {
+    val img = new java.awt.image.BufferedImage(W, H,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until H; x <- 0 until W) {
+      val (r, g, b) = pix(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val df = Seq((1L, enc("png")), (2L, enc("bmp"))).toDF("id", "bin")
+    val rows = Media.decodeImages(df, "id", "bin").orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"))
+      assert(r.getAs[Long]("r_sum") === expect.rs, r.getAs[Long]("id"))
+      assert(r.getAs[Long]("g_sum") === expect.gs)
+      assert(r.getAs[Long]("b_sum") === expect.bs)
+      assert(r.getAs[Long]("lum_sum") === expect.ls)
+    }
+  }
+
+  test("JPEG decodes: exact dims, means within lossy tolerance") {
+    val side = 32
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side; x <- 0 until side)
+      img.setRGB(x, y, (128 << 16) | (64 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", bos))
+    val rows = Media.decodeImages(
+      Seq((1L, bos.toByteArray)).toDF("id", "bin"), "id", "bin").collect()
+    val r = rows(0)
+    assert(r.getAs[Boolean]("ok"))
+    assert(r.getAs[Long]("width") === side.toLong)
+    assert(r.getAs[Long]("height") === side.toLong)
+    val n = side * side
+    assert(math.abs(r.getAs[Long]("r_sum") / n.toDouble - 128.0) < 8.0)
+    assert(math.abs(r.getAs[Long]("g_sum") / n.toDouble - 64.0) < 8.0)
+    assert(math.abs(r.getAs[Long]("b_sum") / n.toDouble - 200.0) < 8.0)
+  }
+
+  test("downsampleBox: block floor-means, lossless re-encode, exact size") {
+    val rows = Media.downsampleBox(
+      Seq((1L, fixture)).toDF("id", "bin"), "id", "bin", 2).collect()
+    val r = rows(0)
+    assert(r.getAs[Boolean]("ok"))
+    assert(r.getAs[Long]("width") === (W / 2).toLong)
+    assert(r.getAs[Long]("height") === (H / 2).toLong)
+    assert(r.getAs[Long]("n_bytes") === Media.pngStoredSize(W / 2, H / 2))
+    // independent replay of the block mean
+    def down(xx: Int, yy: Int): (Int, Int, Int) = {
+      var r0 = 0; var g0 = 0; var b0 = 0
+      for (dy <- 0 until 2; dx <- 0 until 2) {
+        val (r, g, b) = pix(xx * 2 + dx, yy * 2 + dy)
+        r0 += r; g0 += g; b0 += b
+      }
+      (r0 / 4, g0 / 4, b0 / 4)
+    }
+    val e = featOf(W / 2, H / 2, down)
+    assert(r.getAs[Long]("r_sum") === e.rs)
+    assert(r.getAs[Long]("g_sum") === e.gs)
+    assert(r.getAs[Long]("b_sum") === e.bs)
+    assert(r.getAs[Long]("lum_sum") === e.ls)
+    // the re-encoded blob decodes to the downsampled raster exactly
+    val back = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+    for (y <- 0 until H / 2; x <- 0 until W / 2) {
+      val (er, eg, eb) = down(x, y)
+      val p = back.getRGB(x, y)
+      assert(((p >>> 16) & 0xFF, (p >>> 8) & 0xFF, p & 0xFF) === ((er, eg, eb)))
+    }
+    // too-small and undecodable inputs fail closed
+    val bad = Media.downsampleBox(
+      Seq((1L, Media.pngFixture(1, 1)((_, _) => (9, 9, 9))),
+        (2L, "txt".getBytes)).toDF("id", "bin"), "id", "bin", 2)
+      .collect()
+    assert(bad.forall(!_.getAs[Boolean]("ok")))
+  }
+
+  test("decodeGifFrames: animated GIF yields one row per frame, real rasters") {
+    // two 4x2 frames of solid palette color via the ImageIO sequence writer
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def frame(r: Int, g: Int, b: Int) = {
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      img
+    }
+    writer.writeToSequence(new javax.imageio.IIOImage(frame(255, 0, 0), null, null), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(frame(0, 0, 255), null, null), null)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    val rows = Media.decodeGifFrames(
+      Seq((7L, gif), (8L, "noise".getBytes)).toDF("id", "bin"),
+      "id", "bin", maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("r_sum") === 8L * 255)
+    assert(rows(0).getAs[Long]("b_sum") === 0L)
+    assert(rows(1).getAs[Long]("b_sum") === 8L * 255)
+    assert(rows(1).getAs[Long]("r_sum") === 0L)
+    assert(rows.forall(r => r.getAs[Long]("width") === 4L &&
+      r.getAs[Long]("height") === 2L))
+  }
+
+  // canonical 44-byte WAV header for n data bytes (PCM, 2ch, 16-bit)
+  private def wav(samples: Seq[Int], declaredBytes: Option[Int] = None): Array[Byte] = {
+    val data = samples.flatMap(v =>
+      Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    val nBytes = declaredBytes.getOrElse(data.length)
+    def le32(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+      (v >> 24) & 0xFF).map(_.toByte)
+    def le16(v: Int) = Seq(v & 0xFF, (v >> 8) & 0xFF).map(_.toByte)
+    ("RIFF".getBytes("US-ASCII") ++ le32(36 + nBytes) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(44100) ++ le32(176400) ++ le16(4) ++
+      le16(16) ++ "data".getBytes ++ le32(nBytes) ++ data).toArray
+  }
+
+  test("decodeWavPcm16: real sample decode — peak and energy exact") {
+    val samples = Seq(0, 1000, -32768, 32767, -1, 500)
+    val rows = Media.decodeWavPcm16(
+      Seq((1L, wav(samples)), (2L, "xx".getBytes)).toDF("id", "bin"),
+      "id", "bin").orderBy("id").collect()
+    val r = rows(0)
+    assert(r.getAs[Boolean]("ok"))
+    assert(r.getAs[Long]("n_samples") === samples.length.toLong)
+    assert(r.getAs[Long]("peak_abs") === 32768L)
+    assert(r.getAs[Long]("sum_sq") ===
+      samples.map(v => v.toLong * v).sum)
+    assert(!rows(1).getAs[Boolean]("ok"))
+  }
+
+  test("decodeWavPcm16: truncated data clamps; non-PCM rejected") {
+    val full = wav(Seq(100, 200, 300, 400))
+    val truncated = full.take(full.length - 4) // drops last 2 samples
+    val rows = Media.decodeWavPcm16(
+      Seq((1L, truncated)).toDF("id", "bin"), "id", "bin").collect()
+    assert(rows(0).getAs[Boolean]("ok"))
+    assert(rows(0).getAs[Long]("n_samples") === 2L)
+    val nonPcm = full.clone(); nonPcm(20) = 3 // audioFormat = 3 (float)
+    val r2 = Media.decodeWavPcm16(
+      Seq((1L, nonPcm)).toDF("id", "bin"), "id", "bin").collect()
+    assert(!r2(0).getAs[Boolean]("ok"))
+  }
+
+  test("zlibStored spans multiple blocks past 65535 bytes") {
+    val w = 300; val h = 80 // raw = 80*(1+900) = 72080 > 65535
+    val png = Media.pngFixture(w, h)((x, y) => ((x + y) % 256, x % 256, y % 256))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    assert(png.length.toLong === Media.pngStoredSize(w, h))
+    val p = img.getRGB(123, 45)
+    assert((((p >>> 16) & 0xFF), ((p >>> 8) & 0xFF), (p & 0xFF)) ===
+      (((123 + 45) % 256), (123 % 256), (45 % 256)))
+  }
+}
