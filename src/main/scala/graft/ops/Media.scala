@@ -387,6 +387,30 @@ object Media {
   case class WavPcmRow(id: Long, ok: Boolean, n_samples: Option[Long],
                        peak_abs: Option[Long], sum_sq: Option[Long])
 
+  /** Canonical-layout PCM16 WAV writer (44-byte header + LE16 samples)
+    * — the encode half of [[decodeWavPcm16]]'s contract and the
+    * fixture source for its oracle (sample bytes sit at fixed offsets,
+    * so DuckDB replays the decode by substring arithmetic). `samples`
+    * are interleaved channel values in −32768..32767.
+    */
+  def encodeWavPcm16(samples: Seq[Int], channels: Int = 2,
+                     sampleRate: Int = 44100): Array[Byte] = {
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(samples.forall(v => v >= Short.MinValue && v <= Short.MaxValue),
+      "samples must fit s16")
+    val nBytes = samples.length * 2
+    def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val byteRate = sampleRate * channels * 2
+    (("RIFF".getBytes("US-ASCII").toSeq ++ le32(36 + nBytes) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(channels * 2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(nBytes) ++
+      samples.flatMap(v => le16(v & 0xFFFF))).toArray)
+  }
+
   private def leU16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
   private def leU32(b: Array[Byte], off: Int): Long =
