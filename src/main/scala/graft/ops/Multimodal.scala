@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * (mapPartitions with case-class Encoders — the Scala analog of
   * arrow-batched decode UDFs).
   *
-  * What is a STUB: the actual pixel/sample decode ([[stubFeatures]],
-  * [[decodeBatchStub]]) — image/audio codec libraries are not in this
-  * environment, so the decoder produces a DETERMINISTIC FAKE feature
-  * vector derived from the content fingerprint. A real deployment
-  * swaps only the function body; every signature, schema, and batch
-  * shape stays.
+  * Pixel/sample decode: REAL since round 8 — [[Media]] decodes pixels
+  * through the JDK's own codecs (javax.imageio: PNG/GIF/BMP/JPEG) and
+  * PCM samples by direct byte arithmetic, all oracle-gated
+  * (q114–q116). The [[stubFeatures]] / [[decodeBatchStub]] /
+  * [[resizeBatchStub]] members below remain as the deterministic-fake
+  * EMBEDDING seam only (a learned image/audio embedding model is
+  * genuinely out of environment; its plumbing — mapPartitions, schema,
+  * batch shape — is what these pin down and q31 gates).
   *
   * Scale posture: all metadata/fingerprint/frame paths are pure Column
   * expressions — linear, shuffle-free, codegen-resident. Frame

@@ -436,6 +436,187 @@ object Similarity {
       }: _*).as("qv"),
       $"n2")
 
+  // ------------------------------------- TRAINED OPQ rotation (round 8)
+  //
+  // The full OPQ alternation (Ge et al. CVPR'13 §3.2; FAISS OPQMatrix):
+  // repeat { train PQ codebooks on the rotated corpus; re-solve the
+  // rotation as the orthogonal Procrustes optimum against the PQ
+  // reconstruction }. The Procrustes solution R = UVᵀ of the
+  // cross-covariance M = Σ x̂ xᵀ is the POLAR FACTOR of M, computed
+  // here by the Newton–Schulz iteration X ← (3X − XXᵀX)/2 — matrix
+  // products only, no SVD — in Q20 FIXED-POINT int64 arithmetic. That
+  // choice is load-bearing: every multiply/floor is exact integer
+  // math, so the training is bit-deterministic on any partitioning and
+  // a DuckDB oracle replays the entire loop (q117) — the same reason
+  // the k-means family quantizes to int64.
+
+  /** Q20 fixed-point scale of the trained rotation entries. */
+  val opqShift: Int = 20
+  private val opqOne: Long = 1L << opqShift
+
+  /** Q20 matrix product with per-entry floor: c_ij = floor(Σ_k a_ik·
+    * b_kj / 2^20). Entry magnitudes stay ≤ 2^55 for Q20 inputs ≤ 2^28
+    * at dims ≤ 64 — inside int64.
+    */
+  private[graft] def matmulQ20(a: Array[Array[Long]],
+                               b: Array[Array[Long]]): Array[Array[Long]] = {
+    val n = a.length
+    Array.tabulate(n, n) { (i, j) =>
+      var s = 0L
+      var k = 0
+      while (k < n) { s += a(i)(k) * b(k)(j); k += 1 }
+      s >> opqShift
+    }
+  }
+
+  /** Polar factor (= the orthogonal Procrustes optimum) of `m` in Q20
+    * fixed point via `nsIters` Newton–Schulz steps. Initial scaling
+    * divides by the smallest power of two ≥ dims·max|m_ij| (an exact
+    * integer upper bound on the spectral norm, so every singular value
+    * lands in (0, 1] where the iteration converges); the fixed
+    * iteration count is part of the model spec, like the k-means
+    * iteration counts the oracles replay.
+    */
+  private[graft] def polarQ20(m: Array[Array[Long]],
+                              nsIters: Int): Array[Array[Long]] = {
+    val n = m.length
+    require(n >= 1 && m.forall(_.length == n), "square matrix required")
+    val maxabs = m.iterator.flatten.map(math.abs).max
+    require(maxabs > 0L, "degenerate cross-covariance: all-zero matrix")
+    require(maxabs < (1L << 55), s"cross-covariance too large: $maxabs")
+    var s = 1L
+    while (n.toLong * maxabs > s) s *= 2L
+    val sh = java.lang.Long.numberOfTrailingZeros(s) - opqShift
+    var x = m.map(_.map(v => if (sh >= 0) v >> sh else v << (-sh)))
+    for (_ <- 1 to nsIters) {
+      val t = matmulQ20(x, matmulQ20(x.transpose, x))
+      x = Array.tabulate(n, n)((i, j) =>
+        Math.floorDiv(3L * x(i)(j) - t(i)(j), 2L))
+    }
+    x
+  }
+
+  /** Apply a Q20 rotation to a [[prepared]] corpus: y_j = floor(
+    * Σ_i R[j][i]·x_i / 2^20) — stays in the quantized int64 frame, so
+    * everything downstream (codebooks, encode, ADC, brute force)
+    * consumes the rotated corpus unchanged. Per-row projection against
+    * a literal matrix: no shuffle, no join, no driver involvement at
+    * apply time — the 100 TB shape (the rotation is a model constant;
+    * FAISS ships it with the index).
+    */
+  def rotateDense(corpus: DataFrame, rq: Seq[Seq[Long]]): DataFrame = {
+    val dims = rq.length
+    require(rq.forall(_.length == dims), "square rotation required")
+    val rlit = array(rq.map(row => array(row.map(lit(_)): _*)): _*)
+    corpus.select($"vec_id",
+      transform(sequence(lit(1), lit(dims)), j =>
+        shiftright(aggregate(
+          zip_with($"qv", element_at(rlit, j), (x, r) => x * r),
+          lit(0L), (acc, v) => acc + v), opqShift)).as("qv"))
+      .withColumn("n2", qnorm2($"qv"))
+  }
+
+  /** PQ reconstruction x̂ = concat of the coded codebook entries —
+    * the decode half of [[pqEncode]], feeding the OPQ cross-covariance.
+    */
+  private[graft] def pqReconstruct(codes: DataFrame,
+                                   codebooks: DataFrame): DataFrame =
+    codes.select($"vec_id", posexplode($"codes"))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("sub_id"),
+        $"col".as("cent_id"))
+      .join(broadcast(codebooks.select($"sub_id", $"cent_id", $"c_sub")),
+        Seq("sub_id", "cent_id"))
+      .groupBy($"vec_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct($"sub_id", $"c_sub"))),
+        s => s.getField("c_sub"))).as("xh"))
+
+  /** Deterministic OPQ training sample: md5-ordered prefix (the
+    * [[coarseForCorpus]] seed-selection pattern). Capping the sample
+    * bounds BOTH the training cost and the exact-int64 cross-
+    * covariance magnitude (≤ cap · (qscale·|x|max)² per entry)
+    * independently of corpus size — rotation training is sample-scale
+    * work, exactly as FAISS trains OPQMatrix on a train set, while the
+    * APPLY ([[rotateDense]]) streams over the full corpus.
+    */
+  def opqTrainSample(corpus: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    corpus.orderBy(md5(concat(lit("opq-train"), $"vec_id".cast("string"))),
+      $"vec_id").limit(cap)
+  }
+
+  /** The trained OPQ rotation: `opqIters` alternations of per-subspace
+    * codebook training ([[pqCodebooksTrained]]) and the Procrustes
+    * rotation update ([[polarQ20]] of M = Σ x̂ xᵀ). Returns the Q20
+    * rotation matrix R[j][i] (y = Rx); callers apply it with
+    * [[rotateDense]] and train final codebooks on the rotated corpus.
+    *
+    * Scale shape: each iteration is one rotation projection + the
+    * codebook-training aggregates over the TRAIN SAMPLE, one encode,
+    * one broadcast reconstruction join, and one (j, i, Σ x̂_j·x_i)
+    * partial+final aggregate whose output is dims² rows — the only
+    * driver materialization is that dims²-bounded model matrix (the
+    * same order as the codebook tables the k-means family already
+    * broadcasts; nothing corpus-sized ever reaches the driver).
+    */
+  def opqRotationTrained(train: DataFrame, m: Int, dims: Int, stride: Long,
+                         pqIters: Int, opqIters: Int, nsIters: Int = 40,
+                         mat: Materializer = Materialize.Local): Seq[Seq[Long]] =
+    opqRotations(train, m, dims, stride, pqIters, opqIters, nsIters, mat).last
+
+  /** [[opqRotationTrained]] exposing the rotation AFTER EACH
+    * alternation (1..opqIters) — the q117 distortion audit replays the
+    * whole ladder. Each iteration rotates the ORIGINAL train frame by
+    * the current total rotation (M is the cross-covariance between the
+    * input frame and the reconstruction, so polar(M) is always the
+    * full input→codebook-frame map, not an increment).
+    */
+  def opqRotations(train: DataFrame, m: Int, dims: Int, stride: Long,
+                   pqIters: Int, opqIters: Int, nsIters: Int = 40,
+                   mat: Materializer = Materialize.Local): Seq[Seq[Seq[Long]]] = {
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    require(nsIters >= 1, s"nsIters must be >= 1, got $nsIters")
+    var rq: Array[Array[Long]] =
+      Array.tabulate(dims, dims)((i, j) => if (i == j) opqOne else 0L)
+    val out = Seq.newBuilder[Seq[Seq[Long]]]
+    val x = mat(train)
+    for (_ <- 1 to opqIters) {
+      val y = mat(rotateDense(x, rq.map(_.toSeq).toSeq))
+      val cb = mat(pqCodebooksTrained(y, m, dims, stride, pqIters, mat))
+      val xh = pqReconstruct(pqEncode(y, cb, m, dims), cb)
+      val xe = x.select($"vec_id", posexplode($"qv"))
+        .select($"vec_id", ($"pos" + 1).cast("int").as("i"),
+          $"col".as("xv"))
+      val he = xh.select($"vec_id", posexplode($"xh"))
+        .select($"vec_id", ($"pos" + 1).cast("int").as("j"),
+          $"col".as("hv"))
+      val mm = Array.ofDim[Long](dims, dims)
+      he.join(xe, "vec_id").groupBy($"j", $"i")
+        .agg(sum($"hv" * $"xv").as("v"))
+        .collect() // dims²-bounded model matrix — see scaladoc
+        .foreach(r => mm(r.getAs[Int]("j") - 1)(r.getAs[Int]("i") - 1) =
+          r.getAs[Long]("v"))
+      rq = polarQ20(mm, nsIters)
+      out += rq.map(_.toSeq).toSeq
+    }
+    out.result()
+  }
+
+  /** Total PQ reconstruction distortion Σ_v ‖x_v − x̂_v‖² of a corpus
+    * under `codebooks` — exact int64 (the OPQ training objective; per-
+    * vector d² ≤ dims·(2·qscale·|x|max)², far inside int64 at gate
+    * scale). One encode + one broadcast reconstruction join + one
+    * partial+final aggregate.
+    */
+  def pqDistortion(corpus: DataFrame, codebooks: DataFrame, m: Int,
+                   dims: Int): DataFrame =
+    corpus.join(pqReconstruct(pqEncode(corpus, codebooks, m, dims),
+        codebooks), Seq("vec_id"))
+      .select(aggregate(zip_with($"qv", $"xh",
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v)
+        .as("d2"))
+      .agg(sum($"d2").as("distortion"))
+
   // ------------------------------------------------ product quantization
 
   /** Product-quantization codebooks (Jégou et al. 2011; the FAISS PQ
