@@ -596,4 +596,98 @@ class SimilaritySpec extends SparkSpec {
     // neighbor 1 shares the bucket (nearly parallel); 2 is opposite-sign
     assert(res.map(_.getAs[Long]("neighbor_id")).toSet === Set(1L))
   }
+
+  // ------------------------------------------------------ trained OPQ
+
+  private val q20 = 1L << 20
+
+  test("polarQ20: permutation input is its own polar factor; orthogonality holds for a generic matrix") {
+    // a signed permutation times a positive scalar: polar factor = the
+    // permutation itself
+    val n = 8
+    val perm = Array.tabulate(n, n)((i, j) =>
+      if (j == (i * 3 + 1) % n) (if (i % 2 == 0) 5000L else -5000L) else 0L)
+    val r = Similarity.polarQ20(perm, 40)
+    for (i <- 0 until n; j <- 0 until n) {
+      val want = if (perm(i)(j) == 0L) 0L else math.signum(perm(i)(j)) * q20
+      assert(math.abs(r(i)(j) - want) <= 2L, s"($i,$j)")
+    }
+    // generic deterministic matrix: RᵀR ≈ I to Q20 precision
+    val rnd = new scala.util.Random(11)
+    val m = Array.fill(n, n)((rnd.nextInt(200001) - 100000).toLong)
+    val r2 = Similarity.polarQ20(m, 40)
+    val rtr = Similarity.matmulQ20(r2.transpose, r2)
+    for (i <- 0 until n; j <- 0 until n) {
+      val want = if (i == j) q20 else 0L
+      assert(math.abs(rtr(i)(j) - want) <= 16L, s"RtR($i,$j)=${rtr(i)(j)}")
+    }
+  }
+
+  test("rotateDense: identity Q20 is the exact identity; trained rotation preserves norms to quantization precision") {
+    val dims = 16
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val ident = Seq.tabulate(dims, dims)((i, j) => if (i == j) q20 else 0L)
+    val rot = Similarity.rotateDense(p, ident)
+    val a = p.orderBy("vec_id").select("qv").as[Seq[Long]].collect()
+    val b = rot.orderBy("vec_id").select("qv").as[Seq[Long]].collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("opqRotations: bit-deterministic across partitionings; distortion decreases across alternations (the q117 property)") {
+    val dims = 16
+    val m = 4
+    val rnd = new scala.util.Random(5)
+    // correlated channels so a rotation has something to gain
+    val vecs = (0L until 120L).map { i =>
+      val base = Seq.fill(dims / 2)((rnd.nextDouble() * 2 - 1).toFloat)
+      val noise = Seq.fill(dims / 2)((rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      (i, base.lazyZip(noise).flatMap((b, nz) => Seq(b, b + nz)).toSeq)
+    }
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val rots = Similarity.opqRotations(p, m, dims, stride = 7L,
+      pqIters = 2, opqIters = 2)
+    val rots2 = Similarity.opqRotations(p.repartition(7), m, dims,
+      stride = 7L, pqIters = 2, opqIters = 2)
+    assert(rots === rots2)
+    // distortion ladder: perm-free baseline vs each trained rotation
+    def dist(f: org.apache.spark.sql.DataFrame): Long = {
+      val cb = Similarity.pqCodebooksTrained(f, m, dims, 7L, 2)
+      Similarity.pqDistortion(f, cb, m, dims).collect()(0)
+        .getAs[Long]("distortion")
+    }
+    val d0 = dist(p)
+    val d1 = dist(Similarity.rotateDense(p, rots.head))
+    val d2 = dist(Similarity.rotateDense(p, rots.last))
+    assert(d1 < d0, s"alternation 1 must cut distortion: $d1 vs $d0")
+    assert(d2 <= d1, s"alternation 2 must not regress: $d2 vs $d1")
+    // the trained rotation is orthogonal to Q20 precision
+    val rq = rots.last.map(_.toArray).toArray
+    val rtr = Similarity.matmulQ20(rq.transpose, rq)
+    for (i <- 0 until dims; j <- 0 until dims) {
+      val want = if (i == j) q20 else 0L
+      assert(math.abs(rtr(i)(j) - want) <= 16L)
+    }
+  }
+
+  test("pqReconstruct: codes decode to their codebook entries in subspace order") {
+    val dims = 4
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(-1.0f, 0.5f, -0.5f, 2.0f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f))),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 2, dims = dims, stride = 1L)
+    val rec = Similarity.pqReconstruct(
+        Similarity.pqEncode(p, cb, 2, dims), cb)
+      .orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    // stride 1 → every vector is a codebook entry → exact round-trip
+    val orig = p.orderBy("vec_id").select("vec_id", "qv")
+      .as[(Long, Seq[Long])].collect()
+    assert(rec.toSeq === orig.toSeq)
+  }
 }
