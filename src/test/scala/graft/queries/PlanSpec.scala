@@ -386,4 +386,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q114/q116 media decode: partition-local, no shuffle, no join") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+    val pImg = plan(graft.ops.Media.decodeImages(docs, "doc_id", "bin"))
+    assert(!pImg.contains("Exchange"),
+      "image decode must stream partition-local:\n" + pImg)
+    val pWav = plan(graft.ops.Media.decodeWavPcm16(docs, "doc_id", "bin"))
+    assert(!pWav.contains("Exchange"),
+      "PCM decode must stream partition-local:\n" + pWav)
+    val pThumb = plan(graft.ops.Media.downsampleBox(docs, "doc_id", "bin", 2))
+    assert(!pThumb.contains("Exchange"),
+      "thumbnailing must stream partition-local:\n" + pThumb)
+  }
+
+  test("rotateDense: per-row projection, no shuffle, no join") {
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val p0 = graft.ops.Similarity.prepared(emb, "vec_id", "embedding")
+    val ident = Seq.tabulate(64, 64)((i, j) => if (i == j) 1L << 20 else 0L)
+    val p = plan(graft.ops.Similarity.rotateDense(p0, ident))
+    assert(!p.contains("Exchange"),
+      "the trained rotation is a literal-matrix projection:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
 }
