@@ -216,11 +216,30 @@ object Media {
     ImageDecodeRow(id, ok = false, nBytes, None, None, None, None, None,
       None, None, None)
 
-  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    if (bytes == null || bytes.length == 0) null
-    else
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+  /** Decode-bomb guard: a corrupt or hostile blob must not OOM an
+    * executor, so dimensions are read from the codec header FIRST and
+    * anything above this pixel count fails closed (ok = false) without
+    * allocating the raster. 64 MP ≈ a 256 MB ARGB raster — far above
+    * any legitimate training-corpus image, far below executor memory.
+    */
+  val maxDecodePixels: Long = 64L * 1024 * 1024
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) { in.close(); return null }
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true, true)
+        val w = reader.getWidth(0).toLong
+        val h = reader.getHeight(0).toLong
+        if (w <= 0 || h <= 0 || w * h > maxDecodePixels) null
+        else reader.read(0)
+      } finally { reader.dispose(); in.close() }
+    } catch { case _: Exception => null }
+  }
 
   private def decodeOne(id: Long, bytes: Array[Byte]): ImageDecodeRow = {
     val nBytes = if (bytes == null) 0L else bytes.length.toLong
@@ -380,6 +399,56 @@ object Media {
         }
       })
       .toDF()
+  }
+
+  /** A complete (optionally animated) GIF89a written with the
+    * "uncompressed LZW" technique: minimum code size 7 makes every
+    * LZW code exactly one byte (codes 0..127 = literal palette
+    * indices, 0x80 = Clear, 0x81 = End), and a Clear is emitted before
+    * the dictionary could force a code-width increase — so the stream
+    * is VALID LZW that any conforming decoder (ImageIO included)
+    * decompresses, while every pixel's palette index sits at a FIXED
+    * byte offset: pixel i of frame f at
+    * 397 + f·(npix+15) + 13 + i (0-based, 128-entry global table),
+    * with the palette entry k's RGB at 13 + 3k. That fixed layout is
+    * what lets the q119 oracle replay a real GIF decode byte-by-byte
+    * while the engine runs the actual LZW decoder.
+    *
+    * Frames are full-size palette-index rasters (≤ 120 pixels each so
+    * one Clear covers the whole frame and one sub-block carries it).
+    */
+  def encodeGifUncompressed(width: Int, height: Int,
+                            palette: Seq[(Int, Int, Int)],
+                            frames: Seq[Array[Byte]]): Array[Byte] = {
+    val npix = width * height
+    require(width >= 1 && height >= 1 && npix <= 120,
+      s"uncompressed-LZW fixture frames hold <= 120 px, got $npix")
+    require(palette.length == 128, s"need 128 entries, got ${palette.length}")
+    require(frames.nonEmpty && frames.forall(_.length == npix),
+      "each frame must carry width*height palette indices")
+    require(frames.forall(_.forall(b => (b & 0xFF) < 128)),
+      "palette indices must be < 128")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    out.write(0xF6) // GCT present, 8-bit color res, 2^7 = 128 entries
+    out.write(0); out.write(0)
+    palette.foreach { case (r, g, b) =>
+      out.write(r & 0xFF); out.write(g & 0xFF); out.write(b & 0xFF)
+    }
+    frames.foreach { px =>
+      out.write(0x2C); le16(0); le16(0); le16(width); le16(height)
+      out.write(0) // no local table, not interlaced
+      out.write(7) // LZW minimum code size
+      out.write(npix + 2) // one sub-block: Clear + pixels + End
+      out.write(0x80)
+      out.write(px)
+      out.write(0x81)
+      out.write(0) // block terminator
+    }
+    out.write(0x3B)
+    out.toByteArray
   }
 
   // ---------------------------------------------------- WAV PCM decode

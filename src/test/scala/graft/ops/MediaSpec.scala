@@ -177,6 +177,49 @@ class MediaSpec extends SparkSpec {
       r.getAs[Long]("height") === 2L))
   }
 
+  test("encodeGifUncompressed: valid LZW that ImageIO decodes; pixels at fixed offsets") {
+    val w = 10; val h = 8; val npix = w * h
+    val palette = (0 until 128).map(k =>
+      ((2 * k) % 256, (k * 5 + 17) % 256, (k * 11 + 3) % 256))
+    def idx(f: Int, i: Int): Int = (i * 11 + f * 29) % 128
+    val gif = Media.encodeGifUncompressed(w, h, palette,
+      (0 until 3).map(f => Array.tabulate(npix)(i => idx(f, i).toByte)))
+    // the real LZW decoder (ImageIO) must agree with the palette math
+    val rows = Media.decodeGifFrames(
+      Seq((1L, gif)).toDF("id", "bin"), "id", "bin", maxFrames = 8)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 3)
+    for (f <- 0 until 3) {
+      val expected = (0 until npix).map(i => palette(idx(f, i)))
+      val r = rows(f)
+      assert(r.getAs[Long]("width") === w.toLong)
+      assert(r.getAs[Long]("height") === h.toLong)
+      assert(r.getAs[Long]("r_sum") === expected.map(_._1.toLong).sum, s"f$f")
+      assert(r.getAs[Long]("g_sum") === expected.map(_._2.toLong).sum, s"f$f")
+      assert(r.getAs[Long]("b_sum") === expected.map(_._3.toLong).sum, s"f$f")
+    }
+    // the fixed-offset layout the oracle depends on: pixel i of frame
+    // f is the literal code byte at 397 + f*(npix+15) + 13 + i
+    for (f <- 0 until 3; i <- Seq(0, 1, npix - 1))
+      assert((gif(397 + f * (npix + 15) + 13 + i) & 0xFF) === idx(f, i))
+  }
+
+  test("decodeImages fails closed above the decode-bomb pixel cap") {
+    // a VALID PNG header declaring 100k x 100k: dims are read before
+    // the raster is allocated, so this must fail closed, not OOM
+    val huge = {
+      val p = Media.pngFixture(2, 2)((_, _) => (1, 2, 3))
+      // patch IHDR width/height (bytes 16..23 big-endian) to 100000
+      val v = 100000
+      for ((off, i) <- Seq(16, 20).zipWithIndex; b <- 0 until 4)
+        p(off + b) = (v >>> (24 - 8 * b)).toByte
+      p
+    }
+    val rows = Media.decodeImages(
+      Seq((1L, huge)).toDF("id", "bin"), "id", "bin").collect()
+    assert(!rows(0).getAs[Boolean]("ok"))
+  }
+
   // canonical 44-byte WAV header for n data bytes (PCM, 2ch, 16-bit)
   private def wav(samples: Seq[Int], declaredBytes: Option[Int] = None): Array[Byte] = {
     val data = samples.flatMap(v =>
