@@ -1370,4 +1370,187 @@ object Similarity {
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
     topKByCos(scored, k)
   }
+
+  // ------------------------------------------- scalar quantizer (SQ8)
+  //
+  // The OTHER FAISS workhorse codec besides PQ: each residual
+  // dimension is quantized independently to 8 bits against TRAINED
+  // per-dim bounds ("IVF,SQ8"). 8× smaller than raw int64 storage
+  // (one byte/dim vs eight) at near-exact recall — the codec FAISS
+  // recommends when recall matters more than the deepest compression
+  // (PQ at m=8 is 8× smaller again but pays real recall; q85 vs q121
+  // measure the two points of that trade under one protocol).
+  //
+  // Exactness: every stage is int64 arithmetic. The two divisions
+  // (encode's ×255/w, reconstruct's ×w/510) are floor divisions of
+  // non-negative int64s computed as floor(double-quotient) — exact
+  // because the numerators stay below 2^53 and the true quotient's
+  // distance from any integer it does not attain is ≥ 1/w ≈ 2^-23,
+  // many orders above the 2^-53-relative double rounding error, so
+  // the floor can never cross an integer boundary. The oracle replays
+  // the same divisions with DuckDB's `//`.
+
+  /** Per-dim bounds of the trained 8-bit scalar quantizer over a
+    * [[residualCorpus]]: ONE row (vmins: array<long>, ws: array<long>)
+    * with ws[d] = max(vmax[d] − vmin[d], 1) — the model the codec
+    * needs at serve time, carried as an in-plan broadcast aggregate
+    * (the BM25-avgdl pattern), never a driver collect.
+    *
+    * Scale shape: the posexplode produces n×dims rows but the
+    * groupBy(d) partial-aggregates them map-side to dims rows per
+    * task before the (tiny) shuffle; the final fold is dims rows to
+    * one. Training is one pass over the corpus, independent of list
+    * count.
+    */
+  def sqResidualStats(residuals: DataFrame): DataFrame =
+    residuals.select(posexplode($"qv").as(Seq("d", "x")))
+      .groupBy($"d")
+      .agg(min($"x").as("vmin"), max($"x").as("vmax"))
+      .select($"d", $"vmin",
+        greatest($"vmax" - $"vmin", lit(1L)).as("w"))
+      .agg(
+        transform(array_sort(collect_list(struct($"d", $"vmin"))),
+          s => s.getField("vmin")).as("vmins"),
+        transform(array_sort(collect_list(struct($"d", $"w"))),
+          s => s.getField("w")).as("ws"))
+
+  /** code[d] = clamp(floor((r[d] − vmin[d]) · 255 / w[d]), 0, 255).
+    * Training-corpus residuals land in [0, 255] by construction (the
+    * bounds ARE their min/max); the clamp is for vectors encoded
+    * after training (streaming arrivals) whose residuals may fall
+    * outside the trained range.
+    */
+  def sqEncodeResiduals(residuals: DataFrame,
+                        stats: DataFrame): DataFrame =
+    residuals.crossJoin(broadcast(stats))
+      .select($"vec_id", $"cent_id",
+        transform($"qv", (x, i) =>
+          least(greatest(
+            floor((x - element_at($"vmins", i + 1)).cast("double") *
+              255.0 / element_at($"ws", i + 1).cast("double"))
+              .cast("long"),
+            lit(0L)), lit(255L))).as("codes"))
+
+  /** Midpoint decode: r̂[d] = vmin[d] + floor((2·code[d]+1) · w[d] /
+    * 510) — the center of the code's cell, FAISS's reconstruction
+    * rule, in exact int64.
+    */
+  private[graft] def sqRecon(codes: Column, vmins: Column,
+                             ws: Column): Column =
+    transform(codes, (cd, i) =>
+      element_at(vmins, i + 1) +
+        floor(((cd * lit(2L) + lit(1L)) * element_at(ws, i + 1))
+          .cast("double") / 510.0).cast("long"))
+
+  /** IVF-SQ8 top-k over explicit (vec_id, cent_id, codes) rows: probe
+    * the query's nProbe lists, reconstruct v̂ = c + r̂ for ONLY the
+    * probed candidates, score the exact cosine of the reconstruction,
+    * and rank with the shared [[topKByCos]] tail. The raw vector
+    * column is never touched — the serve scan reads one byte per
+    * dimension.
+    *
+    * Scale shape: reconstruction is a per-candidate projection (no
+    * shuffle); the probe join broadcasts queries × nProbe rows; the
+    * only shuffle is the per-query top-k window over candidate rows.
+    */
+  def knnIvfSqOnCodes(idx: DataFrame, stats: DataFrame,
+                      queries: DataFrame, coarse: DataFrame,
+                      k: Int, nProbe: Int): DataFrame = {
+    val probes = probeLists(queries, broadcast(coarse), nProbe)
+    val qf = broadcast(queries.select($"vec_id".as("query_id"),
+      $"qv".as("q_qv"), $"n2".as("q_n2")))
+    val rec = idx.crossJoin(broadcast(stats))
+      .join(broadcast(coarse.select($"cent_id", $"c_qv")),
+        Seq("cent_id"))
+      .select($"vec_id", $"cent_id",
+        zip_with($"c_qv", sqRecon($"codes", $"vmins", $"ws"),
+          (c, r) => c + r).as("rv"))
+      .withColumn("rn2", qnorm2($"rv"))
+    val scored = rec.join(broadcast(probes), Seq("cent_id"))
+      .join(qf, Seq("query_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine(qdot($"rv", $"q_qv"), $"rn2", $"q_n2").as("cos_sim"))
+    topKByCos(scored, k)
+  }
+
+  /** Inline IVF-SQ8: train bounds on the corpus residuals, encode,
+    * serve — the composition [[writeSqIndex]] persists.
+    */
+  def knnIvfSq(corpus: DataFrame, queries: DataFrame,
+               coarse: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val res = residualCorpus(corpus, coarse)
+    val stats = sqResidualStats(res)
+    knnIvfSqOnCodes(sqEncodeResiduals(res, stats), stats, queries,
+      coarse, k, nProbe)
+  }
+
+  /** Persist the IVF-SQ8 index: codes bucketed by cent_id (the
+    * [[writePqIndex]] layout, so the probe join is bucket-pruned),
+    * the 1-row trained bounds, and a provenance manifest. Build pays
+    * the coarse assignment + training + encode once; serving reads
+    * one byte per dimension and never the raw vectors.
+    */
+  def writeSqIndex(corpus: DataFrame, coarse: DataFrame,
+                   indexTable: String, numBuckets: Int = 32): Unit = {
+    val res = residualCorpus(corpus, coarse)
+    val stats = sqResidualStats(res)
+    Tables.writeBucketed(sqEncodeResiduals(res, stats), indexTable,
+      Seq("cent_id"), numBuckets)
+    Tables.writeTable(stats, indexTable + "__sqstats")
+    Tables.writeTable(sqIndexManifest(coarse, stats),
+      indexTable + "__manifest")
+  }
+
+  /** One-row provenance manifest of a persisted SQ index — the
+    * [[pqIndexManifest]] pattern: serving against the wrong coarse
+    * set or bounds silently mis-decodes every code, so
+    * [[requireSqIndexCompatible]] fails fast instead.
+    */
+  def sqIndexManifest(coarse: DataFrame, stats: DataFrame): DataFrame = {
+    val coarseSum = coarse.agg(
+      count(lit(1)).as("n_lists"),
+      sum($"cent_id" * 31L + $"c_n2").as("coarse_checksum"))
+    // Position-weighted linear sums (the pqIndexManifest family):
+    // |vmin| ≲ 4e6 quantized units × weight ≤ 64 × 64 dims ≈ 1.6e10,
+    // ×131 ≈ 2e12 — far inside int64 under ANSI mode, unlike a
+    // multiplicative 31^64 rolling hash.
+    def weighted(a: Column): Column =
+      aggregate(
+        transform(a, (x, i) => (i + 1).cast("long") * x),
+        lit(0L), (acc, v) => acc + v)
+    val sqSum = stats.select(
+      size($"vmins").cast("long").as("dims"),
+      (weighted($"vmins") + weighted($"ws") * 131L).as("sq_checksum"))
+    coarseSum.crossJoin(sqSum)
+      .select($"dims", $"n_lists", $"coarse_checksum", $"sq_checksum")
+  }
+
+  /** Fail-fast compatibility check for [[knnIvfSqOnIndex]] callers —
+    * run once at serving-session startup, off the per-query path.
+    */
+  def requireSqIndexCompatible(spark: org.apache.spark.sql.SparkSession,
+                               indexTable: String,
+                               coarse: DataFrame): Unit = {
+    val manTable = indexTable + "__manifest"
+    require(spark.catalog.tableExists(manTable),
+      s"no manifest $manTable — rebuild with writeSqIndex")
+    val want = sqIndexManifest(coarse,
+      spark.table(indexTable + "__sqstats")).head()
+    val have = spark.table(manTable).head()
+    Seq("dims", "n_lists", "coarse_checksum", "sq_checksum").foreach { f =>
+      require(want.getAs[Any](f) == have.getAs[Any](f),
+        s"index $indexTable is incompatible with the supplied " +
+          s"quantizers: manifest $f = ${have.getAs[Any](f)}, " +
+          s"supplied $f = ${want.getAs[Any](f)}")
+    }
+  }
+
+  /** IVF-SQ8 top-k served from an index persisted by [[writeSqIndex]]. */
+  def knnIvfSqOnIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexTable: String, queries: DataFrame,
+                      coarse: DataFrame, k: Int,
+                      nProbe: Int): DataFrame =
+    knnIvfSqOnCodes(spark.table(indexTable),
+      spark.table(indexTable + "__sqstats"), queries, coarse, k, nProbe)
 }

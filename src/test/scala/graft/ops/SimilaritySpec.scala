@@ -674,6 +674,85 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: codes in [0,255] (clamped for out-of-range), decode within one cell") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 4 - 2).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 10L)
+    val res = Similarity.residualCorpus(p, coarse)
+    // bounds trained on HALF the corpus: the other half's residuals
+    // can fall outside the trained range and must clamp, not wrap
+    val stats = Similarity.sqResidualStats(res.filter($"vec_id" < 25L))
+    val enc = Similarity.sqEncodeResiduals(res, stats)
+    val codeVals = enc.select(explode($"codes")).as[Long].collect()
+    assert(codeVals.forall(c => c >= 0L && c <= 255L))
+    // in-training-range rows decode to within one cell of the residual:
+    // |r − r̂| ≤ w/255 + 1 per dim (midpoint rule; +1 for the floors)
+    val full = Similarity.sqEncodeResiduals(res,
+      Similarity.sqResidualStats(res))
+    val fullStats = Similarity.sqResidualStats(res)
+    val err = full.crossJoin(broadcast(fullStats))
+      .join(res.select($"vec_id", $"qv".as("r")), Seq("vec_id"))
+      .select($"vec_id", posexplode(zip_with(
+        Similarity.sqRecon($"codes", $"vmins", $"ws"), $"r",
+        (a, b) => a - b)).as(Seq("d", "diff")), $"ws")
+      .select($"diff",
+        element_at($"ws", ($"d" + 1).cast("int")).as("w"))
+      .filter(abs($"diff") > $"w" / lit(255L) + lit(1L))
+      .count()
+    assert(err === 0L)
+  }
+
+  test("SQ8: serve-from-index == inline, manifest rejects wrong coarse") {
+    val rnd = new scala.util.Random(29)
+    val dims = 8
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d + 1).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 10L)
+    val qs = p.filter($"vec_id".isin(0L, 11L))
+    Similarity.writeSqIndex(p, coarse, "sq_index_spec", numBuckets = 4)
+    try {
+      Similarity.requireSqIndexCompatible(spark, "sq_index_spec", coarse)
+      def collectRows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"query_id", $"neighbor_id", $"cos_sim", $"rank")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._4))
+      val inline = collectRows(
+        Similarity.knnIvfSq(p, qs, coarse, k = 5, nProbe = 2))
+      val served = collectRows(Similarity.knnIvfSqOnIndex(spark,
+        "sq_index_spec", qs, coarse, k = 5, nProbe = 2))
+      assert(served.nonEmpty)
+      assert(served.toSeq === inline.toSeq)
+      // near-identical cluster-mates reconstruct well enough that the
+      // probed exact ranking survives the codec on separated data
+      val exact = collectRows(
+        Similarity.knnIvfWith(p, qs, coarse, k = 5, nProbe = 2))
+      assert(served.map(t => (t._1, t._2)).toSeq ===
+        exact.map(t => (t._1, t._2)).toSeq)
+      // wrong coarse set → fail fast, not silent garbage
+      val wrong = Similarity.strideCentroids(p.filter($"vec_id" < 30L), 7L)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.requireSqIndexCompatible(spark, "sq_index_spec", wrong)
+      }
+      assert(ex.getMessage.contains("incompatible"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sq_index_spec")
+      spark.sql("DROP TABLE IF EXISTS sq_index_spec__sqstats")
+      spark.sql("DROP TABLE IF EXISTS sq_index_spec__manifest")
+    }
+  }
+
   test("pqReconstruct: codes decode to their codebook entries in subspace order") {
     val dims = 4
     val p = Similarity.prepared(emb(

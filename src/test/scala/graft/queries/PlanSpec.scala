@@ -195,6 +195,35 @@ class PlanSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_index_plan")
   }
 
+  test("q122 IVF-SQ8 index serve: probe join broadcasts; index scan prunes to codes") {
+    import graft.ops.Similarity
+    val p = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val coarse = Similarity.strideCentroids(p, 25L)
+    Similarity.writeSqIndex(p, coarse, "sq_index_plan", numBuckets = 8)
+    try {
+      val served = Similarity.knnIvfSqOnIndex(spark, "sq_index_plan",
+        p.filter(col("vec_id") < 5), coarse, k = 10, nProbe = 2)
+      val pl = plan(served)
+      // probe restriction broadcasts; the index side never shuffles
+      // on cent_id to meet it
+      assert(pl.contains("BroadcastHashJoin"), pl)
+      assert(!pl.contains("Exchange hashpartitioning(cent_id"),
+        s"index side must not shuffle for the probe join:\n$pl")
+      // the serve scan reads codes + keys only — the raw-vector
+      // column is not in the index table at all
+      val scanLine = pl.linesIterator
+        .find(l => l.contains("ReadSchema") && l.contains("sq_index_plan"))
+        .getOrElse(fail(s"no scan of the index table in the plan:\n$pl"))
+      assert(scanLine.contains("codes"), scanLine)
+      assert(!scanLine.contains("qv"), scanLine)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sq_index_plan")
+      spark.sql("DROP TABLE IF EXISTS sq_index_plan__sqstats")
+      spark.sql("DROP TABLE IF EXISTS sq_index_plan__manifest")
+    }
+  }
+
   test("q101 residual IVF-PQ index serve: probe join broadcasts; index scan prunes to codes") {
     import graft.ops.Similarity
     val p = Similarity.prepared(
