@@ -16,7 +16,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.build(cpus,
-      Map("spark.sql.autoBroadcastJoinThreshold" -> "64m"))
+      Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "64m",
+        // The bench JVM runs ~20 queries x 3-5 runs back-to-back;
+        // unreferenced broadcasts and shuffle files are only cleaned
+        // when a driver GC runs (ContextCleaner is weak-ref driven)
+        // and the periodic fallback defaults to 30min — longer than
+        // the whole bench, so dead executor state accumulates and
+        // later queries time against a polluted heap/disk (suspected
+        // driver of the across-the-board r8 medians drift on
+        // untouched plans). A 30s periodic GC bounds that
+        // accumulation; steady-state services run with exactly this
+        // conf tightened for the same reason.
+        "spark.cleaner.periodicGC.interval" -> "30s"))
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)

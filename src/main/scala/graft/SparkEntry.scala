@@ -72,5 +72,12 @@ object SparkEntry {
     "q98_pq_index_stats",
     // rank/sort representative: bucketed two-phase global shuffle
     // rank — catches regressions toward a single-task global window.
-    "q87_shuffle_rank")
+    "q87_shuffle_rank",
+    // runtime-filter representative: Bloom semi-join reduction — the
+    // probe-side filter must stay under the exchange; a regression
+    // toward shuffling the unreduced fact side surfaces here (round
+    // 9). q124's z-order entry is deliberately NOT benched: it times
+    // a layout WRITE (stage-and-swap table build), whose variance is
+    // filesystem-dominated; LayoutSpec + PROFILE carry its numbers.
+    "q123_bloom_join_reduce")
 }

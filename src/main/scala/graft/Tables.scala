@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -17,18 +17,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong, set in every
-    // session builder here). Normalize to a microsecond TimestampType with
-    // FLOOR division — `DIV` truncates toward zero, which would disagree
-    // with a ns->us timestamp cast by 1us on pre-1970 (negative) values.
-    // Subtracting pmod first keeps the arithmetic exact in int64 (a double
-    // division would lose precision at 2^60-scale nanos).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    // events.ts arrives in whatever physical form the driver generated
+    // this round; normalize every variant to a session-zone (UTC)
+    // microsecond TimestampType so downstream time arithmetic
+    // (unix_micros, session windows) sees ONE type:
+    //  - parquet TIMESTAMP(NANOS) reads as a nanosecond long
+    //    (spark.sql.legacy.parquet.nanosAsLong, set in every session
+    //    builder here). FLOOR division to micros — `DIV` truncates
+    //    toward zero, which would disagree with a ns->us timestamp
+    //    cast by 1us on pre-1970 (negative) values; subtracting pmod
+    //    first keeps the arithmetic exact in int64 (a double division
+    //    would lose precision at 2^60-scale nanos).
+    //  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    //    TIMESTAMP_NTZ (the round-9 regenerated testdata), which
+    //    unix_micros REJECTS. The cast interprets the wall-clock
+    //    value in the session zone — pinned UTC — so the micros are
+    //    preserved bit-for-bit and match DuckDB's naive read.
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == LongType =>
         df.withColumn("ts",
           timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")))
-      case None => df
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JoinReduceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every build-side key passes the probe predicate") {
+    val keys = spark.range(0, 5000).select(($"id" * 37 + 11).as("k"))
+    val words = JoinReduce.bloomWords(keys.toDF(), col("k"), mBits = 1 << 14, k = 4)
+    // probe with the exact same key set: ALL rows must survive
+    val survivors =
+      keys.filter(JoinReduce.mightContain(words, 1 << 14, 4, col("k"))).count()
+    assert(survivors === 5000L)
+  }
+
+  test("reduction: disjoint probe keys are mostly dropped (fp rate bounded)") {
+    val build = spark.range(0, 2000).select($"id".as("k"))
+    val mBits = 1 << 15 // m/n = 16.4 with k=4 -> expected fpp ~0.24%
+    val words = JoinReduce.bloomWords(build.toDF(), col("k"), mBits, k = 4)
+    val probe = spark.range(100000, 150000).select($"id".as("k")) // disjoint
+    val passed =
+      probe.filter(JoinReduce.mightContain(words, mBits, 4, col("k"))).count()
+    // generous 10x the expected fp count; a hash-family bug (e.g. all k
+    // hashes collapsing to one) would blow far past this
+    assert(passed <= 50000L * 0.024,
+      s"false-positive passthrough too high: $passed of 50000")
+  }
+
+  test("bloomReducedJoin equals the plain exact join") {
+    val large = spark.range(0, 20000)
+      .select(($"id" % 700).as("k"), ($"id" * 3).as("payload"))
+    val small = spark.range(0, 120)
+      .select(($"id" * 5).as("sk"), concat(lit("n"), $"id").as("name"))
+    val viaBloom = JoinReduce
+      .bloomReducedJoin(large.toDF(), "k", small.toDF(), "sk",
+        mBits = 1 << 12, k = 4)
+      .select($"k", $"payload", $"name")
+    val plain = large.join(small, $"k" === $"sk")
+      .select($"k", $"payload", $"name")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty,
+      "bloom-reduced join diverged from the exact join")
+  }
+
+  test("bitset words bound: build side larger than mBits still works") {
+    // more distinct keys than bits: the filter saturates toward
+    // all-pass but must stay CORRECT (no false negatives)
+    val build = spark.range(0, 5000).select($"id".as("k"))
+    val words = JoinReduce.bloomWords(build.toDF(), col("k"), mBits = 1 << 6, k = 2)
+    assert(words.length === 1)
+    val survivors =
+      build.filter(JoinReduce.mightContain(words, 1 << 6, 2, col("k"))).count()
+    assert(survivors === 5000L)
+  }
+
+  test("parameter validation") {
+    val df = spark.range(3).select($"id".as("k")).toDF()
+    intercept[IllegalArgumentException] {
+      JoinReduce.bloomWords(df, col("k"), mBits = 100, k = 4) // not mult of 64
+    }
+    intercept[IllegalArgumentException] {
+      JoinReduce.bloomWords(df, col("k"), mBits = 1 << 27, k = 4) // over cap
+    }
+    intercept[IllegalArgumentException] {
+      JoinReduce.bloomWords(df, col("k"), mBits = 64, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      JoinReduce.mightContain(new Array[Long](2), 64, 2, col("k")) // len mismatch
+    }
+  }
+}

@@ -439,4 +439,21 @@ class PlanSpec extends SparkSpec {
       "the trained rotation is a literal-matrix projection:\n" + p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q123: bloom reduction filters the fact side BELOW the join's exchange") {
+    val p = plan(OpsQueries.q123(spark, dir))
+    // the join must be the shuffled one the reduction exists for
+    assert(p.contains("ShuffledHashJoin"), p)
+    // the bloom predicate is present exactly once, as a Filter...
+    assert(p.contains("xxhash64"), p)
+    // ...and sits BELOW the probe side's exchange (tree printing is
+    // parent-first: the join line precedes both exchanges, and the
+    // l_orderkey exchange line precedes its child filter's xxhash64)
+    val join = p.indexOf("ShuffledHashJoin")
+    val probeExchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    val bloom = p.indexOf("xxhash64")
+    assert(join >= 0 && probeExchange > join && bloom > probeExchange,
+      s"bloom filter must be under the probe-side exchange " +
+        s"(join@$join exch@$probeExchange bloom@$bloom):\n" + p)
+  }
 }
