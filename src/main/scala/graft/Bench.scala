@@ -15,20 +15,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // NO periodic-GC tightening: the r8 across-the-board medians
+    // drift suggested dead broadcast/shuffle state accumulating in
+    // the single bench JVM (ContextCleaner's periodic fallback is
+    // 30min, longer than the bench), but a measured A/B/A at sf0.1
+    // showed spark.cleaner.periodicGC.interval=30s COSTS ~1s overall
+    // (full-GC pauses inside timed runs) and no run reproduced the
+    // drift — it was box contention during the judge run, not JVM
+    // state. PROFILE.md round 9 has the three-run table.
     val spark = LocalSession.build(cpus,
-      Map(
-        "spark.sql.autoBroadcastJoinThreshold" -> "64m",
-        // The bench JVM runs ~20 queries x 3-5 runs back-to-back;
-        // unreferenced broadcasts and shuffle files are only cleaned
-        // when a driver GC runs (ContextCleaner is weak-ref driven)
-        // and the periodic fallback defaults to 30min — longer than
-        // the whole bench, so dead executor state accumulates and
-        // later queries time against a polluted heap/disk (suspected
-        // driver of the across-the-board r8 medians drift on
-        // untouched plans). A 30s periodic GC bounds that
-        // accumulation; steady-state services run with exactly this
-        // conf tightened for the same reason.
-        "spark.cleaner.periodicGC.interval" -> "30s"))
+      Map("spark.sql.autoBroadcastJoinThreshold" -> "64m"))
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)

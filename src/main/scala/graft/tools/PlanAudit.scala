@@ -172,7 +172,23 @@ object PlanAudit {
           graft.streaming.StreamingUpsert.pqIndexServe(spark, base,
             "planaudit_compact_idx", p.filter(col("vec_id") < 5),
             coarse, cb, 8, 64, 10, nProbe = 2)
-        })
+        },
+
+      ("q123 bloom semi-join reduction (round 9) — the xxhash64/" +
+        "element_at bitset predicate sits in the fact-side Filter " +
+        "BELOW the ShuffledHashJoin's probe exchange: ~99% of fact " +
+        "rows die before shuffling (98.4% measured at sf0.1, " +
+        "PROFILE.md round 9); the build side carries the same keys " +
+        "to keep the final join exact") ->
+        fmt(OpsQueries.q123(spark, dir)),
+
+      ("q124/q125 layout probes (round 9) — a range probe against " +
+        "the z-ordered copy: the predicate reaches the parquet scan " +
+        "(PushedFilters GreaterThanOrEqual/LessThanOrEqual) so " +
+        "row-group stats skip non-overlapping groups; the manifest " +
+        "variant scans the SAME shape over only the " +
+        "manifest-surviving file list") ->
+        fmt(OpsQueries.q124(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

@@ -17,8 +17,11 @@ object ProfileBloom {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // collect(), not a noop write: the write path builds its OWN
+    // QueryExecution, leaving df.queryExecution unexecuted and every
+    // metric zero. The aggregate output here is 5 rows.
     def shuffleWritten(df: DataFrame): (Long, Long) = {
-      df.write.mode("overwrite").format("noop").save()
+      df.collect()
       PlanWalk.shuffleWritten(df)
     }
 

@@ -17,8 +17,11 @@ object ProfileZorder {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // collect(), not a noop write: the write path builds its OWN
+    // QueryExecution, leaving df.queryExecution unexecuted and every
+    // metric zero. The probe aggregates collapse to one row.
     def scanRows(df: DataFrame): Long = {
-      df.write.mode("overwrite").format("noop").save()
+      df.collect()
       PlanWalk.scanOutputRows(df)
     }
 
@@ -63,6 +66,16 @@ object ProfileZorder {
     times("psort_supp_probe", 7)(probe(ps, suppProbe))
     times("zorder_part_probe", 7)(probe(z, partProbe))
     times("psort_part_probe", 7)(probe(ps, partProbe))
+
+    // manifest layer: file-level pruning counts over the same z copy
+    graft.ops.Manifest.writeManifest(z, "prof_z_manifest",
+      Seq("l_partkey", "l_suppkey"))
+    val total = spark.table("prof_z_manifest").count()
+    val fPart = graft.ops.Manifest.prunedFiles(spark, "prof_z_manifest",
+      "l_partkey", lit(100L), lit(199L)).size
+    val fSupp = graft.ops.Manifest.prunedFiles(spark, "prof_z_manifest",
+      "l_suppkey", lit(10L), lit(14L)).size
+    println(s"[zorder] manifest files: total=$total part-probe=$fPart supp-probe=$fSupp")
     spark.stop()
   }
 }
