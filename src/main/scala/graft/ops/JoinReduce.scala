@@ -100,6 +100,33 @@ object JoinReduce {
     }.reduce(_ && _)
   }
 
+  /** Persist the bitset as a 1-row asset table — the "build once,
+    * reuse across queries" half of the reduction's economics: the
+    * build side (often a slowly-changing dimension or a curated key
+    * list) pays its scan once, and every later query against the
+    * fact table starts from a catalog read of mBits/8 bytes. Stored
+    * with its parameters so a probe cannot silently mix hash
+    * families; stage-and-swap via [[graft.Tables.writeTable]].
+    */
+  def writeBloomAsset(small: DataFrame, key: Column, mBits: Int, k: Int,
+                      table: String): Unit = {
+    val words = bloomWords(small, key, mBits, k)
+    val spark = small.sparkSession
+    import spark.implicits._
+    graft.Tables.writeTable(
+      Seq((words.toSeq, mBits, k)).toDF("words", "m_bits", "k"), table)
+  }
+
+  /** The probe predicate rebuilt from a persisted asset — a 1-row
+    * bounded catalog read, then identical to [[mightContain]].
+    */
+  def mightContainFromAsset(spark: org.apache.spark.sql.SparkSession,
+                            table: String, key: Column): Column = {
+    val row = spark.table(table).head()
+    mightContain(row.getAs[Seq[Long]]("words").toArray,
+      row.getAs[Int]("m_bits"), row.getAs[Int]("k"), key)
+  }
+
   /** The composed operator: filter `large` through a Bloom of
     * `small`'s keys, then join exactly. The join itself is left
     * unhinted — at real scale the optimizer picks the shuffle join

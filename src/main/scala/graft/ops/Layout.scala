@@ -71,9 +71,41 @@ object Layout {
       .select(df.columns.map(col) ++ bcols: _*)
   }
 
+  /** Equi-depth variant of [[withRankBuckets]]: bucket boundaries are
+    * the (i/2^bits)-quantiles from `percentile_approx` (same 1-row
+    * broadcast attach, still no collect), and a value's bucket is the
+    * count of boundaries at or below it. Skewed columns fill buckets
+    * EVENLY — the Morton curve then spends its resolution where the
+    * data mass is, instead of burning most codes on an empty tail
+    * (LayoutSpec measures the occupancy ratio on a quadratic skew).
+    * The per-row cost is a 2^bits-element HOF filter per column —
+    * acceptable for a write-once layout pass, not for a hot predicate.
+    * Nulls land in bucket 0 (comparison yields null -> filtered out),
+    * which is sound: the layout never affects results, only locality.
+    */
+  def withRankBucketsEquiDepth(df: DataFrame, cols: Seq[String],
+                               bits: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val nb = 1 << bits
+    val pcts = typedLit((1 until nb).map(_.toDouble / nb))
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000))
+        .as(s"_bnd_$c"))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val bcols = cols.map { c =>
+      size(filter(col(s"_bnd_$c"), b => col(c).cast("double") >= b))
+        .cast("long").as(s"_b_$c")
+    }
+    df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col) ++ bcols: _*)
+  }
+
   /** `df` with a `_z` Morton column over `cols` (buckets dropped). */
-  def zOrdered(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
-    val b = withRankBuckets(df, cols, bits)
+  def zOrdered(df: DataFrame, cols: Seq[String], bits: Int,
+               equiDepth: Boolean = false): DataFrame = {
+    val b =
+      if (equiDepth) withRankBucketsEquiDepth(df, cols, bits)
+      else withRankBuckets(df, cols, bits)
     b.withColumn("_z", zValue(cols.map(c => col(s"_b_$c")), bits))
       .select(df.columns.map(col) :+ col("_z"): _*)
   }
@@ -88,9 +120,10 @@ object Layout {
     * [[graft.Tables.writeTable]].
     */
   def writeZOrdered(df: DataFrame, table: String, cols: Seq[String],
-                    bits: Int, nRanges: Int): Unit = {
+                    bits: Int, nRanges: Int,
+                    equiDepth: Boolean = false): Unit = {
     require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
-    val z = zOrdered(df, cols, bits)
+    val z = zOrdered(df, cols, bits, equiDepth)
       .repartitionByRange(nRanges, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

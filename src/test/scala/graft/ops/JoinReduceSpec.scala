@@ -54,6 +54,26 @@ class JoinReduceSpec extends SparkSpec {
     assert(survivors === 5000L)
   }
 
+  test("persisted asset round-trip: identical predicate behavior") {
+    val build = spark.range(0, 3000).select(($"id" * 13).as("k"))
+    JoinReduce.writeBloomAsset(build.toDF(), col("k"), 1 << 14, 4,
+      "jrspec_bloom")
+    // no false negatives through the asset
+    val survivors = build
+      .filter(JoinReduce.mightContainFromAsset(spark, "jrspec_bloom", col("k")))
+      .count()
+    assert(survivors === 3000L)
+    // asset predicate == in-memory predicate on a mixed probe set
+    val words = JoinReduce.bloomWords(build.toDF(), col("k"), 1 << 14, 4)
+    val probe = spark.range(0, 50000).select($"id".as("k"))
+    val viaAsset = probe
+      .filter(JoinReduce.mightContainFromAsset(spark, "jrspec_bloom", col("k")))
+      .count()
+    val viaWords = probe
+      .filter(JoinReduce.mightContain(words, 1 << 14, 4, col("k"))).count()
+    assert(viaAsset === viaWords)
+  }
+
   test("parameter validation") {
     val df = spark.range(3).select($"id".as("k")).toDF()
     intercept[IllegalArgumentException] {

@@ -31,6 +31,24 @@ class LayoutSpec extends SparkSpec {
     assert(stats.getAs[Long]("oob") === 0L)
   }
 
+  test("equi-depth buckets stay balanced under quadratic skew; linear collapse") {
+    // id^2: half the rows sit in the lowest quarter of the value range
+    val df = spark.range(0, 4096).select(($"id" * $"id").as("v"))
+    val linear = Layout.withRankBuckets(df.toDF(), Seq("v"), bits = 4)
+      .groupBy("_b_v").count().agg(max("count")).head().getLong(0)
+    val eq = Layout.withRankBucketsEquiDepth(df.toDF(), Seq("v"), bits = 4)
+      .groupBy("_b_v").count().agg(max("count")).head().getLong(0)
+    val mean = 4096.0 / 16
+    // linear min/max scaling dumps most rows into the low buckets
+    assert(linear >= 4 * mean, s"expected linear skew, max bucket $linear")
+    // quantile boundaries keep every bucket near the mean
+    assert(eq < 2 * mean, s"equi-depth failed to balance: max bucket $eq")
+    // both forms cover the full bucket range and stay in bounds
+    val r = Layout.withRankBucketsEquiDepth(df.toDF(), Seq("v"), bits = 4)
+      .agg(min("_b_v"), max("_b_v")).head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 15L)
+  }
+
   /** Total rows emitted by the scan leaves of the EXECUTED plan —
     * after parquet row-group skipping, so it measures what the layout
     * saved (not what the filter discarded post-read).
