@@ -62,6 +62,97 @@ object Manifest {
       .select($"file").as[String].collect().toSeq
   }
 
+  /** Incrementally extend a persisted manifest: stat ONLY the files
+    * the manifest does not cover yet and fold their rows in. Sound
+    * because parquet files are immutable — an existing file's stats
+    * row can never go stale; new data arrives as new files (exactly
+    * the shape the streaming sinks append). The file-list diff uses
+    * planning metadata (`inputFiles`) — no data is read for known
+    * files — normalized through Path/URI because `input_file_name()`
+    * (the manifest's key) and `inputFiles` render the scheme
+    * differently (file:/// vs file:/). Returns the number of newly
+    * statted files. The merged rewrite is manifest-sized (file count
+    * rows), via stage-and-swap.
+    */
+  def refreshManifest(spark: SparkSession, fullScan: DataFrame,
+                      manifestTable: String, cols: Seq[String]): Long = {
+    import spark.implicits._
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
+    val known = spark.table(manifestTable).select($"file").as[String]
+      .collect().map(norm).toSet
+    val newFiles = fullScan.inputFiles.map(norm).filterNot(known).sorted
+    if (newFiles.nonEmpty) {
+      val merged = spark.table(manifestTable)
+        .unionByName(fileStats(spark.read.parquet(newFiles: _*), cols))
+      graft.Tables.writeTable(merged, manifestTable)
+    }
+    newFiles.length.toLong
+  }
+
+  /** Per-file Bloom index over a key column — the point-lookup
+    * manifest (the Hudi/Iceberg bloom-index pattern): one row per
+    * (file, bitset word), built by one in-plan pass (k hash
+    * positions per row -> per-file word bit_or). Min/max stats
+    * answer RANGE probes; this answers "which files can contain
+    * THESE keys" for keys with no range locality. Hash family shared
+    * with [[JoinReduce]] so any engine rebuilds it identically.
+    */
+  def fileBloom(df: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
+    val posCols = (0 until k).map(j => JoinReduce.bloomPos(j, key, mBits))
+    df.select(input_file_name().as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .select(col("file"), floor(col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
+  }
+
+  /** Persist the per-file Bloom index (stage-and-swap). */
+  def writeFileBloom(df: DataFrame, key: Column, mBits: Int, k: Int,
+                     bloomTable: String): Unit =
+    graft.Tables.writeTable(fileBloom(df, key, mBits, k), bloomTable)
+
+  /** The files that may contain ANY of `keys`: a file qualifies for a
+    * key iff all k of the key's bits are set in that file's bitset —
+    * checked with ONE join of the (keys x k)-row probe table against
+    * the index (word-keyed equi-join, index side pruned by the
+    * pushed `w` IN-filter), then a per-(file,key) count. False
+    * positives possible (the caller re-filters rows), false
+    * negatives impossible. The returned list is the bounded
+    * planning-time collect, as in [[prunedFiles]].
+    */
+  def bloomPrunedFiles(spark: SparkSession, bloomTable: String,
+                       keys: Seq[Long], mBits: Int, k: Int): Seq[String] = {
+    import spark.implicits._
+    val probes = keys.toDF("key")
+      .select(col("key"), explode(array((0 until k).map(j =>
+        JoinReduce.bloomPos(j, col("key"), mBits)): _*)).as("pos"))
+      .select(col("key"), floor(col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+    spark.table(bloomTable).join(probes, Seq("w"))
+      .filter((col("bits").bitwiseAND(col("m"))) =!= 0L)
+      .groupBy(col("file"), col("key"))
+      .agg(count(lit(1)).as("n_bits"))
+      .filter(col("n_bits") === k)
+      .select($"file").distinct().as[String].collect().toSeq.sorted
+  }
+
+  /** Point-lookup read: scan only bloom-surviving files, then apply
+    * the exact IN-filter (bloom false positives die here).
+    */
+  def bloomPrunedRead(spark: SparkSession, fullScan: DataFrame,
+                      bloomTable: String, keyCol: String,
+                      keys: Seq[Long], mBits: Int, k: Int): DataFrame = {
+    val files = bloomPrunedFiles(spark, bloomTable, keys, mBits, k)
+    val base =
+      if (files.isEmpty) fullScan.where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+
   /** Range-predicate read that touches ONLY manifest-surviving files.
     * `fullScan` supplies the schema for the empty-selection case (a
     * zero-file parquet read has none); the predicate is ALSO applied

@@ -59,6 +59,62 @@ class ManifestSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("refreshManifest stats only new files; result equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("manspec_incr").toString
+    spark.range(0, 1000).select($"id".as("v"))
+      .repartitionByRange(4, $"v").write.mode("overwrite").parquet(dir)
+    Manifest.writeManifest(spark.read.parquet(dir), "manspec_incr_stats",
+      Seq("v"))
+    assert(spark.table("manspec_incr_stats").count() === 4L)
+    // no-op refresh: nothing new, nothing scanned
+    assert(Manifest.refreshManifest(spark, spark.read.parquet(dir),
+      "manspec_incr_stats", Seq("v")) === 0L)
+    // append two more files (the streaming-sink arrival shape)
+    spark.range(1000, 1500).select($"id".as("v"))
+      .repartitionByRange(2, $"v").write.mode("append").parquet(dir)
+    assert(Manifest.refreshManifest(spark, spark.read.parquet(dir),
+      "manspec_incr_stats", Seq("v")) === 2L)
+    // incremental result == full rebuild (modulo path rendering)
+    Manifest.writeManifest(spark.read.parquet(dir), "manspec_full_stats",
+      Seq("v"))
+    def rows(tbl: String) = spark.table(tbl)
+      .select($"n_rows", $"min_v", $"max_v")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows("manspec_incr_stats").toSeq === rows("manspec_full_stats").toSeq)
+    // and the refreshed manifest still serves correct pruned reads
+    val t = spark.read.parquet(dir)
+    val pruned = Manifest.prunedRead(spark, t, "manspec_incr_stats",
+      "v", lit(1200L), lit(1300L))
+    assert(pruned.count() === t.filter($"v".between(1200, 1300)).count())
+  }
+
+  test("fileBloom point lookup: parity with exact IN, prunes the file set") {
+    val data = spark.range(0, 30000).select(
+      ($"id" / 5).cast("long").as("key"),       // ~5 rows per key
+      pmod(xxhash64($"id" * 7), lit(16L)).as("grp"),
+      $"id".as("payload"))
+    graft.Tables.writeTable(data.repartition(16, $"grp"), "manspec_bloom_t")
+    Manifest.writeFileBloom(spark.table("manspec_bloom_t"), col("key"),
+      mBits = 1 << 16, k = 4, "manspec_bloom_idx")
+    val t = spark.table("manspec_bloom_t")
+    val keys = Seq(12L, 777L, 3000L, 5999L)
+    val viaBloom = Manifest.bloomPrunedRead(spark, t, "manspec_bloom_idx",
+      "key", keys, 1 << 16, 4).select($"key", $"payload")
+    val exact = t.filter($"key".isin(keys: _*)).select($"key", $"payload")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty,
+      "bloom-pruned lookup diverged from the exact IN filter")
+    assert(viaBloom.count() === 20L) // 4 keys x 5 rows
+    // each key's rows live in <= 5 files; 4 keys + fp must not open all 16
+    val files = Manifest.bloomPrunedFiles(spark, "manspec_bloom_idx",
+      keys, 1 << 16, 4)
+    assert(files.nonEmpty && files.size < 16,
+      s"bloom index failed to prune: ${files.size} of 16 files")
+    // absent keys select nothing beyond false positives and return no rows
+    val absent = Manifest.bloomPrunedRead(spark, t, "manspec_bloom_idx",
+      "key", Seq(999999L), 1 << 16, 4)
+    assert(absent.count() === 0L)
+  }
+
   test("null stats are sound: all-null files are prunable, nulls never match") {
     val data = spark.range(0, 400).select(
       when($"id" < 200, $"id").otherwise(lit(null)).as("v"),
