@@ -79,5 +79,11 @@ object SparkEntry {
     // 9). q124's z-order entry is deliberately NOT benched: it times
     // a layout WRITE (stage-and-swap table build), whose variance is
     // filesystem-dominated; LayoutSpec + PROFILE carry its numbers.
-    "q123_bloom_join_reduce")
+    "q123_bloom_join_reduce",
+    // read-path serve face (round 10): manifest + per-file-bloom
+    // pruned READS against assets prebuilt in the untimed warmup —
+    // the q104/q105 precedent applied to the r9 layout tier, so a
+    // regression in planning-time pruning cost surfaces in the bench
+    // (the layout WRITE stays unbenched, as above).
+    "q132_pruned_read_serve")
 }

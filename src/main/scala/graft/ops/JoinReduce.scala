@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Bloom-filter semi-join reduction (a runtime row filter): before a
   * shuffle join whose build side is selective but too large to
@@ -10,7 +11,7 @@ import org.apache.spark.sql.functions._
   * exchange. The final join stays exact, so Bloom false positives cost
   * only wasted shuffle bytes — never wrong rows — and false negatives
   * are impossible (build and probe evaluate the same in-plan hash
-  * expressions over the same key values).
+  * expressions over the same canonicalized key values).
   *
   * This is the explicit, engine-controlled form of Spark's own
   * `InjectRuntimeFilter` (spark.sql.optimizer.runtime.bloomFilter.*,
@@ -22,6 +23,24 @@ import org.apache.spark.sql.functions._
   * selective side (the rule rebuilds per query); (3) the hash family
   * is pinned here, so a persisted bitset is replayable by any engine.
   *
+  * The bitset is REGISTER-BLOCKED (Putze, Sanders & Singler 2007,
+  * "Cache-, Hash- and Space-Efficient Bloom Filters" — the variant
+  * Impala, Kudu and Arrow ship): one hash picks the 64-bit word, k
+  * further hashes pick bits WITHIN that word, and membership is a
+  * single `(~word & mask) == 0` over a k-bit mask built from shifts
+  * of literal 1. Versus the classic k-probe layout this buys:
+  *   - ONE occurrence of the bitset array in the plan (the classic
+  *     form embedded the array literal once PER probe — k copies of
+  *     up to 8 MiB in every task binary, VERDICT r9);
+  *   - one `element_at` (one cache line at executor scale) per probe
+  *     row instead of k random accesses across the bitset;
+  *   - a build of one row per key (word, mask) instead of a k-wide
+  *     explode.
+  * The price is a slightly higher false-positive rate at equal bits
+  * per key (bits concentrate in one word, so overloaded words
+  * saturate) — irrelevant here because false positives are
+  * semantically free; they only waste shuffle bytes.
+  *
   * 100 TB window (same as the optimizer rule's): the probe side is
   * fact-scale and shuffle-joined; the build side has too many ROWS /
   * too wide a payload to broadcast, but its KEY SET fits a bitset of
@@ -30,9 +49,10 @@ import org.apache.spark.sql.functions._
   * bitset itself stops fitting — that is the documented cap, not a
   * silent degradation ([[bloomWords]] refuses mBits > 2^26).
   *
-  * Zero UDFs: positions are `pmod(xxhash64(j, key), m)` (codegen'd,
-  * the same hash Spark's runtime filter uses), the bitset test is
-  * `element_at` + shift/mask over a single array literal.
+  * Zero UDFs: word index and mask are `pmod(xxhash64(j, key), …)` +
+  * shift/mask arithmetic (codegen'd, the same hash Spark's runtime
+  * filter uses); the membership test is one `element_at` over a
+  * single array literal.
   */
 object JoinReduce {
 
@@ -43,38 +63,72 @@ object JoinReduce {
     */
   val MaxBits: Int = 1 << 26
 
-  /** Bit position of `key` under hash row `j`: the j-th member of the
-    * family is xxhash64 with j prepended (distinct int literals give
-    * fully decorrelated 64-bit mixes), reduced mod mBits. Evaluated by
-    * codegen on BOTH the build and probe side — one expression, no
-    * driver/executor twin to drift.
+  /** Canonical hash input for `key` in `df`: integral types widen to
+    * long and float widens to double, so the same numeric VALUE hashes
+    * identically regardless of its physical column type. xxhash64
+    * hashes by physical representation — without this, an IntegerType
+    * build key and a LongType probe key holding the same values would
+    * produce silent false NEGATIVES (wrong join results). Non-numeric
+    * types pass through; build and probe must then share the exact
+    * type, which [[mightContainFromAsset]] validates against the
+    * type recorded in the asset.
     */
-  def bloomPos(j: Int, key: Column, mBits: Int): Column =
-    pmod(xxhash64(lit(j), key), lit(mBits.toLong))
+  def canonKey(df: DataFrame, key: Column): Column =
+    canonOf(df.select(key).schema.head.dataType) match {
+      case Some(t) => key.cast(t)
+      case None => key
+    }
 
-  /** Build the bitset over the build side's distinct key positions.
+  private def canonOf(dt: DataType): Option[DataType] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+    case FloatType => Some(DoubleType)
+    case _ => None
+  }
+
+  /** Name of the canonical type `dt` hashes as (for asset metadata). */
+  private def canonName(dt: DataType): String =
+    canonOf(dt).getOrElse(dt).simpleString
+
+  /** Index of the 64-bit word holding ALL of `key`'s bits (hash member
+    * 0 of the family). Evaluated by codegen on BOTH the build and
+    * probe side — one expression, no driver/executor twin to drift.
+    * `key` must already be canonical ([[canonKey]]).
+    */
+  def blockIdx(key: Column, mBits: Int): Column =
+    pmod(xxhash64(lit(0), key), lit((mBits / 64).toLong))
+
+  /** 64-bit mask with `key`'s k in-word bits set (hash members 1..k):
+    * OR of k single-bit shifts — tiny expressions, no bitset copies.
+    * Fewer than k DISTINCT bits when members collide in the word is
+    * normal for the blocked layout (it only nudges the fp rate).
+    */
+  def blockMask(key: Column, k: Int): Column =
+    (1 to k).map(j =>
+      call_function("shiftleft", lit(1L),
+        pmod(xxhash64(lit(j), key), lit(64L)).cast("int")))
+      .reduce(_.bitwiseOR(_))
+
+  /** Build the bitset over the build side's key set.
     *
-    * Plan shape: one linear pass over `small`, a k-wide Generate, a
-    * distinct bounded by mBits rows (partial dedup caps every
-    * partition's contribution), then a bit_or word aggregate bounded
-    * by mBits/64 rows. The returned array is a BOUNDED driver
-    * materialization — at most mBits/64 <= 1M longs (8 MiB), enforced
-    * below; this is the same driver-side step Spark's own runtime
-    * filter performs when it evaluates the BloomFilterAggregate
-    * subquery, not a corpus-sized collect.
+    * Plan shape: one linear pass over `small` emitting (word, mask)
+    * per row, then a bit_or word aggregate whose partial (map-side)
+    * phase bounds every partition's contribution to mBits/64 rows.
+    * The returned array is a BOUNDED driver materialization — at most
+    * mBits/64 <= 1M longs (8 MiB), enforced below; this is the same
+    * driver-side step Spark's own runtime filter performs when it
+    * evaluates the BloomFilterAggregate subquery, not a corpus-sized
+    * collect. The key is canonicalized here; probe sides must
+    * canonicalize too ([[canonKey]] — [[bloomReducedJoin]] and
+    * [[mightContainFromAsset]] do it for you).
     */
   def bloomWords(small: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
     require(mBits >= 64 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(mBits <= MaxBits, s"mBits must be <= $MaxBits (8 MiB bitset), got $mBits")
     require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
-    val posCols = (0 until k).map(j => bloomPos(j, key, mBits))
+    val ck = canonKey(small, key)
     val words = small
-      .select(explode(array(posCols: _*)).as("pos"))
-      .distinct()
-      .select(
-        floor(col("pos") / 64).cast("long").as("w"),
-        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .select(blockIdx(ck, mBits).as("w"), blockMask(ck, k).as("m"))
       .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
       .collect() // bounded: <= mBits/64 rows (see scaladoc)
     val arr = new Array[Long](mBits / 64)
@@ -82,22 +136,22 @@ object JoinReduce {
     arr
   }
 
-  /** The probe-side membership predicate: true iff ALL k bits of `key`
-    * are set in `words`. The bitset rides along as ONE array literal
-    * (a plan constant shipped with the task binary, like a broadcast
-    * but with zero join machinery); each test is an O(1) element_at +
-    * shift + mask, k per row, all inside whole-stage codegen.
+  /** The probe-side membership predicate: true iff all of `key`'s
+    * mask bits are set in its word. The bitset rides along as ONE
+    * array literal (a plan constant shipped with the task binary,
+    * like a broadcast but with zero join machinery); the test is a
+    * single O(1) `element_at` + AND + compare, all inside whole-stage
+    * codegen. `key` must be canonical ([[canonKey]]) when its column
+    * type is a non-long integral or float.
     */
   def mightContain(words: Array[Long], mBits: Int, k: Int, key: Column): Column = {
     require(words.length.toLong * 64 == mBits.toLong,
       s"words.length ${words.length} does not match mBits $mBits")
     val wl = typedLit(words.toSeq)
-    (0 until k).map { j =>
-      val pos = bloomPos(j, key, mBits)
-      val word = element_at(wl, (floor(pos / 64) + 1).cast("int"))
-      val bit = call_function("shiftright", word, pmod(pos, lit(64L)).cast("int"))
-      bit.bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    // (~word & mask) == 0 rather than (word & mask) == mask: the
+    // latter would evaluate the k-hash mask expression twice
+    bitwise_not(element_at(wl, (blockIdx(key, mBits) + 1).cast("int")))
+      .bitwiseAND(blockMask(key, k)) === lit(0L)
   }
 
   /** Persist the bitset as a 1-row asset table — the "build once,
@@ -105,35 +159,51 @@ object JoinReduce {
     * build side (often a slowly-changing dimension or a curated key
     * list) pays its scan once, and every later query against the
     * fact table starts from a catalog read of mBits/8 bytes. Stored
-    * with its parameters so a probe cannot silently mix hash
-    * families; stage-and-swap via [[graft.Tables.writeTable]].
+    * with its parameters AND the build key's name + canonical type,
+    * so a probe cannot silently mix hash families or hash the same
+    * values under a different physical type; stage-and-swap via
+    * [[graft.Tables.writeTable]].
     */
   def writeBloomAsset(small: DataFrame, key: Column, mBits: Int, k: Int,
                       table: String): Unit = {
     val words = bloomWords(small, key, mBits, k)
+    val kf = small.select(key).schema.head
     val spark = small.sparkSession
     import spark.implicits._
     graft.Tables.writeTable(
-      Seq((words.toSeq, mBits, k)).toDF("words", "m_bits", "k"), table)
+      Seq((words.toSeq, mBits, k, kf.name, canonName(kf.dataType)))
+        .toDF("words", "m_bits", "k", "key_name", "key_type"), table)
   }
 
   /** The probe predicate rebuilt from a persisted asset — a 1-row
-    * bounded catalog read, then identical to [[mightContain]].
+    * bounded catalog read, then identical to [[mightContain]]. The
+    * probe key is canonicalized against `probe` and its canonical
+    * type is validated against the type recorded at build time: a
+    * mismatch (e.g. probing a string column against a long-keyed
+    * bitset) would silently drop every row, so it fails fast instead.
     */
   def mightContainFromAsset(spark: org.apache.spark.sql.SparkSession,
-                            table: String, key: Column): Column = {
+                            table: String, probe: DataFrame,
+                            key: Column): Column = {
     val row = spark.table(table).head()
+    val want = row.getAs[String]("key_type")
+    val got = canonName(probe.select(key).schema.head.dataType)
+    require(got == want,
+      s"asset '$table' was built over a $want key " +
+        s"(column '${row.getAs[String]("key_name")}'); probe key is $got")
     mightContain(row.getAs[Seq[Long]]("words").toArray,
-      row.getAs[Int]("m_bits"), row.getAs[Int]("k"), key)
+      row.getAs[Int]("m_bits"), row.getAs[Int]("k"), canonKey(probe, key))
   }
 
   /** The composed operator: filter `large` through a Bloom of
-    * `small`'s keys, then join exactly. The join itself is left
-    * unhinted — at real scale the optimizer picks the shuffle join
-    * this reduction exists for; demos that need to pin the join
-    * strategy compose [[bloomWords]]/[[mightContain]] directly and
-    * hint the join themselves (q123 does, to keep the demonstration
-    * honest on a build side small enough to broadcast).
+    * `small`'s keys, then join exactly. Both keys are canonicalized,
+    * so physically-different integral types holding the same values
+    * reduce correctly. The join itself is left unhinted — at real
+    * scale the optimizer picks the shuffle join this reduction exists
+    * for; demos that need to pin the join strategy compose
+    * [[bloomWords]]/[[mightContain]] directly and hint the join
+    * themselves (q123 does, to keep the demonstration honest on a
+    * build side small enough to broadcast).
     *
     * `small` is evaluated twice (once for the bitset, once for the
     * join) — build-side-sized both times, and at scale the bitset
@@ -143,7 +213,7 @@ object JoinReduce {
                        small: DataFrame, smallKey: String,
                        mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
     val words = bloomWords(small, col(smallKey), mBits, k)
-    large.filter(mightContain(words, mBits, k, col(largeKey)))
+    large.filter(mightContain(words, mBits, k, canonKey(large, col(largeKey))))
       .join(small, col(largeKey) === col(smallKey))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustered data layout — multi-column
@@ -128,5 +129,166 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
     graft.Tables.writeTable(z, table)
+    // registry of clustered files: the base every later
+    // [[compactLayout]] diffs appended deltas against
+    val spark = df.sparkSession
+    writeRegistry(spark, table,
+      spark.table(table).inputFiles.map(Manifest.norm).toSet)
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental re-clustering (the OPTIMIZE half — Delta OPTIMIZE
+  // ZORDER / Hudi clustering): appends land as plain un-clustered
+  // files; stats manifests stay CURRENT over them
+  // ([[Manifest.refreshManifest]]) but pruning QUALITY decays as
+  // deltas accumulate (an un-clustered file spans every clustered
+  // column's domain, so it survives every probe). compactLayout
+  // rewrites ONLY the delta files into z-ranges — delta-sized cost,
+  // not a full table rewrite — which is the operation a 100 TB table
+  // runs nightly to keep the layout tier's pruning guarantees from
+  // decaying.
+  // ------------------------------------------------------------------
+
+  /** The clustered-file registry asset for `table`: one row per file
+    * known to be z-clustered, in [[Manifest.norm]] form.
+    */
+  def registryTable(table: String): String = table + "_zreg"
+
+  private def writeRegistry(spark: SparkSession, table: String,
+                            files: Set[String]): Unit = {
+    import spark.implicits._
+    graft.Tables.writeTable(files.toSeq.sorted.toDF("file"),
+      registryTable(table))
+  }
+
+  /** Plain (un-clustered) append — the delta-arrival shape batch and
+    * streaming sinks produce. Deliberately does NOT touch the
+    * registry: the new files are exactly what [[compactLayout]]
+    * later identifies as delta.
+    */
+  def appendPlain(df: DataFrame, table: String): Unit =
+    df.write.mode("append").format("parquet").saveAsTable(table)
+
+  private def tableLocation(spark: SparkSession, table: String): Path = {
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+  }
+
+  private val StagingDir = "_compact_staged"
+  private def journalPath(loc: Path) = new Path(loc, "_compact_journal")
+
+  /** Re-cluster the files appended since the last [[writeZOrdered]] /
+    * compactLayout: diff the table's current file list against the
+    * clustered-file registry (planning metadata only — no data read
+    * for known files), z-order ONLY the delta rows, and swap the new
+    * range files in for the old delta files. Returns the number of
+    * delta files compacted (0 = nothing to do, nothing written).
+    *
+    * Cost is delta-sized end to end: one scan + one range shuffle of
+    * the delta rows, a registry rewrite (file-count rows), and
+    * file-count-bounded driver lists — clustered files are neither
+    * read nor rewritten. Callers keeping a stats manifest refresh it
+    * AFTER compacting ([[Manifest.refreshManifest]] handles both the
+    * added and the removed files incrementally).
+    *
+    * Durability protocol (the part a lakehouse commit log usually
+    * owns): the compacted files are fully written under a staging dir
+    * invisible to scans, then an intent journal (`_compact_journal`,
+    * published by ATOMIC rename) records every move + delete before
+    * any of them runs; moves all precede deletes. A crash mid-swap
+    * leaves the journal, and the next compactLayout REPLAYS it to
+    * completion (each step is idempotent) before diffing. The
+    * exposed inconsistency window is therefore bounded and benign in
+    * one direction only: between the first move and the last delete a
+    * reader can see delta rows TWICE (never missing) — the same
+    * duplicates-not-loss choice Hive-style INSERT OVERWRITE recovery
+    * makes. Closing even that window needs an atomic metadata swap
+    * (snapshot isolation), which is precisely what table formats'
+    * commit logs exist for; within this engine, queries that must not
+    * observe it run compaction through the same single-writer
+    * maintenance window they already need for [[writeZOrdered]].
+    */
+  def compactLayout(spark: SparkSession, table: String, cols: Seq[String],
+                    bits: Int, nRanges: Int,
+                    equiDepth: Boolean = false): Long = {
+    require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
+    import spark.implicits._
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    replayJournal(spark, table) // finish a crashed swap first
+    val clustered = spark.table(registryTable(table))
+      .select($"file").as[String].collect().map(Manifest.norm).toSet
+    val all = spark.table(table).inputFiles.map(Manifest.norm)
+    val delta = all.filterNot(clustered).sorted
+    if (delta.isEmpty) return 0L
+    val staging = new Path(loc, StagingDir)
+    fs.delete(staging, true)
+    zOrdered(spark.read.parquet(delta: _*), cols, bits, equiDepth)
+      .repartitionByRange(nRanges, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(staging.toString)
+    val moves = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .map(p => (p, new Path(loc, p.getName)))
+    // publish the intent journal atomically, then execute it
+    val tmp = new Path(loc, "_compact_journal.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      moves.foreach { case (s, d) => sb.append(s"MV\t$s\t$d\n") }
+      delta.foreach(f => sb.append(s"RM\t$f\n"))
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    if (!fs.rename(tmp, journalPath(loc)))
+      throw new java.io.IOException(s"cannot publish ${journalPath(loc)}")
+    finishSwap(spark, table, fs, loc,
+      moves.toSeq.map { case (s, d) => (s.toString, d.toString) },
+      delta)
+    delta.length.toLong
+  }
+
+  /** Idempotently complete the moves + deletes of a published journal
+    * (no-op without one), then clear journal + staging, sync the
+    * registry and refresh the table. Public only through
+    * [[compactLayout]], which calls it first on every run.
+    */
+  private def replayJournal(spark: SparkSession, table: String): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val jp = journalPath(loc)
+    if (!fs.exists(jp)) return
+    val in = fs.open(jp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty).map(_.split("\t"))
+    val moves = lines.collect { case Array("MV", s, d) => (s, d) }.toSeq
+    val removes = lines.collect { case Array("RM", f) => f }.toSeq
+    finishSwap(spark, table, fs, loc, moves, removes)
+  }
+
+  private def finishSwap(spark: SparkSession, table: String,
+                         fs: FileSystem, loc: Path,
+                         moves: Seq[(String, String)],
+                         removes: Seq[String]): Unit = {
+    import spark.implicits._
+    moves.foreach { case (s, d) =>
+      val src = new Path(s)
+      if (fs.exists(src) && !fs.rename(src, new Path(d)))
+        throw new java.io.IOException(s"cannot move $s -> $d")
+    }
+    removes.foreach { f =>
+      val p = new Path(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    val reg = registryTable(table)
+    val clustered = spark.table(reg)
+      .select($"file").as[String].collect().map(Manifest.norm).toSet
+    writeRegistry(spark, table,
+      clustered ++ moves.map(m => Manifest.norm(m._2)))
+    fs.delete(journalPath(loc), false)
+    fs.delete(new Path(loc, StagingDir), true)
+    spark.catalog.refreshTable(table)
   }
 }

@@ -25,8 +25,26 @@ import org.apache.spark.sql.functions._
   * materializes the same list when listing a directory); pruning
   * is sound because min/max ignore nulls and a range predicate can
   * only match rows in files whose stats interval overlaps it.
+  *
+  * Path hygiene: manifest keys are `input_file_name()` output, which
+  * is a percent-ENCODED URI; `DataFrame.inputFiles` and
+  * `spark.read.parquet` speak DECODED path strings. Every seam where
+  * a stored key meets a reader or a listing goes through [[norm]]
+  * (one URI decode + Path normalization), so directories with spaces
+  * or percent signs in their names resolve to the right files
+  * instead of being double-decoded (ADVICE r9).
   */
 object Manifest {
+
+  /** One canonical rendering for a file path: decode the URI form
+    * `input_file_name()` emits and normalize scheme rendering
+    * (file:/// vs file:/) so stored keys, `inputFiles` listings and
+    * `spark.read.parquet` arguments all compare and resolve equal.
+    * Falls back to the raw string for inputs that are not URIs.
+    */
+  def norm(s: String): String =
+    try new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
+    catch { case _: IllegalArgumentException => s }
 
   /** Per-file stats over `cols`: one row per underlying file with the
     * row count and each column's min/max. `df` must be a plain file
@@ -49,42 +67,63 @@ object Manifest {
                     cols: Seq[String]): Unit =
     graft.Tables.writeTable(fileStats(df, cols), manifestTable)
 
-  /** The files whose [min,max] interval for `c` overlaps [lo, hi] —
-    * the bounded planning-time collect (manifest rows = file count).
-    * Files with all-null `c` carry null stats and are excluded,
-    * which is sound: their rows cannot satisfy a range predicate.
+  /** The files whose [min,max] interval overlaps [lo, hi] on EVERY
+    * predicate in `preds` — conjunctive pruning, the case z-order
+    * layouts exist for: each clustered column's survival fraction
+    * multiplies, so a two-column probe touches far fewer files than
+    * either single-column probe. The bounded planning-time collect
+    * (manifest rows = file count), returned in [[norm]] form. Files
+    * with all-null stats for a predicate column are excluded, which
+    * is sound: their rows cannot satisfy a range predicate.
     */
   def prunedFiles(spark: SparkSession, manifestTable: String,
-                  c: String, lo: Column, hi: Column): Seq[String] = {
+                  preds: Seq[(String, Column, Column)]): Seq[String] = {
+    require(preds.nonEmpty, "need at least one predicate")
     import spark.implicits._
-    spark.table(manifestTable)
-      .filter(col(s"min_$c") <= hi && col(s"max_$c") >= lo)
-      .select($"file").as[String].collect().toSeq
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    spark.table(manifestTable).filter(cond)
+      .select($"file").as[String].collect().toSeq.map(norm)
   }
 
-  /** Incrementally extend a persisted manifest: stat ONLY the files
-    * the manifest does not cover yet and fold their rows in. Sound
-    * because parquet files are immutable — an existing file's stats
-    * row can never go stale; new data arrives as new files (exactly
-    * the shape the streaming sinks append). The file-list diff uses
-    * planning metadata (`inputFiles`) — no data is read for known
-    * files — normalized through Path/URI because `input_file_name()`
-    * (the manifest's key) and `inputFiles` render the scheme
-    * differently (file:/// vs file:/). Returns the number of newly
-    * statted files. The merged rewrite is manifest-sized (file count
-    * rows), via stage-and-swap.
+  /** Single-predicate form of [[prunedFiles]]. */
+  def prunedFiles(spark: SparkSession, manifestTable: String,
+                  c: String, lo: Column, hi: Column): Seq[String] =
+    prunedFiles(spark, manifestTable, Seq((c, lo, hi)))
+
+  /** Incrementally maintain a persisted manifest: stat ONLY the files
+    * the manifest does not cover yet, fold their rows in, and DROP
+    * rows for files the table no longer contains (compaction /
+    * retention deletes — [[Layout.compactLayout]] replaces delta
+    * files wholesale). Sound because parquet files are immutable — an
+    * existing file's stats row can never go stale; data changes only
+    * by adding or removing whole files. The file-list diff uses
+    * planning metadata (`inputFiles`) — no data is read for known,
+    * still-present files — with both sides in [[norm]] form. Returns
+    * the number of newly statted files. The merged rewrite is
+    * manifest-sized (file count rows), via stage-and-swap.
     */
   def refreshManifest(spark: SparkSession, fullScan: DataFrame,
                       manifestTable: String, cols: Seq[String]): Long = {
     import spark.implicits._
-    def norm(s: String): String =
-      new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
-    val known = spark.table(manifestTable).select($"file").as[String]
-      .collect().map(norm).toSet
-    val newFiles = fullScan.inputFiles.map(norm).filterNot(known).sorted
-    if (newFiles.nonEmpty) {
-      val merged = spark.table(manifestTable)
-        .unionByName(fileStats(spark.read.parquet(newFiles: _*), cols))
+    // manifest-sized (file-count rows) planner collect, as everywhere
+    // in this module; the raw->norm pairing lets the drop filter use
+    // exact RAW key equality instead of an in-plan re-decode.
+    val knownRaw = spark.table(manifestTable).select($"file").as[String]
+      .collect()
+    val known = knownRaw.map(norm).toSet
+    val current = fullScan.inputFiles.map(norm).toSet
+    val newFiles = current.diff(known).toSeq.sorted
+    val goneRaw = knownRaw.filter(r => !current.contains(norm(r))).toSeq
+    if (newFiles.nonEmpty || goneRaw.nonEmpty) {
+      val kept =
+        if (goneRaw.isEmpty) spark.table(manifestTable)
+        else spark.table(manifestTable)
+          .filter(!col("file").isin(goneRaw: _*))
+      val merged =
+        if (newFiles.isEmpty) kept
+        else kept.unionByName(fileStats(spark.read.parquet(newFiles: _*), cols))
       graft.Tables.writeTable(merged, manifestTable)
     }
     newFiles.length.toLong
@@ -92,21 +131,21 @@ object Manifest {
 
   /** Per-file Bloom index over a key column — the point-lookup
     * manifest (the Hudi/Iceberg bloom-index pattern): one row per
-    * (file, bitset word), built by one in-plan pass (k hash
-    * positions per row -> per-file word bit_or). Min/max stats
-    * answer RANGE probes; this answers "which files can contain
-    * THESE keys" for keys with no range locality. Hash family shared
-    * with [[JoinReduce]] so any engine rebuilds it identically.
+    * (file, bitset word), built by one in-plan pass (one (word, mask)
+    * pair per row -> per-file word bit_or). Min/max stats answer
+    * RANGE probes; this answers "which files can contain THESE keys"
+    * for keys with no range locality. Hash family shared with
+    * [[JoinReduce]] (register-blocked, keys canonicalized) so any
+    * engine rebuilds it identically.
     */
   def fileBloom(df: DataFrame, key: Column, mBits: Int, k: Int): DataFrame = {
     require(mBits >= 64 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
-    val posCols = (0 until k).map(j => JoinReduce.bloomPos(j, key, mBits))
+    val ck = JoinReduce.canonKey(df, key)
     df.select(input_file_name().as("file"),
-        explode(array(posCols: _*)).as("pos"))
-      .select(col("file"), floor(col("pos") / 64).cast("long").as("w"),
-        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+        JoinReduce.blockIdx(ck, mBits).as("w"),
+        JoinReduce.blockMask(ck, k).as("m"))
       .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
   }
 
@@ -116,28 +155,23 @@ object Manifest {
     graft.Tables.writeTable(fileBloom(df, key, mBits, k), bloomTable)
 
   /** The files that may contain ANY of `keys`: a file qualifies for a
-    * key iff all k of the key's bits are set in that file's bitset —
-    * checked with ONE join of the (keys x k)-row probe table against
-    * the index (word-keyed equi-join, index side pruned by the
-    * pushed `w` IN-filter), then a per-(file,key) count. False
+    * key iff the key's whole mask is set in the file's word — ONE
+    * equi-join of the keys-row probe table against the index on the
+    * word index (index side pruned by the pushed `w` IN-filter), one
+    * `(bits & m) = m` test per candidate, no counting. False
     * positives possible (the caller re-filters rows), false
     * negatives impossible. The returned list is the bounded
-    * planning-time collect, as in [[prunedFiles]].
+    * planning-time collect, as in [[prunedFiles]], in [[norm]] form.
     */
   def bloomPrunedFiles(spark: SparkSession, bloomTable: String,
                        keys: Seq[Long], mBits: Int, k: Int): Seq[String] = {
     import spark.implicits._
     val probes = keys.toDF("key")
-      .select(col("key"), explode(array((0 until k).map(j =>
-        JoinReduce.bloomPos(j, col("key"), mBits)): _*)).as("pos"))
-      .select(col("key"), floor(col("pos") / 64).cast("long").as("w"),
-        expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("m"))
+      .select(JoinReduce.blockIdx(col("key"), mBits).as("w"),
+        JoinReduce.blockMask(col("key"), k).as("m"))
     spark.table(bloomTable).join(probes, Seq("w"))
-      .filter((col("bits").bitwiseAND(col("m"))) =!= 0L)
-      .groupBy(col("file"), col("key"))
-      .agg(count(lit(1)).as("n_bits"))
-      .filter(col("n_bits") === k)
-      .select($"file").distinct().as[String].collect().toSeq.sorted
+      .filter((col("bits").bitwiseAND(col("m"))) === col("m"))
+      .select($"file").distinct().as[String].collect().toSeq.map(norm).sorted
   }
 
   /** Point-lookup read: scan only bloom-surviving files, then apply
@@ -153,19 +187,28 @@ object Manifest {
     base.filter(col(keyCol).isin(keys: _*))
   }
 
-  /** Range-predicate read that touches ONLY manifest-surviving files.
-    * `fullScan` supplies the schema for the empty-selection case (a
-    * zero-file parquet read has none); the predicate is ALSO applied
-    * row-level, so manifest false positives (a file whose range
-    * overlaps but holds no matching row) cost I/O, never wrong rows.
+  /** Range-predicate read that touches ONLY manifest-surviving files,
+    * for one or several conjunctive predicates. `fullScan` supplies
+    * the schema for the empty-selection case (a zero-file parquet
+    * read has none); every predicate is ALSO applied row-level, so
+    * manifest false positives (a file whose ranges all overlap but
+    * which holds no matching row) cost I/O, never wrong rows.
     */
   def prunedRead(spark: SparkSession, fullScan: DataFrame,
                  manifestTable: String,
-                 c: String, lo: Column, hi: Column): DataFrame = {
-    val files = prunedFiles(spark, manifestTable, c, lo, hi)
+                 preds: Seq[(String, Column, Column)]): DataFrame = {
+    val files = prunedFiles(spark, manifestTable, preds)
     val base =
       if (files.isEmpty) fullScan.where(lit(false))
       else spark.read.parquet(files: _*)
-    base.filter(col(c) >= lo && col(c) <= hi)
+    base.filter(preds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _))
   }
+
+  /** Single-predicate form of [[prunedRead]]. */
+  def prunedRead(spark: SparkSession, fullScan: DataFrame,
+                 manifestTable: String,
+                 c: String, lo: Column, hi: Column): DataFrame =
+    prunedRead(spark, fullScan, manifestTable, Seq((c, lo, hi)))
 }

@@ -97,4 +97,98 @@ class LayoutSpec extends SparkSpec {
     assert(zXRows < n / 2,
       s"z-layout failed to prune on x: $zXRows of $n")
   }
+
+  test("compactLayout: delta-sized re-cluster restores pruning, results invariant") {
+    val n = 40000L
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ($"id" % 256).as("x"),
+      pmod(xxhash64($"id"), lit(256L)).as("y"),
+      ($"id" * 2).as("payload"))
+    // base 75% clustered, then two plain appends of ~12.5% each
+    Layout.writeZOrdered(gen(0, 30000).toDF(), "layoutspec_c", Seq("x", "y"),
+      bits = 8, nRanges = 24)
+    Layout.appendPlain(gen(30000, 35000).toDF(), "layoutspec_c")
+    Layout.appendPlain(gen(35000, 40000).toDF(), "layoutspec_c")
+    val t = spark.table("layoutspec_c")
+    assert(t.count() === n)
+
+    val yProbe = col("y").between(0, 15) // 1/16 of the y domain
+    val expect = gen(0, n).filter(yProbe).agg(sum("payload")).head().getLong(0)
+    // deltas are un-clustered: they span the whole y domain, so the
+    // probe reads every delta row on top of the pruned base
+    val before = scanRows(t.filter(yProbe).select(sum("payload")))
+    assert(before > 10000L,
+      s"expected the un-clustered deltas to defeat pruning: $before")
+
+    // compact: only the ~10k delta rows are rewritten
+    val deltaFiles = t.inputFiles.length -
+      spark.table(Layout.registryTable("layoutspec_c")).count().toInt
+    val compacted = Layout.compactLayout(spark, "layoutspec_c",
+      Seq("x", "y"), bits = 8, nRanges = 8)
+    assert(compacted.toInt === deltaFiles && compacted > 0)
+
+    val t2 = spark.table("layoutspec_c")
+    assert(t2.count() === n, "compaction must not lose or duplicate rows")
+    assert(t2.filter(yProbe).agg(sum("payload")).head().getLong(0) === expect)
+    // pruning restored: before compaction EVERY delta row is read (an
+    // un-clustered file spans the whole y domain); after, the delta's
+    // own z-ranges bound y per file. With 8 delta ranges a 2-D curve
+    // pins ~2 of y's top bits per chunk, so expect at least half the
+    // 10k delta rows pruned (the base's fraction is unchanged).
+    val after = scanRows(t2.filter(yProbe).select(sum("payload")))
+    assert(after <= before - 5000L,
+      s"compaction failed to restore pruning: $after vs $before before")
+    // idempotent: nothing left to compact
+    assert(Layout.compactLayout(spark, "layoutspec_c",
+      Seq("x", "y"), bits = 8, nRanges = 8) === 0L)
+  }
+
+  test("compactLayout journal replay completes a crashed swap") {
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(($"id" % 16).as("x"), ($"id" % 64).as("y"), $"id".as("payload"))
+    Layout.writeZOrdered(gen(0, 2000).toDF(), "layoutspec_j", Seq("x", "y"),
+      bits = 4, nRanges = 4)
+    Layout.appendPlain(gen(2000, 3000).toDF(), "layoutspec_j")
+    val total = spark.table("layoutspec_j").agg(sum("payload")).head().getLong(0)
+
+    // simulate the crash window: stage the compacted replacement and
+    // publish the journal, but die before any move/delete runs
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier("layoutspec_j")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reg = spark.table(Layout.registryTable("layoutspec_j"))
+      .select($"file").as[String].collect().map(Manifest.norm).toSet
+    val delta = spark.table("layoutspec_j").inputFiles.map(Manifest.norm)
+      .filterNot(reg).sorted
+    assert(delta.nonEmpty)
+    val staging = new org.apache.hadoop.fs.Path(loc, "_compact_staged")
+    spark.read.parquet(delta: _*).repartition(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "_compact_journal"), true)
+    try {
+      val sb = new StringBuilder
+      staged.foreach(p => sb.append(
+        s"MV\t$p\t${new org.apache.hadoop.fs.Path(loc, p.getName)}\n"))
+      delta.foreach(f => sb.append(s"RM\t$f\n"))
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+
+    // next maintenance run replays the journal to completion first
+    assert(Layout.compactLayout(spark, "layoutspec_j",
+      Seq("x", "y"), bits = 4, nRanges = 4) === 0L)
+    val t = spark.table("layoutspec_j")
+    assert(t.agg(sum("payload")).head().getLong(0) === total,
+      "replay must neither lose nor duplicate rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "_compact_journal")))
+    assert(!fs.exists(staging))
+    // delta files are gone, moved files are registered
+    val reg2 = spark.table(Layout.registryTable("layoutspec_j"))
+      .select($"file").as[String].collect().map(Manifest.norm).toSet
+    assert(t.inputFiles.map(Manifest.norm).forall(reg2.contains),
+      "every surviving file must be registered as clustered after replay")
+    delta.foreach(f => assert(!fs.exists(new org.apache.hadoop.fs.Path(f))))
+  }
 }

@@ -52,6 +52,79 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("conjunctive pruning: intersection selects fewer files than either column") {
+    // manspec_z/manspec_stats built by the previous test (z-layout on x, y)
+    val z = spark.table("manspec_z")
+    val preds = Seq(("x", lit(0L), lit(15L)), ("y", lit(0L), lit(15L)))
+    val pruned = Manifest.prunedRead(spark, z, "manspec_stats", preds)
+      .select($"x", $"y", $"payload")
+    val full = z.filter($"x".between(0, 15) && $"y".between(0, 15))
+      .select($"x", $"y", $"payload")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "conjunctive pruned read diverged from the full filter")
+    // survival fractions multiply: the intersection beats both
+    // single-column selections
+    val both = Manifest.prunedFiles(spark, "manspec_stats", preds).size
+    val xOnly = Manifest.prunedFiles(spark, "manspec_stats",
+      "x", lit(0L), lit(15L)).size
+    val yOnly = Manifest.prunedFiles(spark, "manspec_stats",
+      "y", lit(0L), lit(15L)).size
+    assert(both < math.min(xOnly, yOnly),
+      s"conjunction must intersect: $both vs x=$xOnly y=$yOnly")
+  }
+
+  test("paths with spaces and percent signs resolve through norm (ADVICE r9)") {
+    val base = java.nio.file.Files.createTempDirectory("manspec dir %20odd")
+    val dir = base.toString
+    spark.range(0, 1000).select($"id".as("v"))
+      .repartitionByRange(4, $"v").write.mode("overwrite").parquet(dir)
+    Manifest.writeManifest(spark.read.parquet(dir), "manspec_odd_stats",
+      Seq("v"))
+    // the stored keys are percent-ENCODED URIs; prunedFiles must hand
+    // decoded paths to spark.read.parquet or the read mis-resolves
+    val files = Manifest.prunedFiles(spark, "manspec_odd_stats",
+      "v", lit(0L), lit(400L))
+    assert(files.nonEmpty && files.size < 4)
+    val pruned = Manifest.prunedRead(spark, spark.read.parquet(dir),
+      "manspec_odd_stats", "v", lit(100L), lit(300L))
+    assert(pruned.count() === 201L)
+    // refresh round-trips the odd path too (diff must see 0 new files)
+    assert(Manifest.refreshManifest(spark, spark.read.parquet(dir),
+      "manspec_odd_stats", Seq("v")) === 0L)
+    // and the bloom index path round-trips as well
+    Manifest.writeFileBloom(spark.read.parquet(dir), col("v"),
+      mBits = 1 << 12, k = 4, "manspec_odd_bloom")
+    val viaBloom = Manifest.bloomPrunedRead(spark,
+      spark.read.parquet(dir), "manspec_odd_bloom", "v",
+      Seq(17L, 444L, 999L), 1 << 12, 4)
+    assert(viaBloom.count() === 3L)
+  }
+
+  test("refreshManifest drops rows for files removed by compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("manspec_rm").toString
+    spark.range(0, 800).select($"id".as("v"))
+      .repartitionByRange(4, $"v").write.mode("overwrite").parquet(dir)
+    Manifest.writeManifest(spark.read.parquet(dir), "manspec_rm_stats",
+      Seq("v"))
+    assert(spark.table("manspec_rm_stats").count() === 4L)
+    // remove one file out from under the manifest (what compactLayout
+    // does to delta files) and add another
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val victim = spark.read.parquet(dir).inputFiles.map(Manifest.norm).sorted.head
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    spark.range(800, 1000).select($"id".as("v"))
+      .repartition(1).write.mode("append").parquet(dir)
+    assert(Manifest.refreshManifest(spark, spark.read.parquet(dir),
+      "manspec_rm_stats", Seq("v")) === 1L)
+    // manifest now mirrors the directory exactly: 4 files (3 old + 1 new)
+    assert(spark.table("manspec_rm_stats").count() === 4L)
+    val t = spark.read.parquet(dir)
+    val pruned = Manifest.prunedRead(spark, t, "manspec_rm_stats",
+      "v", lit(0L), lit(2000L))
+    assert(pruned.count() === t.count())
+  }
+
   test("empty selection: out-of-domain range returns zero rows with schema") {
     val out = Manifest.prunedRead(spark, spark.table("manspec_z"),
       "manspec_stats", "x", lit(5000L), lit(6000L))

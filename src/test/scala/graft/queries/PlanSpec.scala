@@ -441,19 +441,44 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q123: bloom reduction filters the fact side BELOW the join's exchange") {
-    val p = plan(OpsQueries.q123(spark, dir))
-    // the join must be the shuffled one the reduction exists for
-    assert(p.contains("ShuffledHashJoin"), p)
-    // the bloom predicate is present exactly once, as a Filter...
-    assert(p.contains("xxhash64"), p)
-    // ...and sits BELOW the probe side's exchange (tree printing is
-    // parent-first: the join line precedes both exchanges, and the
-    // l_orderkey exchange line precedes its child filter's xxhash64)
-    val join = p.indexOf("ShuffledHashJoin")
-    val probeExchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
-    val bloom = p.indexOf("xxhash64")
-    assert(join >= 0 && probeExchange > join && bloom > probeExchange,
-      s"bloom filter must be under the probe-side exchange " +
-        s"(join@$join exch@$probeExchange bloom@$bloom):\n" + p)
+    import org.apache.spark.sql.catalyst.expressions.{ElementAt, XxHash64}
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import graft.tools.PlanWalk
+    // structural walk (ADVICE r9: string indexOf broke on any explain
+    // formatting change): find the ShuffledHashJoin, then require a
+    // bloom Filter under one of its ShuffleExchanges — i.e. the
+    // predicate runs BEFORE rows enter the probe-side exchange.
+    val df = OpsQueries.q123(spark, dir)
+    val plan0 = df.queryExecution.executedPlan
+    val joins = PlanWalk.allNodes(plan0)
+      .collect { case j: ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty, "expected a ShuffledHashJoin:\n" + plan0)
+    def bloomFilters(p: org.apache.spark.sql.execution.SparkPlan) =
+      PlanWalk.allNodes(p).collect {
+        case f: FilterExec
+          if f.condition.find(_.isInstanceOf[XxHash64]).isDefined => f
+      }
+    val underExchange = joins.exists(_.children.exists(side =>
+      PlanWalk.allNodes(side).exists {
+        case ex: ShuffleExchangeExec => bloomFilters(ex.child).nonEmpty
+        case _ => false
+      }))
+    assert(underExchange,
+      "bloom filter must sit under the probe-side exchange:\n" + plan0)
+    // the blocked-bloom membership test binds the bitset ONCE: exactly
+    // one element_at (one array-literal reference) and k+1 = 5 hash
+    // members in the filter condition (r9's classic layout embedded k
+    // copies of the bitset literal — 4 x 8 MiB at the cap)
+    val conds = bloomFilters(plan0).map(_.condition).distinct
+    assert(conds.nonEmpty)
+    conds.foreach { c =>
+      val nElementAt = c.collect { case e: ElementAt => e }.size
+      val nHash = c.collect { case h: XxHash64 => h }.size
+      assert(nElementAt === 1,
+        s"bitset must be referenced exactly once, got $nElementAt: $c")
+      assert(nHash === 5, s"expected 5 xxhash64 members, got $nHash: $c")
+    }
   }
 }
