@@ -10,19 +10,31 @@ import scala.util.control.NonFatal
   * lets Spark prune the plan). One untimed warmup run amortizes JIT +
   * codegen + parquet footer reads, mirroring steady-state service
   * behavior rather than cold JVM start.
+  *
+  * Contention-evidence (VERDICT r9 #1: two consecutive rounds of
+  * official numbers were poisoned by box load — 4-24x phantom
+  * regressions on single queries, each costing a round-long
+  * investigation):
+  *   - timed repetitions are INTERLEAVED round-robin across queries
+  *     (run 1 of every query, then run 2 of every query, ...) instead
+  *     of back-to-back per query, so a transient load window taxes
+  *     one repetition of MANY queries — the per-query min survives —
+  *     rather than every repetition of ONE query, which poisons its
+  *     min unrecoverably;
+  *   - every run is stamped with its wall-clock start (epoch seconds)
+  *     and the 1-minute /proc/loadavg read just before it, and the
+  *     JSON carries both per run, so an outlier is self-identifying
+  *     (a 30 s run with load 40 on a 32-cpu box indicts the box, not
+  *     the engine) without access to the box at read time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // NO periodic-GC tightening: the r8 across-the-board medians
-    // drift suggested dead broadcast/shuffle state accumulating in
-    // the single bench JVM (ContextCleaner's periodic fallback is
-    // 30min, longer than the bench), but a measured A/B/A at sf0.1
-    // showed spark.cleaner.periodicGC.interval=30s COSTS ~1s overall
-    // (full-GC pauses inside timed runs) and no run reproduced the
-    // drift — it was box contention during the judge run, not JVM
-    // state. PROFILE.md round 9 has the three-run table.
+    // NO periodic-GC tightening: a measured A/B/A at sf0.1 showed
+    // spark.cleaner.periodicGC.interval=30s COSTS ~1s overall
+    // (full-GC pauses inside timed runs); the r8/r9 drift was box
+    // contention, not JVM state. PROFILE.md round 9 has the table.
     val spark = LocalSession.build(cpus,
       Map("spark.sql.autoBroadcastJoinThreshold" -> "64m"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -32,57 +44,77 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    /** 1-minute load average — the contention witness. -1 if absent
+      * (non-Linux), never throws inside the bench loop.
+      */
+    def load1(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split("\\s+")(0).toDouble finally src.close()
+      } catch { case NonFatal(_) => -1.0 }
+
     // NonFatal only: an OOM/VM error must crash the bench visibly —
     // timings taken in a heap-exhausted JVM are garbage.
     def report(name: String, phase: String, e: Throwable): Unit =
       System.err.println(
         s"[bench] $phase $name failed: ${e.getClass.getName}: ${e.getMessage}")
+    val loadStart = load1()
     names.foreach { n =>                      // warmup (untimed)
       try force(n) catch { case NonFatal(e) => report(n, "warmup", e) }
     }
-    // Three timed runs per query, best kept: single-run numbers on a
-    // shared box are dominated by scheduler noise (observed 1.3s vs
-    // 13s for the same plan); min-of-N is the standard steady-state
-    // throughput estimator. The iterative / composition-heavy queries
-    // showed multi-second spread even across 3 runs (r5: q49 at
-    // 2.13/8.07/2.42s, a 7.25s q01 outlier), so they get 5 timed runs
-    // (VERDICT r5 item 7). All runs AND per-query medians are
-    // reported so the recorded min is auditable against the spread.
-    // q10 joined the set in round 7: two rounds of untouched code
-    // drifted its min 1.00 -> 1.31 s with a 6.5 s outlier in the runs
-    // (VERDICT r6 item 6) — more runs make the recorded min auditable.
+    // Repetition counts: min-of-N is the standard steady-state
+    // estimator (single-run numbers on a shared box are dominated by
+    // scheduler noise; observed 1.3s vs 13s for the same plan). The
+    // iterative / composition-heavy queries historically showed
+    // multi-second spread (r5: q49 at 2.13/8.07/2.42s), so they get 5
+    // timed runs (VERDICT r5 item 7); q10 joined in round 7 after an
+    // untouched-code drift. All runs, medians, timestamps and loads
+    // are reported so the recorded min is auditable against the
+    // spread.
     val extraRuns = Set(
       "q01_pricing_summary", "q10_distinct_agg", "q49_dup_clusters",
       "q50_clean_corpus")
+    def nRuns(name: String): Int = if (extraRuns(name)) 5 else 3
+    val maxRuns = names.map(nRuns).max
+
+    final case class Run(sec: Double, ts: Long, load: Double)
+    val runs = scala.collection.mutable.Map[String, Vector[Run]]()
+      .withDefaultValue(Vector.empty)
+    // round-robin: repetition r of every query before repetition r+1
+    // of any query (see scaladoc)
+    for (r <- 1 to maxRuns; name <- names if r <= nRuns(name)) {
+      val ld = load1()
+      val ts = System.currentTimeMillis() / 1000L
+      val t0 = System.nanoTime()
+      try {
+        force(name)
+        runs(name) :+= Run((System.nanoTime() - t0) / 1e9, ts, ld)
+      } catch { case NonFatal(e) => report(name, "timed", e) }
+    }
+    val loadEnd = load1()
+
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = names.map { name =>
-      val nRuns = if (extraRuns(name)) 5 else 3
-      val times = (1 to nRuns).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { force(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case NonFatal(e) => report(name, "timed", e); None }
-      }
-      (name, if (times.nonEmpty) times.min else -1.0, times)
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val meds = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + (if (ts.nonEmpty) median(ts) else -1.0)
-    }.mkString("{", ",", "}")
-    val runs = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def obj(f: String => String): String =
+      names.map(n => "\"" + n + "\":" + f(n)).mkString("{", ",", "}")
+    val mins = names.map(n =>
+      n -> (if (runs(n).nonEmpty) runs(n).map(_.sec).min else -1.0)).toMap
+    val qs = obj(n => mins(n).toString)
+    val meds = obj(n =>
+      (if (runs(n).nonEmpty) median(runs(n).map(_.sec)) else -1.0).toString)
+    val runsJ = obj(n => runs(n).map(_.sec).mkString("[", ",", "]"))
+    val tsJ = obj(n => runs(n).map(_.ts).mkString("[", ",", "]"))
+    val loadJ = obj(n => runs(n).map(_.load).mkString("[", ",", "]"))
     // A failed query must make the headline metric WORSE, not smaller:
     // total is -1 (invalid) whenever any query failed, so a regression
     // to a crash can never read as a speedup.
     val total =
-      if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runs,"sf":"$sfDir"}""")
+      if (names.exists(n => mins(n) < 0)) -1.0
+      else names.map(mins).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_end":$loadEnd,"interleaved":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
