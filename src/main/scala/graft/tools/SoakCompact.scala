@@ -32,8 +32,17 @@ object SoakCompact {
     import spark.implicits._
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val base = Tables.load(spark, sfDir, "lineitem")
+    // at 1x (600k rows) fixed overheads (catalog ops, stage-and-swap,
+    // registry write) dominate both paths and hide the asymptotics;
+    // the 10x leg (6M rows, same 1/16-of-1x delta) is where the
+    // delta-sized-vs-corpus-sized separation must show
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SOAK_MULT", "10").toInt
+    val one = Tables.load(spark, sfDir, "lineitem")
       .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val base = (0 until mult).map(i => one.select(
+        ($"l_partkey" + lit(1000000L * i)).as("l_partkey"),
+        $"l_suppkey", $"l_quantity"))
+      .reduce(_ unionByName _)
     val nBase = base.count()
 
     def t[A](f: => A): (A, Double) = {
@@ -57,7 +66,7 @@ object SoakCompact {
     }
 
     val (_, wz) = t(Layout.writeZOrdered(base, tbl, cols,
-      bits = 8, nRanges = 32))
+      bits = 8, nRanges = 32 * mult))
     Manifest.writeManifest(spark.table(tbl), man, cols)
     println(f"[soakcompact] base rows=$nBase zwrite=$wz%6.2fs " +
       f"scanfrac=${probeFrac()}%5.2f%% " +
@@ -68,7 +77,7 @@ object SoakCompact {
     val deltaRows = (nBase / 16).toInt
     for (i <- 1 to 4) {
       val delta = base.limit(deltaRows)
-        .select(($"l_partkey" + lit(1000000L * i)).as("l_partkey"),
+        .select(($"l_partkey" + lit(1000000L * (100 + i))).as("l_partkey"),
           $"l_suppkey", $"l_quantity")
       Layout.appendPlain(delta, tbl)
       Manifest.refreshManifest(spark, spark.table(tbl), man, cols)
@@ -93,7 +102,7 @@ object SoakCompact {
     val grown = spark.table(tbl).select($"l_partkey", $"l_suppkey",
       $"l_quantity")
     val (_, wFull) = t(Layout.writeZOrdered(grown, "soakc_full", cols,
-      bits = 8, nRanges = 40))
+      bits = 8, nRanges = 32 * mult + 8))
     println(f"[soakcompact] fullrewrite wall=$wFull%6.2fs " +
       f"(compact was $wc%5.2fs = ${100.0 * wc / wFull}%4.1f%%)")
     spark.stop()
