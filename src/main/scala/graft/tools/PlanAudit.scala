@@ -174,12 +174,15 @@ object PlanAudit {
             coarse, cb, 8, 64, 10, nProbe = 2)
         },
 
-      ("q123 bloom semi-join reduction (round 9) — the xxhash64/" +
-        "element_at bitset predicate sits in the fact-side Filter " +
-        "BELOW the ShuffledHashJoin's probe exchange: ~99% of fact " +
-        "rows die before shuffling (98.4% measured at sf0.1, " +
-        "PROFILE.md round 9); the build side carries the same keys " +
-        "to keep the final join exact") ->
+      ("q123 bloom semi-join reduction (round 9; register-blocked in " +
+        "round 10) — the bitset predicate sits in the fact-side " +
+        "Filter BELOW the ShuffledHashJoin's probe exchange: ~99% of " +
+        "fact rows die before shuffling (98.4% measured at sf0.1, " +
+        "PROFILE.md round 9). The blocked layout binds the bitset as " +
+        "ONE array literal consumed by ONE element_at — r9's classic " +
+        "k-probe form embedded k copies of the array in this filter " +
+        "(4 x 8 MiB per task at the cap); PlanSpec pins the single " +
+        "reference structurally") ->
         fmt(OpsQueries.q123(spark, dir)),
 
       ("q124/q125 layout probes (round 9) — a range probe against " +
@@ -188,7 +191,16 @@ object PlanAudit {
         "row-group stats skip non-overlapping groups; the manifest " +
         "variant scans the SAME shape over only the " +
         "manifest-surviving file list") ->
-        fmt(OpsQueries.q124(spark, dir)))
+        fmt(OpsQueries.q124(spark, dir)),
+
+      ("q132 serve-only pruned reads (round 10) — the read-path " +
+        "tier's bench face: conjunctive manifest range probe + " +
+        "per-file-bloom point lookup against prebuilt assets. Both " +
+        "probe scans read ONLY surviving files (the scan node lists " +
+        "the pruned file set) with the row-level predicate pushed " +
+        "(PushedFilters), and the planning-time asset reads are " +
+        "file-count-bounded") ->
+        fmt(OpsQueries.q132(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
