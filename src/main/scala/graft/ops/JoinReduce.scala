@@ -85,8 +85,10 @@ object JoinReduce {
     case _ => None
   }
 
-  /** Name of the canonical type `dt` hashes as (for asset metadata). */
-  private def canonName(dt: DataType): String =
+  /** Name of the canonical type `dt` hashes as (for asset metadata —
+    * also [[Manifest]]'s file-bloom meta companion).
+    */
+  private[ops] def canonNameOf(dt: DataType): String =
     canonOf(dt).getOrElse(dt).simpleString
 
   /** Index of the 64-bit word holding ALL of `key`'s bits (hash member
@@ -171,7 +173,7 @@ object JoinReduce {
     val spark = small.sparkSession
     import spark.implicits._
     graft.Tables.writeTable(
-      Seq((words.toSeq, mBits, k, kf.name, canonName(kf.dataType)))
+      Seq((words.toSeq, mBits, k, kf.name, canonNameOf(kf.dataType)))
         .toDF("words", "m_bits", "k", "key_name", "key_type"), table)
   }
 
@@ -187,7 +189,7 @@ object JoinReduce {
                             key: Column): Column = {
     val row = spark.table(table).head()
     val want = row.getAs[String]("key_type")
-    val got = canonName(probe.select(key).schema.head.dataType)
+    val got = canonNameOf(probe.select(key).schema.head.dataType)
     require(got == want,
       s"asset '$table' was built over a $want key " +
         s"(column '${row.getAs[String]("key_name")}'); probe key is $got")

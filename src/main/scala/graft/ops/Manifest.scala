@@ -149,10 +149,67 @@ object Manifest {
       .groupBy(col("file"), col("w")).agg(bit_or(col("m")).as("bits"))
   }
 
-  /** Persist the per-file Bloom index (stage-and-swap). */
+  /** Persist the per-file Bloom index (stage-and-swap) together with
+    * a 1-row parameter companion (`<table>_meta`: mBits, k, build key
+    * name + canonical type — the same provenance discipline as
+    * [[JoinReduce.writeBloomAsset]]), so incremental refresh cannot
+    * silently extend the index under a different hash family or key.
+    */
   def writeFileBloom(df: DataFrame, key: Column, mBits: Int, k: Int,
-                     bloomTable: String): Unit =
+                     bloomTable: String): Unit = {
     graft.Tables.writeTable(fileBloom(df, key, mBits, k), bloomTable)
+    val kf = df.select(key).schema.head
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Tables.writeTable(
+      Seq((mBits, k, kf.name, JoinReduce.canonNameOf(kf.dataType)))
+        .toDF("m_bits", "k", "key_name", "key_type"),
+      bloomTable + "_meta")
+  }
+
+  /** Incrementally maintain a per-file Bloom index — the same
+    * immutable-files diff as [[refreshManifest]]: build (file, word,
+    * bits) rows for ONLY the files the index does not cover, drop
+    * rows for files the table no longer contains (compaction swaps),
+    * leave covered files untouched. Parameters and the key come from
+    * the index's meta companion, and the scan's key column must
+    * canonicalize to the recorded type (fail-fast, not silent
+    * false negatives). Returns the number of newly indexed files;
+    * the rewrite is index-sized (files x occupied words), via
+    * stage-and-swap.
+    */
+  def refreshFileBloom(spark: SparkSession, fullScan: DataFrame,
+                       bloomTable: String): Long = {
+    import spark.implicits._
+    val meta = spark.table(bloomTable + "_meta").head()
+    val mBits = meta.getAs[Int]("m_bits")
+    val k = meta.getAs[Int]("k")
+    val keyName = meta.getAs[String]("key_name")
+    val want = meta.getAs[String]("key_type")
+    val got = JoinReduce.canonNameOf(
+      fullScan.select(col(keyName)).schema.head.dataType)
+    require(got == want,
+      s"index '$bloomTable' was built over a $want key " +
+        s"('$keyName'); the scan's column is $got")
+    val knownRaw = spark.table(bloomTable).select($"file").as[String]
+      .distinct().collect()
+    val known = knownRaw.map(norm).toSet
+    val current = fullScan.inputFiles.map(norm).toSet
+    val newFiles = current.diff(known).toSeq.sorted
+    val goneRaw = knownRaw.filter(r => !current.contains(norm(r))).toSeq
+    if (newFiles.nonEmpty || goneRaw.nonEmpty) {
+      val kept =
+        if (goneRaw.isEmpty) spark.table(bloomTable)
+        else spark.table(bloomTable)
+          .filter(!col("file").isin(goneRaw: _*))
+      val merged =
+        if (newFiles.isEmpty) kept
+        else kept.unionByName(fileBloom(
+          spark.read.parquet(newFiles: _*), col(keyName), mBits, k))
+      graft.Tables.writeTable(merged, bloomTable)
+    }
+    newFiles.length.toLong
+  }
 
   /** The files that may contain ANY of `keys`: a file qualifies for a
     * key iff the key's whole mask is set in the file's word — ONE
@@ -185,6 +242,51 @@ object Manifest {
       if (files.isEmpty) fullScan.where(lit(false))
       else spark.read.parquet(files: _*)
     base.filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** [[bloomPrunedFiles]] with the key set as a DATAFRAME — the form a
+    * JOIN's build side needs. The literal-keys overload collects the
+    * keys to the driver, fine for a hand-written point lookup but not
+    * for "the fact files this dimension's surviving keys can touch"
+    * (a build side can carry millions of keys at scale). Here the
+    * probe (word, mask) pairs stay IN-PLAN: one distinct over
+    * build-side rows, one word-keyed equi-join against the index, and
+    * the only driver materialization is the surviving FILE list —
+    * bounded by file count like every planner collect in this module.
+    * Key canonicalization matches the index build
+    * ([[JoinReduce.canonKey]]).
+    */
+  def bloomPrunedFilesFor(spark: SparkSession, bloomTable: String,
+                          keys: DataFrame, key: Column,
+                          mBits: Int, k: Int): Seq[String] = {
+    import spark.implicits._
+    val ck = JoinReduce.canonKey(keys, key)
+    val probes = keys
+      .select(JoinReduce.blockIdx(ck, mBits).as("w"),
+        JoinReduce.blockMask(ck, k).as("m"))
+      .distinct()
+    spark.table(bloomTable).join(probes, Seq("w"))
+      .filter((col("bits").bitwiseAND(col("m"))) === col("m"))
+      .select($"file").distinct().as[String].collect().toSeq.map(norm).sorted
+  }
+
+  /** File-level JOIN reduction — the layer BELOW [[JoinReduce]]'s
+    * row-level filter: scan only the fact files whose per-file Bloom
+    * word can contain at least one build-side key, then join exactly
+    * (file-level false positives cost I/O; the join discards their
+    * rows — never wrong results, and false negatives are impossible).
+    * On a fact table clustered by the join key this skips whole files
+    * before a single fact row is read; composes with the row-level
+    * bitset filter, which still prunes inside surviving files.
+    */
+  def bloomPrunedJoinScan(spark: SparkSession, fullScan: DataFrame,
+                          bloomTable: String, buildKeys: DataFrame,
+                          buildKey: Column, mBits: Int,
+                          k: Int): DataFrame = {
+    val files = bloomPrunedFilesFor(spark, bloomTable, buildKeys,
+      buildKey, mBits, k)
+    if (files.isEmpty) fullScan.where(lit(false))
+    else spark.read.parquet(files: _*)
   }
 
   /** Range-predicate read that touches ONLY manifest-surviving files,

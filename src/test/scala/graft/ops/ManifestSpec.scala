@@ -188,6 +188,78 @@ class ManifestSpec extends SparkSpec {
     assert(absent.count() === 0L)
   }
 
+  test("bloomPrunedFilesFor: in-plan probe set equals the literal-keys path") {
+    // manspec_bloom_t / manspec_bloom_idx built by the fileBloom test
+    val keys = Seq(12L, 777L, 3000L, 5999L)
+    val viaLiterals = Manifest.bloomPrunedFiles(spark, "manspec_bloom_idx",
+      keys, 1 << 16, 4)
+    val viaDf = Manifest.bloomPrunedFilesFor(spark, "manspec_bloom_idx",
+      keys.toDF("key"), col("key"), 1 << 16, 4)
+    assert(viaDf === viaLiterals,
+      "DataFrame-keyed file pruning must match the literal-keys path")
+    // the join-scan form: scan only surviving files, exact join after
+    val t = spark.table("manspec_bloom_t")
+    val build = keys.toDF("key").withColumn("tag", concat(lit("t"), $"key"))
+    val viaScan = Manifest.bloomPrunedJoinScan(spark, t,
+        "manspec_bloom_idx", build, col("key"), 1 << 16, 4)
+      .join(build, Seq("key"))
+      .select($"key", $"payload", $"tag")
+    val exact = t.join(build, Seq("key")).select($"key", $"payload", $"tag")
+    assert(viaScan.exceptAll(exact).isEmpty && exact.exceptAll(viaScan).isEmpty,
+      "file-pruned join diverged from the exact join")
+    // an int-typed build side canonicalizes and still finds its files
+    val intKeys = keys.toDF("key").select($"key".cast("int").as("key"))
+    assert(Manifest.bloomPrunedFilesFor(spark, "manspec_bloom_idx",
+      intKeys, col("key"), 1 << 16, 4) === viaLiterals)
+    // a disjoint build side prunes to (at most false-positive) files
+    val absent = spark.range(900000, 900004).select($"id".as("key"))
+    val absentFiles = Manifest.bloomPrunedFilesFor(spark,
+      "manspec_bloom_idx", absent, col("key"), 1 << 16, 4)
+    assert(absentFiles.size < viaLiterals.size + 4)
+  }
+
+  test("refreshFileBloom: incremental index equals full rebuild; swaps tracked") {
+    val dir = java.nio.file.Files.createTempDirectory("manspec_fbr").toString
+    spark.range(0, 2000).select($"id".as("key"), ($"id" * 3).as("payload"))
+      .repartitionByRange(4, $"key").write.mode("overwrite").parquet(dir)
+    Manifest.writeFileBloom(spark.read.parquet(dir), col("key"),
+      mBits = 1 << 14, k = 4, "manspec_fbr_idx")
+    // no-op refresh: nothing new
+    assert(Manifest.refreshFileBloom(spark, spark.read.parquet(dir),
+      "manspec_fbr_idx") === 0L)
+    // append two files and remove one (the compaction swap shape)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val victim = spark.read.parquet(dir).inputFiles.map(Manifest.norm)
+      .sorted.head
+    fs.delete(new org.apache.hadoop.fs.Path(victim), false)
+    spark.range(2000, 2600).select($"id".as("key"), ($"id" * 3).as("payload"))
+      .repartitionByRange(2, $"key").write.mode("append").parquet(dir)
+    assert(Manifest.refreshFileBloom(spark, spark.read.parquet(dir),
+      "manspec_fbr_idx") === 2L)
+    // refreshed index == full rebuild over the current directory
+    Manifest.writeFileBloom(spark.read.parquet(dir), col("key"),
+      mBits = 1 << 14, k = 4, "manspec_fbr_full")
+    def rows(tbl: String) = spark.table(tbl)
+      .select(regexp_extract($"file", "part-[^/]*$", 0).as("f"), $"w", $"bits")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows("manspec_fbr_idx") === rows("manspec_fbr_full"))
+    // and lookups through the refreshed index stay exact (keys from a
+    // new file, a surviving file, and the deleted range)
+    val t = spark.read.parquet(dir)
+    val viaBloom = Manifest.bloomPrunedRead(spark, t, "manspec_fbr_idx",
+      "key", Seq(100L, 1500L, 2345L), 1 << 14, 4).select($"key", $"payload")
+    val exact = t.filter($"key".isin(100L, 1500L, 2345L))
+      .select($"key", $"payload")
+    assert(viaBloom.exceptAll(exact).isEmpty && exact.exceptAll(viaBloom).isEmpty)
+    // a scan whose key column canonicalizes differently fails fast
+    intercept[IllegalArgumentException] {
+      Manifest.refreshFileBloom(spark,
+        t.select($"key".cast("string").as("key"), $"payload"),
+        "manspec_fbr_idx")
+    }
+  }
+
   test("null stats are sound: all-null files are prunable, nulls never match") {
     val data = spark.range(0, 400).select(
       when($"id" < 200, $"id").otherwise(lit(null)).as("v"),
