@@ -212,6 +212,10 @@ object Layout {
                     bits: Int, nRanges: Int,
                     equiDepth: Boolean = false): Long = {
     require(nRanges >= 1, s"nRanges must be >= 1, got $nRanges")
+    require(spark.catalog.tableExists(registryTable(table)),
+      s"no clustered-file registry '${registryTable(table)}' — " +
+        s"'$table' was not written by writeZOrdered; compactLayout " +
+        "cannot tell clustered files from deltas without it")
     import spark.implicits._
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
