@@ -76,6 +76,29 @@ object ProfileZorder {
     val fSupp = graft.ops.Manifest.prunedFiles(spark, "prof_z_manifest",
       "l_suppkey", lit(10L), lit(14L)).size
     println(s"[zorder] manifest files: total=$total part-probe=$fPart supp-probe=$fSupp")
+
+    // equi-depth bucketing cost: the r10 unrolled binary search
+    // (bits codegen'd element_at probes / row / col) vs the r9 HOF
+    // filter spec (2^bits interpreted lambda evals / row / col) —
+    // same 1-row boundary attach, measured over a 10x union
+    val big = (0 until 10).map(i => li.select(
+        ($"l_partkey" + lit(1000000L * i)).as("l_partkey"),
+        $"l_suppkey", $"l_quantity", $"l_extendedprice"))
+      .reduce(_ unionByName _)
+    val cols = Seq("l_partkey", "l_suppkey")
+    val nb = 1 << 8
+    val pcts = typedLit((1 until nb).map(_.toDouble / nb))
+    val aggs = cols.map(c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000))
+        .as(s"_bnd_$c"))
+    val stats = big.agg(aggs.head, aggs.tail: _*)
+    val hofForm = big.crossJoin(broadcast(stats)).select(
+      cols.map(c => Layout.equiDepthBucketSpec(col(c), col(s"_bnd_$c"))
+        .as(s"_b_$c")): _*)
+    times("equidepth_binsearch", 5)(
+      Layout.withRankBucketsEquiDepth(big, cols, bits = 8)
+        .select(cols.map(c => col(s"_b_$c")): _*))
+    times("equidepth_hof_spec", 5)(hofForm)
     spark.stop()
   }
 }

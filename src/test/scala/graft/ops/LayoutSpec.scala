@@ -49,6 +49,37 @@ class LayoutSpec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.getLong(1) === 15L)
   }
 
+  test("equi-depth binary search equals the HOF executable spec") {
+    // values with heavy duplication (ties at boundaries), a skewed
+    // tail, and nulls — the cases a binary-search rewrite could get
+    // wrong vs the count-the-boundaries spec
+    for (bits <- Seq(1, 3, 8)) {
+      val nb = 1 << bits
+      val df = spark.range(0, 5000).select(
+        when($"id" % 97 === 0, lit(null))
+          .otherwise(($"id" % 50) * ($"id" % 50)).as("v"))
+      val pcts = typedLit((1 until nb).map(_.toDouble / nb))
+      val stats = df.agg(
+        percentile_approx($"v".cast("double"), pcts, lit(10000)).as("_bnd_v"))
+      val both = df.crossJoin(broadcast(stats)).select(
+        Layout.equiDepthBucketSpec($"v", $"_bnd_v").as("spec"),
+        $"v", $"_bnd_v")
+      // spec on non-null rows must equal the fast form's bucket col
+      val fast = Layout.withRankBucketsEquiDepth(df.toDF(), Seq("v"), bits)
+      val specMap = both.filter($"v".isNotNull)
+        .select($"v", $"spec").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val fastMap = fast.filter($"v".isNotNull)
+        .select($"v", $"_b_v").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fastMap === specMap,
+        s"binary search diverged from the HOF spec at bits=$bits")
+      // nulls: bucket 0 in the fast form (spec yields 0 too — a null
+      // comparison filters every boundary out)
+      assert(fast.filter($"v".isNull && $"_b_v" =!= 0L).count() === 0L)
+    }
+  }
+
   /** Total rows emitted by the scan leaves of the EXECUTED plan —
     * after parquet row-group skipping, so it measures what the layout
     * saved (not what the filter discarded post-read).
