@@ -232,7 +232,10 @@ object Layout {
     * (snapshot isolation), which is precisely what table formats'
     * commit logs exist for; within this engine, queries that must not
     * observe it run compaction through the same single-writer
-    * maintenance window they already need for [[writeZOrdered]].
+    * maintenance window they already need for [[writeZOrdered]]. The
+    * journal publish itself relies on atomic rename (POSIX/HDFS
+    * semantics); an object store without it needs the
+    * conditional-put primitive its table formats use for this step.
     */
   def compactLayout(spark: SparkSession, table: String, cols: Seq[String],
                     bits: Int, nRanges: Int,
@@ -274,7 +277,7 @@ object Layout {
       throw new java.io.IOException(s"cannot publish ${journalPath(loc)}")
     finishSwap(spark, table, fs, loc,
       moves.toSeq.map { case (s, d) => (s.toString, d.toString) },
-      delta)
+      delta.toIndexedSeq)
     delta.length.toLong
   }
 
@@ -312,13 +315,17 @@ object Layout {
       val p = new Path(f)
       if (fs.exists(p)) fs.delete(p, false)
     }
+    spark.catalog.refreshTable(table)
     val reg = registryTable(table)
     val clustered = spark.table(reg)
       .select($"file").as[String].collect().map(Manifest.norm).toSet
+    // intersect with the live file list so entries for files deleted
+    // OUTSIDE the layout API (retention, manual cleanup) age out
+    // instead of accumulating forever
+    val current = spark.table(table).inputFiles.map(Manifest.norm).toSet
     writeRegistry(spark, table,
-      clustered ++ moves.map(m => Manifest.norm(m._2)))
+      (clustered ++ moves.map(m => Manifest.norm(m._2))).intersect(current))
     fs.delete(journalPath(loc), false)
     fs.delete(new Path(loc, StagingDir), true)
-    spark.catalog.refreshTable(table)
   }
 }
