@@ -46,13 +46,38 @@ object Manifest {
     try new org.apache.hadoop.fs.Path(java.net.URI.create(s)).toString
     catch { case _: IllegalArgumentException => s }
 
+  /** ENFORCED contract (was caller discipline, VERDICT r9 residue):
+    * a stats/index build input must be a bare file scan — a catalog
+    * table or `spark.read.parquet(...)`, nothing above it. A filter
+    * above the scan would build stats over the SURVIVING rows only,
+    * while `prunedRead`/`bloomPrunedRead` later return every row of
+    * a selected file — files whose only matching rows were excluded
+    * from the stats get wrongly pruned (missing results), excluded
+    * rows of selected files come back (extra results). Fail fast
+    * instead.
+    */
+  private def requirePlainScan(df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    def bare(p: LogicalPlan): Boolean = p match {
+      case s: SubqueryAlias => bare(s.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    require(bare(df.queryExecution.analyzed),
+      s"$what input must be a plain file scan (a table or " +
+        "spark.read.parquet) — transformations above the scan decouple " +
+        "input_file_name from the file contents:\n" +
+        df.queryExecution.analyzed.treeString)
+  }
+
   /** Per-file stats over `cols`: one row per underlying file with the
     * row count and each column's min/max. `df` must be a plain file
-    * scan (a table or `spark.read.parquet(dir)`) — transformations
-    * above the scan would decouple `input_file_name` from the stats.
+    * scan (a table or `spark.read.parquet(dir)`) — enforced by
+    * [[requirePlainScan]].
     */
   def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one stats column")
+    requirePlainScan(df, "fileStats")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
@@ -142,6 +167,7 @@ object Manifest {
     require(mBits >= 64 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(k >= 1 && k <= 8, s"k must be 1..8, got $k")
+    requirePlainScan(df, "fileBloom")
     val ck = JoinReduce.canonKey(df, key)
     df.select(input_file_name().as("file"),
         JoinReduce.blockIdx(ck, mBits).as("w"),

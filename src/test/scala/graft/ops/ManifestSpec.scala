@@ -260,6 +260,20 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("stats/index builds reject transformed inputs (plain-scan contract)") {
+    val t = spark.table("manspec_base")
+    // a filter above the scan would make pruning UNSOUND (stats over
+    // surviving rows, reads return whole files) — fail fast
+    intercept[IllegalArgumentException] {
+      Manifest.fileStats(t.filter($"v" > 100), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.fileBloom(t.select(($"v" * 2).as("v")), col("v"), 1 << 12, 4)
+    }
+    // the plain forms still pass: catalog table and direct read
+    assert(Manifest.fileStats(t, Seq("v")).count() > 0)
+  }
+
   test("null stats are sound: all-null files are prunable, nulls never match") {
     val data = spark.range(0, 400).select(
       when($"id" < 200, $"id").otherwise(lit(null)).as("v"),
