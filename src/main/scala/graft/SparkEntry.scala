@@ -85,5 +85,11 @@ object SparkEntry {
     // the q104/q105 precedent applied to the r9 layout tier, so a
     // regression in planning-time pruning cost surfaces in the bench
     // (the layout WRITE stays unbenched, as above).
-    "q132_pruned_read_serve")
+    "q132_pruned_read_serve",
+    // compute-reuse serve face (round 10): the materialized-aggregate
+    // roll-up served from partials prebuilt in the untimed warmup —
+    // the summary-sized replacement for the fact-table report
+    // aggregate; a regression toward re-reading the base surfaces as
+    // a cliff vs q01's fact-sized number.
+    "q136_summary_serve")
 }

@@ -56,7 +56,7 @@ object Manifest {
     * rows of selected files come back (extra results). Fail fast
     * instead.
     */
-  private def requirePlainScan(df: DataFrame, what: String): Unit = {
+  private[ops] def requirePlainScan(df: DataFrame, what: String): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
     def bare(p: LogicalPlan): Boolean = p match {
       case s: SubqueryAlias => bare(s.child)

@@ -1060,6 +1060,47 @@ object Similarity {
     rerankExact(cand, corpus, queries, k)
   }
 
+  /** FILTERED vector search — the "metadata predicate + kNN" serve
+    * every production vector store needs (FAISS IDSelector, the
+    * filtered-search face of Vespa/Qdrant/Milvus): top-k among ONLY
+    * the vectors in `allowed` (the ids surviving a metadata
+    * predicate — at scale, a pushed-down scan of the metadata table).
+    *
+    * PRE-filter semantics: the candidate code rows are restricted by a
+    * semi-join on vec_id BEFORE probe selection and ADC ranking, so
+    * the shortlist spends its whole budget on eligible vectors and the
+    * filter is EXACT (a non-allowed id can never appear). The
+    * alternative — post-filtering an unfiltered top-k — silently
+    * returns fewer than k rows and loses recall as selectivity grows
+    * (at 1% selectivity an unfiltered top-50 shortlist expects ~0.5
+    * eligible survivors); SimilaritySpec measures that collapse
+    * against this form. The price of pre-filtering is the usual IVF
+    * caveat: a highly selective predicate thins every probed list, so
+    * recall at fixed nProbe degrades toward brute-force-on-survivors —
+    * raise nProbe with selectivity (the FAISS guidance; the q139 audit
+    * pins recall vs FILTERED brute force at the gate parameters).
+    *
+    * Scale shape: identical to [[knnIvfPqRerankOnIndex]] plus one
+    * vec_id semi-join on the bucketed codes table (AQE broadcasts the
+    * allowed side when small); the exact re-rank fetches full vectors
+    * for queries × shortlist survivors only, all of them eligible.
+    */
+  def knnIvfPqRerankFiltered(spark: org.apache.spark.sql.SparkSession,
+                             indexTable: String, corpus: DataFrame,
+                             queries: DataFrame, coarse: DataFrame,
+                             codebooks: DataFrame, m: Int, dims: Int,
+                             k: Int, nProbe: Int, shortlist: Int,
+                             allowed: DataFrame): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val idx = spark.table(indexTable)
+      .join(allowed.select($"vec_id"), Seq("vec_id"), "left_semi")
+    val cand = topKByCos(
+        ivfAdcScores(idx, queries, coarse, codebooks, m, dims, nProbe),
+        shortlist)
+      .select($"query_id", $"neighbor_id")
+    rerankExact(cand, corpus, queries, k)
+  }
+
   // ------------------------------------------------ residual encoding
 
   /** The residual corpus — each vector minus its coarse centroid

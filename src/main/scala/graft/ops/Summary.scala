@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized aggregate (summary) tables — the COMPUTE half of the
+  * read-path economics tier ([[Manifest]]/[[Layout]] are the I/O half).
+  *
+  * At 100 TB the recurring dashboard/report aggregate is the single
+  * most-repeated full-table cost: every `GROUP BY dims` re-reads and
+  * re-aggregates the fact table even though yesterday's groups did not
+  * change. Every warehouse solves this with a summary table of
+  * MERGEABLE partial aggregates (Calcite/Oracle materialized views,
+  * BigQuery MVs, Druid rollup segments): store per-(dims) partials
+  * once, then (a) serve any GROUP BY over a SUBSET of the dims by
+  * re-merging partials — a summary-sized job instead of a fact-sized
+  * one — and (b) maintain the partials incrementally as data arrives.
+  *
+  * Partial layout per measure column `c`:
+  *   - `sum_c`  — exact DECIMAL sum (`Fns.dec`, the engine-wide
+  *     order-independent summation discipline): decimal addition is
+  *     associative, so partials merged in ANY grouping/order yield the
+  *     bit-identical total. A raw double sum would not survive
+  *     re-merging (fp addition is order-dependent), which is why the
+  *     rewrite declines un-cast double sums.
+  *   - `cnt_c`  — non-null count (serves COUNT(c), and AVG as exact
+  *     sum/count division at the caller).
+  *   - `min_c` / `max_c` — min/max merge losslessly for every type.
+  *   plus `n_rows` — COUNT(*). AVG/VAR are served as derived forms of
+  *   these (never stored: they do not merge).
+  *
+  * Incremental maintenance follows [[Manifest.refreshManifest]]'s
+  * immutable-files argument: parquet data changes only by whole-file
+  * add/remove, so the companion `<table>_files` list diffs against the
+  * current scan by planning metadata alone. APPENDED files are
+  * aggregated alone (delta-sized) and merged into the stored partials;
+  * a REMOVED file forces a full rebuild — min/max partials cannot be
+  * subtracted — which is exactly Iceberg's materialized-view rule
+  * (incremental refresh only while the base is append-only since the
+  * last refresh).
+  *
+  * The automatic query-rewrite half (a Catalyst optimizer rule that
+  * redirects matching aggregates over the BASE scan to the summary,
+  * with a planning-time freshness check) lives in
+  * [[graft.plans.SummaryRewrite]]; the registry connecting base paths
+  * to summaries is [[Summary.register]] below.
+  */
+object Summary {
+
+  /** Merged-partial sum type: Fns.D (18,4) + Spark's +10 sum widening.
+    * Re-merges are cast back to this so the partial schema is stable
+    * under any number of refresh/rollup rounds; a genuine overflow
+    * fails fast under ANSI instead of silently wrapping.
+    */
+  val SumT: DecimalType = DecimalType(28, 4)
+
+  private def partialAggs(measures: Seq[String]) =
+    measures.flatMap { c =>
+      Seq(sum(graft.functions.Fns.dec(col(c))).cast(SumT).as(s"sum_$c"),
+        count(col(c)).as(s"cnt_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+
+  /** Partial aggregates of `df` at (dims) grain — one row per distinct
+    * dims combination, mergeable by [[rollup]]. One shuffle, map-side
+    * partials first (Spark's partial+final hash aggregate).
+    */
+  def summarize(df: DataFrame, dims: Seq[String],
+                measures: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    require(measures.nonEmpty, "need at least one measure column")
+    val aggs = partialAggs(measures)
+    df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Re-merge partials to a coarser grain (`groupDims` ⊆ the summary's
+    * dims; empty = global). Exact by construction: decimal sums and
+    * counts add, min/min and max/max compose. Output schema equals the
+    * summary's partial schema minus the dropped dims.
+    */
+  def rollup(partials: DataFrame, groupDims: Seq[String],
+             measures: Seq[String]): DataFrame = {
+    val aggs = measures.flatMap { c =>
+      Seq(sum(col(s"sum_$c")).cast(SumT).as(s"sum_$c"),
+        sum(col(s"cnt_$c")).as(s"cnt_$c"),
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"))
+    } :+ sum(col("n_rows")).as("n_rows")
+    if (groupDims.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
+    else partials.groupBy(groupDims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist the summary as a managed asset (stage-and-swap) plus two
+    * companions: `<table>_files` (the base files the partials cover —
+    * the refresh diff input) and `<table>_meta` (dims + measures, so
+    * refresh and the rewrite registry need no caller-side re-statement
+    * that could drift from what was built). `df` must be a plain file
+    * scan — the same contract as [[Manifest.fileStats]], enforced —
+    * because the files list is only meaningful for the unfiltered scan.
+    */
+  def writeSummary(df: DataFrame, table: String, dims: Seq[String],
+                   measures: Seq[String]): Unit = {
+    Manifest.requirePlainScan(df, "writeSummary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Tables.writeTable(summarize(df, dims, measures), table)
+    graft.Tables.writeTable(
+      df.inputFiles.map(Manifest.norm).toSeq.sorted.toDF("file"),
+      table + "_files")
+    graft.Tables.writeTable(
+      Seq((dims, measures)).toDF("dims", "measures"), table + "_meta")
+  }
+
+  private[ops] def readMeta(spark: SparkSession,
+                            table: String): (Seq[String], Seq[String]) = {
+    val m = spark.table(table + "_meta").head()
+    (m.getSeq[String](m.fieldIndex("dims")),
+      m.getSeq[String](m.fieldIndex("measures")))
+  }
+
+  /** Incrementally maintain a persisted summary. Appended files are
+    * aggregated ALONE and merged into the stored partials (the rewrite
+    * is summary-sized + delta-sized — the base is not re-read); any
+    * REMOVED file forces a full rebuild from `fullScan` (min/max
+    * partials are not subtractable — the Iceberg append-only MV rule).
+    * Returns the number of base files READ (delta count when
+    * incremental, current file count on rebuild, 0 on no-op) — the
+    * cost witness tests pin.
+    */
+  def refreshSummary(spark: SparkSession, fullScan: DataFrame,
+                     table: String): Long = {
+    import spark.implicits._
+    val (dims, measures) = readMeta(spark, table)
+    val known = spark.table(table + "_files").select($"file").as[String]
+      .collect().toSet // already norm-form (written that way)
+    val current = fullScan.inputFiles.map(Manifest.norm).toSet
+    val newFiles = current.diff(known).toSeq.sorted
+    val gone = known.diff(current)
+    if (gone.nonEmpty) {
+      Manifest.requirePlainScan(fullScan, "refreshSummary (rebuild)")
+      graft.Tables.writeTable(summarize(fullScan, dims, measures), table)
+      graft.Tables.writeTable(current.toSeq.sorted.toDF("file"),
+        table + "_files")
+      current.size.toLong
+    } else if (newFiles.nonEmpty) {
+      val delta = summarize(spark.read.parquet(newFiles: _*), dims, measures)
+      val merged = rollup(spark.table(table).unionByName(delta),
+        dims, measures)
+      graft.Tables.writeTable(merged, table)
+      graft.Tables.writeTable(current.toSeq.sorted.toDF("file"),
+        table + "_files")
+      newFiles.length.toLong
+    } else 0L
+  }
+
+  // ------------------------------------------------------------------
+  // Rewrite registry: base-scan root paths -> summary. Session-scoped
+  // in the same sense as the engine's other catalog assets (one driver
+  // owns the catalog); the optimizer rule consults it read-only.
+
+  /** What the rewrite needs to know about one registered summary:
+    * where it serves (`summaryTable`), what it can serve (`dims`,
+    * `measures`), and for WHICH exact base snapshot it is fresh
+    * (`files` — norm-form file set captured at registration). The
+    * rule compares `files` against the candidate scan's own file
+    * listing at planning time and declines on any mismatch, so a
+    * stale summary silently falls back to the base scan instead of
+    * serving stale rows. [[refreshSummary]] + [[register]] re-arm it.
+    */
+  final case class SummaryInfo(summaryTable: String, dims: Seq[String],
+                               measures: Seq[String], files: Set[String])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, SummaryInfo]()
+
+  private[graft] def pathKey(rootPaths: Seq[String]): String =
+    rootPaths.map(Manifest.norm).sorted.mkString("\n")
+
+  /** Register `summaryTable` as the materialization of aggregates over
+    * `base` (a plain file scan of the base table). Captures the base's
+    * CURRENT file set as the freshness token; call again after
+    * [[refreshSummary]] to re-arm the rewrite for the grown base.
+    */
+  def register(base: DataFrame, summaryTable: String): Unit = {
+    Manifest.requirePlainScan(base, "Summary.register")
+    val spark = base.sparkSession
+    val (dims, measures) = readMeta(spark, summaryTable)
+    val roots = rootPathsOf(base).getOrElse(
+      throw new IllegalArgumentException(
+        "Summary.register: base must be a file-based scan"))
+    registry.put(pathKey(roots),
+      SummaryInfo(summaryTable, dims, measures,
+        base.inputFiles.map(Manifest.norm).toSet))
+  }
+
+  /** Remove a registration (tests / decommission). */
+  def deregister(base: DataFrame): Unit =
+    rootPathsOf(base).foreach(r => registry.remove(pathKey(r)))
+
+  private[graft] def isEmpty: Boolean = registry.isEmpty
+
+  private[graft] def lookup(rootPaths: Seq[String]): Option[SummaryInfo] =
+    Option(registry.get(pathKey(rootPaths)))
+
+  private def rootPathsOf(df: DataFrame): Option[Seq[String]] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      }
+    }
+  }
+}

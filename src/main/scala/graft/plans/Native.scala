@@ -110,5 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QDotLong(c.head, c(1)))
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
+    // materialized-aggregate navigation (no-op until Summary.register)
+    ext.injectOptimizerRule(_ => SummaryRewrite)
   }
 }

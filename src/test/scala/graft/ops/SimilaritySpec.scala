@@ -349,6 +349,56 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS pq_index_spec")
   }
 
+  test("filtered kNN: pre-filter is exact and full-recall where post-filter collapses") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    // 4 tight clusters of 25; queries sit in cluster 0
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d + 1).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 25) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 25 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 25L)
+    val coarse = Similarity.strideCentroids(p, 25L)
+    val qs = p.filter($"vec_id" === 0L)
+    Similarity.writePqIndex(p, coarse, cb, m = 4, dims = dims,
+      "pqf_index_spec", numBuckets = 4)
+    try {
+      // selective predicate: ~10% of ids, ~2 eligible per cluster
+      val allowed = p.filter($"vec_id" % 10 === 3).select($"vec_id")
+      val allowedSet = allowed.as[Long].collect().toSet
+      val k = 5
+      val pre = Similarity.knnIvfPqRerankFiltered(spark, "pqf_index_spec",
+          p, qs, coarse, cb, m = 4, dims = dims, k = k, nProbe = 4,
+          shortlist = 10, allowed = allowed)
+        .select($"neighbor_id").as[Long].collect().toSeq
+      // exactness: nothing outside the allowed set can appear
+      assert(pre.nonEmpty && pre.forall(allowedSet))
+      // recall vs the filtered brute force at the same k
+      val exact = Similarity.knnBrute(
+          p.join(allowed, Seq("vec_id"), "left_semi"), qs, k)
+        .select($"neighbor_id").as[Long].collect().toSet
+      assert(exact.size === k)
+      val preRecall = pre.count(exact)
+      // POST-filter with the same shortlist budget: rank unfiltered
+      // top-10, then filter — at 10% selectivity ~1 survivor expected
+      val post = Similarity.knnIvfPqRerankOnIndex(spark, "pqf_index_spec",
+          p, qs, coarse, cb, m = 4, dims = dims, k = 10, nProbe = 4,
+          shortlist = 10)
+        .filter($"neighbor_id".isin(allowedSet.toSeq: _*))
+        .limit(k).select($"neighbor_id").as[Long].collect().toSeq
+      val postRecall = post.count(exact)
+      assert(preRecall >= k - 1,
+        s"pre-filter recall $preRecall/$k should be near-perfect")
+      assert(postRecall < preRecall,
+        s"post-filter ($postRecall) should lose recall vs pre ($preRecall)")
+    } finally spark.sql("DROP TABLE IF EXISTS pqf_index_spec")
+  }
+
   test("residual IVF-PQ: stride-1 coarse zeroes residuals making ADC exactly brute force; index serve matches on-codes") {
     val rnd = new scala.util.Random(23)
     val dims = 8
