@@ -150,6 +150,67 @@ object Sketches {
     (BigInt(hex.substring(0, 15), 16) % w).toLong
   }
 
+  /** KMV (bottom-k minimum values) sketch of the distinct keys: the k
+    * lexicographically smallest md5 hashes (Bar-Yossef et al. RANDOM'02
+    * distinct-count sketch; Beyer et al. SIGMOD'07 for the multi-set
+    * estimators). The engine's md5 channel keeps it deterministic and
+    * engine-portable — any engine rebuilds the identical sketch, so
+    * KMV estimates are oracle-checkable like the HLL/CMS/Bloom family.
+    *
+    * Scale shape: one distinct aggregate then a TakeOrderedAndProject
+    * (per-partition bottom-k, k-bounded driver merge) — mergeable
+    * (union of sketches → bottom-k) and never corpus-sized. This is
+    * the sketch for cross-corpus OVERLAP questions (contamination
+    * estimation) at sizes where the exact semi-join of q51 is itself
+    * a major job: two k-row sketches answer "what fraction of corpus
+    * B's shingles are in corpus A" to ~1/sqrt(k) without any join of
+    * the corpora.
+    */
+  def kmvSketch(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(md5(keyCol.cast("string")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** One-row KMV Jaccard audit between the key sets of `a` and `b`:
+    * the union's bottom-k U is computable from the two sketches alone
+    * (bottom-k of a union = bottom-k of the union of bottom-k's), and
+    * for every h ∈ U membership in A/B is decidable FROM THE SKETCHES
+    * (h ≤ kth(A∪B) ≤ kth(A), so h ∈ A ⟹ h ∈ sketch(A)) — the
+    * estimator ĵ = |U ∩ A ∩ B| / |U| needs no corpus access at all.
+    * Output: (k, u_size, kmv_matches, est_j) next to the exact
+    * (n_a, n_b, exact_inter, exact_j) — the q70/q72 self-audit shape;
+    * at true scale the exact columns are dropped and only the
+    * sketch-sized plan remains. When k >= |A ∪ B| the estimate IS
+    * exact (SketchesSpec asserts); error at k << n is ~1/sqrt(k).
+    */
+  def kmvOverlapAudit(a: DataFrame, aCol: Column,
+                      b: DataFrame, bCol: Column, k: Int): DataFrame = {
+    val sa = kmvSketch(a, aCol, k)
+    val sb = kmvSketch(b, bCol, k)
+    val u = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    val est = u
+      .join(sa, Seq("h"), "left_semi")
+      .join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("kmv_matches"))
+    val uSize = u.agg(count(lit(1)).as("u_size"))
+    val da = a.select(aCol.cast("string").as("v")).distinct()
+    val db = b.select(bCol.cast("string").as("v")).distinct()
+    val exactCounts = da.agg(count(lit(1)).as("n_a"))
+      .crossJoin(db.agg(count(lit(1)).as("n_b")))
+      .crossJoin(da.join(db, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+    // 1-row attaches only (the broadcast stats-frame pattern)
+    uSize.crossJoin(est).crossJoin(exactCounts)
+      .select(lit(k.toLong).as("k"), col("u_size"), col("kmv_matches"),
+        (col("kmv_matches").cast("double") / col("u_size").cast("double"))
+          .as("est_j"),
+        col("n_a"), col("n_b"), col("exact_inter"),
+        (col("exact_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("exact_inter")).cast("double"))
+          .as("exact_j"))
+  }
+
   /** One-row HLL cardinality audit of `valueCol`:
     * (m, n_zero, estimate, n_exact) — the sketch estimate NEXT TO the
     * exact distinct count, so the query measures its own error (the

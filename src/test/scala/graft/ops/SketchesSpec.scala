@@ -80,4 +80,35 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sat.values.forall(_ === 1L))
   }
+
+  test("KMV: saturated sketch is exact; estimator accurate at k << n; mergeable") {
+    import spark.implicits._
+    // A = 0..599, B = 400..999 -> |inter| = 200, |union| = 1000, J = 0.2
+    val a = (0 until 600).map(_.toString).toDF("v")
+    val b = (400 until 1000).map(_.toString).toDF("v")
+    def audit(k: Int) =
+      Sketches.kmvOverlapAudit(a, col("v"), b, col("v"), k).head()
+    // k >= |union|: U covers everything, the estimate IS the exact J
+    val full = audit(2048)
+    assert(full.getAs[Long]("u_size") === 1000L)
+    assert(full.getAs[Long]("kmv_matches") === 200L)
+    assert(full.getAs[Long]("n_a") === 600L &&
+      full.getAs[Long]("n_b") === 600L &&
+      full.getAs[Long]("exact_inter") === 200L)
+    assert(full.getAs[Double]("est_j") === full.getAs[Double]("exact_j"))
+    // k << n: deterministic estimate within ~4/sqrt(k) of J = 0.2
+    val small = audit(256)
+    assert(small.getAs[Long]("u_size") === 256L)
+    val err = math.abs(small.getAs[Double]("est_j") - 0.2)
+    assert(err < 4.0 / math.sqrt(256.0), s"KMV error $err too large")
+    // mergeability: the union's sketch equals the bottom-k of the two
+    // sketches' union — the property that lets sketches combine
+    // without corpus access
+    val fromSketches = Sketches.kmvSketch(a, col("v"), 64)
+      .unionByName(Sketches.kmvSketch(b, col("v"), 64))
+      .distinct().orderBy(col("h")).limit(64).as[String].collect().toSeq
+    val fromCorpus = Sketches.kmvSketch(a.unionByName(b), col("v"), 64)
+      .as[String].collect().toSeq
+    assert(fromSketches === fromCorpus)
+  }
 }
