@@ -810,6 +810,98 @@ object StreamingUpsert {
     graft.ops.Similarity.topKByCos(merged, k)
   }
 
+  // ------------------------------------------- incremental summary
+
+  /** One micro-batch of incremental MATERIALIZED-AGGREGATE maintenance
+    * — the streaming form of [[graft.ops.Summary]] (the batch tier
+    * refreshes from appended FILES; a stream delivers ROWS, so the
+    * state is the versioned associative-merge of [[spanStateBatch]]):
+    *
+    *   - `seen/v=<id>/` — the first-occurrence-wins gate over `idCol`
+    *     ([[freshAgainstSeen]]/[[recordSeen]]): a key re-delivered in
+    *     a LATER micro-batch (at-least-once upstream) would inflate
+    *     every partial; the gate drops it exactly. The granularity is
+    *     the KEY — all of a key's rows must arrive in one batch (the
+    *     natural shape for an entity-keyed fact feed).
+    *   - `stats/v=<id>/` — the summary partials over ALL rows seen so
+    *     far. Sum/count/min/max/n_rows merge associatively
+    *     ([[graft.ops.Summary.rollup]] over version N−1 plus ONLY
+    *     this batch's partials — the fact stream is never
+    *     re-aggregated), version overwritten on same-batch replay,
+    *     predecessor retained for replay, older versions pruned.
+    *
+    * [[summaryFromState]] is then EXACTLY the batch
+    * [[graft.ops.Summary.summarize]] of the unioned batches
+    * (StreamingUpsertSpec asserts; the merge is lossless, no
+    * divergence case) — so a live dashboard serves from partials that
+    * are micro-batch fresh without ever re-scanning the stream's
+    * history.
+    */
+  def summaryStateBatch(spark: SparkSession, batch: DataFrame,
+                        idCol: String, dims: Seq[String],
+                        measures: Seq[String], batchId: Long,
+                        basePath: String,
+                        mat: graft.ops.Materializer =
+                          graft.ops.Materialize.Local): Unit = {
+    // barrier: the gated batch feeds both the partial aggregate and
+    // the seen-ids append (the spanStateBatch rationale)
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val batchPartials =
+      graft.ops.Summary.summarize(fresh, dims, measures)
+    recordSeen(spark, fresh.select(col(idCol).as("id")).distinct(),
+      batchId, s"$basePath/seen")
+    val versions = statsVersions(spark, s"$basePath/stats")
+      .filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) =>
+        val raw = spark.read.parquet(p)
+        require(raw.schema.fieldNames.sorted.sameElements(
+          batchPartials.schema.fieldNames.sorted),
+          s"summary state at $p has columns " +
+            s"${raw.schema.fieldNames.mkString(",")} but this batch " +
+            s"aggregates ${batchPartials.schema.fieldNames.mkString(",")}" +
+            " — dims/measures must not change mid-stream")
+        spark.read.schema(batchPartials.schema).parquet(p)
+      case None => batchPartials.limit(0)
+    }
+    graft.ops.Summary.rollup(prev.unionByName(batchPartials),
+        dims, measures)
+      .write.mode("overwrite").parquet(s"$basePath/stats/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/stats")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** The current summary partials from [[summaryStateBatch]] state —
+    * the drop-in input for [[graft.ops.Summary.rollup]] serves.
+    */
+  def summaryFromState(spark: SparkSession, basePath: String): DataFrame = {
+    val versions = statsVersions(spark, s"$basePath/stats")
+    require(versions.nonEmpty, s"no summary state under $basePath/stats")
+    spark.read.parquet(versions.sortBy(_._1).last._2)
+  }
+
+  /** [[summaryStateBatch]] wired as the foreachBatch sink of a fact
+    * stream — arriving rows keep the materialized aggregate
+    * micro-batch fresh.
+    */
+  def incrementalSummary(stream: DataFrame, idCol: String,
+                         dims: Seq[String], measures: Seq[String],
+                         basePath: String,
+                         checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        summaryStateBatch(batch.sparkSession, batch, idCol, dims,
+          measures, batchId, basePath)
+      }
+      .start()
+
   /** [[pqEncodeBatch]] wired as the foreachBatch sink of an embedding
     * stream — arriving vectors extend the compressed index
     * incrementally against the frozen codebooks.

@@ -914,4 +914,45 @@ class StreamingUpsertSpec extends SparkSpec {
     // update-mode emissions: a1 after batch 1, a3 after batch 2
     assert(got === Seq("a1", "a3"))
   }
+
+  test("summaryStateBatch: state equals batch summarize; re-delivery dropped; replay idempotent; schema pinned") {
+    import graft.ops.Summary
+    val base = tmp("sum_state")
+    val dims = Seq("g")
+    val measures = Seq("x")
+    def mk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        $"id".as("k"),
+        ($"id" % 4).cast("string").as("g"),
+        ($"id" % 100).cast("double").as("x"))
+    val b0 = mk(0, 400)
+    val b1 = mk(400, 700)
+    val b2 = mk(700, 1000)
+    StreamingUpsert.summaryStateBatch(spark, b0, "k", dims, measures,
+      0L, base)
+    // batch 1 re-delivers half of batch 0 (at-least-once upstream):
+    // the seen gate must drop every re-delivered key
+    StreamingUpsert.summaryStateBatch(spark,
+      b1.unionByName(mk(0, 200)), "k", dims, measures, 1L, base)
+    StreamingUpsert.summaryStateBatch(spark, b2, "k", dims, measures,
+      2L, base)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"g", $"sum_x".cast("string"), $"cnt_x", $"min_x",
+          $"max_x", $"n_rows")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val want = snap(Summary.summarize(mk(0, 1000), dims, measures))
+    assert(snap(StreamingUpsert.summaryFromState(spark, base))
+      .sameElements(want), "state != batch summarize of the union")
+    // same-batch replay reproduces the version exactly
+    StreamingUpsert.summaryStateBatch(spark, b2, "k", dims, measures,
+      2L, base)
+    assert(snap(StreamingUpsert.summaryFromState(spark, base))
+      .sameElements(want), "replay of the last batch changed the state")
+    // dims/measures changing mid-stream must fail fast, not misread
+    val e = intercept[IllegalArgumentException] {
+      StreamingUpsert.summaryStateBatch(spark, mk(1000, 1100), "k",
+        Seq("g"), Seq("x", "k"), 3L, base)
+    }
+    assert(e.getMessage.contains("must not change mid-stream"))
+  }
 }
