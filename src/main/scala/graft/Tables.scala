@@ -68,6 +68,39 @@ object Tables {
       df.write.mode("overwrite").format("parquet").saveAsTable(stage)
     }
 
+  /** Hive-style PARTITIONED managed-table write (stage-and-swap like
+    * the other writers): one directory per distinct partition-column
+    * combination, so a filter on the partition column prunes whole
+    * directories at PLANNING time from catalog metadata alone — the
+    * built-in analog of the [[graft.ops.Manifest]] file-stats pruning,
+    * and the layout Spark's dynamic partition pruning (DPP) needs to
+    * skip fact partitions driven by a dimension filter at runtime.
+    * The input is repartitioned by the partition columns first so each
+    * partition directory gets one file instead of one per task (the
+    * [[writeBucketed]] rationale). Choose LOW-cardinality columns
+    * (date/month/region): at 100 TB a high-cardinality partition key
+    * means millions of directories and a listing-bound metastore —
+    * that case belongs to z-order + manifest instead.
+    */
+  def writePartitioned(df: DataFrame, table: String,
+                       partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    val spark = df.sparkSession
+    stageAndSwap(spark, table) { stage =>
+      df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite").format("parquet")
+        .partitionBy(partCols: _*)
+        .saveAsTable(stage)
+    }
+    // ALTER TABLE RENAME moves the DATA directory but the catalog's
+    // per-partition entries still carry the stage-path locations —
+    // without repair the renamed table lists zero live partitions and
+    // reads empty. DROP removes the stale (now nonexistent) locations,
+    // ADD re-registers the directories found under the final location.
+    spark.sql(s"MSCK REPAIR TABLE `$table` DROP PARTITIONS")
+    spark.sql(s"MSCK REPAIR TABLE `$table` ADD PARTITIONS")
+  }
+
   /** Drop `t` from the catalog AND delete its managed location:
     * `overwrite` only replaces a table the CURRENT catalog knows; a
     * directory left behind by an earlier session (in-memory catalog,

@@ -91,6 +91,33 @@ object ProfileSummary {
         "prof_summary_t")
       println(s"[summary] refresh read $read delta file(s)")
     }
+
+    // the scale argument, measured: a 10x corpus grows the plain
+    // aggregate's wall with the table while the serve stays at the
+    // summary-sized constant (dims cardinality does not grow)
+    val li10 = (1 to 10).map(i =>
+        li.withColumn("l_orderkey", $"l_orderkey" + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    Tables.writeTable(li10.repartition(64), "prof_sum_base10")
+    val b10 = spark.table("prof_sum_base10")
+    println(s"[summary] 10x fact rows: ${b10.count()}")
+    wall("build 10x") {
+      Summary.writeSummary(b10, "prof_summary10", dims, measures)
+    }
+    def plainAgg10: DataFrame =
+      b10.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"))
+    def servedAgg10: DataFrame =
+      Summary.rollup(spark.table("prof_summary10"), Seq("l_returnflag"),
+          measures)
+        .select($"l_returnflag", $"n_rows".as("n"),
+          decDouble($"sum_l_quantity").as("sum_qty"),
+          $"min_l_extendedprice".as("min_price"),
+          $"max_l_extendedprice".as("max_price"))
+    times("plain fact agg 10x")(plainAgg10)
+    times("summary serve 10x")(servedAgg10)
     spark.stop()
   }
 }

@@ -77,4 +77,25 @@ class TablesSpec extends SparkSpec {
       .collect().toSeq === Seq((10L, 20L)))
     spark.sql("DROP TABLE IF EXISTS tables_spec_plain")
   }
+
+  test("writePartitioned: partitions live after the swap, pruned reads, rewrite survives") {
+    def mk(n: Long) = spark.range(0, n).select(
+      $"id".as("v"), ($"id" % 5).cast("string").as("p"))
+    Tables.writePartitioned(mk(1000), "tables_spec_part", Seq("p"))
+    // the rename-swap must leave LIVE partition metadata (the repair
+    // path): all rows readable, partition listing populated
+    assert(spark.table("tables_spec_part").count() === 1000L)
+    assert(spark.sql("SHOW PARTITIONS tables_spec_part").count() === 5L)
+    // a partition filter reaches the scan as a partitionFilter
+    val df = spark.table("tables_spec_part").filter($"p" === "3")
+    val scans = graft.tools.PlanWalk
+      .allNodes(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+    assert(df.count() === 200L)
+    // a REWRITE of the same table goes through the same swap + repair
+    Tables.writePartitioned(mk(500), "tables_spec_part", Seq("p"))
+    assert(spark.table("tables_spec_part").count() === 500L)
+    spark.sql("DROP TABLE IF EXISTS tables_spec_part")
+  }
 }
