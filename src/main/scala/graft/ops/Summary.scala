@@ -172,16 +172,24 @@ object Summary {
   final case class SummaryInfo(summaryTable: String, dims: Seq[String],
                                measures: Seq[String], files: Set[String])
 
+  // several summaries may be registered per base (different grains);
+  // the rewrite picks the coarsest fresh one that covers the query
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, SummaryInfo]()
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[SummaryInfo]]()
 
   private[graft] def pathKey(rootPaths: Seq[String]): String =
     rootPaths.map(Manifest.norm).sorted.mkString("\n")
 
-  /** Register `summaryTable` as the materialization of aggregates over
+  /** Register `summaryTable` as a materialization of aggregates over
     * `base` (a plain file scan of the base table). Captures the base's
     * CURRENT file set as the freshness token; call again after
-    * [[refreshSummary]] to re-arm the rewrite for the grown base.
+    * [[refreshSummary]] to re-arm the rewrite for the grown base
+    * (re-registering the same table replaces its entry). Several
+    * summaries at different grains may be registered on one base —
+    * aggregate NAVIGATION: the rewrite serves each query from the
+    * COARSEST registered summary whose dims/measures cover it (fewest
+    * dims ⇒ fewest partial rows ⇒ cheapest serve), falling through
+    * finer ones only when the query needs their columns.
     */
   def register(base: DataFrame, summaryTable: String): Unit = {
     Manifest.requirePlainScan(base, "Summary.register")
@@ -190,19 +198,25 @@ object Summary {
     val roots = rootPathsOf(base).getOrElse(
       throw new IllegalArgumentException(
         "Summary.register: base must be a file-based scan"))
-    registry.put(pathKey(roots),
-      SummaryInfo(summaryTable, dims, measures,
-        base.inputFiles.map(Manifest.norm).toSet))
+    val info = SummaryInfo(summaryTable, dims, measures,
+      base.inputFiles.map(Manifest.norm).toSet)
+    registry.compute(pathKey(roots), (_, prev) =>
+      (Option(prev).getOrElse(Vector.empty)
+        .filterNot(_.summaryTable == summaryTable) :+ info)
+        .sortBy(i => (i.dims.size, i.summaryTable)))
   }
 
-  /** Remove a registration (tests / decommission). */
+  /** Remove all of a base's registrations (tests / decommission). */
   def deregister(base: DataFrame): Unit =
     rootPathsOf(base).foreach(r => registry.remove(pathKey(r)))
 
   private[graft] def isEmpty: Boolean = registry.isEmpty
 
-  private[graft] def lookup(rootPaths: Seq[String]): Option[SummaryInfo] =
-    Option(registry.get(pathKey(rootPaths)))
+  /** The registered summaries of this base, coarsest (fewest dims)
+    * first — the rewrite tries them in order.
+    */
+  private[graft] def lookup(rootPaths: Seq[String]): Vector[SummaryInfo] =
+    Option(registry.get(pathKey(rootPaths))).getOrElse(Vector.empty)
 
   private def rootPathsOf(df: DataFrame): Option[Seq[String]] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}

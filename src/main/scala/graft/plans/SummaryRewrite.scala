@@ -85,9 +85,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         case f: HadoopFsRelation => Some(f)
         case _ => None
       }
-      info <- Summary.lookup(fs.location.rootPaths.map(_.toString))
-      if fs.location.inputFiles.map(graft.ops.Manifest.norm).toSet == info.files
-      plan <- translate(agg, conds, info)
+      candidates = Summary.lookup(fs.location.rootPaths.map(_.toString))
+      if candidates.nonEmpty
+      // the scan's listing, computed once for all candidates
+      current = fs.location.inputFiles.map(graft.ops.Manifest.norm).toSet
+      // aggregate navigation: candidates arrive coarsest-first; the
+      // first FRESH one whose dims/measures cover the query wins
+      // (fewest dims = fewest partial rows = cheapest serve)
+      plan <- candidates.iterator
+        .filter(_.files == current)
+        .flatMap(info => translate(agg, conds, info))
+        .nextOption()
     } yield plan
   }
 

@@ -186,6 +186,40 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("rewrite navigation: coarsest covering summary wins; finer one serves what it can't") {
+    graft.Tables.writeTable(baseData(7000).repartition(2), "sumspec_nav_base")
+    val base = spark.table("sumspec_nav_base")
+    // fine grain: (d1, d2); coarse grain: (d1) — same measures
+    Summary.writeSummary(base, "sumspec_nav_fine", Seq("d1", "d2"), Seq("x"))
+    Summary.writeSummary(base, "sumspec_nav_coarse", Seq("d1"), Seq("x"))
+    Summary.register(base, "sumspec_nav_fine")
+    Summary.register(base, "sumspec_nav_coarse")
+    base.createOrReplaceTempView("sumspec_nav_v")
+    withRule {
+      // a d1-only query is served by the COARSE summary (7 rows),
+      // not the fine one it also matches
+      val q1 = spark.sql(
+        "SELECT d1, count(*) AS n FROM sumspec_nav_v GROUP BY d1 ORDER BY d1")
+      val r1 = scannedRoots(q1)
+      assert(r1.exists(_.contains("sumspec_nav_coarse")) &&
+        !r1.exists(_.contains("sumspec_nav_fine")), s"wrong candidate: $r1")
+      // a query grouping on d2 cannot use the coarse one — navigation
+      // falls through to the fine summary
+      val q2 = spark.sql(
+        "SELECT d2, count(*) AS n FROM sumspec_nav_v GROUP BY d2 ORDER BY d2")
+      val r2 = scannedRoots(q2)
+      assert(r2.exists(_.contains("sumspec_nav_fine")) &&
+        !r2.exists(_.contains("sumspec_nav_coarse")), s"no fallthrough: $r2")
+      // both serve the right numbers
+      val expect1 = base.groupBy($"d1").agg(count(lit(1)).as("n"))
+        .orderBy($"d1").collect()
+      val expect2 = base.groupBy($"d2").agg(count(lit(1)).as("n"))
+        .orderBy($"d2").collect()
+      assert(q1.collect().toSeq === expect1.toSeq)
+      assert(q2.collect().toSeq === expect2.toSeq)
+    }
+  }
+
   test("rewrite: stale summary declines; refresh + re-register re-arms") {
     graft.Tables.writeTable(baseData(5000).repartition(2), "sumspec_st_base")
     Summary.writeSummary(spark.table("sumspec_st_base"), "sumspec_st_sum",
