@@ -200,7 +200,31 @@ object PlanAudit {
         "the pruned file set) with the row-level predicate pushed " +
         "(PushedFilters), and the planning-time asset reads are " +
         "file-count-bounded") ->
-        fmt(OpsQueries.q132(spark, dir)))
+        fmt(OpsQueries.q132(spark, dir)),
+
+      ("q136 summary serve (round 10) — the materialized-aggregate " +
+        "roll-up: the ONLY scan is the dims-cardinality summary " +
+        "table (no fact table anywhere in the plan), one partial+" +
+        "final aggregate over partial columns, exact decimal " +
+        "re-merge. Compare q01's plan above: same report, fact-sized " +
+        "scan") ->
+        fmt(OpsQueries.q136(spark, dir)),
+
+      ("q138 automatic MV rewrite (round 10) — the SQL names only " +
+        "the BASE table; the optimizer rule replaced the " +
+        "aggregate-over-base subtree with the summary scan at " +
+        "planning time (freshness-checked). The scan node's location " +
+        "is the summary table — the base path appears nowhere") ->
+        fmt(OpsQueries.q138(spark, dir)),
+
+      ("q142 partition pruning (round 10) — probe (a): the literal " +
+        "month filter appears as PartitionFilters on the scan " +
+        "(directory pruning from catalog metadata, zero data I/O to " +
+        "plan); probe (b): the dimension join carries " +
+        "dynamicpruning#N in PartitionFilters — Spark's DPP turns " +
+        "the broadcast months into a runtime partition filter, so " +
+        "the fact scan opens only the quarter's directories") ->
+        fmt(OpsQueries.q142(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
