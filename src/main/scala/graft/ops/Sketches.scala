@@ -150,6 +150,73 @@ object Sketches {
     (BigInt(hex.substring(0, 15), 16) % w).toLong
   }
 
+  /** Grouped, MERGEABLE HLL register partials over `valueCol`: one
+    * row per (dims..., bucket) with the register max — the
+    * approximate-COUNT-DISTINCT member of the summary-partial family
+    * ([[Summary]]). Exact distinct counts do not merge across groups
+    * (distinct is not additive), but register maxes do, so a
+    * finer-grain partial table serves approximate distinct counts at
+    * ANY coarser grain ([[hllRollup]] + [[hllGroupEstimate]]) — the
+    * warehouse-MV feature exact aggregates cannot provide (BigQuery
+    * MVs expose exactly this via mergeable HLL++ state; here the
+    * registers are the engine's deterministic md5 layout, so the
+    * whole chain is oracle-checkable). Partial size is bounded by
+    * groups × m, never corpus-sized.
+    */
+  def hllPartials(df: DataFrame, dims: Seq[String], valueCol: Column,
+                  b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be 4..16, got $b")
+    require(dims.nonEmpty, "need at least one dimension column")
+    val m = 1L << b
+    val maxRho = (60 - b) + 1
+    val v = conv(substring(md5(valueCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select((dims.map(col) :+ pmod(v, lit(m)).as("bucket") :+
+        shiftright(v, b).as("w")): _*)
+      .select((dims.map(col) :+ $"bucket" :+
+        when($"w" === 0L, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin($"w"))).as("rho")): _*)
+      .groupBy((dims :+ "bucket").map(col): _*)
+      .agg(max($"rho").as("mj"))
+  }
+
+  /** Merge HLL partials to a coarser grain — lossless (register max
+    * of maxes), the [[Summary.rollup]] analog.
+    */
+  def hllRollup(partials: DataFrame, groupDims: Seq[String]): DataFrame = {
+    require(groupDims.nonEmpty, "need at least one dimension column")
+    partials.groupBy((groupDims :+ "bucket").map(col): _*)
+      .agg(max($"mj").as("mj"))
+  }
+
+  /** Per-group estimate from register partials: (dims..., m, n_zero,
+    * estimate) — the [[hllDistinctAudit]] arithmetic shape applied
+    * per group (same exact int64 harmonic sum, same small-range
+    * linear-counting branch), so any engine reproduces the identical
+    * doubles.
+    */
+  def hllGroupEstimate(partials: DataFrame, groupDims: Seq[String],
+                       b: Int = 10): DataFrame = {
+    require(groupDims.nonEmpty, "need at least one dimension column")
+    val m = 1L << b
+    val maxRho = (60 - b) + 1
+    val reduced = partials.groupBy(groupDims.map(col): _*).agg(
+      count(lit(1)).as("n_filled"),
+      coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")),
+        lit(0L)).as("sum_filled"))
+    val est =
+      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * " +
+        s"CAST(${1L << maxRho} AS DOUBLE) / " +
+        s"CAST(sum_filled + ($m - n_filled) * ${1L << maxRho} AS DOUBLE)"
+    reduced
+      .select((groupDims.map(col) :+ lit(m).as("m") :+
+        (lit(m) - $"n_filled").as("n_zero") :+ expr(est).as("raw_est")): _*)
+      .select((groupDims.map(col) :+ $"m" :+ $"n_zero" :+
+        when($"raw_est" <= lit(2.5) * m && $"n_zero" > 0L,
+          log(lit(m.toDouble) / $"n_zero".cast("double")) * m.toDouble)
+          .otherwise($"raw_est").as("estimate")): _*)
+  }
+
   /** KMV (bottom-k minimum values) sketch of the distinct keys: the k
     * lexicographically smallest md5 hashes (Bar-Yossef et al. RANDOM'02
     * distinct-count sketch; Beyer et al. SIGMOD'07 for the multi-set

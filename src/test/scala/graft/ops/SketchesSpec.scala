@@ -81,6 +81,34 @@ class SketchesSpec extends SparkSpec {
     assert(sat.values.forall(_ === 1L))
   }
 
+  test("grouped HLL: fine-grain partials roll up losslessly; per-group estimates track exact") {
+    import spark.implicits._
+    // 3 types x 4 days; distinct users per type differ (300/600/900)
+    val df = spark.range(0, 30000).select(
+      concat(lit("t"), ($"id" % 3).cast("string")).as("typ"),
+      ($"id" % 4).cast("string").as("day"),
+      (($"id" % 3) * 10000 +
+        when($"id" % 3 === 0, $"id" % 300)
+          .when($"id" % 3 === 1, $"id" % 600)
+          .otherwise($"id" % 900)).as("user"))
+    val fine = Sketches.hllPartials(df, Seq("typ", "day"), $"user", b = 10)
+    val direct = Sketches.hllPartials(df, Seq("typ"), $"user", b = 10)
+    val rolled = Sketches.hllRollup(fine, Seq("typ"))
+    // merge property: register max of day maxes == direct type max
+    assert(rolled.exceptAll(direct).isEmpty &&
+      direct.exceptAll(rolled).isEmpty, "rollup != direct partials")
+    // estimates within HLL error (~3.3% at m=1024; allow 4 sigma)
+    val est = Sketches.hllGroupEstimate(rolled, Seq("typ"), b = 10)
+      .collect().map(r => r.getAs[String]("typ") ->
+        r.getAs[Double]("estimate")).toMap
+    val exact = df.groupBy($"typ").agg(countDistinct($"user").as("n"))
+      .collect().map(r => r.getAs[String]("typ") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (t, n) =>
+      val rel = math.abs(est(t) - n) / n.toDouble
+      assert(rel < 0.13, s"type $t: estimate ${est(t)} vs exact $n ($rel)")
+    }
+  }
+
   test("KMV: saturated sketch is exact; estimator accurate at k << n; mergeable") {
     import spark.implicits._
     // A = 0..599, B = 400..999 -> |inter| = 200, |union| = 1000, J = 0.2
