@@ -1,7 +1,7 @@
 package graft
 package ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic distributed sketches. Unlike the built-in
@@ -215,6 +215,55 @@ object Sketches {
         when($"raw_est" <= lit(2.5) * m && $"n_zero" > 0L,
           log(lit(m.toDouble) / $"n_zero".cast("double")) * m.toDouble)
           .otherwise($"raw_est").as("estimate")): _*)
+  }
+
+  /** Persist grouped HLL partials as a maintained asset (the
+    * [[Summary.writeSummary]] discipline: stage-and-swap table +
+    * `_files` coverage companion + `_meta` parameters). `df` must be
+    * a plain file scan.
+    */
+  def writeHllSummary(df: DataFrame, table: String, dims: Seq[String],
+                      valueCol: String, b: Int = 10): Unit = {
+    Manifest.requirePlainScan(df, "writeHllSummary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Tables.writeTable(hllPartials(df, dims, col(valueCol), b), table)
+    Summary.writeFilesList(spark, table + "_files",
+      df.inputFiles.map(Manifest.norm).toSet)
+    graft.Tables.writeTable(
+      Seq((dims, valueCol, b)).toDF("dims", "value_col", "b"),
+      table + "_meta")
+  }
+
+  /** Incrementally maintain a persisted HLL summary — the
+    * [[Summary.refreshSummary]] contract with an even stronger merge:
+    * register maxes are IDEMPOTENT (max(a,a) = a), but the files diff
+    * keeps the cost argument identical — appended files are sketched
+    * alone and max-merged; a removed file still forces the rebuild
+    * (registers cannot un-see a value). Returns files read.
+    */
+  def refreshHllSummary(spark: SparkSession, fullScan: DataFrame,
+                        table: String): Long = {
+    val m = spark.table(table + "_meta").head()
+    val dims = m.getSeq[String](m.fieldIndex("dims"))
+    val valueCol = m.getAs[String]("value_col")
+    val b = m.getAs[Int]("b")
+    val (newFiles, anyGone, current) =
+      Summary.filesDiff(spark, fullScan, table + "_files")
+    if (anyGone) {
+      Manifest.requirePlainScan(fullScan, "refreshHllSummary (rebuild)")
+      graft.Tables.writeTable(
+        hllPartials(fullScan, dims, col(valueCol), b), table)
+      Summary.writeFilesList(spark, table + "_files", current)
+      current.size.toLong
+    } else if (newFiles.nonEmpty) {
+      val delta = hllPartials(spark.read.parquet(newFiles: _*),
+        dims, col(valueCol), b)
+      graft.Tables.writeTable(
+        hllRollup(spark.table(table).unionByName(delta), dims), table)
+      Summary.writeFilesList(spark, table + "_files", current)
+      newFiles.length.toLong
+    } else 0L
   }
 
   /** KMV (bottom-k minimum values) sketch of the distinct keys: the k

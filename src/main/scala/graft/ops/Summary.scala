@@ -71,6 +71,9 @@ object Summary {
                 measures: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "need at least one dimension column")
     require(measures.nonEmpty, "need at least one measure column")
+    require(dims.distinct == dims && measures.distinct == measures &&
+      !dims.exists(measures.contains),
+      s"dims/measures must be distinct and disjoint: $dims vs $measures")
     val aggs = partialAggs(measures)
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -120,6 +123,27 @@ object Summary {
       m.getSeq[String](m.fieldIndex("measures")))
   }
 
+  /** The immutable-files diff every incremental asset refresh is built
+    * on ([[refreshSummary]], [[Sketches.refreshHllSummary]]):
+    * (new files to aggregate, whether any covered file is gone,
+    * the current norm-form file set). Planning metadata only.
+    */
+  private[ops] def filesDiff(spark: SparkSession, fullScan: DataFrame,
+                             filesTable: String)
+      : (Seq[String], Boolean, Set[String]) = {
+    import spark.implicits._
+    val known = spark.table(filesTable).select($"file").as[String]
+      .collect().toSet
+    val current = fullScan.inputFiles.map(Manifest.norm).toSet
+    (current.diff(known).toSeq.sorted, known.diff(current).nonEmpty, current)
+  }
+
+  private[ops] def writeFilesList(spark: SparkSession, filesTable: String,
+                                  files: Set[String]): Unit = {
+    import spark.implicits._
+    graft.Tables.writeTable(files.toSeq.sorted.toDF("file"), filesTable)
+  }
+
   /** Incrementally maintain a persisted summary. Appended files are
     * aggregated ALONE and merged into the stored partials (the rewrite
     * is summary-sized + delta-sized — the base is not re-read); any
@@ -131,26 +155,20 @@ object Summary {
     */
   def refreshSummary(spark: SparkSession, fullScan: DataFrame,
                      table: String): Long = {
-    import spark.implicits._
     val (dims, measures) = readMeta(spark, table)
-    val known = spark.table(table + "_files").select($"file").as[String]
-      .collect().toSet // already norm-form (written that way)
-    val current = fullScan.inputFiles.map(Manifest.norm).toSet
-    val newFiles = current.diff(known).toSeq.sorted
-    val gone = known.diff(current)
-    if (gone.nonEmpty) {
+    val (newFiles, anyGone, current) =
+      filesDiff(spark, fullScan, table + "_files")
+    if (anyGone) {
       Manifest.requirePlainScan(fullScan, "refreshSummary (rebuild)")
       graft.Tables.writeTable(summarize(fullScan, dims, measures), table)
-      graft.Tables.writeTable(current.toSeq.sorted.toDF("file"),
-        table + "_files")
+      writeFilesList(spark, table + "_files", current)
       current.size.toLong
     } else if (newFiles.nonEmpty) {
       val delta = summarize(spark.read.parquet(newFiles: _*), dims, measures)
       val merged = rollup(spark.table(table).unionByName(delta),
         dims, measures)
       graft.Tables.writeTable(merged, table)
-      graft.Tables.writeTable(current.toSeq.sorted.toDF("file"),
-        table + "_files")
+      writeFilesList(spark, table + "_files", current)
       newFiles.length.toLong
     } else 0L
   }

@@ -109,6 +109,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL summary asset: incremental refresh equals one-shot; removal forces rebuild") {
+    import spark.implicits._
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ($"id" % 3).cast("string").as("g"), ($"id" % 500).as("u"))
+    graft.Tables.writeTable(mk(0, 4000).repartition(2), "skspec_hll_base")
+    Sketches.writeHllSummary(spark.table("skspec_hll_base"),
+      "skspec_hll_sum", Seq("g"), "u", b = 8)
+    Layout.appendPlain(mk(4000, 6000).repartition(1), "skspec_hll_base")
+    val r1 = Sketches.refreshHllSummary(spark,
+      spark.table("skspec_hll_base"), "skspec_hll_sum")
+    assert(r1 === 1L, s"refresh should read the 1 delta file, read $r1")
+    val oneShot = Sketches.hllPartials(spark.table("skspec_hll_base"),
+      Seq("g"), $"u", b = 8)
+    assert(spark.table("skspec_hll_sum").exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(spark.table("skspec_hll_sum")).isEmpty,
+      "incremental registers != one-shot registers")
+    // replace the base wholesale -> removal -> sound full rebuild
+    graft.Tables.writeTable(mk(0, 1000).repartition(3), "skspec_hll_base")
+    val r2 = Sketches.refreshHllSummary(spark,
+      spark.table("skspec_hll_base"), "skspec_hll_sum")
+    assert(r2 === 3L, s"rebuild should read the 3 current files, read $r2")
+    val rebuilt = Sketches.hllPartials(spark.table("skspec_hll_base"),
+      Seq("g"), $"u", b = 8)
+    assert(spark.table("skspec_hll_sum").exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(spark.table("skspec_hll_sum")).isEmpty)
+  }
+
   test("KMV: saturated sketch is exact; estimator accurate at k << n; mergeable") {
     import spark.implicits._
     // A = 0..599, B = 400..999 -> |inter| = 200, |union| = 1000, J = 0.2
