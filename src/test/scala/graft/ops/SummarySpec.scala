@@ -186,6 +186,53 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("rewrite: HAVING and ORDER BY over rewritten aggregates keep exprId wiring") {
+    rwSetup()
+    Summary.register(spark.table("sumspec_rw_base"), "sumspec_rw_sum")
+    // the parent Filter/Sort reference the Aggregate's output
+    // attributes — a rewrite that broke exprId preservation would
+    // fail analysis or bind to the wrong column here
+    val q = """SELECT d1, count(*) AS n,
+              |  cast(cast(sum(cast(x AS decimal(18,4))) AS string) AS double) AS sx
+              |FROM sumspec_rw_v
+              |GROUP BY d1
+              |HAVING count(*) > 100 AND min(x) >= 0
+              |ORDER BY n DESC, d1""".stripMargin
+    val baseline = spark.sql(q).collect()
+    withRule {
+      val df = spark.sql(q)
+      assert(scannedRoots(df).exists(_.contains("sumspec_rw_sum")))
+      assert(df.collect().toSeq === baseline.toSeq)
+    }
+  }
+
+  test("summary over a PARTITIONED base: partition appends refresh delta-sized") {
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ($"id" % 4).cast("string").as("p"),
+      ($"id" % 6).cast("string").as("g"),
+      ($"id" % 50).cast("double").as("x"))
+    graft.Tables.writePartitioned(mk(0, 2000), "sumspec_pt_base", Seq("p"))
+    Summary.writeSummary(spark.table("sumspec_pt_base"), "sumspec_pt_sum",
+      Seq("g"), Seq("x"))
+    // append lands inside partition directories; the files diff sees
+    // the new leaf files regardless of directory layout
+    val before = spark.table("sumspec_pt_base").inputFiles.length
+    mk(2000, 2600).write.mode("append").format("parquet")
+      .partitionBy("p").saveAsTable("sumspec_pt_base")
+    val delta = spark.table("sumspec_pt_base").inputFiles.length - before
+    val read = Summary.refreshSummary(spark,
+      spark.table("sumspec_pt_base"), "sumspec_pt_sum")
+    assert(read === delta.toLong && delta > 0,
+      s"refresh should read exactly the $delta appended leaf files, read $read")
+    val full = Summary.summarize(spark.table("sumspec_pt_base"),
+      Seq("g"), Seq("x"))
+    sameRows(
+      spark.table("sumspec_pt_sum").select($"g", $"cnt_x", $"n_rows"),
+      full.select($"g", $"cnt_x", $"n_rows"),
+      "partitioned-base incremental refresh")
+    spark.sql("DROP TABLE IF EXISTS sumspec_pt_base")
+  }
+
   test("rewrite navigation: coarsest covering summary wins; finer one serves what it can't") {
     graft.Tables.writeTable(baseData(7000).repartition(2), "sumspec_nav_base")
     val base = spark.table("sumspec_nav_base")
