@@ -128,6 +128,56 @@ object Sketches {
         col("in_bloom"))
   }
 
+  /** EXACT threshold heavy hitters with a sketch-gated shuffle — the
+    * two-pass CMS pattern (Cormode & Muthukrishnan §4; the classic
+    * scalable form of "every token occurring >= N times, with exact
+    * counts"): pass 1 builds the m-bounded CMS over the occurrences;
+    * pass 2 re-scans, probes each occurrence's d cells against the
+    * BROADCAST sketch and drops rows whose estimate is below the
+    * threshold BEFORE the exact count's shuffle. CMS estimates
+    * dominate true counts (one-sided), so no truly-heavy token can be
+    * dropped — the gating is RESULTS-INVISIBLE and the oracle is the
+    * plain `GROUP BY ... HAVING count >= N`. What it buys at scale:
+    * the exact aggregate shuffles only occurrences of candidate-heavy
+    * tokens (false positives die at the final exact HAVING), where
+    * the plain plan shuffles the whole token universe — at 100 TB the
+    * distinct-token map-side hash no longer fits and every occurrence
+    * of every rare token crosses the wire; here rare tokens never
+    * leave their partition. Returns (tok, n) exact, n >= threshold.
+    */
+  def heavyHitters(values: DataFrame, valueCol: Column, threshold: Long,
+                   d: Int, w: Int,
+                   mat: Materializer = Materialize.Local): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be 1..8, got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val vals = values.select(valueCol.cast("string").as("v"))
+    def cellOf(i: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$i|"), col("v"))), 1, 15),
+        16, 10).cast("long"), lit(w.toLong))
+    val cellStructs = (0 until d).map(i =>
+      struct(lit(i).as("r"), cellOf(i).as("c")))
+    // materialized once (m-bounded): d broadcast branches below would
+    // otherwise each recompute the corpus aggregate
+    val cells = mat(vals
+      .select(explode(array(cellStructs: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt")))
+    // pass 2: gate each occurrence on its own min-cell estimate; the
+    // d probes are d broadcast joins against the m-bounded cell table
+    val gated = (0 until d).foldLeft(
+        vals.select((col("v") +: (0 until d).map(i =>
+          cellOf(i).as(s"_c$i"))): _*)) { (acc, i) =>
+        acc.join(
+          broadcast(cells.filter(col("r") === i)
+            .select(col("c").as(s"_c$i"), col("cnt").as(s"_n$i"))),
+          Seq(s"_c$i"))
+      }
+      .filter(least((0 until d).map(i => col(s"_n$i")): _*) >= threshold)
+    gated.groupBy(col("v").as("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
   /** The Bloom bit of key `t` under hash row `j` (driver-side twin of
     * the in-plan hash, like [[cmsProbeCol]]). Shared with the
     * generated oracle SQL.

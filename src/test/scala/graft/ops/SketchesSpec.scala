@@ -109,6 +109,33 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters: exact under the gate; saturated sketch still exact") {
+    import spark.implicits._
+    // 5 heavy tokens x 500 + 8000 rare singletons
+    val heavy = spark.range(0, 2500)
+      .select(concat(lit("H"), ($"id" % 5).cast("string")).as("v"))
+    val rare = spark.range(0, 8000)
+      .select(concat(lit("r"), $"id".cast("string")).as("v"))
+    val df = heavy.unionByName(rare)
+    def exact(th: Long) = df.groupBy($"v".as("tok"))
+      .agg(count(lit(1)).as("n")).filter($"n" >= th)
+      .orderBy($"tok").collect().toSeq
+    val got = Sketches.heavyHitters(df, $"v", threshold = 500L,
+        d = 4, w = 4096)
+      .orderBy($"tok").collect().toSeq
+    assert(got === exact(500L) && got.size === 5)
+    // a hopelessly undersized sketch (w=2: every cell saturates, the
+    // gate passes everything) must still be EXACT — only slower
+    val sat = Sketches.heavyHitters(df, $"v", threshold = 500L,
+        d = 2, w = 2)
+      .orderBy($"tok").collect().toSeq
+    assert(sat === exact(500L))
+    // a threshold below every count returns the full exact histogram
+    val all = Sketches.heavyHitters(df, $"v", threshold = 1L,
+        d = 4, w = 4096)
+    assert(all.count() === 8005L)
+  }
+
   test("HLL summary asset: incremental refresh equals one-shot; removal forces rebuild") {
     import spark.implicits._
     def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
