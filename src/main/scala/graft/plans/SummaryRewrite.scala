@@ -60,7 +60,14 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (Summary.isEmpty) plan
     else plan.transformDown {
-      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      // an optimizer rule must never make a valid query fail: any
+      // surprise inside the rewrite (a registry entry whose summary
+      // table was since dropped resolves with an AnalysisException,
+      // a partial column missing from a hand-edited asset, ...)
+      // declines to the original — always-correct — plan.
+      case agg: Aggregate =>
+        try rewrite(agg).getOrElse(agg)
+        catch { case scala.util.control.NonFatal(_) => agg }
     }
 
   /** Peel alias/pruning-projection/filter layers down to the scan,
@@ -94,7 +101,11 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // (fewest dims = fewest partial rows = cheapest serve)
       plan <- candidates.iterator
         .filter(_.files == current)
-        .flatMap(info => translate(agg, conds, info))
+        .flatMap(info =>
+          // per-candidate containment: one dropped/broken summary
+          // must not disqualify a healthy finer-grain sibling
+          try translate(agg, conds, info)
+          catch { case scala.util.control.NonFatal(_) => None })
         .nextOption()
     } yield plan
   }

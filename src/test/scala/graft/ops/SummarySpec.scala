@@ -267,6 +267,26 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("rewrite: a registry entry whose table was dropped declines instead of failing the query") {
+    graft.Tables.writeTable(baseData(3000).repartition(2), "sumspec_dr_base")
+    Summary.writeSummary(spark.table("sumspec_dr_base"), "sumspec_dr_sum",
+      Seq("d1"), Seq("x"))
+    Summary.register(spark.table("sumspec_dr_base"), "sumspec_dr_sum")
+    spark.table("sumspec_dr_base").createOrReplaceTempView("sumspec_dr_v")
+    val q = "SELECT d1, count(*) AS n FROM sumspec_dr_v GROUP BY d1 ORDER BY d1"
+    withRule {
+      assert(scannedRoots(spark.sql(q)).exists(_.contains("sumspec_dr_sum")))
+      // the asset disappears but the registration lingers — an
+      // optimizer rule must never turn that into a query failure
+      spark.sql("DROP TABLE sumspec_dr_sum")
+      val df = spark.sql(q)
+      assert(scannedRoots(df).exists(_.contains("sumspec_dr_base")))
+      val expect = spark.table("sumspec_dr_base").groupBy($"d1")
+        .agg(count(lit(1)).as("n")).orderBy($"d1").collect()
+      assert(df.collect().toSeq === expect.toSeq)
+    }
+  }
+
   test("rewrite: stale summary declines; refresh + re-register re-arms") {
     graft.Tables.writeTable(baseData(5000).repartition(2), "sumspec_st_base")
     Summary.writeSummary(spark.table("sumspec_st_base"), "sumspec_st_sum",
