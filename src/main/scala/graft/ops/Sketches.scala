@@ -144,6 +144,15 @@ object Sketches {
     * distinct-token map-side hash no longer fits and every occurrence
     * of every rare token crosses the wire; here rare tokens never
     * leave their partition. Returns (tok, n) exact, n >= threshold.
+    *
+    * The crossover, measured (ProfileHeavy, PROFILE.md round 10):
+    * pass 2 pays d md5 probes per occurrence plus a second scan, so
+    * on a corpus whose distinct universe still fits map-side combine
+    * the plain groupBy wins on wall even though the gate cuts 82% of
+    * shuffle rows. Use this when distinct-per-partition is large
+    * relative to executor memory — the regime where the plain plan's
+    * combine degrades to shuffling every occurrence — not as a
+    * default replacement for groupBy/HAVING.
     */
   def heavyHitters(values: DataFrame, valueCol: Column, threshold: Long,
                    d: Int, w: Int,
