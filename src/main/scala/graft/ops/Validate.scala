@@ -1,0 +1,106 @@
+package graft
+package ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the Deequ/
+  * Great-Expectations operator every ingestion pipeline runs before
+  * anything downstream trusts a drop (Schelter et al., "Automating
+  * large-scale data quality verification", VLDB'18): a list of checks
+  * is compiled into ONE aggregate pass over the table, and the report
+  * is a row per check with the violation count, the evaluated-row
+  * count, the violation fraction and the verdict.
+  *
+  * Scale shape: all row-level checks (null / range / set / regex) are
+  * conditional-sum aggregates fused into a single partial+final pass —
+  * adding a check adds a column, never a scan. Uniqueness checks
+  * compile to `count(*) − countDistinct(...)` in the same aggregate;
+  * each distinct adds an Expand duplication of the shuffle input (the
+  * q10 lesson), so keep uniqueness checks few — they are the one check
+  * class whose cost is not free. Regexes are restricted by convention
+  * to the Java∩RE2 subset (the [[TextAnalysis]] rule) so an external
+  * engine replays them verbatim.
+  *
+  * Violation semantics: NULLs belong to `NotNull` alone — a NULL never
+  * counts against a range/set/regex check (`n_eval` is the non-null
+  * count there), so one broken column yields one diagnosis, not four.
+  */
+object Validate {
+
+  sealed trait Check { def name: String }
+  /** `col` must never be NULL. */
+  final case class NotNull(col: String) extends Check {
+    def name = s"not_null($col)"
+  }
+  /** The (cols...) combination must not repeat. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    require(cols.nonEmpty, "Unique needs at least one column")
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** Non-null values of `col` must lie in [lo, hi]. */
+  final case class InRange(col: String, lo: Double, hi: Double)
+      extends Check {
+    def name = s"in_range($col,$lo,$hi)"
+  }
+  /** Non-null values of `col` must be one of `allowed`. */
+  final case class OneOf(col: String, allowed: Seq[String]) extends Check {
+    require(allowed.nonEmpty, "OneOf needs at least one allowed value")
+    def name = s"one_of($col)"
+  }
+  /** Non-null values of `col` must match `re` (Java∩RE2 syntax). */
+  final case class MatchesRegex(col: String, re: String) extends Check {
+    def name = s"regex($col)"
+  }
+  /** Table row count must lie in [lo, hi]. */
+  final case class SizeBetween(lo: Long, hi: Long) extends Check {
+    def name = s"size($lo,$hi)"
+  }
+
+  private def violations(c: Check): Column = c match {
+    case NotNull(col0) => count(lit(1)) - count(col(col0))
+    case Unique(cols) =>
+      count(lit(1)) - countDistinct(struct(cols.map(col): _*))
+    case InRange(col0, lo, hi) =>
+      sum(when(col(col0).isNotNull &&
+        !col(col0).between(lo, hi), 1L).otherwise(0L))
+    case OneOf(col0, allowed) =>
+      sum(when(col(col0).isNotNull &&
+        !col(col0).isin(allowed: _*), 1L).otherwise(0L))
+    case MatchesRegex(col0, re) =>
+      sum(when(col(col0).isNotNull &&
+        !col(col0).rlike(re), 1L).otherwise(0L))
+    case SizeBetween(lo, hi) =>
+      when(count(lit(1)).between(lo, hi), 0L).otherwise(1L)
+  }
+
+  private def evaluated(c: Check): Column = c match {
+    case NotNull(_) | Unique(_) | SizeBetween(_, _) => count(lit(1))
+    case InRange(col0, _, _) => count(col(col0))
+    case OneOf(col0, _) => count(col(col0))
+    case MatchesRegex(col0, _) => count(col(col0))
+  }
+
+  /** Run the suite: one row per check —
+    * (check, n_eval, n_bad, bad_frac, passed), in `checks` order.
+    */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(violations(c).cast("long").as(s"_bad$i"),
+        evaluated(c).cast("long").as(s"_n$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"),
+        col(s"_n$i").as("n_eval"),
+        coalesce(col(s"_bad$i"), lit(0L)).as("n_bad"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select($"r.check", $"r.n_eval", $"r.n_bad",
+        when($"r.n_eval" === 0L, lit(0.0))
+          .otherwise($"r.n_bad".cast("double") / $"r.n_eval".cast("double"))
+          .as("bad_frac"),
+        ($"r.n_bad" === 0L).as("passed"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Validate._
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def report(df: org.apache.spark.sql.DataFrame,
+                     checks: Seq[Check]) =
+    Validate.validate(df, checks).collect()
+      .map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("n_eval"), r.getAs[Long]("n_bad"),
+          r.getAs[Boolean]("passed")))).toMap
+
+  test("each check counts exactly its planted violations; nulls belong to NotNull alone") {
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("A"), "ok"),
+      (Some(2L), Some(500.0), Some("A"), "ok"),  // range violation
+      (Some(2L), Some(6.0), Some("X"), "ok"),    // dup key + bad set value
+      (None, None, None, "bad-regex!")           // nulls + regex violation
+    ).toDF("id", "x", "flag", "s")
+    val r = report(df, Seq(
+      NotNull("id"),
+      Unique(Seq("id")),
+      InRange("x", 0, 100),
+      OneOf("flag", Seq("A", "B")),
+      MatchesRegex("s", "^[a-z]+$"),
+      SizeBetween(1, 10)))
+    assert(r("not_null(id)") === ((4L, 1L, false)))
+    // 4 rows, 3 distinct id values (1, 2, NULL) -> 1 duplicate surplus
+    assert(r("unique(id)") === ((4L, 1L, false)))
+    // NULL x is NOT a range violation (n_eval = non-null count)
+    assert(r("in_range(x,0.0,100.0)") === ((3L, 1L, false)))
+    assert(r("one_of(flag)") === ((3L, 1L, false)))
+    assert(r("regex(s)") === ((4L, 1L, false)))
+    assert(r("size(1,10)") === ((4L, 0L, true)))
+  }
+
+  test("clean data passes everything; empty table is all-pass except size") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val ok = report(df, Seq(NotNull("id"), Unique(Seq("id")),
+      MatchesRegex("s", "^[a-z]$"), SizeBetween(1, 5)))
+    assert(ok.values.forall(_._3 === true))
+    val empty = df.limit(0)
+    val er = report(empty, Seq(NotNull("id"), InRange("id", 0, 9),
+      SizeBetween(1, 5)))
+    assert(er("not_null(id)") === ((0L, 0L, true)))
+    assert(er("in_range(id,0.0,9.0)") === ((0L, 0L, true)))
+    assert(er("size(1,5)") === ((0L, 1L, false)))
+  }
+}
