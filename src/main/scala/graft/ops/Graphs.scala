@@ -1,0 +1,72 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived entity graphs — the family member
+  * beyond [[Dedup.duplicateClusters]]' connected components: node
+  * IMPORTANCE (PageRank, Page et al. 1999) over co-occurrence
+  * graphs, in the engine's deterministic-arithmetic discipline.
+  *
+  * Ranks are Q-scaled int64 and every step is exact integer
+  * arithmetic: contribution = rank DIV out-degree (truncating
+  * division — all values positive, so Spark's DIV and an external
+  * engine's floor-div agree), damping = (85 × Σcontrib) DIV 100 plus
+  * the constant (15 × scale) DIV 100. Long sums are associative, so
+  * the result is bit-identical on any partitioning AND in any engine
+  * that replays the same recurrence — which is what makes a ranking
+  * with ties oracle-checkable (float PageRank would order
+  * near-equal ranks differently per run). Truncation leaks a few
+  * units of mass per step; identically in every engine, and
+  * irrelevant to ordering at scale 10^12.
+  *
+  * Scale shape per iteration: one equi-join of edges against the
+  * rank table (shuffle on the edge source), one aggregate on the
+  * destination — the standard distributed power iteration; the rank
+  * frame is materialized per round ([[Materializer]]) so round N+1
+  * starts from a sealed round N instead of re-evaluating the whole
+  * lineage (the [[Dedup.duplicateClusters]] pattern).
+  */
+object Graphs {
+
+  /** Directed multi-edges between items co-occurring under the same
+    * key: per key the DISTINCT items, then every ordered pair (a, b),
+    * a != b — repeated co-occurrence across keys keeps its
+    * multiplicity (a natural edge weight). Symmetric by construction,
+    * so every node has in- and out-degree >= 1 and the power
+    * iteration has no dangling-mass case.
+    */
+  def coOccurrenceEdges(df: DataFrame, keyCol: String,
+                        itemCol: String): DataFrame = {
+    val ki = df.select(col(keyCol).as("k"), col(itemCol).as("item"))
+      .distinct()
+    ki.as("a").join(ki.as("b"),
+        col("a.k") === col("b.k") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+  }
+
+  /** Deterministic integer PageRank over (src, dst) multi-edges.
+    * Returns (node, rank) at the final iteration; `iters` fixed small
+    * (the ordering stabilizes in a handful of rounds on co-occurrence
+    * graphs — this is a ranking, not a convergence solver).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L,
+               mat: Materializer = Materialize.Local): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
+    require(scale >= 1000000L, s"scale too small for integer damping: $scale")
+    val e = mat(edges.select($"src", $"dst"))
+    val deg = mat(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+    val base = (15L * scale) / 100L
+    var r = deg.select($"src".as("node"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, $"src" === $"node")
+        .join(deg, Seq("src"))
+        .select($"dst", expr("r DIV outdeg").as("c"))
+      r = mat(contrib.groupBy($"dst".as("node"))
+        .agg((lit(base) + expr("85 * sum(c) DIV 100")).as("r")))
+    }
+    r
+  }
+}

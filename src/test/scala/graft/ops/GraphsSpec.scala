@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int,
+                    parts: Int = 1): Map[Long, Long] =
+    Graphs.pageRank(
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("symmetric pair is a fixed point; star center dominates; deterministic") {
+    // a <-> b: every node keeps exactly scale (0.15S + 0.85*S = S)
+    val pair = ranks(Seq((1L, 2L), (2L, 1L)), iters = 4)
+    assert(pair === Map(1L -> 1000000000000L, 2L -> 1000000000000L))
+    // star: leaves give everything to the center, the center splits
+    // across 4 leaves — the center must rank strictly highest
+    val starEdges = (2L to 5L).flatMap(l => Seq((1L, l), (l, 1L)))
+    val star = ranks(starEdges, iters = 5)
+    assert((2L to 5L).forall(l => star(1L) > star(l)))
+    assert(star.values.toSet.size === 2, "leaves must tie exactly")
+    // bit-identical on a different partitioning
+    assert(ranks(starEdges, iters = 5, parts = 7) === star)
+  }
+
+  test("coOccurrenceEdges: distinct items per key, ordered pairs, multiplicity across keys") {
+    val df = Seq((10L, "a"), (10L, "a"), (10L, "b"), (10L, "c"),
+      (20L, "a"), (20L, "b")).toDF("k", "item")
+    val e = Graphs.coOccurrenceEdges(df, "k", "item")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (a,b) co-occur under both keys -> multiplicity 2; duplicate
+    // (10,a) rows collapse first
+    assert(e(("a", "b")) === 2L && e(("b", "a")) === 2L)
+    assert(e(("a", "c")) === 1L && e(("b", "c")) === 1L)
+    assert(!e.contains(("a", "a")))
+  }
+}
