@@ -915,6 +915,33 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === Seq("a1", "a3"))
   }
 
+  test("incrementalSummary wired as a stream equals the batch summarize of the union") {
+    implicit val sql = spark.sqlContext
+    import graft.ops.Summary
+    val base = tmp("incr_sum")
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingUpsert.incrementalSummary(
+      in.toDF().toDF("k", "g", "x"), "k", Seq("g"), Seq("x"),
+      basePath = base, checkpoint = tmp("incr_sum_ckpt"))
+    val rows = (0L until 900L).map(i => (i, s"g${i % 5}", (i % 40).toDouble))
+    try {
+      rows.grouped(300).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingUpsert.summaryFromState(spark, base)
+      .select($"g", $"sum_x".cast("string"), $"cnt_x", $"min_x",
+        $"max_x", $"n_rows")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = Summary.summarize(rows.toDF("k", "g", "x"),
+        Seq("g"), Seq("x"))
+      .select($"g", $"sum_x".cast("string"), $"cnt_x", $"min_x",
+        $"max_x", $"n_rows")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.sameElements(batch))
+  }
+
   test("summaryStateBatch: state equals batch summarize; re-delivery dropped; replay idempotent; schema pinned") {
     import graft.ops.Summary
     val base = tmp("sum_state")
