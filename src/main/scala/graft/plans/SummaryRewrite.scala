@@ -27,7 +27,14 @@ import graft.ops.Summary.SummaryInfo
   *     set captured at registration (planning metadata only, the
   *     [[graft.ops.Manifest]] immutable-files argument). An appended
   *     or compacted base silently disables the rewrite until
-  *     [[Summary.refreshSummary]] + re-register.
+  *     [[Summary.refreshSummary]] + re-register. Cost class: O(file
+  *     count) name normalizations per candidate aggregate — the same
+  *     order of planner work as the file listing the scan's
+  *     FileIndex has already materialized for this query (the check
+  *     reads that cache, it lists nothing itself); at metastore
+  *     scales where even that is too hot, the check belongs on a
+  *     table-version counter, which is exactly what a catalog with
+  *     snapshot ids (Delta/Iceberg) would supply here.
   *   - GROUPING: every grouping expression is a bare dim column.
   *   - FILTERS: predicates may sit between the aggregate and the scan
   *     only if they reference dim columns alone (then they apply to
