@@ -91,5 +91,9 @@ object SparkEntry {
     // the summary-sized replacement for the fact-table report
     // aggregate; a regression toward re-reading the base surfaces as
     // a cliff vs q01's fact-sized number.
-    "q136_summary_serve")
+    "q136_summary_serve",
+    // data-quality suite (round 10): six checks fused into ONE
+    // aggregate pass — the nightly ingestion gate; a regression
+    // toward one-scan-per-check surfaces as a multiple of q01.
+    "q147_validate")
 }
