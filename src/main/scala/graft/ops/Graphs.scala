@@ -36,6 +36,12 @@ object Graphs {
     * multiplicity (a natural edge weight). Symmetric by construction,
     * so every node has in- and out-degree >= 1 and the power
     * iteration has no dangling-mass case.
+    *
+    * Skew note: a key with n distinct items emits n(n−1) edges — a
+    * megacart/boilerplate key goes quadratic exactly like an LSH hot
+    * bucket. Cap items per key upstream for hostile distributions
+    * ([[Sessions.capPerKey]] — the maxBucket lesson); order baskets
+    * are naturally bounded, which is why q148's graph needs no cap.
     */
   def coOccurrenceEdges(df: DataFrame, keyCol: String,
                         itemCol: String): DataFrame = {
@@ -50,6 +56,12 @@ object Graphs {
     * Returns (node, rank) at the final iteration; `iters` fixed small
     * (the ordering stabilizes in a handful of rounds on co-occurrence
     * graphs — this is a ranking, not a convergence solver).
+    *
+    * Overflow bound: total mass is nodes × scale and one node can in
+    * principle receive most of it, so pick `scale` such that
+    * 85 × nodes × scale < 2^63 — at 10^9 nodes that is scale ≈ 10^8,
+    * still 8 significant digits of rank resolution. The default
+    * 10^12 is sized for graphs up to ~10^5 nodes.
     */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,

@@ -160,7 +160,12 @@ object Sketches {
     require(d >= 1 && d <= 8, s"d must be 1..8, got $d")
     require(w >= 2, s"w must be >= 2, got $w")
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    // NULL keys are ignored EXPLICITLY (a NULL is not a token) rather
+    // than implicitly by the inner probe joins below — the plain
+    // GROUP BY counts a NULL group, so the semantics difference is a
+    // stated contract, not a join mechanic.
     val vals = values.select(valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull)
     def cellOf(i: Int): Column =
       pmod(conv(substring(md5(concat(lit(s"$i|"), col("v"))), 1, 15),
         16, 10).cast("long"), lit(w.toLong))
@@ -343,7 +348,12 @@ object Sketches {
     */
   def kmvSketch(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // NULL is not a key: md5(NULL) is NULL, and engines DISAGREE on
+    // where NULL sorts (Spark ascending = nulls first, DuckDB = last)
+    // — dropping it explicitly keeps the sketch engine-portable
+    // instead of depending on collation accidents.
     df.select(md5(keyCol.cast("string")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct().orderBy(col("h")).limit(k)
   }
 
