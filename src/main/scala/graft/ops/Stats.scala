@@ -48,6 +48,42 @@ object Stats {
     cum.crossJoin(tot).agg(picks.head, picks.tail: _*)
   }
 
+  /** Per-GROUP exact discrete percentiles — the corpus-analysis
+    * report form ("p50/p95 document length per language"), same lower
+    * quantile_disc convention as [[discretePercentiles]]. One row per
+    * group with a BIGINT p&lt;percent&gt; column per requested
+    * percentile.
+    *
+    * Scale shape: the histogram aggregate shuffles (group, value)
+    * pairs with map-side combine, and the cumulative window is
+    * PARTITIONED by group — unlike the global form's single-task
+    * ordering, every group's (bounded) histogram ranks in parallel,
+    * so adding groups adds parallelism, not a bottleneck. The rank
+    * expression floor((n−1)·p)+1 is one correctly-rounded double
+    * multiply on both engines (n exact below 2^53), so picks replay
+    * bit-identically.
+    */
+  def discretePercentilesBy(df: DataFrame, groupCol: String,
+                            valueCol: String,
+                            ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got $ps")
+    val hist = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val picks = ps.map { p =>
+      val name = "p" + math.round(p * 100)
+      min(when(col("cum") >= floor((col("n") - 1) * lit(p)) + 1, col("v")))
+        .as(name)
+    }
+    cum.join(broadcast(tot), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(picks.head, picks.tail: _*)
+  }
+
   /** APPROXIMATE quantiles for unbounded/continuous integer domains:
     * fixed-width binned histogram + exact-integer interpolation inside
     * the hit bin. The estimate for percent `p` is

@@ -64,4 +64,27 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("discretePercentilesBy equals per-group brute-force sorted picks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 1 to (300 + g.hashCode.abs % 100))
+      yield (g, rnd.nextInt(500).toLong)
+    val df = rows.toDF("g", "x")
+    val ps = Seq(0.25, 0.5, 0.95)
+    val got = Stats.discretePercentilesBy(df, "g", "x", ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getLong(i + 1))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted.toIndexedSeq
+      val want = ps.map(p =>
+        sorted(math.floor((sorted.size - 1) * p).toInt))
+      assert(got(g) === want, s"group $g")
+    }
+    // each group ranks independently: per-group result equals the
+    // global operator run on that group's slice alone
+    val aOnly = Stats.discretePercentiles(df.filter($"g" === "a"), "x", ps)
+      .head()
+    assert(got("a") === ps.indices.map(i => aOnly.getLong(i)))
+  }
 }
