@@ -81,4 +81,64 @@ object Graphs {
     }
     r
   }
+
+  /** Canonical undirected edge set: distinct (a, b) with a < b, loops
+    * dropped. Shared by [[triangleCounts]] and its oracle definition.
+    */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+
+  /** Per-node triangle counts (the clustering-coefficient numerator —
+    * the cohesion member of the graph family next to PageRank's
+    * importance and CC's reachability).
+    *
+    * Algorithm: degree ordering (Suri & Vassilvitskii, WWW'11 —
+    * MR-NodeIterator++/Cohen's edge-split). Each undirected edge is
+    * oriented from its lower to its higher endpoint in the total
+    * order (degree, id); wedges are enumerated only at each edge's
+    * LOWER endpoint and closed with an equi-join back against the
+    * oriented edge set. Why this is the 100 TB shape: wedge fan-out
+    * per node is its oriented out-degree, which the ordering bounds
+    * by O(√m) even on power-law graphs — a celebrity node of degree
+    * 10⁷ enumerates no wedges at itself, its neighbors each
+    * enumerate few. Every triangle is produced exactly once (its
+    * order-minimal vertex is the unique wedge center), so no /3 or
+    * /2 correction and no double counting to cancel. Cost: two
+    * equi-joins + one aggregate; all shuffles are on node keys.
+    *
+    * Determinism: pure set algebra on exact keys — no floats, no
+    * tie-breaks; the count per node is partitioning-invariant, so
+    * the definitional a&lt;b&lt;c id-ordered SQL triangle query is an
+    * exact oracle even though it runs a completely different plan.
+    * Returns (node, n_triangles) for nodes in >= 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame,
+                     mat: Materializer = Materialize.Local): DataFrame = {
+    val und = undirected(edges)
+    val deg = und.select($"a".as("n"))
+      .unionAll(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u = the smaller endpoint in that order
+    val oriented = mat(und
+      .join(deg.as("da"), $"a" === col("da.n"))
+      .join(deg.as("db"), $"b" === col("db.n"))
+      .select(
+        when(struct(col("da.d"), $"a") < struct(col("db.d"), $"b"),
+          struct($"a".as("u"), $"b".as("v")))
+          .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v")))
+    // wedges centered at u, closed by the consistently-oriented edge
+    // between the two tips (x -> y exists in exactly one orientation)
+    val tris = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("ta"), col("e1.v").as("tb"),
+        col("e2.v").as("tc"))
+      .join(oriented, $"tb" === $"u" && $"tc" === $"v")
+      .select($"ta", $"tb", $"tc")
+    tris.select(explode(array($"ta", $"tb", $"tc")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1594,4 +1594,71 @@ object Similarity {
                       nProbe: Int): DataFrame =
     knnIvfSqOnCodes(spark.table(indexTable),
       spark.table(indexTable + "__sqstats"), queries, coarse, k, nProbe)
+
+  // ------------------------------------------------------------------
+  // SemDeDup: cluster-then-compare semantic deduplication
+  // ------------------------------------------------------------------
+
+  /** Nearest-centroid assignment of every corpus vector — the shared
+    * first half of [[semDedup]] (and structurally the same argmax as
+    * the IVF `coarseAssign`, exposed because SemDeDup's OUTPUT keeps
+    * the cluster id). Tie-break: (cos desc, cent_id asc), the engine's
+    * single assignment contract. One broadcast of the centroid set +
+    * one partial+final max_by — no shuffle of the corpus beyond the
+    * aggregate, skew-immune by construction.
+    * Output: (vec_id, qv, n2, cent_id).
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"qv", $"n2", $"cent_id",
+        cosine(qdot($"qv", $"c_qv"), $"n2", $"c_n2").as("cos_c"))
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"qv", $"n2", $"cent_id"),
+        struct($"cos_c", -$"cent_id")).as("_a"))
+      .select($"vec_id", $"_a.qv".as("qv"), $"_a.n2".as("n2"),
+        $"_a.cent_id".as("cent_id"))
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal by clustering the embedding space and
+    * comparing only WITHIN clusters — the trick that makes
+    * epsilon-ball dedup linear-ish instead of all-pairs quadratic.
+    *
+    * Semantics (deterministic, order-free): a vector is DROPPED iff
+    * some SMALLER-id vector in the same cluster has cosine >= tau to
+    * it. This is the parallel, partitioning-independent relaxation of
+    * the paper's greedy sequential scan (which compares only against
+    * previously KEPT vectors): it never depends on scan order, is
+    * identical under any shuffle layout, and replays exactly in SQL —
+    * at the price of occasionally dropping a vector whose only
+    * epsilon-neighbor was itself dropped (a strictly more aggressive,
+    * still epsilon-sound dedup). Keeper choice within a duplicate
+    * neighborhood is the smallest id, matching the exact-dedup /
+    * clean-corpus keeper rule everywhere else in the engine.
+    *
+    * Scale: the centroid table is broadcast (caller sizes it —
+    * [[coarseForCorpus]]'s √n rule keeps expected cluster size √n, so
+    * the within-cluster self-join is O(n·√n) worst-case and far less
+    * on real clustered data; this is the published algorithm's cost
+    * shape). The pairwise stage shuffles both sides ONCE on cent_id;
+    * nothing is ever compared across clusters. The epsilon test uses
+    * the exact int64 quantized cosine, so drops are bit-stable.
+    * Output: (vec_id, cent_id, is_kept) for every corpus vector.
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+               mat: Materializer = Materialize.Local): DataFrame = {
+    // Materialize once: the assignment feeds both sides of the
+    // within-cluster self-join (same barrier rationale as
+    // cosineDupPairs / minhashLshPairs).
+    val assigned = mat(assignClusters(corpus, centroids))
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          cosine(qdot(col("a.qv"), col("b.qv")),
+            col("a.n2"), col("b.n2")) >= tau)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(drops.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cent_id", $"_drop".isNull.as("is_kept"))
+  }
 }

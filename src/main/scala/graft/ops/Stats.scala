@@ -134,4 +134,37 @@ object Stats {
     }
     agged.select(ests: _*)
   }
+
+  /** Per-group ROBUST outliers — the Hampel / median-absolute-deviation
+    * fence: a row is an outlier iff |v − median(group)| > k·MAD(group),
+    * MAD = median of the absolute deviations. Why MAD and not stddev
+    * at corpus scale: mean/σ have a breakdown point of zero — ONE
+    * crawl artifact (a 2 GB concatenated page, a length-0 burst)
+    * drags the fence toward itself and masks every other anomaly,
+    * while median/MAD tolerate up to 50% contamination. Both medians
+    * are the EXACT lower discrete quantile via the bounded-histogram
+    * protocol of [[discretePercentilesBy]], and the fence compare is
+    * pure int64 — so the flagged set is deterministic on any
+    * partitioning and replays exactly in SQL (no σ-estimator
+    * convention to disagree on).
+    *
+    * Scale shape: two bounded-histogram aggregates (values, then
+    * deviations — shuffle ∝ distinct values per group, map-side
+    * combined), each result a per-group scalar broadcast back; the
+    * final fence is a broadcast-join filter on the full table — no
+    * corpus-sized shuffle anywhere. Output: the input rows that
+    * breach the fence, plus (med, mad, adev).
+    */
+  def madOutliersBy(df: DataFrame, groupCol: String, valueCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val med = discretePercentilesBy(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol), col("p50").as("med"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = discretePercentilesBy(dev, groupCol, "adev", Seq(0.5))
+      .select(col(groupCol), col("p50").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("adev") > lit(k.toLong) * col("mad"))
+  }
 }

@@ -706,6 +706,93 @@ object StreamingUpsert {
       .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
   }
 
+  // ------------------------------------------ incremental SemDeDup
+
+  /** One micro-batch of incremental semantic dedup against FROZEN
+    * centroids — the arrival-time form of
+    * [[graft.ops.Similarity.semDedup]]. The batch's vectors are
+    * assigned to their nearest centroid; epsilon-pairs (quantized
+    * cosine >= tau, same cluster, a.vec_id < b.vec_id) are searched
+    * only where AT LEAST ONE side is new (an old-old pair was found
+    * when the later of the two arrived — the [[nearDupBatch]]
+    * induction), and newly discovered drop victims are appended to
+    * `drops/`. Because the drop rule is order-free on IDS (not
+    * arrival), a late-arriving SMALL id can retroactively drop an
+    * already-arrived larger id — the new-vs-old direction handles
+    * exactly that case, which is what makes the state equal the batch
+    * operator under ANY arrival order (StreamingUpsertSpec property).
+    *
+    * Contract: `centroids` frozen across the stream (re-clustering is
+    * a rebuild, not an append — the [[pqEncodeBatch]] codebook rule);
+    * vec_ids unique across the stream. Replays re-append value-
+    * identical rows; state reads are distinct-at-read, so appends are
+    * effectively exactly-once (the [[nearDupBatch]] contract).
+    */
+  def semDedupBatch(spark: SparkSession, batch: DataFrame,
+                    centroids: DataFrame, tau: Double, basePath: String,
+                    mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    import graft.ops.Similarity
+    val vecsPath = s"$basePath/vecs"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def readOrEmpty(p: String, like: DataFrame): DataFrame = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(hconf).exists(hp))
+        spark.read.schema(like.schema).parquet(p).distinct()
+      else like.limit(0)
+    }
+    // micro-batch-local barrier: the assignment feeds the pair join
+    // twice and the state append
+    val newAsg = mat(Similarity.assignClusters(batch, centroids))
+    val oldAsg = readOrEmpty(vecsPath, newAsg)
+    val all = oldAsg.withColumn("is_new", lit(false))
+      .unionByName(newAsg.withColumn("is_new", lit(true)))
+    val drops = all.as("a").join(all.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          (col("a.is_new") || col("b.is_new")) &&
+          Similarity.cosine(Similarity.qdot(col("a.qv"), col("b.qv")),
+            col("a.n2"), col("b.n2")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    // drops first: a replay after a partial failure re-appends drops
+    // (distinct-at-read) but never loses them against advanced state
+    drops.write.mode("append").parquet(s"$basePath/drops")
+    newAsg.write.mode("append").parquet(vecsPath)
+  }
+
+  /** The accumulated keep/drop verdicts from state written by
+    * [[semDedupBatch]] — column-identical to the batch
+    * [[graft.ops.Similarity.semDedup]] over everything fed so far:
+    * (vec_id, cent_id, is_kept).
+    */
+  def semDedupFromState(spark: SparkSession, basePath: String): DataFrame = {
+    val vecs = spark.read.parquet(s"$basePath/vecs")
+      .select(col("vec_id"), col("cent_id")).distinct()
+    val dropsPath = new org.apache.hadoop.fs.Path(s"$basePath/drops")
+    val drops = (if (hfs(spark, dropsPath).exists(dropsPath))
+        spark.read.parquet(s"$basePath/drops").select(col("vec_id"))
+      else vecs.select(col("vec_id")).limit(0))
+      .distinct().withColumn("_drop", lit(true))
+    vecs.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("_drop").isNull.as("is_kept"))
+  }
+
+  /** [[semDedupBatch]] wired as the foreachBatch sink of an embedding
+    * stream (idCol, vecCol raw float vectors — quantized per batch).
+    */
+  def incrementalSemDedup(stream: DataFrame, idCol: String,
+                          vecCol: String, centroids: DataFrame,
+                          tau: Double, basePath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semDedupBatch(batch.sparkSession,
+          graft.ops.Similarity.prepared(batch, idCol, vecCol),
+          centroids, tau, basePath)
+      }
+      .start()
+
   // ------------------------------------------- incremental PQ encode
 
   /** One micro-batch of incremental PQ encoding against FROZEN

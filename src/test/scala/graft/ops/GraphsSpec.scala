@@ -39,4 +39,42 @@ class GraphsSpec extends SparkSpec {
     assert(e(("a", "c")) === 1L && e(("b", "c")) === 1L)
     assert(!e.contains(("a", "a")))
   }
+
+  private def triCounts(edges: Seq[(Long, Long)],
+                        parts: Int = 1): Map[Long, Long] =
+    Graphs.triangleCounts(edges.toDF("src", "dst").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: known small graphs, exactly once per triangle") {
+    // triangle + pendant edge: 1-2-3 closed, 4 hangs off 1
+    val tri = triCounts(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: every node in C(3,2) = 3 triangles; duplicate/reversed
+    // edges collapse first
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    assert(triCounts(k4) === (1L to 4L).map(_ -> 3L).toMap)
+    // square (no diagonal): zero triangles -> empty result
+    assert(triCounts(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).isEmpty)
+  }
+
+  test("triangleCounts: equals the definitional count, any partitioning") {
+    // random graph, compare against an O(n^3) driver-side reference
+    val rnd = new scala.util.Random(31)
+    val n = 24
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+    } yield (a, b)).toSeq
+    val eset = edges.toSet
+    def adj(x: Long, y: Long) = eset((math.min(x, y), math.max(x, y)))
+    val want = (0L until n).map { v =>
+      v -> (for {
+        x <- 0L until n; y <- (x + 1) until n
+        if x != v && y != v && adj(v, x) && adj(v, y) && adj(x, y)
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(triCounts(edges) === want)
+    assert(triCounts(edges, parts = 7) === want)
+  }
 }

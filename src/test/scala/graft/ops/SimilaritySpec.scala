@@ -819,4 +819,52 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect()
     assert(rec.toSeq === orig.toSeq)
   }
+
+  test("semDedup: drops lower-id epsilon-neighbors within clusters only") {
+    // stride 2 over ids 0..5 → centroids 0, 2, 4.
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f)),       // centroid, cluster 0
+      (1L, Seq(0.71f, 0.703f)),    // cluster 0; cos to 0 ≈ 0.71 → kept
+      (2L, Seq(0.0f, 1.0f)),       // centroid, cluster 2
+      (3L, Seq(0.703f, 0.71f)),    // cluster 2; near-dup of 1 (cos ≈
+                                   // 0.999) but a DIFFERENT cluster →
+                                   // kept (cluster-scoped compare)
+      (4L, Seq(-1.0f, 0.0f)),      // centroid, cluster 4
+      (5L, Seq(0.99f, 0.01f))),    // cluster 0; cos to 0 ≈ 0.99995 →
+                                   // dropped by the smaller id
+      "vec_id", "embedding")
+    val cents = Similarity.strideCentroids(p, 2L)
+    val res = Similarity.semDedup(p, cents, tau = 0.95)
+      .orderBy("vec_id").collect()
+    assert(res.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("cent_id"), r.getAs[Boolean]("is_kept"))).toSeq ===
+      Seq((0L, 0L, true), (1L, 0L, true), (2L, 2L, true),
+        (3L, 2L, true), (4L, 4L, true), (5L, 0L, false)))
+  }
+
+  test("semDedup == assignment + exact same-cluster pairs (property)") {
+    val rnd = new scala.util.Random(23)
+    val dims = 16
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cents = Similarity.strideCentroids(p, 7L)
+    val tau = 0.5
+    val got = Similarity.semDedup(p, cents, tau)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cent_id"), r.getAs[Boolean]("is_kept"))).toSet
+    // independent reference: exact all-pairs cosine, restricted to
+    // same-cluster pairs of the same assignment
+    val asg = Similarity.assignClusters(p, cents)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = Similarity.cosineDupPairsExact(p, tau)
+      .select("id_a", "id_b").collect()
+      .filter(r => asg(r.getLong(0)) == asg(r.getLong(1)))
+      .map(_.getLong(1)).toSet
+    val want = asg.map { case (id, c) => (id, c, !dropped(id)) }.toSet
+    assert(got === want)
+    assert(dropped.nonEmpty) // the fixture must actually exercise drops
+  }
 }

@@ -87,4 +87,33 @@ class StatsSpec extends SparkSpec {
       .head()
     assert(got("a") === ps.indices.map(i => aOnly.getLong(i)))
   }
+
+  test("madOutliersBy: exact median/MAD fence, per group, robust to the outlier itself") {
+    import spark.implicits._
+    // group a: tight cluster around 100 plus two gross artifacts —
+    // the artifacts must not drag the fence (that's the point of MAD)
+    val a = Seq.tabulate(21)(i => ("a", 95L + i)) ++
+      Seq(("a", 100000L), ("a", 0L))
+    // group b: wider spread, no artifact -> nothing flagged
+    val b = Seq.tabulate(20)(i => ("b", 50L * i))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val got = Stats.madOutliersBy(df, "g", "v", k = 3)
+      .select("id", "g", "v", "med", "mad", "adev").collect()
+    // driver-side reference: exact lower-discrete median/MAD per group
+    def lowMed(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(math.floor((s.size - 1) * 0.5).toInt)
+    }
+    val rows = (a ++ b).zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    val want = rows.groupBy(_._2).flatMap { case (g, grp) =>
+      val med = lowMed(grp.map(_._3))
+      val mad = lowMed(grp.map(x => math.abs(x._3 - med)))
+      grp.filter(x => math.abs(x._3 - med) > 3L * mad)
+        .map(x => (x._1, g, x._3, med, mad, math.abs(x._3 - med)))
+    }.toSet
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet === want)
+    // the two artifacts in group a are flagged; group b is clean
+    assert(want.count(_._2 == "a") === 2 && !want.exists(_._2 == "b"))
+  }
 }

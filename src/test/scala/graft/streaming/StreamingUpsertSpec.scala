@@ -477,6 +477,70 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(served === inline)
   }
 
+  test("incrementalSemDedup over shuffled micro-batches equals batch semDedup (property)") {
+    // The drop rule is order-free on IDS, not arrival: feeding the
+    // corpus in SHUFFLED order forces the retroactive case (a late
+    // small id dropping an already-arrived larger id) through the
+    // new-vs-old join direction.
+    implicit val sql = spark.sqlContext
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(37)
+    val dims = 8
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // centroids frozen ONCE over the full corpus (the asset contract)
+    val cents = Similarity.strideCentroids(p, 9L).cache()
+    cents.count()
+    val tau = 0.4
+    val base = tmp("incr_semdedup")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingUpsert.incrementalSemDedup(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, tau, base, checkpoint = tmp("incr_semdedup_ckpt"))
+    try {
+      rnd.shuffle(vecs).grouped(9).foreach { b =>
+        in.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingUpsert.semDedupFromState(spark, base)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = Similarity.semDedup(p, cents, tau)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 40)
+    assert(streamed.exists(!_._3), "fixture must exercise drops")
+  }
+
+  test("semDedupBatch replay re-appends value-identical state (idempotent at read)") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(41)
+    val dims = 8
+    val vecs = (0L until 24L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cents = Similarity.strideCentroids(p, 7L).cache()
+    cents.count()
+    val base = tmp("semdedup_replay")
+    val (b1, b2) = vecs.splitAt(15)
+    def run(b: Seq[(Long, Seq[Float])]): Unit =
+      StreamingUpsert.semDedupBatch(spark,
+        Similarity.prepared(b.toDF("vec_id", "embedding"),
+          "vec_id", "embedding"), cents, 0.4, base)
+    run(b1)
+    run(b1) // replayed micro-batch: value-identical appends
+    run(b2)
+    val got = StreamingUpsert.semDedupFromState(spark, base)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val want = Similarity.semDedup(p, cents, 0.4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(got.size === 24)
+  }
+
   test("pqEncodeBatch replay + cross-batch re-delivery collapse under distinct-at-read") {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(31)
