@@ -333,4 +333,68 @@ object TextAnalysis {
   def hamming(a: Column, b: Column, bits: Int): Column =
     size(filter(zip_with(split(a, ""), split(b, ""),
       (x, y) => x =!= y), p => p)).cast("long")
+
+  // ------------------------------------------------------------ vocab
+
+  /** Frequency-ranked vocabulary over the corpus: (token, id, n) for
+    * every token with count >= minCount, id = 1-based rank by
+    * (count desc, token asc) — the deterministic convention every
+    * tokenizer-training pipeline uses (id 0 is reserved for OOV, see
+    * [[encodeDocs]]).
+    *
+    * Scale shape — the global rank WITHOUT a global sort: a
+    * single-task row_number over millions of vocab rows would be the
+    * q87 anti-pattern, so the rank is split two-phase on the q149
+    * histogram protocol: (1) row_number PARTITIONED by count, ordered
+    * by token — parallel across count values; (2) each token's offset
+    * = total tokens with a strictly HIGHER count, a cumulative window
+    * over the count-of-counts histogram, which Zipf keeps tiny
+    * (distinct COUNTS ≪ distinct tokens: the long tail collapses
+    * into n=1,2,3…). rank = offset + within-rank. The only
+    * corpus-sized shuffle is the token count itself (map-side
+    * combined).
+    */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val within = Window.partitionBy(col("n")).orderBy(col("token"))
+    val ranked = tc.withColumn("_r", row_number().over(within).cast("long"))
+    val counts = tc.groupBy(col("n")).agg(count(lit(1)).as("_cnt"))
+    // bounded: one row per DISTINCT count value
+    val wOff = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.withColumn("_off",
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+    ranked.join(broadcast(offs.select(col("n"), col("_off"))), Seq("n"))
+      .select(col("token"), (col("_off") + col("_r")).as("id"), col("n"))
+  }
+
+  /** Encode every document as its vocabulary-id sequence: tokens are
+    * looked up in `vocab` ([[buildVocab]]'s (token, id) — broadcast:
+    * even a 10M-entry vocab is ~100 MB, far under a corpus shuffle),
+    * OOV tokens map to id 0, and order is restored by token position
+    * (the span-dedup explode/reassemble shape — one shuffle on
+    * doc_id). Documents with zero tokens keep an empty sequence.
+    * Output: (doc_id, ids array&lt;long&gt;).
+    */
+  def encodeDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String,
+                 vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))),
+        Seq("token"), "left")
+    val enc = pos.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), coalesce(col("id"), lit(0L)).as("id")))).as("_s"))
+      .select(col("doc_id"),
+        transform(col("_s"), s => s.getField("id")).as("ids"))
+    docs.select(col(idCol).as("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
+  }
 }

@@ -135,4 +135,48 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.canonicalizeUrl($"url")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g === want) }
   }
+
+  test("buildVocab: two-phase rank equals the definitional (count desc, token) order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val words = Seq("the", "a", "of", "cat", "dog", "house", "tree",
+      "blue", "runs", "fast")
+    // Zipf-ish draws so several tokens TIE on count (the offset must
+    // handle multi-token count groups)
+    val docs = (0L until 50L).map { i =>
+      (i, Seq.fill(8)(words(math.min(
+        (math.abs(rnd.nextGaussian()) * 3).toInt, words.size - 1)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver-side reference
+    val counts = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      .filter(_._2 >= 2L).toSeq
+    val want = counts.sortBy { case (t, n) => (-n, t) }.zipWithIndex
+      .map { case ((t, n), i) => (t, i + 1L, n) }
+    assert(got.sortBy(_._2).toSeq === want)
+    assert(want.map(_._3).distinct.size < want.size,
+      "fixture must exercise count ties")
+  }
+
+  test("encodeDocs: position order, OOV -> 0, empty doc -> empty ids") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a b rare a"), // 'rare' is below minCount -> OOV
+      (2L, "a a a b"),
+      (3L, "   ")           // zero tokens
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+    // counts: a=5, b=3 -> ids a=1, b=2
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("a" -> 1L, "b" -> 2L))
+    val enc = TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) === Seq(2L, 1L, 2L, 0L, 1L))
+    assert(enc(2L) === Seq(1L, 1L, 1L, 2L))
+    assert(enc(3L) === Seq.empty)
+  }
 }
