@@ -141,4 +141,29 @@ object Graphs {
     tris.select(explode(array($"ta", $"tb", $"tc")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node, as exact parts-per-million
+    * (2·T·10⁶ DIV d(d−1) — integer arithmetic end to end, so ties and
+    * zeros replay exactly; float division would make the gate depend
+    * on rounding). Nodes with degree < 2 have no defined coefficient
+    * and are excluded; triangle-free nodes report 0. Overflow bound:
+    * T ≤ d²/2, so 2·T·10⁶ < d²·10⁶ — fine through d ≈ 3·10⁶ per
+    * node; beyond that, lower the ppm scale.
+    *
+    * Cost is [[triangleCounts]] plus one degree aggregate and a
+    * node-keyed join — same shuffle keys, no new scale hazard.
+    */
+  def clusteringCoefficients(edges: DataFrame,
+                             mat: Materializer = Materialize.Local): DataFrame = {
+    val und = undirected(edges)
+    val deg = und.select($"a".as("node"))
+      .unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, mat), Seq("node"), "left")
+      .filter($"degree" >= 2L)
+      .select($"node", $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .withColumn("coef_ppm",
+        expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"))
+  }
 }

@@ -77,4 +77,24 @@ class GraphsSpec extends SparkSpec {
     assert(triCounts(edges) === want)
     assert(triCounts(edges, parts = 7) === want)
   }
+
+  test("clusteringCoefficients: exact ppm, zero for triangle-free, degree-1 excluded") {
+    import spark.implicits._
+    // triangle 1-2-3 + pendant 4 on 1 + isolated edge 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+    val got = Graphs.clusteringCoefficients(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // node 1: d=3, T=1 -> 2*1e6/6 = 333333; nodes 2,3: d=2, T=1 ->
+    // 1000000; node 4,5,6: d=1 -> excluded
+    assert(got === Map(
+      1L -> (3L, 1L, 333333L),
+      2L -> (2L, 1L, 1000000L),
+      3L -> (2L, 1L, 1000000L)))
+    // triangle-free node of degree 2 reports 0
+    val path = Graphs.clusteringCoefficients(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(path === Map(2L -> 0L))
+  }
 }
