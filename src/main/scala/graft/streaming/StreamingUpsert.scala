@@ -793,6 +793,123 @@ object StreamingUpsert {
       }
       .start()
 
+  /** [[semDedupBatch]]'s compacted-asset twin (the
+    * [[nearDupBatchCompacted]] protocol applied to the SemDeDup
+    * family): per-batchId OVERWRITE dirs (idempotent replay), the
+    * versioned seen-ids gate (a re-delivered vec_id is never "new"
+    * twice), and old state read as compacted catalog table + completed
+    * delta dirs from OTHER batches. Periodically fold the deltas with
+    * [[compactSemDedupState]]; read verdicts with
+    * [[semDedupServeCompacted]]. Centroids frozen across the stream
+    * (the [[pqEncodeBatch]] codebook rule).
+    */
+  def semDedupBatchCompacted(spark: SparkSession, batch: DataFrame,
+                             centroids: DataFrame, tau: Double,
+                             basePath: String, vecsTable: String,
+                             batchId: Long,
+                             mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    import graft.ops.Similarity
+    val fresh = mat(freshAgainstSeen(spark, batch, "vec_id", batchId,
+      s"$basePath/seen"))
+    val newAsg = mat(Similarity.assignClusters(fresh, centroids))
+    // old state: compacted table + completed delta dirs from OTHER
+    // batches (a replay must not join its own prior attempt)
+    val dirs = batchDirs(spark, s"$basePath/vecs")
+      .filterNot(_.endsWith(s"batch=$batchId"))
+    val oldParts =
+      (if (spark.catalog.tableExists(vecsTable))
+        Seq(spark.table(vecsTable)
+          .select(newAsg.columns.toIndexedSeq.map(col): _*))
+      else Seq.empty) ++
+      (if (dirs.nonEmpty)
+        Seq(spark.read.schema(newAsg.schema).parquet(dirs: _*))
+      else Seq.empty)
+    val oldAsg = oldParts.foldLeft(newAsg.limit(0))(_ unionByName _)
+    val all = oldAsg.withColumn("is_new", lit(false))
+      .unionByName(newAsg.withColumn("is_new", lit(true)))
+    val drops = all.as("a").join(all.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          (col("a.is_new") || col("b.is_new")) &&
+          Similarity.cosine(Similarity.qdot(col("a.qv"), col("b.qv")),
+            col("a.n2"), col("b.n2")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    drops.write.mode("overwrite").parquet(s"$basePath/drops/batch=$batchId")
+    newAsg.write.mode("overwrite").parquet(s"$basePath/vecs/batch=$batchId")
+    recordSeen(spark, fresh.select(col("vec_id").as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Fold the accumulated SemDeDup delta dirs into catalog assets and
+    * delete the consumed dirs — [[compactLshState]]'s pattern. The
+    * vecs asset is bucketed by cent_id (the within-cluster pair join
+    * key, so future batches' old-vs-new joins read co-located
+    * buckets); drops are a plain one-column table.
+    */
+  def compactSemDedupState(spark: SparkSession, basePath: String,
+                           vecsTable: String, dropsTable: String,
+                           numBuckets: Int = 32): Unit = {
+    def fold(sub: String, write: DataFrame => Unit,
+             read: () => Option[DataFrame]): Unit = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+      if (dirs.nonEmpty) {
+        val state = spark.read.parquet(dirs: _*)
+        val all = read().map(_.unionByName(state)).getOrElse(state)
+        write(all.distinct())
+        dirs.foreach { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hfs(spark, hp).delete(hp, true)
+        }
+      }
+    }
+    fold("vecs",
+      df => graft.Tables.writeBucketed(
+        df.select(col("vec_id"), col("qv"), col("n2"), col("cent_id")),
+        vecsTable, "cent_id", numBuckets),
+      () => if (spark.catalog.tableExists(vecsTable))
+        Some(spark.table(vecsTable)
+          .select(col("vec_id"), col("qv"), col("n2"), col("cent_id")))
+      else None)
+    fold("drops",
+      df => graft.Tables.writeTable(df.select(col("vec_id")), dropsTable),
+      () => if (spark.catalog.tableExists(dropsTable))
+        Some(spark.table(dropsTable).select(col("vec_id")))
+      else None)
+  }
+
+  /** Keep/drop verdicts from the compacted assets + any uncompacted
+    * delta dirs — column-identical to [[semDedupFromState]] /
+    * the batch [[graft.ops.Similarity.semDedup]].
+    */
+  def semDedupServeCompacted(spark: SparkSession, basePath: String,
+                             vecsTable: String,
+                             dropsTable: String): DataFrame = {
+    def merged(sub: String, table: String, cols: Seq[String]): DataFrame = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+      val parts =
+        (if (spark.catalog.tableExists(table))
+          Seq(spark.table(table).select(cols.map(col): _*))
+        else Seq.empty) ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.parquet(dirs: _*).select(cols.map(col): _*))
+        else Seq.empty)
+      require(parts.nonEmpty,
+        s"no $sub state: neither table $table nor dirs under $basePath/$sub")
+      parts.reduce(_ unionByName _).distinct()
+    }
+    val vecs = merged("vecs", vecsTable, Seq("vec_id", "cent_id"))
+    val dropDirs = batchDirs(spark, s"$basePath/drops")
+    val haveDrops =
+      spark.catalog.tableExists(dropsTable) || dropDirs.nonEmpty
+    val drops = (if (haveDrops)
+        merged("drops", dropsTable, Seq("vec_id"))
+      else vecs.select(col("vec_id")).limit(0))
+      .withColumn("_drop", lit(true))
+    vecs.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("_drop").isNull.as("is_kept"))
+  }
+
   // ------------------------------------------- incremental PQ encode
 
   /** One micro-batch of incremental PQ encoding against FROZEN

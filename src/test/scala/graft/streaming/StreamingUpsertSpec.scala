@@ -541,6 +541,50 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got.size === 24)
   }
 
+  test("semDedupBatchCompacted + compactSemDedupState equals batch semDedup; re-delivery gated") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(47)
+    val dims = 8
+    val vecs = (0L until 36L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cents = Similarity.strideCentroids(p, 8L).cache()
+    cents.count()
+    val base = tmp("semdedup_compact")
+    val (vecsT, dropsT) = ("semdedup_cvecs_spec", "semdedup_cdrops_spec")
+    try {
+      def feed(b: Seq[(Long, Seq[Float])], id: Long): Unit =
+        StreamingUpsert.semDedupBatchCompacted(spark,
+          Similarity.prepared(b.toDF("vec_id", "embedding"),
+            "vec_id", "embedding"), cents, 0.4, base, vecsT, id)
+      // shuffled arrival, compaction mid-stream, replay of batch 1,
+      // and a cross-batch re-delivery (seen gate)
+      val shuffled = rnd.shuffle(vecs)
+      val (b0, rest) = shuffled.splitAt(12)
+      val (b1, b2) = rest.splitAt(12)
+      feed(b0, 0L)
+      StreamingUpsert.compactSemDedupState(spark, base, vecsT, dropsT)
+      feed(b1, 1L)
+      feed(b1, 1L) // same-batchId replay: overwrite, idempotent
+      feed(b2 ++ b0.take(3), 2L) // re-delivery of 3 compacted vecs
+      val got = StreamingUpsert.semDedupServeCompacted(spark, base,
+        vecsT, dropsT).as[(Long, Long, Boolean)].collect().toSet
+      val want = Similarity.semDedup(p, cents, 0.4)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got === want)
+      assert(got.size === 36)
+      assert(got.exists(!_._3), "fixture must exercise drops")
+      // a second compaction folds the remaining deltas; serve unchanged
+      StreamingUpsert.compactSemDedupState(spark, base, vecsT, dropsT)
+      val got2 = StreamingUpsert.semDedupServeCompacted(spark, base,
+        vecsT, dropsT).as[(Long, Long, Boolean)].collect().toSet
+      assert(got2 === want)
+    } finally {
+      Seq(vecsT, dropsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("pqEncodeBatch replay + cross-batch re-delivery collapse under distinct-at-read") {
     import graft.ops.Similarity
     val rnd = new scala.util.Random(31)
