@@ -481,4 +481,47 @@ class PlanSpec extends SparkSpec {
       assert(nHash === 5, s"expected 5 xxhash64 members, got $nHash: $c")
     }
   }
+
+  test("q150 semDedup: centroids broadcast; pair join is an equi-join, never cartesian") {
+    import graft.ops.Similarity
+    // the assignment subplan (sealed behind the materializer in the
+    // full query) attaches the centroid table via broadcast — the
+    // corpus is never shuffled to meet it
+    val prep = Similarity.prepared(
+      graft.Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val pa = plan(Similarity.assignClusters(prep,
+      Similarity.strideCentroids(prep, 25L)))
+    assert(pa.contains("BroadcastNestedLoopJoin") ||
+      pa.contains("BroadcastHashJoin"), pa)
+    // the within-cluster compare hashes on cent_id — a regression to a
+    // non-equi pair join would explode quadratically
+    val p = plan(OpsQueries.q150(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(cent_id"), p)
+  }
+
+  test("q151 triangles: wedge and closing joins are equi-joins, never cartesian") {
+    val p = plan(OpsQueries.q151(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q154 vocab: corpus-sized window is partitioned; only the count-histogram ranks single-task") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    val df = OpsQueries.q154(spark, dir)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // every UNPARTITIONED window must run over the count-of-counts
+    // histogram (columns n/_cnt — one row per DISTINCT count value),
+    // never over the token table (the q87 single-task anti-pattern)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val cols = w.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("n", "_cnt")),
+        s"unpartitioned window over non-histogram columns $cols:\n$w")
+    }
+    // and the token-ranking window IS partitioned
+    assert(windows.exists(_.partitionSpec.nonEmpty))
+  }
 }
