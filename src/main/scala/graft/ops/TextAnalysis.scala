@@ -334,6 +334,52 @@ object TextAnalysis {
     size(filter(zip_with(split(a, ""), split(b, ""),
       (x, y) => x =!= y), p => p)).cast("long")
 
+  // ------------------------------------------------------------ drift
+
+  /** Token-distribution drift between two corpus slices — the
+    * train/validation (or yesterday/today) shift monitor every
+    * ingestion pipeline wants: per-token occurrence RATES in exact
+    * integer ppm (count·10⁶ DIV slice-total), ranked by absolute rate
+    * difference. `minCount` floors the combined count so the long tail
+    * (rate estimates with huge variance) never dominates the report;
+    * top-k keeps the report bounded. Every step is int64 — rates,
+    * drift, and the (drift desc, token asc) order replay exactly, so
+    * the report is oracle-checkable (a chi-square/G-test ranking
+    * would square occurrence×corpus products past int64 and pull
+    * float logs into the gate).
+    *
+    * Scale shape: one token-count aggregate per slice (map-side
+    * combined, the only corpus-sized shuffles), totals attached as
+    * broadcast 1-row aggregates, full-outer join on the (bounded)
+    * surviving vocabulary, TakeOrderedAndProject for the top-k.
+    * Output: (token, n_a, n_b, rate_a_ppm, rate_b_ppm, drift_ppm).
+    */
+  def tokenDrift(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.select(explode(toks(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(s"n_$side"))
+    val (ca, cb) = (counts(a, "a"), counts(b, "b"))
+    val totA = broadcast(ca.agg(sum(col("n_a")).as("tot_a")))
+    val totB = broadcast(cb.agg(sum(col("n_b")).as("tot_b")))
+    ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(totA).crossJoin(totB)
+      .select(col("token"), col("n_a"), col("n_b"),
+        expr("n_a * 1000000 DIV tot_a").as("rate_a_ppm"),
+        expr("n_b * 1000000 DIV tot_b").as("rate_b_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("rate_a_ppm") - col("rate_b_ppm")))
+      .orderBy(col("drift_ppm").desc, col("token").asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------ vocab
 
   /** Frequency-ranked vocabulary over the corpus: (token, id, n) for

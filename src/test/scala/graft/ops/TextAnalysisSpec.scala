@@ -162,6 +162,30 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture must exercise count ties")
   }
 
+  test("tokenDrift: exact ppm rates, one-sided tokens kept, minCount floors the tail") {
+    import spark.implicits._
+    // side A: 10 tokens total; side B: 20 tokens total
+    val a = Seq((1L, "x x x x x y y y y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x x x x x x x x y y w w w w w w w w w w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDrift(a, b, "text", minCount = 2L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // x: 5/10 vs 8/20 -> 500000 vs 400000, drift 100000
+    assert(got("x") === (5L, 8L, 500000L, 400000L, 100000L))
+    // y: 4/10 vs 2/20 -> 400000 vs 100000, drift 300000
+    assert(got("y") === (4L, 2L, 400000L, 100000L, 300000L))
+    // w: only in B -> 0 vs 500000, drift 500000 (one-sided survives)
+    assert(got("w") === (0L, 10L, 0L, 500000L, 500000L))
+    // z: combined count 1 < minCount -> floored out
+    assert(!got.contains("z"))
+    // ranked by drift desc
+    val order = TextAnalysis.tokenDrift(a, b, "text", 2L, 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(order === Seq("w", "y", "x"))
+  }
+
   test("encodeDocs: position order, OOV -> 0, empty doc -> empty ids") {
     import spark.implicits._
     val docs = Seq(
