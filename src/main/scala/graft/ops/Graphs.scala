@@ -153,6 +153,53 @@ object Graphs {
     * Cost is [[triangleCounts]] plus one degree aggregate and a
     * node-keyed join — same shuffle keys, no new scale hazard.
     */
+  /** k-core decomposition membership: iteratively peel nodes of
+    * degree < k (with their edges) until fixpoint — the standard
+    * round-synchronous peel, each round two semi-joins + one degree
+    * aggregate over the SHRINKING edge set, sealed per round
+    * ([[Materializer]], the duplicateClusters loop discipline). The
+    * result is the canonical maximal k-core: order-free, so any
+    * engine replaying the peel reaches the identical set, and an
+    * oracle that unrolls MORE rounds than needed matches exactly
+    * (post-fixpoint rounds are no-ops). Throws if `maxRounds` is hit
+    * before the fixpoint — callers choose the bound the oracle
+    * unrolls, and a silent non-converged result would gate-compare
+    * against a DIFFERENT set. Rounds needed are typically few (each
+    * round must delete ≥ 1 node to continue, and real graphs shed
+    * whole shells per round); worst case is the adversarial chain,
+    * O(n) — bound it, don't hide it.
+    *
+    * Returns (node, core_degree): the surviving nodes with their
+    * degree INSIDE the core.
+    */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int,
+            mat: Materializer = Materialize.Local): DataFrame = {
+    require(k >= 1L, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds must be 1..64, got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select($"a".as("node")).unionAll(e.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("d"))
+    var cur = mat(undirected(edges))
+    var n = cur.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = degrees(cur).filter($"d" >= k).select($"node")
+      val next = mat(cur
+        .join(keep.as("ka"), $"a" === col("ka.node"), "left_semi")
+        .join(keep.as("kb"), $"b" === col("kb.node"), "left_semi"))
+      val m = next.count()
+      converged = m == n
+      cur = next
+      n = m
+      round += 1
+    }
+    require(converged,
+      s"k-core (k=$k) did not reach fixpoint within $maxRounds rounds")
+    degrees(cur).select($"node", $"d".as("core_degree"))
+  }
+
   def clusteringCoefficients(edges: DataFrame,
                              mat: Materializer = Materialize.Local): DataFrame = {
     val und = undirected(edges)

@@ -78,6 +78,27 @@ class GraphsSpec extends SparkSpec {
     assert(triCounts(edges, parts = 7) === want)
   }
 
+  test("kCore: cascade peel reaches the maximal core; non-convergence throws") {
+    import spark.implicits._
+    // K4 core {1,2,3,4} + a chain 4-5-6 that peels in CASCADE for
+    // k=2: 6 falls (deg 1), then 5 (its degree drops to 1), while the
+    // K4 survives with in-core degree 3
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graphs.kCore(edges, k = 2L, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 4L).map(_ -> 3L).toMap)
+    // k above the max degree peels everything: empty fixpoint, no throw
+    assert(Graphs.kCore(edges, k = 10L, maxRounds = 8).count() === 0L)
+    // a chain needs one round per node: maxRounds=1 must throw, not
+    // silently return the unconverged set
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.kCore(chain, k = 2L, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
+
   test("clusteringCoefficients: exact ppm, zero for triangle-free, degree-1 excluded") {
     import spark.implicits._
     // triangle 1-2-3 + pendant 4 on 1 + isolated edge 5-6
