@@ -80,6 +80,62 @@ object Sketches {
         coalesce(col("n_exact"), lit(0L)).as("n_exact"))
   }
 
+  /** CMS inner-product JOIN-SIZE estimate audited against the exact
+    * cardinality (Cormode & Muthukrishnan §4.3: the inner product of
+    * two count-min rows over-counts Σₖ a(k)·b(k) only by collision
+    * mass, so minᵣ Σ_c A[r][c]·B[r][c] ≥ |A ⋈ B| with error ≤
+    * ‖a‖₁‖b‖₁/w per row). This is the planner question — "how big is
+    * this many-to-many join?" — answered from two m-bounded sketches
+    * without touching the join itself: each side is one
+    * partial+final cell aggregate (d·w cells max), the product one
+    * broadcast-sized cell join. Same deterministic md5 channel as
+    * [[cmsFrequencyAudit]], so any engine rebuilds both sketches
+    * bit-identically and the AUDIT (est vs exact) is hash-checkable.
+    * Output: one row (est_join_rows, n_exact) — the guarantee
+    * est ≥ exact is structural (SketchesSpec asserts).
+    *
+    * Overflow bound: Σ cntA·cntB ≤ ‖a‖₁·‖b‖₁ — keep the product of
+    * the two sides' total counts under 2^63 (at 10⁹ rows a side,
+    * fine).
+    */
+  def cmsJoinSizeAudit(a: DataFrame, aCol: Column,
+                       b: DataFrame, bCol: Column,
+                       d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"d must be 1..8, got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+    def sketch(df: DataFrame, c: Column, cnt: String): DataFrame = {
+      val vals = df.select(c.cast("string").as("v"))
+      val cellStructs = (0 until d).map { i =>
+        struct(lit(i).as("r"),
+          pmod(conv(substring(md5(concat(lit(s"$i|"), col("v"))), 1, 15),
+            16, 10).cast("long"), lit(w.toLong)).as("c"))
+      }
+      vals.select(explode(array(cellStructs: _*)).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as(cnt))
+    }
+    val sa = sketch(a, aCol, "cnt_a")
+    val sb = sketch(b, bCol, "cnt_b")
+    // inner cell join: a cell missing on either side contributes 0.
+    // A hash ROW with no overlapping cells has inner product 0 — it
+    // must survive into the min (left join from the full row domain),
+    // or disjoint-key sides would report the OTHER rows' collision
+    // mass instead of 0.
+    val ip = sa.join(sb, Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+    val est = a.sparkSession.range(d).select(col("id").cast("int").as("r"))
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join_rows"))
+    val ea = a.select(aCol.cast("string").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("na"))
+    val eb = b.select(bCol.cast("string").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("nb"))
+    val exact = ea.join(eb, Seq("v"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_exact"))
+    est.crossJoin(broadcast(exact))
+  }
+
   /** Deterministic Bloom filter membership audit (Bloom, "Space/time
     * trade-offs in hash coding with allowable errors", CACM 1970):
     * value v sets bit int64(md5("bloomJ|" || v)[1..15 hex]) mod m for

@@ -193,4 +193,33 @@ class SketchesSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(fromSketches === fromCorpus)
   }
+
+  test("cmsJoinSizeAudit: est >= exact; collision-free width is exact; disjoint keys -> 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // many-to-many: keys 0..19 with skewed multiplicities per side
+    val a = Seq.fill(300)(rnd.nextInt(20).toLong).toDF("k")
+    val b = Seq.fill(500)(rnd.nextInt(20).toLong).toDF("k")
+    val exactRef = {
+      val ca = a.as[Long].collect().groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val cb = b.as[Long].collect().groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      ca.map { case (k, n) => n * cb.getOrElse(k, 0L) }.sum
+    }
+    val tight = Sketches.cmsJoinSizeAudit(a, col("k"), b, col("k"),
+      d = 3, w = 16).head()
+    assert(tight.getAs[Long]("n_exact") === exactRef)
+    assert(tight.getAs[Long]("est_join_rows") >= exactRef,
+      "CMS inner product must dominate the exact join size")
+    // collision-free width: the estimate IS the exact size
+    val wide = Sketches.cmsJoinSizeAudit(a, col("k"), b, col("k"),
+      d = 2, w = 1 << 16).head()
+    assert(wide.getAs[Long]("est_join_rows") === exactRef)
+    // disjoint key spaces: exact 0 (coalesced, not NULL); estimate
+    // may be > 0 only through collisions at tiny w
+    val c = Seq.fill(100)(100L + rnd.nextInt(20)).toDF("k")
+    val dj = Sketches.cmsJoinSizeAudit(a, col("k"), c, col("k"),
+      d = 2, w = 1 << 16).head()
+    assert(dj.getAs[Long]("n_exact") === 0L)
+    assert(dj.getAs[Long]("est_join_rows") === 0L)
+  }
 }
