@@ -315,6 +315,25 @@ object Sketches {
     * linear-counting branch), so any engine reproduces the identical
     * doubles.
     */
+  /** Flajolet's α_m · m² · 2^maxRho folded LEFT-ASSOCIATIVELY in
+    * Scala doubles. Why not an `expr("0.7213 / ...")` string: Spark
+    * SQL parses those literals as DECIMALs, whose bounded-scale
+    * quotient differs from the IEEE double chain by ~6e-11 relative —
+    * invisible while the linear-counting branch fires (every
+    * gate-scale cardinality), but a hash mismatch the moment the raw
+    * harmonic branch is exercised (caught building q162). The oracle
+    * text replays the same left-associated double chain.
+    */
+  private def hllRawConst(m: Long, maxRho: Int): Double =
+    0.7213 / (1.0 + 1.079 / m.toDouble) * m.toDouble * m.toDouble *
+      (1L << maxRho).toDouble
+
+  /** raw_est column: [[hllRawConst]] over the exact int64 denominator. */
+  private def hllRawEst(m: Long, maxRho: Int): Column =
+    lit(hllRawConst(m, maxRho)) /
+      ($"sum_filled" + (lit(m) - $"n_filled") * lit(1L << maxRho))
+        .cast("double")
+
   def hllGroupEstimate(partials: DataFrame, groupDims: Seq[String],
                        b: Int = 10): DataFrame = {
     require(groupDims.nonEmpty, "need at least one dimension column")
@@ -324,13 +343,10 @@ object Sketches {
       count(lit(1)).as("n_filled"),
       coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")),
         lit(0L)).as("sum_filled"))
-    val est =
-      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * " +
-        s"CAST(${1L << maxRho} AS DOUBLE) / " +
-        s"CAST(sum_filled + ($m - n_filled) * ${1L << maxRho} AS DOUBLE)"
     reduced
       .select((groupDims.map(col) :+ lit(m).as("m") :+
-        (lit(m) - $"n_filled").as("n_zero") :+ expr(est).as("raw_est")): _*)
+        (lit(m) - $"n_filled").as("n_zero") :+
+        hllRawEst(m, maxRho).as("raw_est")): _*)
       .select((groupDims.map(col) :+ $"m" :+ $"n_zero" :+
         when($"raw_est" <= lit(2.5) * m && $"n_zero" > 0L,
           log(lit(m.toDouble) / $"n_zero".cast("double")) * m.toDouble)
@@ -452,6 +468,63 @@ object Sketches {
           .as("exact_j"))
   }
 
+  /** HLL set-INTERSECTION estimate via inclusion–exclusion, audited
+    * against the exact: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where
+    * the union estimate comes FREE from the sketches' mergeability
+    * (register-wise max — no data access), the property that makes
+    * this the cross-corpus overlap answer when A and B are 100 TB
+    * apart and only their m-register summaries travel. Same 60-bit
+    * md5 register channel as [[hllDistinctAudit]], so all three
+    * estimates (and hence the audit) replay bit-identically in SQL.
+    * The inclusion–exclusion difference is clamped at 0 (estimator
+    * noise can push a near-empty intersection negative — the classic
+    * caveat, stated rather than hidden; relative error grows as the
+    * true intersection shrinks vs the union). Output one row:
+    * (est_a, est_b, est_union, est_inter, n_exact_inter).
+    */
+  def hllIntersectionAudit(a: DataFrame, aCol: Column,
+                           b: DataFrame, bCol: Column,
+                           bits: Int = 10,
+                           mat: Materializer = Materialize.Local): DataFrame = {
+    require(bits >= 4 && bits <= 16, s"bits must be 4..16, got $bits")
+    val m = 1L << bits
+    val maxRho = (60 - bits) + 1
+    def regs(df: DataFrame, c: Column): DataFrame = {
+      val v = conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      df.select(pmod(v, lit(m)).as("bucket"), shiftright(v, bits).as("w"))
+        .select($"bucket",
+          when($"w" === 0L, lit(maxRho))
+            .otherwise(lit(maxRho) - length(bin($"w"))).as("rho"))
+        .groupBy($"bucket").agg(max($"rho").as("mj"))
+    }
+    def estimate(rg: DataFrame, name: String): DataFrame = {
+      val reduced = rg.agg(
+        count(lit(1)).as("n_filled"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")),
+          lit(0L)).as("sum_filled"))
+      reduced
+        .select(hllRawEst(m, maxRho).as("raw_est"),
+          (lit(m) - $"n_filled").as("n_zero"))
+        .select(when($"raw_est" <= lit(2.5) * m && $"n_zero" > 0L,
+          log(lit(m.toDouble) / $"n_zero".cast("double")) * m.toDouble)
+          .otherwise($"raw_est").as(name))
+    }
+    // registers feed their own estimate AND the union merge
+    val ra = mat(regs(a, aCol))
+    val rb = mat(regs(b, bCol))
+    val ru = ra.unionByName(rb).groupBy($"bucket").agg(max($"mj").as("mj"))
+    val exact = a.select(aCol.cast("string").as("v")).distinct()
+      .join(b.select(bCol.cast("string").as("v")).distinct(), Seq("v"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    estimate(ra, "est_a").crossJoin(estimate(rb, "est_b"))
+      .crossJoin(estimate(ru, "est_union"))
+      .select($"est_a", $"est_b", $"est_union",
+        greatest($"est_a" + $"est_b" - $"est_union", lit(0.0))
+          .as("est_inter"))
+      .crossJoin(broadcast(exact))
+  }
+
   /** One-row HLL cardinality audit of `valueCol`:
     * (m, n_zero, estimate, n_exact) — the sketch estimate NEXT TO the
     * exact distinct count, so the query measures its own error (the
@@ -480,15 +553,13 @@ object Sketches {
       coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - mj)")),
         lit(0L)).as("sum_filled"))
     val exact = df.agg(countDistinct(valueCol).as("n_exact"))
-    // alpha_m for m >= 128 (Flajolet). The oracle SQL spells the SAME
-    // arithmetic shape, so both engines produce the identical double.
-    val est =
-      s"(0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 * " +
-        s"CAST(${1L << maxRho} AS DOUBLE) / " +
-        s"CAST(sum_filled + ($m - n_filled) * ${1L << maxRho} AS DOUBLE)"
+    // alpha_m for m >= 128 (Flajolet). hllRawConst folds the constant
+    // in IEEE doubles (NOT an expr string — Spark would parse the
+    // literals as DECIMALs), so both engines produce the identical
+    // double.
     reduced.crossJoin(exact)
       .select(lit(m).as("m"), (lit(m) - $"n_filled").as("n_zero"),
-        expr(est).as("raw_est"), $"n_exact")
+        hllRawEst(m, maxRho).as("raw_est"), $"n_exact")
       .select($"m", $"n_zero",
         when($"raw_est" <= lit(2.5) * m && $"n_zero" > 0L,
           log(lit(m.toDouble) / $"n_zero".cast("double")) * m.toDouble)

@@ -194,6 +194,26 @@ class SketchesSpec extends SparkSpec {
     assert(fromSketches === fromCorpus)
   }
 
+  test("hllIntersectionAudit: tracks exact overlap; union from register merge; clamp at 0") {
+    import spark.implicits._
+    // A = 0..1999, B = 1000..3999 -> exact intersection 1000
+    val a = (0L until 2000L).toDF("v")
+    val b = (1000L until 4000L).toDF("v")
+    val r = Sketches.hllIntersectionAudit(a, col("v"), b, col("v")).head()
+    assert(r.getAs[Long]("n_exact_inter") === 1000L)
+    // HLL at b=10 has ~3.25% standard error; inclusion-exclusion
+    // compounds three estimates — allow 15% on the intersection
+    val est = r.getAs[Double]("est_inter")
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.15, s"est_inter=$est")
+    // union estimate tracks |A ∪ B| = 4000
+    assert(math.abs(r.getAs[Double]("est_union") - 4000.0) / 4000.0 < 0.1)
+    // disjoint sets: exact 0, estimate clamped to >= 0
+    val c = (100000L until 102000L).toDF("v")
+    val dj = Sketches.hllIntersectionAudit(a, col("v"), c, col("v")).head()
+    assert(dj.getAs[Long]("n_exact_inter") === 0L)
+    assert(dj.getAs[Double]("est_inter") >= 0.0)
+  }
+
   test("cmsJoinSizeAudit: est >= exact; collision-free width is exact; disjoint keys -> 0") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
