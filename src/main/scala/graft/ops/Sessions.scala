@@ -286,4 +286,69 @@ object Sessions {
       .filter(col("_rk2") <= maxPerKey)
       .drop("_salt", "_rk1", "_rk2")
   }
+
+  /** Strict sequential conversion funnel with a per-step window: a
+    * user reaches step k at the EARLIEST event of type `steps(k)`
+    * that falls strictly after their step-(k−1) time and within
+    * `windowSeconds` of it (the standard product-analytics funnel
+    * semantics — first-touch per step, bounded conversion window).
+    * Returns one row per step: (step_idx, step, n_users).
+    *
+    * Time arithmetic is integer MICROSECONDS end to end
+    * (`unix_micros` / epoch_us in the oracle) — no interval-dialect
+    * or timezone surface anywhere, so the per-user step times and
+    * hence the counts replay exactly. Per step: one filtered scan of
+    * the events + one keyed join against the (users-sized) previous
+    * frame + one min aggregate — `steps.size` passes, each
+    * shuffle-bounded by the user-key aggregate; no window over the
+    * raw events, no per-user sort.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String],
+             windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(windowSeconds >= 1L,
+      s"windowSeconds must be >= 1, got $windowSeconds")
+    val ev = events.select(col(userCol).as("eu"),
+      unix_micros(col(tsCol)).as("ets"), col(typeCol).as("etype"))
+    val first = ev.filter(col("etype") === steps.head)
+      .groupBy(col("eu").as("u")).agg(min(col("ets")).as("t"))
+    val frames = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("etype") === step)
+        .join(prev, col("eu") === col("u") &&
+          col("ets") > col("t") &&
+          col("ets") <= col("t") + lit(windowSeconds * 1000000L))
+        .groupBy(col("u")).agg(min(col("ets")).as("t"))
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"), lit(s).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Retention cohort matrix: users grouped by the UTC day index of
+    * their first event (cohort), counted distinct on each later day
+    * they were active. Returns (cohort_day, day_offset, n_active) —
+    * day indexes are integer floor-divisions of epoch micros (no
+    * timezone/calendar surface; label formatting is the caller's
+    * presentation concern). offset 0 row = cohort size by
+    * construction. Two aggregates (first-event per user; distinct
+    * user-day activity) + one keyed join — nothing corpus-sized ever
+    * sits in one task.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    // DIV, not `/`: the Column `/` operator is double division
+    val ev = events
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("_us"))
+      .select(col("u"), expr(s"_us DIV $dayUs").as("day"))
+    val cohort = ev.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    active.join(cohort, Seq("u"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

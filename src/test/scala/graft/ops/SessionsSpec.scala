@@ -233,4 +233,51 @@ class SessionsSpec extends SparkSpec {
     // no-op for the small stratum
     assert(mixed.filter($"src" === "small").count() === 40L)
   }
+
+  test("funnel: strict order, per-step window, first-touch; out-of-order never counts") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: full conversion within windows
+      (1L, t(100), "view"), (1L, t(200), "click"), (1L, t(300), "buy"),
+      // user 2: click BEFORE the first view -> step 2 never reached
+      (2L, t(100), "click"), (2L, t(200), "view"),
+      // user 3: click outside the 500 s window
+      (3L, t(100), "view"), (3L, t(700), "click"),
+      // user 4: two clicks; FIRST eligible one bounds the buy window
+      // (buy at 950 is within 500 s of click@600 but NOT of click@450)
+      (4L, t(100), "view"), (4L, t(450), "click"), (4L, t(600), "click"),
+      (4L, t(951), "buy"),
+      // user 5: never views
+      (5L, t(100), "click"), (5L, t(200), "buy")
+    ).toDF("user_id", "ts", "etype")
+    val got = Sessions.funnel(ev, "user_id", "ts", "etype",
+        Seq("view", "click", "buy"), windowSeconds = 500L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // step1: users 1,2,3,4; step2: 1 (200), 3 is out of window -> no,
+    // 4 (450); step3: 1 (300 within 500 of 200), 4: buy@951 vs
+    // click@450+500=950 -> excluded (strict first-touch semantics)
+    assert(got === Set((1L, "view", 4L), (2L, "click", 2L),
+      (3L, "buy", 1L)))
+  }
+
+  test("retentionCohorts: day-index cohorts, offset 0 equals cohort size, distinct days") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // cohort day 0: users 1, 2; user 1 active d0, d1 (twice), d3
+      (1L, t(10)), (1L, t(day + 5)), (1L, t(day + 6)), (1L, t(3 * day + 1)),
+      (2L, t(20)),
+      // cohort day 2: user 3, active d2 and d3
+      (3L, t(2 * day + 7)), (3L, t(3 * day + 8))
+    ).toDF("user_id", "ts")
+    val got = Sessions.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (2L, 0L, 1L), (2L, 1L, 1L)))
+  }
 }
