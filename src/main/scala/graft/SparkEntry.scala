@@ -95,5 +95,14 @@ object SparkEntry {
     // data-quality suite (round 10): six checks fused into ONE
     // aggregate pass — the nightly ingestion gate; a regression
     // toward one-scan-per-check surfaces as a multiple of q01.
-    "q147_validate")
+    "q147_validate",
+    // graph join-economics face (round 10): degree-ordered triangle
+    // counting — two equi-joins whose fan-out the orientation bounds;
+    // a regression toward unordered wedges (or a cartesian) surfaces
+    // as a cliff, which q49's aggregate-dominated CC would miss.
+    "q151_triangles",
+    // semantic-dedup face (round 10): cluster-scoped epsilon compare
+    // over the embedding table — assignment broadcast + ONE cent_id
+    // shuffle; a regression toward all-pairs scoring surfaces here.
+    "q150_semdedup")
 }

@@ -120,20 +120,28 @@ object Graphs {
     val deg = und.select($"a".as("n"))
       .unionAll(und.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
-    // orient by (degree, id): u = the smaller endpoint in that order
+    // orient by (degree, id): u = the smaller endpoint in that order.
+    // The tip's (degree, id) rides along so wedge tips can be ORDERED
+    // below — emitting each unordered tip pair once instead of twice
+    // halves the wedge volume entering the closing join (the dominant
+    // shuffle: Σ outdeg² rows).
     val oriented = mat(und
       .join(deg.as("da"), $"a" === col("da.n"))
       .join(deg.as("db"), $"b" === col("db.n"))
       .select(
         when(struct(col("da.d"), $"a") < struct(col("db.d"), $"b"),
-          struct($"a".as("u"), $"b".as("v")))
-          .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v")))
-    // wedges centered at u, closed by the consistently-oriented edge
-    // between the two tips (x -> y exists in exactly one orientation)
+          struct($"a".as("u"), $"b".as("v"), col("db.d").as("dv")))
+          .otherwise(struct($"b".as("u"), $"a".as("v"),
+            col("da.d").as("dv"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.dv".as("dv")))
+    // wedges centered at u with tips in orientation order, closed by
+    // the consistently-oriented edge between them (x -> y exists in
+    // exactly one orientation — the same (degree, id) order)
     val tris = oriented.as("e1")
       .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) <
+            struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"),
         col("e2.v").as("tc"))
       .join(oriented, $"tb" === $"u" && $"tc" === $"v")

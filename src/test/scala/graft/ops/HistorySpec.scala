@@ -1,0 +1,54 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  test("scd2: runs collapse, intervals chain exactly, current row open") {
+    val ev = Seq(
+      // key 1: A A B A -> runs A[100,300) B[300,400) A[400,null)
+      (1L, t(100), 10L, "A"), (1L, t(200), 11L, "A"),
+      (1L, t(300), 12L, "B"), (1L, t(400), 13L, "A"),
+      // key 2: single event -> one open interval
+      (2L, t(50), 20L, "X"),
+      // key 3: timestamp TIE broken by id: (21, "P") before (22, "Q")
+      (3L, t(70), 22L, "Q"), (3L, t(70), 21L, "P")
+    ).toDF("k", "ts", "eid", "v")
+    val got = History.scd2(ev, "k", "ts", "eid", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val us = (s: Long) => s * 1000000L
+    assert(got === Set(
+      (1L, "A", us(100), us(300)), (1L, "B", us(300), us(400)),
+      (1L, "A", us(400), -1L),
+      (2L, "X", us(50), -1L),
+      (3L, "P", us(70), us(70)), (3L, "Q", us(70), -1L)))
+    // intervals per key chain: valid_to of one run == valid_from of
+    // the next (asserted by the exact set above), and exactly one
+    // open interval per key
+    assert(got.count(g => g._1 == 1L && g._4 == -1L) === 1)
+  }
+
+  test("applyCdc: latest wins, deletes drop, untouched keys keep snapshot") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      // key 1: U then later D -> deleted
+      (1L, t(100), 1L, "U", 11.0), (1L, t(200), 2L, "D", 0.0),
+      // key 2: D then later U -> upserted to 22.0
+      (2L, t(100), 3L, "D", 0.0), (2L, t(200), 4L, "U", 22.0),
+      // key 4: new key via upsert
+      (4L, t(100), 5L, "U", 44.0),
+      // key 2 tie on ts at 200: larger id wins (id 6, value 23.0)
+      (2L, t(200), 6L, "U", 23.0)
+    ).toDF("ck", "cts", "cid", "op", "cv")
+    val got = History.applyCdc(snap, "k", "v",
+        changes, "ck", "cts", "cid", "op", "cv")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(2L -> 23.0, 3L -> 30.0, 4L -> 44.0))
+  }
+}
