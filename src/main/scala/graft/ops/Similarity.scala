@@ -1595,6 +1595,33 @@ object Similarity {
     knnIvfSqOnCodes(spark.table(indexTable),
       spark.table(indexTable + "__sqstats"), queries, coarse, k, nProbe)
 
+  /** Mutual k-NN graph over the corpus: an undirected edge (a, b)
+    * exists iff a is in b's IVF top-k AND b is in a's — the mutuality
+    * filter that strips hub-induced false edges, the standard base
+    * graph for density clustering and graph-based dedup. Built from
+    * ONE all-corpus IVF pass ([[knnIvfWith]] with the corpus as its
+    * own query set): probes are generated per vector against the
+    * (broadcast) centroid table and candidates only within probed
+    * lists, so the build is O(n · list-size · nProbe) — the standard
+    * n·√n knn-graph recipe, never n². The per-query top-k window
+    * ranks each vector's own candidate set (bounded by probed-list
+    * sizes), and the mutuality check is one self-join of the directed
+    * edge list on the reversed pair. Output: (id_a, id_b, cos_sim)
+    * with id_a < id_b, cosine exact-int64 as everywhere.
+    */
+  def knnGraphMutual(corpus: DataFrame, centroids: DataFrame, k: Int,
+                     nProbe: Int,
+                     mat: Materializer = Materialize.Local): DataFrame = {
+    val nn = mat(knnIvfWith(corpus, corpus, centroids, k, nProbe)
+      .select($"query_id", $"neighbor_id", $"cos_sim"))
+    nn.as("x").join(nn.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"),
+        col("x.neighbor_id").as("id_b"), col("x.cos_sim"))
+  }
+
   // ------------------------------------------------------------------
   // SemDeDup: cluster-then-compare semantic deduplication
   // ------------------------------------------------------------------

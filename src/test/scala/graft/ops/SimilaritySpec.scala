@@ -820,6 +820,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.toSeq === orig.toSeq)
   }
 
+  test("knnGraphMutual: edges are exactly the reciprocal top-k pairs") {
+    val rnd = new scala.util.Random(59)
+    val dims = 8
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val p = Similarity.prepared(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cents = Similarity.strideCentroids(p, 10L)
+    // nProbe = centroid count -> IVF candidates == everything, so the
+    // directed top-k equals brute force and the mutual graph must be
+    // exactly the reciprocal pairs of the brute top-k
+    val nCents = cents.count().toInt
+    val k = 4
+    val directed = Similarity.knnBrute(p, p, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = directed.filter { case (a, b) =>
+      a < b && directed((b, a)) }
+    val got = Similarity.knnGraphMutual(p, cents, k, nProbe = nCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty && want.size < directed.size / 2,
+      "fixture must have both reciprocal and one-way neighbor pairs")
+  }
+
   test("semDedup: drops lower-id epsilon-neighbors within clusters only") {
     // stride 2 over ids 0..5 → centroids 0, 2, 4.
     val p = Similarity.prepared(emb(
