@@ -334,6 +334,33 @@ object TextAnalysis {
     size(filter(zip_with(split(a, ""), split(b, ""),
       (x, y) => x =!= y), p => p)).cast("long")
 
+  /** Adjacent character-pair statistics — the counting step a BPE
+    * tokenizer trainer runs every merge round (Sennrich et al. 2016):
+    * within each whitespace word, every adjacent character bigram,
+    * counted across the corpus, floored at `minCount`, top-k by
+    * (count desc, pair asc). One explode + one map-side-combined
+    * aggregate + TakeOrderedAndProject — the corpus-sized shuffle is
+    * the pair count only. (The full iterative merge loop is a
+    * DRIVER-side training procedure over these statistics — each
+    * round is this operator over the re-segmented corpus; the
+    * per-round statistic is the distributed part.)
+    * Output: (pair, n).
+    */
+  def bpePairStats(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1L && k >= 1, s"bad params: $minCount, $k")
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(char_length(col("w")) >= 2)
+      // 1-char words are filtered above, so the sequence is ascending
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------ drift
 
   /** Token-distribution drift between two corpus slices — the

@@ -162,6 +162,20 @@ class TextAnalysisSpec extends SparkSpec {
       "fixture must exercise count ties")
   }
 
+  test("bpePairStats: adjacent bigrams within words, ranked, floored") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab ab x cd"), (2L, "abab cd")).toDF("d", "text")
+    // words: abab(ab,ba,ab), ab(ab), x(-), cd(cd), abab(...), cd(cd)
+    // counts: ab=5, ba=2, cd=2
+    val got = TextAnalysis.bpePairStats(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("ab", 5L), ("ba", 2L), ("cd", 2L)))
+    // the 1-char word contributes nothing; flooring drops singletons
+    val floored = TextAnalysis.bpePairStats(docs, "text", 3L, 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(floored === Seq("ab"))
+  }
+
   test("tokenDrift: exact ppm rates, one-sided tokens kept, minCount floors the tail") {
     import spark.implicits._
     // side A: 10 tokens total; side B: 20 tokens total
