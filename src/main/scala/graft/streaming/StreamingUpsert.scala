@@ -111,6 +111,34 @@ object StreamingUpsert {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked STREAM-STREAM interval join: left and right event
+    * streams joined on a key with right timestamps within
+    * [left − tolerance, left + tolerance]. Both sides carry the same
+    * watermark delay; the time-range predicate is what lets Spark
+    * bound each side's join state (a row is dropped once the other
+    * side's watermark passes its tolerance window) — without it the
+    * state grows forever, which is why the bound is part of this
+    * operator's signature, not an option. Append mode: a joined row
+    * is emitted once both inputs have arrived; results equal the
+    * batch join of the full inputs (StreamingUpsertSpec equivalence).
+    * Output: key, left ts/value, right ts/value.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, valueCol: String,
+                   toleranceSeconds: Long, delay: String): DataFrame = {
+    require(toleranceSeconds >= 0L,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds")
+    val l = left.select(col(keyCol).as("key"), col(tsCol).as("l_ts"),
+      col(valueCol).as("l_value")).withWatermark("l_ts", delay)
+    val r = right.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+      col(valueCol).as("r_value")).withWatermark("r_ts", delay)
+    l.join(r, col("key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceSeconds SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+      .select(col("key"), col("l_ts"), col("l_value"), col("r_ts"),
+        col("r_value"))
+  }
+
   /** Streaming incremental near-dup: each micro-batch of documents is
     * shingled + MinHash-banded and joined against the PERSISTED
     * signature tables (the explicit signature-table-write form of the

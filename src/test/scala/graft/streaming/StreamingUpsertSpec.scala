@@ -133,6 +133,45 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
   }
 
+  test("intervalJoin: stream-stream within tolerance equals the batch interval join") {
+    implicit val sql = spark.sqlContext
+    val lin = MemoryStream[(Long, Timestamp, String)]
+    val rin = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingUpsert.intervalJoin(
+      lin.toDF().toDF("k", "ts", "v"), rin.toDF().toDF("k", "ts", "v"),
+      "k", "ts", "v", toleranceSeconds = 60L, delay = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append).start()
+    def t(s: String) = Timestamp.valueOf(s)
+    val lRows = Seq(
+      (1L, t("2024-01-01 10:00:00"), "l1"),
+      (1L, t("2024-01-01 10:05:00"), "l2"),
+      (2L, t("2024-01-01 10:00:30"), "l3"))
+    val rRows = Seq(
+      (1L, t("2024-01-01 10:00:45"), "r1"), // within 60s of l1 only
+      (1L, t("2024-01-01 10:04:30"), "r2"), // within 60s of l2 only
+      (2L, t("2024-01-01 10:02:00"), "r3"), // 90s from l3 -> no match
+      (3L, t("2024-01-01 10:00:00"), "r4")) // key never on the left
+    try {
+      // interleaved, out-of-order arrival across batches
+      lin.addData(lRows(0)); rin.addData(rRows(2))
+      q.processAllAvailable()
+      rin.addData(rRows(0), rRows(3)); lin.addData(lRows(2))
+      q.processAllAvailable()
+      lin.addData(lRows(1)); rin.addData(rRows(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT key, l_value, r_value FROM ij_out")
+      .as[(Long, String, String)].collect().toSet
+    // batch reference over the same rows
+    val want = (for {
+      (lk, lt, lv) <- lRows; (rk, rt, rv) <- rRows
+      if lk == rk && math.abs(lt.getTime - rt.getTime) <= 60000L
+    } yield (lk, lv, rv)).toSet
+    assert(got === want)
+    assert(want === Set((1L, "l1", "r1"), (1L, "l2", "r2")))
+  }
+
   test("incrementalNearDup over N micro-batches equals batch minhashLshPairs (property)") {
     // Streaming/batch equivalence for the flagship dedup path: feeding
     // the corpus through the persisted-signature-table incremental
