@@ -327,6 +327,33 @@ object Sessions {
     }.reduce(_ unionByName _)
   }
 
+  /** Dense per-key daily activity: event counts per (key, UTC day
+    * index) with the GAPS FILLED — every day between a key's first
+    * and last active day appears, zero-count days included (the
+    * reporting/feature-extraction shape where a missing row and a
+    * zero are different facts). Day span is generated per key with
+    * `sequence` (explode bounded by each key's own day range, never
+    * a global calendar cross join); one count aggregate + one keyed
+    * left join. Output: (key, day, n_events).
+    */
+  def denseDailyCounts(events: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = events
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+      .select(col("key"), expr(s"_us DIV $dayUs").as("day"))
+    val counts = ev.groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = counts.groupBy(col("key"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    span.select(col("key"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(counts, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** Retention cohort matrix: users grouped by the UTC day index of
     * their first event (cohort), counted distinct on each later day
     * they were active. Returns (cohort_day, day_offset, n_active) —

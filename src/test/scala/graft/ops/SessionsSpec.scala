@@ -280,4 +280,22 @@ class SessionsSpec extends SparkSpec {
       (0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
       (2L, 0L, 1L), (2L, 1L, 1L)))
   }
+
+  test("denseDailyCounts: gaps filled with zeros inside each key's own span") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: active day 0 (x2) and day 3 -> days 1, 2 zero-filled
+      (1L, t(10)), (1L, t(20)), (1L, t(3 * day + 1)),
+      // user 2: single day -> one row, no padding outside the span
+      (2L, t(5 * day + 9))
+    ).toDF("user_id", "ts")
+    val got = Sessions.denseDailyCounts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
+      (2L, 5L, 1L)))
+  }
 }
