@@ -224,7 +224,25 @@ object PlanAudit {
         "dynamicpruning#N in PartitionFilters — Spark's DPP turns " +
         "the broadcast months into a runtime partition filter, so " +
         "the fact scan opens only the quarter's directories") ->
-        fmt(OpsQueries.q142(spark, dir)))
+        fmt(OpsQueries.q142(spark, dir)),
+
+      ("q150 semdedup — the within-cluster pair join hashes on " +
+        "cent_id (equi, never cartesian); assignment is sealed " +
+        "behind the materializer (ExistingRDD) with the broadcast " +
+        "centroid attach inside it") ->
+        fmt(OpsQueries.q150(spark, dir)),
+      ("q151 triangles — orientation and closing joins all equi on " +
+        "node keys; the wedge self-join emits each unordered tip " +
+        "pair once (ordered-struct predicate)") ->
+        fmt(OpsQueries.q151(spark, dir)),
+      ("q154 vocab — the token-ranking window is PARTITIONED by " +
+        "count value; the only unpartitioned window runs over the " +
+        "count-of-counts histogram (one row per distinct count)") ->
+        fmt(OpsQueries.q154(spark, dir)),
+      ("q163 funnel — aggregates + keyed joins only: no window " +
+        "touches the raw events, so no user's history is ever " +
+        "co-located in one task") ->
+        fmt(OpsQueries.q163(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

@@ -506,6 +506,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q163 funnel / q170 dense daily: no windows over raw events, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    // the funnel is aggregates + keyed joins only — a regression to a
+    // per-user ordering window would co-locate each user's history
+    val f = OpsQueries.q163(spark, dir)
+    assert(PlanWalk.allNodes(f.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }.isEmpty)
+    assert(!plan(f).contains("CartesianProduct"))
+    // gap filling explodes per-key sequences — never a global
+    // calendar cross join
+    val d = OpsQueries.q170(spark, dir)
+    assert(!plan(d).contains("CartesianProduct"))
+    assert(!plan(d).contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q154 vocab: corpus-sized window is partitioned; only the count-histogram ranks single-task") {
     import org.apache.spark.sql.execution.window.WindowExec
     import graft.tools.PlanWalk
