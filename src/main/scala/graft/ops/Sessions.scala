@@ -305,12 +305,19 @@ object Sessions {
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
-             windowSeconds: Long): DataFrame = {
+             windowSeconds: Long,
+             mat: Materializer = Materialize.Local): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(windowSeconds >= 1L,
       s"windowSeconds must be >= 1, got $windowSeconds")
-    val ev = events.select(col(userCol).as("eu"),
-      unix_micros(col(tsCol)).as("ets"), col(typeCol).as("etype"))
+    // one pass reads the events (projected to the step types only);
+    // each step then filters the sealed frame instead of re-scanning
+    // the corpus steps.size times
+    val ev = mat(events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("eu"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ets"),
+        col(typeCol).as("etype")))
     val first = ev.filter(col("etype") === steps.head)
       .groupBy(col("eu").as("u")).agg(min(col("ets")).as("t"))
     val frames = steps.tail.scanLeft(first) { (prev, step) =>
@@ -336,15 +343,17 @@ object Sessions {
     * a global calendar cross join); one count aggregate + one keyed
     * left join. Output: (key, day, n_events).
     */
-  def denseDailyCounts(events: DataFrame, keyCol: String,
-                       tsCol: String): DataFrame = {
+  def denseDailyCounts(events: DataFrame, keyCol: String, tsCol: String,
+                       mat: Materializer = Materialize.Local): DataFrame = {
     val dayUs = 86400000000L
     val ev = events
       .select(col(keyCol).as("key"),
         unix_micros(col(tsCol).cast("timestamp")).as("_us"))
       .select(col("key"), expr(s"_us DIV $dayUs").as("day"))
-    val counts = ev.groupBy(col("key"), col("day"))
-      .agg(count(lit(1)).as("n"))
+    // sealed once: the count table feeds both the span aggregate and
+    // the gap-filling join
+    val counts = mat(ev.groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n")))
     val span = counts.groupBy(col("key"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     span.select(col("key"),
@@ -364,15 +373,19 @@ object Sessions {
     * user-day activity) + one keyed join — nothing corpus-sized ever
     * sits in one task.
     */
-  def retentionCohorts(events: DataFrame, userCol: String,
-                       tsCol: String): DataFrame = {
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       mat: Materializer = Materialize.Local): DataFrame = {
     val dayUs = 86400000000L
-    // DIV, not `/`: the Column `/` operator is double division
-    val ev = events
-      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("_us"))
+    // DIV, not `/`: the Column `/` operator is double division.
+    // Sealed once: the distinct (user, day) table feeds both the
+    // cohort aggregate and the activity join (one corpus scan).
+    val ev = mat(events
+      .select(col(userCol).as("u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
       .select(col("u"), expr(s"_us DIV $dayUs").as("day"))
+      .distinct())
     val cohort = ev.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
-    val active = ev.distinct()
+    val active = ev
     active.join(cohort, Seq("u"))
       .groupBy(col("cohort_day"),
         (col("day") - col("cohort_day")).as("day_offset"))

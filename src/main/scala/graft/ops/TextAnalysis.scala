@@ -383,12 +383,15 @@ object TextAnalysis {
     */
   def tokenDrift(a: org.apache.spark.sql.DataFrame,
                  b: org.apache.spark.sql.DataFrame, textCol: String,
-                 minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+                 minCount: Long, k: Int,
+                 mat: Materializer = Materialize.Local): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
+    // count tables sealed once: each feeds its own total aggregate
+    // AND the full-outer join (one tokenize pass per slice)
     def counts(df: org.apache.spark.sql.DataFrame, side: String) =
-      df.select(explode(toks(col(textCol))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as(s"n_$side"))
+      mat(df.select(explode(toks(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(s"n_$side")))
     val (ca, cb) = (counts(a, "a"), counts(b, "b"))
     val totA = broadcast(ca.agg(sum(col("n_a")).as("tot_a")))
     val totB = broadcast(cb.agg(sum(col("n_b")).as("tot_b")))
