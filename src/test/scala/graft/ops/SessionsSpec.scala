@@ -262,6 +262,37 @@ class SessionsSpec extends SparkSpec {
       (3L, "buy", 1L)))
   }
 
+  test("funnel property: random event streams match a driver-side reference") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(61)
+    val types = Seq("s1", "s2", "s3")
+    val rows = (1 to 600).map { i =>
+      (rnd.nextInt(30).toLong, new Timestamp(rnd.nextInt(100000) * 1000L),
+        types(rnd.nextInt(3)))
+    }
+    val win = 20000L
+    val got = Sessions.funnel(rows.toDF("u", "ts", "et"), "u", "ts", "et",
+        types, win)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // driver-side reference: first-touch per step within the window
+    val byUser = rows.groupBy(_._1)
+    def stepTimes(evs: Seq[(Long, Timestamp, String)]): Seq[Long] = {
+      val t1 = evs.filter(_._3 == "s1").map(_._2.getTime).minOption
+      val t2 = t1.flatMap(t => evs.filter(e => e._3 == "s2" &&
+        e._2.getTime > t && e._2.getTime <= t + win * 1000L)
+        .map(_._2.getTime).minOption)
+      val t3 = t2.flatMap(t => evs.filter(e => e._3 == "s3" &&
+        e._2.getTime > t && e._2.getTime <= t + win * 1000L)
+        .map(_._2.getTime).minOption)
+      Seq(t1, t2, t3).flatten
+    }
+    val reached = byUser.values.map(stepTimes(_).size).toSeq
+    val want = types.indices.map(i =>
+      types(i) -> reached.count(_ > i).toLong).toMap
+    assert(got === want)
+    assert(want("s1") > want("s3"), "fixture must show attrition")
+  }
+
   test("retentionCohorts: day-index cohorts, offset 0 equals cohort size, distinct days") {
     import java.sql.Timestamp
     val day = 86400L
