@@ -113,9 +113,25 @@ object Graphs {
     * the definitional a&lt;b&lt;c id-ordered SQL triangle query is an
     * exact oracle even though it runs a completely different plan.
     * Returns (node, n_triangles) for nodes in >= 1 triangle.
+    *
+    * `bloomBits` > 0 Bloom-reduces the closing join ([[JoinReduce]] —
+    * the engine's own runtime filter applied to its own operator):
+    * most wedges do NOT close, so an xxhash64(pair) membership test
+    * against the edge set kills them BEFORE the wedge-table shuffle.
+    * False positives are harmless (the equi-join still verifies the
+    * pair exactly), so results are bit-identical on or off. Default
+    * OFF, with the boundary measured rather than assumed
+    * (ProfileTriangles, sf0.1, 1.2M edges, 18M wedges): the filter
+    * kills 97% of wedge rows but costs MORE than it saves on one box
+    * (6.4 s → 7.3 s — per-wedge double hashing plus a 2 MiB plan
+    * literal vs a shuffle that never crosses a network). The win
+    * condition is a real cluster where the wedge exchange
+    * serializes — the q146/q133 crossover pattern: row reduction is
+    * the recorded evidence, local wall is not the decision variable.
     */
   def triangleCounts(edges: DataFrame,
-                     mat: Materializer = Materialize.Local): DataFrame = {
+                     mat: Materializer = Materialize.Local,
+                     bloomBits: Int = 0): DataFrame = {
     val und = undirected(edges)
     val deg = und.select($"a".as("n"))
       .unionAll(und.select($"b".as("n")))
@@ -137,13 +153,20 @@ object Graphs {
     // wedges centered at u with tips in orientation order, closed by
     // the consistently-oriented edge between them (x -> y exists in
     // exactly one orientation — the same (degree, id) order)
-    val tris = oriented.as("e1")
+    val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") &&
           struct(col("e1.dv"), col("e1.v")) <
             struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("ta"), col("e1.v").as("tb"),
         col("e2.v").as("tc"))
+    val probed = if (bloomBits > 0) {
+      val words = JoinReduce.bloomWords(oriented,
+        xxhash64($"u", $"v"), bloomBits, 4)
+      wedges.filter(JoinReduce.mightContain(words, bloomBits, 4,
+        xxhash64($"tb", $"tc")))
+    } else wedges
+    val tris = probed
       .join(oriented, $"tb" === $"u" && $"tc" === $"v")
       .select($"ta", $"tb", $"tc")
     tris.select(explode(array($"ta", $"tb", $"tc")).as("node"))
