@@ -82,6 +82,44 @@ object Graphs {
     r
   }
 
+  /** Bounded-hop BFS distance from a SEED set over the undirected
+    * graph: hop 0 = the seeds, hop h = nodes first reached through h
+    * edges, unreached nodes (within `maxHops`) absent — the traversal
+    * member of the graph family (importance / reachability / cohesion
+    * / density / distance). Round-synchronous frontier expansion with
+    * min-relaxation: each round one frontier⋈edges equi-join + one
+    * min aggregate against the (sealed) distance table, stopping
+    * early when a frontier empties. Deterministic — hop counts are
+    * pure set algebra — so an oracle unrolling `maxHops` rounds
+    * matches exactly (post-exhaustion rounds are no-ops).
+    * Returns (node, hops).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              mat: Materializer = Materialize.Local): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 32,
+      s"maxHops must be 0..32, got $maxHops")
+    val und = mat(undirected(edges))
+    val bidir = und.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(und.select($"b".as("src"), $"a".as("dst")))
+    var dist = mat(seeds.select($"node").distinct()
+      .withColumn("hops", lit(0L)))
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      val next = frontier.join(bidir, $"node" === $"src")
+        .select($"dst".as("node"))
+        .distinct()
+        .join(dist.select($"node").withColumn("_seen", lit(true)),
+          Seq("node"), "left")
+        .filter($"_seen".isNull)
+        .select($"node").withColumn("hops", lit((h + 1).toLong))
+      frontier = mat(next)
+      dist = mat(dist.unionByName(frontier))
+      h += 1
+    }
+    dist
+  }
+
   /** Canonical undirected edge set: distinct (a, b) with a < b, loops
     * dropped. Shared by [[triangleCounts]] and its oracle definition.
     */

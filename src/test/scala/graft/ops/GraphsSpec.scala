@@ -78,6 +78,26 @@ class GraphsSpec extends SparkSpec {
     assert(triCounts(edges, parts = 7) === want)
   }
 
+  test("bfsHops: exact hop fronts, early stop, off-graph seeds kept at 0") {
+    import spark.implicits._
+    // path 1-2-3-4-5 + isolated seed 9
+    val edges = (1L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graphs.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 is 4 hops away -> absent at maxHops=3
+    assert(got === Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // maxHops beyond exhaustion changes nothing (early stop = no-op
+    // rounds)
+    val far = Graphs.bfsHops(edges, seeds, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far === got + (5L -> 4L))
+    // undirected: reaching BACKWARD works too
+    val back = Graphs.bfsHops(edges, Seq(5L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back === Map(5L -> 0L, 4L -> 1L, 3L -> 2L))
+  }
+
   test("kCore: cascade peel reaches the maximal core; non-convergence throws") {
     import spark.implicits._
     // K4 core {1,2,3,4} + a chain 4-5-6 that peels in CASCADE for
