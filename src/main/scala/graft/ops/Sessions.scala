@@ -363,6 +363,38 @@ object Sessions {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** Rolling distinct actives (the DAU/WAU dashboard metric): for
+    * every OBSERVED activity day, the distinct keys active in the
+    * trailing `windowDays` window. Shape: each (key, day) activity
+    * fact is exploded to the `windowDays` report days it contributes
+    * to (the factor is the window length — the exact-rollup cost,
+    * stated), semi-joined back to observed days so the x-axis is the
+    * data's own, then one distinct-count per report day. All exact;
+    * for 100 TB × 90-day windows swap the tail for the mergeable HLL
+    * partials ([[Sketches.hllPartials]]) — same frame, approximate
+    * count. Output: (day, n_active).
+    */
+  def rollingActives(events: DataFrame, keyCol: String, tsCol: String,
+                     windowDays: Int,
+                     mat: Materializer = Materialize.Local): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays must be 1..370, got $windowDays")
+    val dayUs = 86400000000L
+    val ev = mat(events
+      .select(col(keyCol).as("u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+      .select(col("u"), expr(s"_us DIV $dayUs").as("day"))
+      .distinct())
+    val observed = ev.select(col("day")).distinct()
+    ev.select(col("u"),
+        explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+          .as("report_day"))
+      .join(observed.withColumnRenamed("day", "report_day"),
+        Seq("report_day"), "left_semi")
+      .groupBy(col("report_day").as("day"))
+      .agg(countDistinct(col("u")).as("n_active"))
+  }
+
   /** Retention cohort matrix: users grouped by the UTC day index of
     * their first event (cohort), counted distinct on each later day
     * they were active. Returns (cohort_day, day_offset, n_active) —

@@ -312,6 +312,28 @@ class SessionsSpec extends SparkSpec {
       (2L, 0L, 1L), (2L, 1L, 1L)))
   }
 
+  test("rollingActives: trailing-window distinct counts on observed days only") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(10)),            // u1 day 0
+      (2L, t(day + 5)),       // u2 day 1
+      (1L, t(day + 6)),       // u1 day 1 (again)
+      (3L, t(4 * day + 2)))   // u3 day 4
+      .toDF("user_id", "ts")
+    val got = Sessions.rollingActives(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // observed days: 0, 1, 4. Window 3 (trailing):
+    // day 0 <- {u1}; day 1 <- {u1, u2}; day 4 <- {u3} (days 0/1 too old)
+    assert(got === Map(0L -> 1L, 1L -> 2L, 4L -> 1L))
+    // wider window reaches day 1's actives into day... day 4 window
+    // [2,4] still misses them; window 4 covers [1,4]
+    val wide = Sessions.rollingActives(ev, "user_id", "ts", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === Map(0L -> 1L, 1L -> 2L, 4L -> 3L))
+  }
+
   test("denseDailyCounts: gaps filled with zeros inside each key's own span") {
     import java.sql.Timestamp
     val day = 86400L
