@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
 /** As-of (point-in-time) join — an operator Spark lacks natively,
   * composed from existing operators per the preference order (no
   * custom SparkPlan needed): for every left row, attach the payload of
-  * the LATEST right row with the same key and rightTime <= leftTime.
+  * the LATEST right row with the same key and rightTime <= leftTime
+  * (backward; the forward direction matches the EARLIEST right row at
+  * or after, and a tolerance bounds how far the match may be — the
+  * pandas merge_asof parameter surface).
   *
   * Implementation is the union + running-`last` trick, NOT an
   * inequality join: tag both inputs, union them, and take the running
   * last non-null payload over (key, time) with right rows sorting
-  * before left rows at equal timestamps (inclusive bound). Cost is ONE
-  * shuffle on the key plus a per-key sort — linear, while a naive
+  * before left rows at equal timestamps (inclusive bound). The
+  * forward direction is the same window with time DESCENDING. The
+  * matched payload carries its own timestamp so a tolerance is one
+  * post-filter on the already-matched row — no second join. Cost is
+  * ONE shuffle on the key plus a per-key sort — linear, while a naive
   * `l.key = r.key AND r.t <= l.t` theta-join explodes quadratically on
   * active keys at 100 TB.
   *
@@ -23,16 +29,49 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** Left as-of join. Output = every left row + `payload` columns from
-    * the matched right row (nulls when no right row precedes it).
+  /** Left BACKWARD as-of join (latest right at or before). Output =
+    * every left row + `payload` columns from the matched right row
+    * (nulls when no right row precedes it).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, forward = false, toleranceSeconds = -1L)
+
+  /** Left FORWARD as-of join (earliest right at or after), optionally
+    * tolerance-bounded: a match farther than `toleranceSeconds` ahead
+    * reverts to null payload (−1 = unbounded). The next-conversion /
+    * attribution shape.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String],
+                      toleranceSeconds: Long = -1L): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, forward = true, toleranceSeconds = toleranceSeconds)
+
+  /** [[asofJoin]] with a tolerance: a match farther than
+    * `toleranceSeconds` BEHIND reverts to null payload.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String],
+                        toleranceSeconds: Long): DataFrame =
+    asofImpl(left, right, leftKey, rightKey, leftTime, rightTime,
+      payload, forward = false, toleranceSeconds = toleranceSeconds)
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       payload: Seq[String], forward: Boolean,
+                       toleranceSeconds: Long): DataFrame = {
     // The union/window machinery reserves these working names; an input
     // already carrying one would produce silently ambiguous columns.
-    val reserved = Set("_k", "_t", "_side", "_p", "_match")
+    val reserved = Set("_k", "_t", "_side", "_p", "_match", "_mt")
     val clashes = (left.columns ++ right.columns).filter(reserved)
     require(clashes.isEmpty,
       s"asofJoin inputs must not contain reserved columns ${reserved.mkString(", ")}; " +
@@ -42,7 +81,10 @@ object AsOf {
     require(payloadClash.isEmpty,
       s"asofJoin payload names collide with left columns: ${payloadClash.mkString(", ")}" +
         " — rename on the right input before joining")
-    val pStruct = struct(payload.map(col): _*)
+    // the matched struct carries its own time (_mt) so the tolerance
+    // is a post-filter on the match, never a second join
+    val pStruct = struct(col(rightTime).as("_mt") +:
+      payload.map(col): _*)
     val pType = right.select(pStruct.as("_p")).schema("_p").dataType
     val leftFields = left.schema.fields.toSeq
 
@@ -58,14 +100,28 @@ object AsOf {
         lit(1).as("_side"), lit(null).cast(pType).as("_p")) ++
         leftFields.map(f => col(f.name)): _*)
 
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(tOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    rTagged.unionByName(lTagged)
+    val matched = rTagged.unionByName(lTagged)
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftFields.map(f => col(f.name)) ++
-        payload.map(p => col("_match").getField(p).as(p)): _*)
+    val inTol =
+      if (toleranceSeconds < 0L) col("_match").isNotNull
+      else {
+        val gap =
+          if (forward)
+            unix_micros(col("_match").getField("_mt").cast("timestamp")) -
+              unix_micros(col("_t").cast("timestamp"))
+          else
+            unix_micros(col("_t").cast("timestamp")) -
+              unix_micros(col("_match").getField("_mt").cast("timestamp"))
+        col("_match").isNotNull && gap <= toleranceSeconds * 1000000L
+      }
+    matched.select(leftFields.map(f => col(f.name)) ++
+      payload.map(p =>
+        when(inTol, col("_match").getField(p)).as(p)): _*)
   }
 }

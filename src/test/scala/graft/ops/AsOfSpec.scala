@@ -36,4 +36,44 @@ class AsOfSpec extends SparkSpec {
     assert(got.count() === 2L)
     assert(got.select("p").as[Long].collect().toSeq === Seq(7L, 7L))
   }
+
+  test("asofJoinForward: earliest at-or-after, inclusive ties, tolerance bounds") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      ("A", ts(100), 1L), // next right at 150 (within 100 s tol)
+      ("A", ts(150), 2L), // EQUAL time -> inclusive match at 150
+      ("A", ts(151), 3L), // next right at 400 -> beyond 100 s tol
+      ("A", ts(500), 4L), // nothing after -> null
+      ("B", ts(10), 5L)   // key with no rights -> null
+    ).toDF("k", "t", "id")
+    val right = Seq(("A", ts(150), 15L), ("A", ts(400), 40L),
+      ("A", ts(50), 5L)).toDF("k", "t", "p")
+    val unbounded = AsOf.asofJoinForward(left, right, "k", "k", "t", "t",
+        Seq("p"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(unbounded === Map(1L -> 15L, 2L -> 15L, 3L -> 40L,
+      4L -> -1L, 5L -> -1L))
+    val bounded = AsOf.asofJoinForward(left, right, "k", "k", "t", "t",
+        Seq("p"), toleranceSeconds = 100L)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(bounded === Map(1L -> 15L, 2L -> 15L, 3L -> -1L,
+      4L -> -1L, 5L -> -1L))
+  }
+
+  test("asofJoinTolerance: stale backward matches revert to null") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(("A", ts(100), 1L), ("A", ts(500), 2L))
+      .toDF("k", "t", "id")
+    val right = Seq(("A", ts(90), 9L)).toDF("k", "t", "p")
+    val got = AsOf.asofJoinTolerance(left, right, "k", "k", "t", "t",
+        Seq("p"), toleranceSeconds = 60L)
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // 100 is 10 s after 90 (in tol); 500 is 410 s after (stale)
+    assert(got === Map(1L -> 9L, 2L -> -1L))
+  }
 }
