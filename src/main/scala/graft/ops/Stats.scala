@@ -150,21 +150,23 @@ object Stats {
     *
     * Scale shape: two bounded-histogram aggregates (values, then
     * deviations — shuffle ∝ distinct values per group, map-side
-    * combined), each result a per-group scalar broadcast back; the
-    * final fence is a broadcast-join filter on the full table — no
-    * corpus-sized shuffle anywhere. Output: the input rows that
-    * breach the fence, plus (med, mad, adev).
+    * combined), each result one scalar row per group joined back on
+    * the group key. The join strategy is deliberately left to the
+    * planner: a handful of groups broadcasts (the report case), a
+    * high-cardinality groupCol degrades to a keyed shuffle join
+    * instead of an OOM'd forced broadcast. Output: the input rows
+    * that breach the fence, plus (med, mad, adev).
     */
   def madOutliersBy(df: DataFrame, groupCol: String, valueCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val med = discretePercentilesBy(df, groupCol, valueCol, Seq(0.5))
       .select(col(groupCol), col("p50").as("med"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+    val dev = df.join(med, Seq(groupCol))
       .withColumn("adev", abs(col(valueCol) - col("med")))
     val mad = discretePercentilesBy(dev, groupCol, "adev", Seq(0.5))
       .select(col(groupCol), col("p50").as("mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+    dev.join(mad, Seq(groupCol))
       .filter(col("adev") > lit(k.toLong) * col("mad"))
   }
 }
