@@ -135,6 +135,34 @@ object Stats {
     agged.select(ests: _*)
   }
 
+  /** Per-group WEIGHTED lower median: the smallest value v whose
+    * cumulative weight reaches half the group total — the convention
+    * written as 2·cumw(v) >= totw so there is NO division anywhere
+    * (weights aggregate through exact DECIMAL(18,4), and halving a
+    * decimal would reopen the rounding-convention question the
+    * engine's determinism discipline exists to close). The
+    * "median price weighted by volume" reporting shape.
+    *
+    * Scale: the [[discretePercentilesBy]] histogram protocol with
+    * weight sums instead of counts — shuffle ∝ distinct values per
+    * group (map-side combined), cumulative window over the bounded
+    * histogram partitioned per group. Output: (groupCol, wmedian).
+    */
+  def weightedMedianBy(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(sum(col(weightCol).cast("decimal(18,4)")).as("w"))
+    val win = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("w")).over(win))
+    val tot = df.groupBy(col(groupCol).as("g"))
+      .agg(sum(col(weightCol).cast("decimal(18,4)")).as("tw"))
+    cum.join(tot, Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
+        .as("wmedian"))
+  }
+
   /** Per-group ROBUST outliers — the Hampel / median-absolute-deviation
     * fence: a row is an outlier iff |v − median(group)| > k·MAD(group),
     * MAD = median of the absolute deviations. Why MAD and not stddev

@@ -88,6 +88,32 @@ class StatsSpec extends SparkSpec {
     assert(got("a") === ps.indices.map(i => aOnly.getLong(i)))
   }
 
+  test("weightedMedianBy: half-weight convention, ties, degenerate single value") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: values 1 (w 1), 2 (w 1), 3 (w 10) -> total 12,
+      // half = 6 -> first v with 2*cum >= 12 is 3
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 10.0),
+      // group b: symmetric weights -> 2*cum(1) = 10 >= 10 -> lower
+      // median 1 (the LOWER convention on an exact half)
+      ("b", 1L, 5.0), ("b", 2L, 5.0),
+      // group c: one value
+      ("c", 7L, 0.5)
+    ).toDF("g", "v", "w")
+    val got = Stats.weightedMedianBy(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 1L, "c" -> 7L))
+    // unweighted degenerates to the plain lower median (w = 1)
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 200).map(_ => ("z", rnd.nextInt(30).toLong, 1.0))
+    val wm = Stats.weightedMedianBy(rows.toDF("g", "v", "w"), "g", "v", "w")
+      .head().getLong(1)
+    val sorted = rows.map(_._2).sorted
+    // lower weighted median with unit weights = value at
+    // ceil(n/2)-th position (1-based)
+    assert(wm === sorted((rows.size + 1) / 2 - 1))
+  }
+
   test("madOutliersBy: exact median/MAD fence, per group, robust to the outlier itself") {
     import spark.implicits._
     // group a: tight cluster around 100 plus two gross artifacts —
