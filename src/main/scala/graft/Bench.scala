@@ -115,6 +115,15 @@ object Bench {
       if (names.exists(n => mins(n) < 0)) -1.0
       else names.map(mins).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_end":$loadEnd,"interleaved":true,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2 KB of stdout; the full
+    // forensic line above (runs/ts/load per repetition) exceeds that,
+    // which in round 10 pushed the per-query mins out of the captured
+    // tail (third consecutive round whose official artifact lacked
+    // numbers — VERDICT r10 Next #1). Emit a SECOND, compact line
+    // LAST — headline total + per-query mins only (~1 KB) — so the
+    // captured tail is always self-sufficient; the full line stays
+    // for forensics when the whole stdout is available.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** FLOOR division of epoch micros into UTC day indexes — matches the
+    * DuckDB/Python `//` operator on negative (pre-1970) epochs, where
+    * Spark's `DIV` truncates toward zero instead (ADVICE r10: engine
+    * and oracle diverged for day -1). Same pmod trick as
+    * [[sessionizeBucketed]]'s bucket computation.
+    */
+  private def floorDay(usCol: String): org.apache.spark.sql.Column = {
+    val d = 86400000000L
+    expr(s"($usCol - (($usCol % $d + $d) % $d)) DIV $d")
+  }
+
   /** Assign 1-based session ids per key: a new session starts when the
     * gap to the previous event exceeds `gapSeconds`. One shuffle on the
     * key + a per-key sort; `idCol` breaks timestamp ties so the
@@ -345,11 +356,10 @@ object Sessions {
     */
   def denseDailyCounts(events: DataFrame, keyCol: String, tsCol: String,
                        mat: Materializer = Materialize.Local): DataFrame = {
-    val dayUs = 86400000000L
     val ev = events
       .select(col(keyCol).as("key"),
         unix_micros(col(tsCol).cast("timestamp")).as("_us"))
-      .select(col("key"), expr(s"_us DIV $dayUs").as("day"))
+      .select(col("key"), floorDay("_us").as("day"))
     // sealed once: the count table feeds both the span aggregate and
     // the gap-filling join
     val counts = mat(ev.groupBy(col("key"), col("day"))
@@ -379,11 +389,10 @@ object Sessions {
                      mat: Materializer = Materialize.Local): DataFrame = {
     require(windowDays >= 1 && windowDays <= 370,
       s"windowDays must be 1..370, got $windowDays")
-    val dayUs = 86400000000L
     val ev = mat(events
       .select(col(keyCol).as("u"),
         unix_micros(col(tsCol).cast("timestamp")).as("_us"))
-      .select(col("u"), expr(s"_us DIV $dayUs").as("day"))
+      .select(col("u"), floorDay("_us").as("day"))
       .distinct())
     val observed = ev.select(col("day")).distinct()
     ev.select(col("u"),
@@ -407,14 +416,12 @@ object Sessions {
     */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
                        mat: Materializer = Materialize.Local): DataFrame = {
-    val dayUs = 86400000000L
-    // DIV, not `/`: the Column `/` operator is double division.
     // Sealed once: the distinct (user, day) table feeds both the
     // cohort aggregate and the activity join (one corpus scan).
     val ev = mat(events
       .select(col(userCol).as("u"),
         unix_micros(col(tsCol).cast("timestamp")).as("_us"))
-      .select(col("u"), expr(s"_us DIV $dayUs").as("day"))
+      .select(col("u"), floorDay("_us").as("day"))
       .distinct())
     val cohort = ev.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
     val active = ev

@@ -147,6 +147,13 @@ object Stats {
     * weight sums instead of counts — shuffle ∝ distinct values per
     * group (map-side combined), cumulative window over the bounded
     * histogram partitioned per group. Output: (groupCol, wmedian).
+    *
+    * Weights must be NONNEGATIVE: a negative weight makes the
+    * cumulative sum non-monotone, so "first v with 2·cum >= tot" no
+    * longer names a meaningful median (ADVICE r10). Enforced in-plan
+    * (no extra job): the total aggregate also carries min(weight),
+    * and the result expression raises before emitting a row for any
+    * group containing a negative weight.
     */
   def weightedMedianBy(df: DataFrame, groupCol: String, valueCol: String,
                        weightCol: String): DataFrame = {
@@ -156,11 +163,17 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("w")).over(win))
     val tot = df.groupBy(col(groupCol).as("g"))
-      .agg(sum(col(weightCol).cast("decimal(18,4)")).as("tw"))
+      .agg(sum(col(weightCol).cast("decimal(18,4)")).as("tw"),
+        min(col(weightCol).cast("decimal(18,4)")).as("minw"))
     cum.join(tot, Seq("g"))
       .groupBy(col("g").as(groupCol))
-      .agg(min(when(col("cum") * 2 >= col("tw"), col("v")))
-        .as("wmedian"))
+      .agg(min(when(col("cum") * 2 >= col("tw"), col("v"))).as("_wm"),
+        min(col("minw")).as("_minw"))
+      .select(col(groupCol),
+        when(col("_minw") < 0,
+          raise_error(concat(lit("weightedMedianBy: negative weight in group "),
+            col(groupCol).cast("string"))))
+          .otherwise(col("_wm")).as("wmedian"))
   }
 
   /** Per-group ROBUST outliers — the Hampel / median-absolute-deviation

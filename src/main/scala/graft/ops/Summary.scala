@@ -97,8 +97,9 @@ object Summary {
 
   /** Persist the summary as a managed asset (stage-and-swap) plus two
     * companions: `<table>_files` (the base files the partials cover —
-    * the refresh diff input) and `<table>_meta` (dims + measures, so
-    * refresh and the rewrite registry need no caller-side re-statement
+    * the refresh diff input) and `<table>_meta` (dims + measures +
+    * the base scan's root paths, so refresh, the rewrite registry AND
+    * a restarted driver ([[rearm]]) need no caller-side re-statement
     * that could drift from what was built). `df` must be a plain file
     * scan — the same contract as [[Manifest.fileStats]], enforced —
     * because the files list is only meaningful for the unfiltered scan.
@@ -108,12 +109,16 @@ object Summary {
     Manifest.requirePlainScan(df, "writeSummary")
     val spark = df.sparkSession
     import spark.implicits._
+    val roots = rootPathsOf(df).getOrElse(
+      throw new IllegalArgumentException(
+        "writeSummary: base must be a file-based scan"))
     graft.Tables.writeTable(summarize(df, dims, measures), table)
     graft.Tables.writeTable(
       df.inputFiles.map(Manifest.norm).toSeq.sorted.toDF("file"),
       table + "_files")
     graft.Tables.writeTable(
-      Seq((dims, measures)).toDF("dims", "measures"), table + "_meta")
+      Seq((dims, measures, roots)).toDF("dims", "measures", "base_roots"),
+      table + "_meta")
   }
 
   private[ops] def readMeta(spark: SparkSession,
@@ -121,6 +126,20 @@ object Summary {
     val m = spark.table(table + "_meta").head()
     (m.getSeq[String](m.fieldIndex("dims")),
       m.getSeq[String](m.fieldIndex("measures")))
+  }
+
+  /** The base root paths recorded at build time, None for a `_meta`
+    * written before the column existed (pre-r11 asset — re-register
+    * from the base scan once to upgrade it).
+    */
+  private def readRoots(spark: SparkSession,
+                        table: String): Option[Seq[String]] = {
+    val meta = spark.table(table + "_meta")
+    if (!meta.columns.contains("base_roots")) None
+    else {
+      val m = meta.head()
+      Some(m.getSeq[String](m.fieldIndex("base_roots")))
+    }
   }
 
   /** The immutable-files diff every incremental asset refresh is built
@@ -199,9 +218,15 @@ object Summary {
     rootPaths.map(Manifest.norm).sorted.mkString("\n")
 
   /** Register `summaryTable` as a materialization of aggregates over
-    * `base` (a plain file scan of the base table). Captures the base's
-    * CURRENT file set as the freshness token; call again after
-    * [[refreshSummary]] to re-arm the rewrite for the grown base
+    * `base` (a plain file scan of the base table). The freshness token
+    * is the `<table>_files` companion — the file set the partials
+    * ACTUALLY cover — not the base's current listing: registering a
+    * summary against a base that has grown since the last refresh
+    * therefore arms a rewrite that (correctly) declines until
+    * [[refreshSummary]] catches the partials up, instead of serving
+    * stale rows behind a passing freshness check (the r11 fix — the
+    * old current-listing token made exactly that possible). Call
+    * again after [[refreshSummary]] to re-arm for the grown base
     * (re-registering the same table replaces its entry). Several
     * summaries at different grains may be registered on one base —
     * aggregate NAVIGATION: the rewrite serves each query from the
@@ -211,13 +236,37 @@ object Summary {
     */
   def register(base: DataFrame, summaryTable: String): Unit = {
     Manifest.requirePlainScan(base, "Summary.register")
-    val spark = base.sparkSession
-    val (dims, measures) = readMeta(spark, summaryTable)
     val roots = rootPathsOf(base).getOrElse(
       throw new IllegalArgumentException(
         "Summary.register: base must be a file-based scan"))
-    val info = SummaryInfo(summaryTable, dims, measures,
-      base.inputFiles.map(Manifest.norm).toSet)
+    registerRoots(base.sparkSession, roots, summaryTable)
+  }
+
+  /** Re-arm the rewrite registry from the on-disk companions ALONE —
+    * the restarted-driver path (VERDICT r10 Next #4): registrations
+    * live in driver memory, so before r11 a fresh session served
+    * nothing until every caller re-`register`ed from a base scan.
+    * `_meta` now records the base root paths at build time, so a new
+    * driver re-arms each summary by table name only, the way
+    * [[JoinReduce.mightContainFromAsset]] and the manifest tier
+    * already work. Fails fast on a pre-r11 `_meta` (no `base_roots`
+    * column) — re-register once from the base scan to upgrade.
+    */
+  def rearm(spark: SparkSession, summaryTable: String): Unit = {
+    val roots = readRoots(spark, summaryTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"Summary.rearm: $summaryTable was written before base_roots " +
+          "was recorded — re-register it from the base scan once"))
+    registerRoots(spark, roots, summaryTable)
+  }
+
+  private def registerRoots(spark: SparkSession, roots: Seq[String],
+                            summaryTable: String): Unit = {
+    import spark.implicits._
+    val (dims, measures) = readMeta(spark, summaryTable)
+    val files = spark.table(summaryTable + "_files")
+      .select($"file").as[String].collect().toSet
+    val info = SummaryInfo(summaryTable, dims, measures, files)
     registry.compute(pathKey(roots), (_, prev) =>
       (Option(prev).getOrElse(Vector.empty)
         .filterNot(_.summaryTable == summaryTable) :+ info)
@@ -229,6 +278,12 @@ object Summary {
     rootPathsOf(base).foreach(r => registry.remove(pathKey(r)))
 
   private[graft] def isEmpty: Boolean = registry.isEmpty
+
+  /** Drop ALL registrations — the spec's session-restart simulation
+    * (the registry is the only in-memory state; tables live in the
+    * warehouse, so clear + [[rearm]] is what a new driver does).
+    */
+  private[graft] def clearRegistry(): Unit = registry.clear()
 
   /** The registered summaries of this base, coarsest (fewest dims)
     * first — the rewrite tries them in order.

@@ -47,13 +47,18 @@ import graft.ops.Summary.SummaryInfo
   *                             hold the exact integer total)
   *       SUM(CAST(c AS Fns.D)) → SUM(sum_c) cast back — the engine's
   *                             own order-independent summation shape
+  *       AVG(c), c integral  → exact decimal total → double, over the
+  *                             exact count (see the in-code note on
+  *                             the base's own fp-order envelope)
+  *       AVG(CAST(c AS Fns.D)) → the base's decimal-division tree
+  *                             rebuilt verbatim over the partials —
+  *                             bit-identical at any scale
   *     SUM over a raw DOUBLE column is deliberately NOT matched: fp
   *     addition is order-dependent, so the re-merged total would be a
   *     different (equally valid, but not bit-identical) double than
   *     the base plan's — silently changing results under a rewrite is
   *     exactly what this rule must never do. DISTINCT and FILTER'd
-  *     aggregates, and AVG (not mergeable as stored; expressible as
-  *     exact sum/count), also decline.
+  *     aggregates also decline.
   *   - SHAPE: output attribute ids, names, types and nullability are
   *     preserved exactly (Alias-with-original-exprId, Cast back to the
   *     original result type, KnownNotNull where the original was
@@ -158,6 +163,40 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       case Sum(Cast(a: AttributeReference, dt, _, _), _)
           if measures(a.name) && dt == graft.functions.Fns.D =>
         Some(sumOf(s"sum_${a.name}"))
+      // AVG, integral input (r11): the base sums integral inputs in
+      // DOUBLE (Average.sumDataType), i.e. Divide(sum.cast(double),
+      // count.cast(double), LEGACY). Served: the EXACT decimal total
+      // rounded to double once, divided by the exact count —
+      // bit-identical wherever the base is itself deterministic
+      // (total magnitude ≤ 2^53, where per-addition double rounding
+      // is exact); beyond that the base's own result is partition-
+      // order-dependent, and the served form is the exact-total
+      // rounding inside that nondeterminism envelope.
+      case Average(a: AttributeReference, _)
+          if measures(a.name) && isIntegral(a.dataType) =>
+        Some(Divide(
+          Cast(sumOf(s"sum_${a.name}"), org.apache.spark.sql.types.DoubleType),
+          Cast(sumOf(s"cnt_${a.name}"), org.apache.spark.sql.types.DoubleType),
+          EvalMode.LEGACY))
+      // AVG over the engine's decimal-cast shape (r11): replicate
+      // Average.evaluateExpression's decimal branch EXACTLY — same
+      // operand types (sumDataType for Fns.D input is bounded(28,4)
+      // = Summary.SumT; count as LongDecimal), same
+      // DecimalDivideWithOverflowCheck, same resultType — so the
+      // served division rounds bit-identically to the base plan at
+      // ANY scale (decimal partials are order-independent, unlike
+      // the double path above).
+      case av @ Average(Cast(a: AttributeReference, dt, _, _), evalMode)
+          if measures(a.name) && dt == graft.functions.Fns.D =>
+        val rt = av.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+        val cnt = sumOf(s"cnt_${a.name}")
+        Some(If(EqualTo(cnt, Literal(0L, LongType)),
+          Literal(null, rt),
+          DecimalDivideWithOverflowCheck(
+            Cast(sumOf(s"sum_${a.name}"), Summary.SumT),
+            // DecimalType.LongDecimal = (20, 0), private[sql]
+            Cast(cnt, org.apache.spark.sql.types.DecimalType(20, 0)),
+            rt, null, evalMode != EvalMode.ANSI)))
       case _ => None
     }
 

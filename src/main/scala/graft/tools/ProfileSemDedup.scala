@@ -16,7 +16,7 @@ import graft.ops.Similarity
 object ProfileSemDedup {
 
   /** Deterministic synthetic embeddings: dims md5-derived components
-    * in [-1, 1) with CLUSTER STRUCTURE (vectors lean toward one of
+    * in [0, 1) with CLUSTER STRUCTURE (vectors lean toward one of
     * `nGroups` md5-derived directions) so nearest-centroid clusters
     * are non-degenerate and epsilon-pairs exist, as in a real
     * embedding space.

@@ -26,6 +26,29 @@ class GraphsSpec extends SparkSpec {
     assert(ranks(starEdges, iters = 5, parts = 7) === star)
   }
 
+  test("pageRank: sink nodes (out-degree 0) are rejected up front") {
+    // 3 appears as dst only — its received mass would silently vanish
+    val ex = intercept[IllegalArgumentException] {
+      ranks(Seq((1L, 2L), (2L, 1L), (2L, 3L)), iters = 2)
+    }
+    assert(ex.getMessage.contains("sink"))
+  }
+
+  test("pageRank: in-degree-0 source holds base rank and keeps contributing") {
+    // 3 -> 2 with nothing pointing at 3: node 3 must stay in the
+    // result at the base rank and feed 2 every round (pre-r11 it
+    // dropped out of the rank table after round 1). Hand-unrolled
+    // recurrence, S = 10^12, base = 0.15S:
+    //   round 1: r2 = base + 0.85*(S + S) = 1.85S; r1 = S; r3 = base
+    //   round 2: r2 = base + 0.85*(S + 0.15S) = 1.1275S
+    //            r1 = base + 0.85*1.85S = 1.7225S; r3 = base
+    val got = ranks(Seq((1L, 2L), (2L, 1L), (3L, 2L)), iters = 2)
+    assert(got === Map(
+      1L -> 1722500000000L, 2L -> 1127500000000L, 3L -> 150000000000L))
+    assert(ranks(Seq((1L, 2L), (2L, 1L), (3L, 2L)), iters = 2, parts = 5)
+      === got)
+  }
+
   test("coOccurrenceEdges: distinct items per key, ordered pairs, multiplicity across keys") {
     val df = Seq((10L, "a"), (10L, "a"), (10L, "b"), (10L, "c"),
       (20L, "a"), (20L, "b")).toDF("k", "item")

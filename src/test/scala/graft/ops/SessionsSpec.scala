@@ -351,4 +351,23 @@ class SessionsSpec extends SparkSpec {
       (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
       (2L, 5L, 1L)))
   }
+
+  test("day indexes FLOOR-divide pre-1970 epochs (oracle // semantics)") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // 1969-12-31 23:00 is epoch -3600 s: floor puts it on day -1;
+    // Spark's bare DIV truncates toward zero and would say day 0
+    // (ADVICE r10 — engine/oracle divergence on negative epochs)
+    val ev = Seq((1L, t(-3600L)), (1L, t(10L))).toDF("user_id", "ts")
+    val dense = Sessions.denseDailyCounts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(dense === Set((-1L, 1L), (0L, 1L)))
+    val coh = Sessions.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coh === Set((-1L, 0L), (-1L, 1L)), "cohort day must be -1")
+    val act = Sessions.rollingActives(ev, "user_id", "ts", windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(act === Map(-1L -> 1L, 0L -> 1L))
+  }
 }

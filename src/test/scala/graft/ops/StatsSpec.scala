@@ -114,6 +114,23 @@ class StatsSpec extends SparkSpec {
     assert(wm === sorted((rows.size + 1) / 2 - 1))
   }
 
+  test("weightedMedianBy: negative weights are rejected, zero weights are fine") {
+    import spark.implicits._
+    // a negative weight makes the cumulative sum non-monotone — the
+    // 2*cum >= tot pick no longer names a weighted median (ADVICE r10)
+    val bad = Seq(("a", 1L, 2.0), ("a", 2L, -1.0)).toDF("g", "v", "w")
+    val ex = intercept[Exception] {
+      Stats.weightedMedianBy(bad, "g", "v", "w").collect()
+    }
+    assert(ex.getMessage.contains("negative weight"))
+    // zero weights keep monotonicity — allowed, and never selected
+    // unless they sit at the crossing value anyway
+    val ok = Seq(("a", 1L, 0.0), ("a", 2L, 3.0), ("a", 3L, 1.0))
+      .toDF("g", "v", "w")
+    assert(Stats.weightedMedianBy(ok, "g", "v", "w")
+      .head().getLong(1) === 2L)
+  }
+
   test("madOutliersBy: exact median/MAD fence, per group, robust to the outlier itself") {
     import spark.implicits._
     // group a: tight cluster around 100 plus two gross artifacts —

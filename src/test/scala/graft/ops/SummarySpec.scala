@@ -149,13 +149,85 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("rewrite serves AVG: integral derivation and decimal division bit-identical") {
+    rwSetup()
+    // integral avg (z: long) — base sums doubles; served = exact
+    // decimal total → double once / exact count. Decimal-cast avg —
+    // served rebuilds Average's own DecimalDivideWithOverflowCheck
+    // tree over the partials, so the (22,8) rounding is identical.
+    val q = """SELECT d1,
+              |  avg(z) AS avg_z,
+              |  avg(cast(x AS decimal(18,4))) AS avg_x
+              |FROM sumspec_rw_v
+              |WHERE d2 <> 1
+              |GROUP BY d1
+              |ORDER BY d1""".stripMargin
+    val baseline = spark.sql(q).collect() // no rule, no registration
+    Summary.register(spark.table("sumspec_rw_base"), "sumspec_rw_sum")
+    withRule {
+      val df = spark.sql(q)
+      val roots = scannedRoots(df)
+      assert(roots.exists(_.contains("sumspec_rw_sum")) &&
+        !roots.exists(_.contains("sumspec_rw_base")),
+        s"AVG was not served:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().toSeq === baseline.toSeq)
+      // raw-double avg still declines (fp partials don't exist)
+      val dbl = spark.sql(
+        "SELECT d1, avg(x) AS a FROM sumspec_rw_v GROUP BY d1")
+      assert(scannedRoots(dbl).exists(_.contains("sumspec_rw_base")))
+    }
+  }
+
+  test("rearm: a restarted driver re-arms the rewrite from on-disk assets alone") {
+    rwSetup()
+    Summary.register(spark.table("sumspec_rw_base"), "sumspec_rw_sum")
+    val q = "SELECT d1, count(*) AS n FROM sumspec_rw_v GROUP BY d1 ORDER BY d1"
+    withRule {
+      assert(scannedRoots(spark.sql(q)).exists(_.contains("sumspec_rw_sum")))
+      val expect = spark.sql(q).collect()
+      // driver restart: the ConcurrentHashMap is gone, warehouse stays
+      Summary.clearRegistry()
+      assert(scannedRoots(spark.sql(q)).exists(_.contains("sumspec_rw_base")),
+        "cleared registry must serve nothing")
+      // the new driver re-arms by table name only — no base scan, no
+      // caller-side dims/measures restatement
+      Summary.rearm(spark, "sumspec_rw_sum")
+      val df = spark.sql(q)
+      assert(scannedRoots(df).exists(_.contains("sumspec_rw_sum")),
+        s"rearm did not re-arm the rewrite:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().toSeq === expect.toSeq)
+    }
+  }
+
+  test("register's freshness token is the COVERED file set — registering against a grown base declines") {
+    graft.Tables.writeTable(baseData(4000).repartition(2), "sumspec_gr_base")
+    Summary.writeSummary(spark.table("sumspec_gr_base"), "sumspec_gr_sum",
+      Seq("d1"), Seq("x"))
+    // base grows AFTER the summary build, BEFORE registration — the
+    // old current-listing token would pass freshness here and serve
+    // stale partials silently
+    Layout.appendPlain(baseData(4400).filter($"z" === 3).repartition(1),
+      "sumspec_gr_base")
+    Summary.register(spark.table("sumspec_gr_base"), "sumspec_gr_sum")
+    spark.table("sumspec_gr_base").createOrReplaceTempView("sumspec_gr_v")
+    val q = "SELECT d1, count(*) AS n FROM sumspec_gr_v GROUP BY d1 ORDER BY d1"
+    withRule {
+      val df = spark.sql(q)
+      assert(scannedRoots(df).exists(_.contains("sumspec_gr_base")),
+        "must decline: the summary does not cover the appended files")
+      val expect = spark.table("sumspec_gr_base").groupBy($"d1")
+        .agg(count(lit(1)).as("n")).orderBy($"d1").collect()
+      assert(df.collect().toSeq === expect.toSeq)
+    }
+  }
+
   test("rewrite declines what the partials cannot answer exactly") {
     rwSetup()
     Summary.register(spark.table("sumspec_rw_base"), "sumspec_rw_sum")
     val declined = Seq(
       // raw double sum: re-merged fp addition would not be bit-identical
       "SELECT d1, sum(x) AS s FROM sumspec_rw_v GROUP BY d1",
-      // avg: not mergeable as stored
+      // raw-double avg: the fp sum partial it needs is never stored
       "SELECT d1, avg(x) AS a FROM sumspec_rw_v GROUP BY d1",
       // distinct aggregate
       "SELECT d1, count(DISTINCT x) AS c FROM sumspec_rw_v GROUP BY d1",
