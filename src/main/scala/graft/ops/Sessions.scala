@@ -404,6 +404,47 @@ object Sessions {
       .agg(countDistinct(col("u")).as("n_active"))
   }
 
+  /** HLL-backed rolling distinct actives — the 100 TB form of
+    * [[rollingActives]] (the swap that operator's scaladoc names):
+    * the exact operator explodes every distinct (key, day) activity
+    * fact ×`windowDays`, a corpus-sized blow-up at 90-day windows;
+    * here the corpus is reduced ONCE to per-day HLL register
+    * partials ([[Sketches.hllPartials]] — at most days × m rows,
+    * m = 2^b), and the trailing-window merge explodes REGISTERS, not
+    * facts: days × m × windowDays rows regardless of corpus size.
+    * Register max-merge is lossless and order-free, so the rolling
+    * merge equals a one-shot sketch of each window's users; the md5
+    * register layout is pinned, so the estimate is deterministic and
+    * replays exactly in SQL (the q144 oracle discipline) — an
+    * approximation, but not a nondeterministic one. Output per
+    * OBSERVED activity day: (day, m, n_zero, estimate) with
+    * estimate ≈ distinct keys active in the trailing window.
+    */
+  def rollingActivesHll(events: DataFrame, keyCol: String, tsCol: String,
+                        windowDays: Int, b: Int = 10,
+                        mat: Materializer = Materialize.Local): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays must be 1..370, got $windowDays")
+    val ev = events
+      .select(col(keyCol).as("u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+      .select(col("u"), floorDay("_us").as("day"))
+    // ONE corpus pass seals the per-day registers; the observed-day
+    // frame and the rolling merge both read the sealed partials
+    val partials = mat(Sketches.hllPartials(ev, Seq("day"), col("u"), b))
+    val observed = partials.select(col("day")).distinct()
+    val merged = partials
+      .select(explode(sequence(col("day"),
+          col("day") + lit(windowDays - 1))).as("report_day"),
+        col("bucket"), col("mj"))
+      .join(observed.withColumnRenamed("day", "report_day"),
+        Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    Sketches.hllGroupEstimate(merged, Seq("report_day"), b)
+      .withColumnRenamed("report_day", "day")
+  }
+
   /** Retention cohort matrix: users grouped by the UTC day index of
     * their first event (cohort), counted distinct on each later day
     * they were active. Returns (cohort_day, day_offset, n_active) —

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{md5, concat, lit, row_number}
+import org.apache.spark.sql.functions.{md5, concat, lit, row_number, unix_micros}
 
 class SessionsSpec extends SparkSpec {
   import spark.implicits._
@@ -350,6 +350,44 @@ class SessionsSpec extends SparkSpec {
     assert(got === Set(
       (1L, 0L, 2L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L),
       (2L, 5L, 1L)))
+  }
+
+  test("rollingActivesHll: merge equals one-shot window sketch; estimate tracks exact") {
+    import java.sql.Timestamp
+    val day = 86400L
+    val rnd = new scala.util.Random(91)
+    val rows = for {
+      u <- 0 until 2000; d <- 0 until 10 if rnd.nextDouble() < 0.3
+    } yield (u.toLong, new Timestamp((d * day + (u % 1000)) * 1000L))
+    val ev = rows.toDF("user_id", "ts")
+    val got = Sessions.rollingActivesHll(ev, "user_id", "ts",
+        windowDays = 3, b = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val exact = Sessions.rollingActives(ev, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same observed-day x-axis, estimate within HLL's b=10 error band
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(got(d) - n) / n.toDouble < 0.1,
+        s"day $d: estimate ${got(d)} vs exact $n")
+    }
+    // register max-merge is LOSSLESS: the rolling estimate for one
+    // report day bit-equals a one-shot sketch over exactly that
+    // window's facts
+    val windowFacts = ev
+      .filter(unix_micros($"ts".cast("timestamp"))
+        .between(3L * day * 1000000L, 6L * day * 1000000L - 1L))
+      .withColumn("g", lit(1))
+    val oneShot = Sketches.hllGroupEstimate(
+        Sketches.hllPartials(windowFacts, Seq("g"), $"user_id", b = 10),
+        Seq("g"), b = 10)
+      .head().getDouble(3)
+    assert(got(5L) === oneShot)
+    // deterministic on any partitioning
+    val re = Sessions.rollingActivesHll(ev.repartition(7), "user_id", "ts",
+        windowDays = 3, b = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(re === got)
   }
 
   test("day indexes FLOOR-divide pre-1970 epochs (oracle // semantics)") {
