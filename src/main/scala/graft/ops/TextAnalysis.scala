@@ -361,6 +361,148 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ------------------------------------------------------------ bpe train
+
+  /** Symbol separator for the BPE sequence encoding: each symbol is
+    * wrapped INDIVIDUALLY — the word "abc" is held as `␟a␟␟b␟␟c␟` —
+    * so one merge round is ONE non-overlapping left-to-right string
+    * `replace` of `␟l␟␟r␟` with `␟lr␟`, semantics Spark's
+    * StringReplace, DuckDB's replace and greedy BPE merging share
+    * exactly. The per-symbol wrapping matters: with single SHARED
+    * separators (`␟a␟a␟a␟a␟`) a match consumes the separator the
+    * next occurrence needs to start, so "aaaa" merged only once
+    * instead of twice (caught by the property test vs the reference
+    * trainer); wrapped symbols share no boundary characters, so
+    * consecutive occurrences all merge — `␟a␟␟a␟␟a␟␟a␟` →
+    * `␟aa␟␟aa␟` — and the left-greedy overlap rule falls out
+    * (`aaa` → [aa, a]). U+001F (unit separator) — words containing
+    * it are dropped at intake (the documented contract; it does not
+    * occur in natural text).
+    */
+  private[ops] val BpeSep = "\u001f"
+
+  private def seqSymbols(seqCol: Column): Column =
+    filter(split(seqCol, BpeSep), x => x =!= "")
+
+  private def wordToSeq(w: Column): Column =
+    regexp_replace(w, "(.)", BpeSep + "$1" + BpeSep)
+
+  /** TRAIN a byte-pair-encoding merge table (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * the full iterative merge loop, not just one round of statistics
+    * ([[bpePairStats]]): count adjacent symbol pairs, merge the most
+    * frequent pair everywhere, repeat `nMerges` times. The trained
+    * artifact is the ordered merge list (rank, lft, rgt, merged, n) —
+    * what a tokenizer ships.
+    *
+    * Determinism: the merge choice is (count desc, lft asc, rgt asc)
+    * — binary string order — so the entire merge SEQUENCE replays
+    * exactly in any engine (ties in pair counts are common in real
+    * corpora; an unpinned tie order would fork the whole training
+    * trajectory, not one row).
+    *
+    * Scale shape — the reason this trains at 100 TB: the corpus is
+    * touched ONCE (the word-type frequency aggregate, map-side
+    * combined); every round after that operates on the word-TYPE
+    * table, which Zipf bounds at vocabulary size ≪ corpus size. Per
+    * round: one pair aggregate over types (weighted by type
+    * frequency), one driver-side top-1 (a single collected row — the
+    * loop-control pattern of [[Dedup.duplicateClusters]]), one
+    * map-only string replace, sealed per round ([[Materializer]]
+    * lazy-checkpoint — round k's plan never nests round k−1's).
+    * Reference trainers (e.g. HuggingFace) instead keep incremental
+    * pair-count deltas in mutable per-word state — cheaper serially,
+    * but the recount-over-types form is what parallelizes without
+    * shared state; its cost is stated: nMerges × one pass over the
+    * type table. No end-of-word marker (matches [[bpePairStats]]'s
+    * plain within-word convention; callers wanting `</w>` append it
+    * to `textCol` upstream).
+    *
+    * Stops early when no pair remains (fully merged corpus); the
+    * result then has fewer than `nMerges` rows.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int,
+               mat: Materializer = Materialize.Local): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1 && nMerges <= 200,
+      s"nMerges must be 1..200, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the ONLY corpus-sized pass: word-type frequencies (1-char words
+    // can never pair; separator-bearing words are out of contract)
+    var words = mat(docs.select(explode(toks(col(textCol))).as("w"))
+      .filter(char_length(col("w")) >= 2 &&
+        !col("w").contains(lit(BpeSep)))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(wordToSeq(col("w")).as("seq"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val top = words
+        .select(seqSymbols(col("seq")).as("s"), col("freq"))
+        .filter(size(col("s")) >= 2) // merged-to-one-symbol words pair no more
+        .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("lft"),
+            element_at(col("s"), i + 1).as("rgt")))).as("p"), col("freq"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("lft").asc, col("rgt").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rt, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r + 1L, l, rt, n))
+        words = mat.iterative(words.withColumn("seq",
+          replace(col("seq"),
+            lit(BpeSep + l + BpeSep + BpeSep + rt + BpeSep),
+            lit(BpeSep + l + rt + BpeSep))))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lft", "rgt", "n")
+      .select(col("rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("n"))
+  }
+
+  /** SEGMENT documents with a trained merge table ([[bpeTrain]]): each
+    * word replays the merges in rank order (the standard apply-time
+    * rule — training order, not corpus statistics, decides), then the
+    * per-word symbol runs are reassembled in document order. The
+    * merge list is collected driver-side (bounded: `nMerges` rows)
+    * and folded into the plan as a chain of literal replaces — a
+    * single map-only projection, no join, no shuffle beyond the
+    * doc_id reassembly (the [[encodeDocs]] shape). Words outside the
+    * training contract (1-char, separator-bearing) pass through as
+    * single symbols. Output: (doc_id, syms array&lt;string&gt;).
+    */
+  def bpeSegment(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String,
+                 merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ms = merges.orderBy(col("rank"))
+      .select(col("lft"), col("rgt")).collect()
+      .map(row => (row.getString(0), row.getString(1)))
+    val applied = ms.foldLeft(wordToSeq(col("word"))) { case (c, (l, rt)) =>
+      replace(c, lit(BpeSep + l + BpeSep + BpeSep + rt + BpeSep),
+        lit(BpeSep + l + rt + BpeSep))
+    }
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("wsyms",
+        when(char_length(col("word")) < 2 ||
+          col("word").contains(lit(BpeSep)), array(col("word")))
+          .otherwise(seqSymbols(applied)))
+    val asm = pos.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("wsyms")))).as("_s"))
+      .select(col("doc_id"),
+        flatten(transform(col("_s"), s => s.getField("wsyms"))).as("syms"))
+    docs.select(col(idCol).as("doc_id")).join(asm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("syms"), array().cast("array<string>")).as("syms"))
+  }
+
   // ------------------------------------------------------------ drift
 
   /** Token-distribution drift between two corpus slices — the

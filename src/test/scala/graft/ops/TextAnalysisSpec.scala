@@ -217,4 +217,112 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(2L) === Seq(1L, 1L, 1L, 2L))
     assert(enc(3L) === Seq.empty)
   }
+
+  // ------------------------------------------------------------- bpe
+
+  /** Driver-side reference BPE (Sennrich et al. 2016): word-frequency
+    * map, greedy left-to-right merge, (count desc, pair asc) choice.
+    */
+  private def refBpeTrain(words: Map[String, Long], nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var ws: Map[Vector[String], Long] = words.collect {
+      case (w, f) if w.length >= 2 => w.map(_.toString).toVector -> f
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val pairs = ws.toSeq.flatMap { case (syms, f) =>
+        syms.sliding(2).collect { case Vector(a, b) => (a, b) -> f }
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, rt), n) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, rt, n))
+        ws = ws.toSeq.map { case (syms, f) => mergeWord(syms, l, rt) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def refBpeSegment(word: String,
+                            merges: Seq[(String, String)]): Vector[String] = {
+    if (word.length < 2) Vector(word)
+    else merges.foldLeft(word.map(_.toString).toVector) { case (syms, (l, r)) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+  }
+
+  test("bpeTrain: hand-computed merge sequence, overlap is left-greedy") {
+    // corpus: "aaab" x3, "ab" x2 -> pair counts round 1:
+    //   (a,a): 2 per "aaab" x3 = 6 (overlapping slide), (a,b): 3+2=5
+    // merge 1 = (a,a) n=6; "aaab" -> [aa, a, b] (left-greedy, NOT [a, aa, b])
+    // round 2: (aa,a)=3, (a,b)=3+2=5 -> merge 2 = (a,b) n=5
+    // round 3: "aa a ab"? after merge 2: aaab -> [aa, ab], ab -> [ab]
+    //   pairs: (aa,ab)=3 -> merge 3 = (aa,ab) n=3
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "a", "b", "ab", 5L),
+      (3L, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("bpeTrain property: merge trajectory equals the reference implementation") {
+    val rnd = new scala.util.Random(131)
+    val alphabet = "abcde"
+    for (round <- 1 to 3) {
+      val words = (1 to 60).map { _ =>
+        (1 to (1 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val docs = words.grouped(6).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val wordFreq = words.groupBy(identity).map { case (w, g) =>
+        w -> g.size.toLong
+      }
+      val want = refBpeTrain(wordFreq, nMerges = 10)
+      val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 10)
+        .orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got === want, s"round $round diverged (words: $words)")
+    }
+  }
+
+  test("bpeSegment: replays merges in rank order; short/untrained words pass through") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+    val apply = Seq((10L, "aaab ab z aba"), (11L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegment(apply, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ms = Seq(("a", "a"), ("a", "b"))
+    val want = Seq("aaab", "ab", "z", "aba").flatMap(refBpeSegment(_, ms))
+    assert(got(10L) === want) // [aa, ab] [ab] [z] [ab, a]
+    assert(got(11L) === Seq.empty)
+  }
 }
