@@ -77,21 +77,33 @@ object Graphs {
     * left join against the node table, so a node nothing points at
     * holds the base rank and keeps contributing base DIV outdeg —
     * previously it vanished from the rank table after round 1.
+    *
+    * The guard is an EAGER distinct+anti-join count at call time —
+    * one extra job before any action on the returned frame. Callers
+    * whose graph is sink-free BY CONSTRUCTION (e.g. the symmetric
+    * [[coOccurrenceEdges]] output, where every dst is also a src)
+    * may pass `skipSinkCheck = true` to skip that job (ADVICE r11);
+    * the input contract still holds — a skipped check on a graph
+    * that DOES have sinks silently drops their mass, which is
+    * exactly what the guard exists to reject.
     */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
-               mat: Materializer = Materialize.Local): DataFrame = {
+               mat: Materializer = Materialize.Local,
+               skipSinkCheck: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
     require(scale >= 1000000L, s"scale too small for integer damping: $scale")
     val e = mat(edges.select($"src", $"dst"))
     val deg = mat(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
     val nodes = deg.select($"src".as("node"))
-    val nSinks = e.select($"dst").distinct()
-      .join(nodes, $"dst" === $"node", "left_anti").count()
-    require(nSinks == 0L,
-      s"pageRank: $nSinks sink node(s) (out-degree 0) — this recurrence " +
-        "drops their mass; close the graph first (self-loops or teleport " +
-        "edges) to pick a dangling-mass convention explicitly")
+    if (!skipSinkCheck) {
+      val nSinks = e.select($"dst").distinct()
+        .join(nodes, $"dst" === $"node", "left_anti").count()
+      require(nSinks == 0L,
+        s"pageRank: $nSinks sink node(s) (out-degree 0) — this recurrence " +
+          "drops their mass; close the graph first (self-loops or teleport " +
+          "edges) to pick a dangling-mass convention explicitly")
+    }
     val base = (15L * scale) / 100L
     var r = nodes.withColumn("r", lit(scale))
     for (_ <- 1 to iters) {

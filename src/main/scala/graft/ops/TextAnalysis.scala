@@ -384,8 +384,18 @@ object TextAnalysis {
   private def seqSymbols(seqCol: Column): Column =
     filter(split(seqCol, BpeSep), x => x =!= "")
 
+  // DOTALL: Java's plain '.' excludes \r, U+0085, U+2028, U+2029 —
+  // characters wsTokens does NOT strip (its class is the reference
+  // Python str.split set minus what RE2 adds). An unwrapped char in
+  // the seq encoding would make the merge replace (which expects
+  // double-separator boundaries) silently never match, turning that
+  // pair into a repeated no-op merge round — and diverging from the
+  // DuckDB oracle, whose RE2 '.' does match U+2028/U+2029 (ADVICE
+  // r11). With (?s) every char wraps; tokens cannot contain \n (the
+  // only char RE2's '.' skips) after wsTokens, so both engines wrap
+  // the identical character set.
   private def wordToSeq(w: Column): Column =
-    regexp_replace(w, "(.)", BpeSep + "$1" + BpeSep)
+    regexp_replace(w, "(?s)(.)", BpeSep + "$1" + BpeSep)
 
   /** TRAIN a byte-pair-encoding merge table (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units") —

@@ -48,8 +48,20 @@ import graft.ops.Summary.SummaryInfo
   *       SUM(CAST(c AS Fns.D)) → SUM(sum_c) cast back — the engine's
   *                             own order-independent summation shape
   *       AVG(c), c integral  → exact decimal total → double, over the
-  *                             exact count (see the in-code note on
-  *                             the base's own fp-order envelope)
+  *                             exact count. CONTRACT ENVELOPE (ADVICE
+  *                             r11): bit-identical to the base plan
+  *                             only while the group's running double
+  *                             sum stays ≤ 2^53 (where per-addition
+  *                             rounding is exact); past that the
+  *                             base's own result is partition-order-
+  *                             dependent, and the served value is the
+  *                             exact-total rounding INSIDE that
+  *                             nondeterminism envelope — a different
+  *                             but equally valid double. Callers
+  *                             needing bit-stability on >2^53 totals
+  *                             should aggregate the Fns.D decimal
+  *                             cast instead (next line), which is
+  *                             exact at any scale.
   *       AVG(CAST(c AS Fns.D)) → the base's decimal-division tree
   *                             rebuilt verbatim over the partials —
   *                             bit-identical at any scale

@@ -34,6 +34,20 @@ class GraphsSpec extends SparkSpec {
     assert(ex.getMessage.contains("sink"))
   }
 
+  test("pageRank: skipSinkCheck skips the guard job, same result on a sink-free graph") {
+    val starEdges = (2L to 5L).flatMap(l => Seq((1L, l), (l, 1L)))
+    val checked = ranks(starEdges, iters = 5)
+    val skipped = Graphs.pageRank(starEdges.toDF("src", "dst"), iters = 5,
+        skipSinkCheck = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skipped === checked)
+    // and the contract really is the caller's problem when skipped:
+    // a sink graph no longer throws (its mass silently drains — the
+    // documented trade the flag makes explicit)
+    Graphs.pageRank(Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst"),
+      iters = 1, skipSinkCheck = true).collect()
+  }
+
   test("pageRank: in-degree-0 source holds base rank and keeps contributing") {
     // 3 -> 2 with nothing pointing at 3: node 3 must stay in the
     // result at the base rank and feed 2 every round (pre-r11 it
