@@ -312,7 +312,11 @@ object Sessions {
     * the events + one keyed join against the (users-sized) previous
     * frame + one min aggregate — `steps.size` passes, each
     * shuffle-bounded by the user-key aggregate; no window over the
-    * raw events, no per-user sort.
+    * raw events, no per-user sort. The FINAL counts run as ONE job
+    * (VERDICT r10 #8): the per-step frames union under a step_idx
+    * tag and aggregate together, then a broadcast left join against
+    * the (steps.size)-row step table keeps zero-user steps in the
+    * report — not steps.size count jobs.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String],
@@ -329,20 +333,31 @@ object Sessions {
       .select(col(userCol).as("eu"),
         unix_micros(col(tsCol).cast("timestamp")).as("ets"),
         col(typeCol).as("etype")))
-    val first = ev.filter(col("etype") === steps.head)
-      .groupBy(col("eu").as("u")).agg(min(col("ets")).as("t"))
+    // each frame is sealed: it feeds BOTH the next step's join and
+    // the final union, and frames nest (step k's plan references step
+    // k-1's) — without the barrier the union re-executes every prefix
+    // chain. Frames are users-sized, so the barrier is cheap.
+    val first = mat(ev.filter(col("etype") === steps.head)
+      .groupBy(col("eu").as("u")).agg(min(col("ets")).as("t")))
     val frames = steps.tail.scanLeft(first) { (prev, step) =>
-      ev.filter(col("etype") === step)
+      mat(ev.filter(col("etype") === step)
         .join(prev, col("eu") === col("u") &&
           col("ets") > col("t") &&
           col("ets") <= col("t") + lit(windowSeconds * 1000000L))
-        .groupBy(col("u")).agg(min(col("ets")).as("t"))
+        .groupBy(col("u")).agg(min(col("ets")).as("t")))
     }
-    frames.zip(steps).zipWithIndex.map { case ((f, s), i) =>
-      f.agg(count(lit(1)).as("n_users"))
-        .select(lit((i + 1).toLong).as("step_idx"), lit(s).as("step"),
-          col("n_users"))
+    val tagged = frames.zipWithIndex.map { case (f, i) =>
+      f.select(lit((i + 1).toLong).as("step_idx"))
     }.reduce(_ unionByName _)
+    val counts = tagged.groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepTable = steps.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }.toDF("step_idx", "step")
+    stepTable.join(counts, Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
 
   /** Dense per-key daily activity: event counts per (key, UTC day
