@@ -256,8 +256,34 @@ object Summary {
     val roots = readRoots(spark, summaryTable).getOrElse(
       throw new IllegalArgumentException(
         s"Summary.rearm: $summaryTable was written before base_roots " +
-          "was recorded — re-register it from the base scan once"))
+          "was recorded — re-register it from the base scan once, or " +
+          "rearm(spark, table, base) to upgrade the _meta in place"))
     registerRoots(spark, roots, summaryTable)
+  }
+
+  /** [[rearm]] with an UPGRADE path for pre-r11 assets (VERDICT r11
+    * Next #6): when `_meta` predates the `base_roots` column, backfill
+    * it from the provided base scan — dims/measures/files companions
+    * are kept verbatim, only the roots are added — then re-arm. A
+    * long-lived warehouse migrates by calling this once per summary
+    * instead of rebuilding; `_meta` already carrying roots ignores
+    * `base` entirely (the name-only path stays authoritative, so a
+    * caller passing a WRONG base cannot clobber a good registration).
+    */
+  def rearm(spark: SparkSession, summaryTable: String,
+            base: DataFrame): Unit = {
+    if (readRoots(spark, summaryTable).isEmpty) {
+      Manifest.requirePlainScan(base, "Summary.rearm (upgrade)")
+      val roots = rootPathsOf(base).getOrElse(
+        throw new IllegalArgumentException(
+          "Summary.rearm: base must be a file-based scan"))
+      val (dims, measures) = readMeta(spark, summaryTable)
+      import spark.implicits._
+      graft.Tables.writeTable(
+        Seq((dims, measures, roots)).toDF("dims", "measures", "base_roots"),
+        summaryTable + "_meta")
+    }
+    rearm(spark, summaryTable)
   }
 
   private def registerRoots(spark: SparkSession, roots: Seq[String],

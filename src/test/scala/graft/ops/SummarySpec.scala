@@ -199,6 +199,35 @@ class SummarySpec extends SparkSpec {
     }
   }
 
+  test("rearm upgrade: a pre-r11 _meta (no base_roots) backfills from the base scan") {
+    rwSetup()
+    // simulate the old on-disk format: rewrite _meta WITHOUT base_roots
+    // (same dims/measures the asset was built with — rwSetup's)
+    val (dims, measures) = (Seq("d1", "d2"), Seq("x", "y", "z"))
+    graft.Tables.writeTable(
+      Seq((dims, measures)).toDF("dims", "measures"), "sumspec_rw_sum_meta")
+    Summary.clearRegistry()
+    // name-only rearm must fail fast (loud, documented)
+    val ex = intercept[IllegalArgumentException] {
+      Summary.rearm(spark, "sumspec_rw_sum")
+    }
+    assert(ex.getMessage.contains("base_roots"))
+    // the upgrade overload backfills roots from the base scan in place
+    Summary.rearm(spark, "sumspec_rw_sum", spark.table("sumspec_rw_base"))
+    val q = "SELECT d1, count(*) AS n FROM sumspec_rw_v GROUP BY d1 ORDER BY d1"
+    withRule {
+      val df = spark.sql(q)
+      assert(scannedRoots(df).exists(_.contains("sumspec_rw_sum")),
+        s"upgraded rearm did not arm the rewrite:\n${df.queryExecution.optimizedPlan}")
+    }
+    // the asset is now current-format: name-only rearm works from here on
+    Summary.clearRegistry()
+    Summary.rearm(spark, "sumspec_rw_sum")
+    withRule {
+      assert(scannedRoots(spark.sql(q)).exists(_.contains("sumspec_rw_sum")))
+    }
+  }
+
   test("register's freshness token is the COVERED file set — registering against a grown base declines") {
     graft.Tables.writeTable(baseData(4000).repartition(2), "sumspec_gr_base")
     Summary.writeSummary(spark.table("sumspec_gr_base"), "sumspec_gr_sum",
