@@ -402,6 +402,167 @@ object Sketches {
     } else 0L
   }
 
+  // ------------------------------------------------------------ quantiles
+
+  /** Mergeable QUANTILE sketch — the missing rank member of the
+    * sketch family (cardinality = HLL, frequency = CMS, membership =
+    * Bloom, set-similarity = KMV): a uniform bottom-k-by-hash row
+    * sample, per dims group.
+    *
+    * WHY NOT KLL / t-digest (VERDICT r11 Next #4 named them): their
+    * compaction decisions depend on the MERGE TREE — the same row
+    * multiset summarized under two partitionings yields two
+    * different (equally error-bounded) sketches — which is
+    * incompatible with this engine's gate discipline: every sketch
+    * estimate must be a pure function of the row multiset so a
+    * different engine (the DuckDB oracle) rebuilds it bit-for-bit
+    * (the q144 rule). The order-invariant member of the quantile
+    * family is the uniform sample keyed by a deterministic row hash
+    * — the KMV construction (Bar-Yossef et al. RANDOM'02) pointed at
+    * RANKS instead of distinct counts: keep, per group, the k rows
+    * whose md5(rowKey) sorts lexicographically smallest. Merge of
+    * sketches over disjoint row sets = union + re-bottom-k — exact
+    * (bottom-k of a union IS the bottom-k of the union of bottom-ks)
+    * and merge-tree-invariant, so incremental maintenance reproduces
+    * the one-shot sketch bit-for-bit (SketchesSpec asserts). Rank
+    * error is the DKW bound for a k-sample empirical CDF
+    * (Dvoretzky–Kiefer–Wolfowitz): eps = sqrt(ln(2/delta) / (2k)) —
+    * k = 512 gives ~7% rank error at 99% confidence, k = 4096 ~2.5%;
+    * KLL's O(1/k) is asymptotically tighter, which is exactly the
+    * price of bit-exact order-invariance, stated here rather than
+    * hidden.
+    *
+    * CONTRACT: `keyCol` must be row-unique (it is the sample's
+    * randomness source — duplicate keys under-sample their rows and
+    * tie under row_number); NULL keys and NULL values are excluded
+    * (a NULL has no rank).
+    *
+    * Scale shape: the bottom-k per group is salted two-phase (the
+    * [[Sessions.capPerKeySalted]] protocol) — phase 1 ranks within
+    * (dims, salt) so no single task ever sorts a whole hot group,
+    * phase 2 re-ranks the ≤ salts·k survivors per group. Output:
+    * (dims..., h, v) — ≤ k rows per group, sorted nowhere (the
+    * sketch is a SET; [[quantileEstimates]] orders it).
+    */
+  def quantilePartials(df: DataFrame, dims: Seq[String], keyCol: Column,
+                       valueCol: Column, k: Int,
+                       salts: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+        (dims.map(col) :+ md5(keyCol.cast("string")).as("h")
+          :+ valueCol.as("v")): _*)
+      .filter(col("h").isNotNull && col("v").isNotNull)
+    // salt from hex chars 9-12 of h — bits disjoint from the leading
+    // chars the bottom-k ORDERS on, so salts stay uniform over the
+    // surviving (smallest-h) rows
+    val withSalt = base.withColumn("_salt",
+      pmod(conv(substring(col("h"), 9, 4), 16, 10).cast("long"),
+        lit(salts.toLong)))
+    val w1 = Window.partitionBy((dims.map(col) :+ col("_salt")): _*)
+      .orderBy(col("h").asc, col("v").asc)
+    val w2 = Window.partitionBy(dims.map(col): _*)
+      .orderBy(col("h").asc, col("v").asc)
+    withSalt
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+      .drop("_salt", "_r1", "_r2")
+  }
+
+  /** Re-bottom-k after unioning sketches (the merge): exact over
+    * disjoint underlying row sets — see [[quantilePartials]].
+    */
+  def quantileMerge(partials: DataFrame, dims: Seq[String],
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(dims.map(col): _*)
+      .orderBy(col("h").asc, col("v").asc)
+    partials.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+      .drop("_r")
+  }
+
+  /** Serve quantile estimates from a sketch: per group, the sampled
+    * values sort ascending and permille point p is the value at rank
+    * ceil(p·m/1000) (1-based lower empirical quantile — all-integer
+    * arithmetic, so the served value replays exactly in any engine;
+    * a float `p*m` rank would round differently near boundaries).
+    * Output: (dims..., n_sample, p<permille>...). Groups are sketch-
+    * sized (≤ k rows), so the collect_list is bounded by k.
+    */
+  def quantileEstimates(partials: DataFrame, dims: Seq[String],
+                        permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      s"permille points must be 1..1000, got $permille")
+    val g = if (dims.isEmpty) partials.groupBy()
+            else partials.groupBy(dims.map(col): _*)
+    val agg = g.agg(count(lit(1)).as("n_sample"),
+      sort_array(collect_list(col("v"))).as("_vs"))
+    val points = permille.map { p =>
+      element_at(col("_vs"),
+        greatest(lit(1L), expr(s"($p * n_sample + 999) DIV 1000"))
+          .cast("int")).as(s"p$p")
+    }
+    agg.select((dims.map(col) :+ col("n_sample")) ++ points: _*)
+  }
+
+  /** Persist a grouped quantile sketch as a maintained asset (the
+    * [[Summary.writeSummary]] discipline: stage-and-swap table +
+    * `_files` coverage companion + `_meta` parameters). `keyExpr` is
+    * a SQL expression string (it must round-trip through `_meta` —
+    * e.g. a concat of the row's natural key columns).
+    */
+  def writeQuantileSummary(df: DataFrame, table: String, dims: Seq[String],
+                           keyExpr: String, valueCol: String,
+                           k: Int): Unit = {
+    Manifest.requirePlainScan(df, "writeQuantileSummary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.Tables.writeTable(
+      quantilePartials(df, dims, expr(keyExpr), col(valueCol), k), table)
+    Summary.writeFilesList(spark, table + "_files",
+      df.inputFiles.map(Manifest.norm).toSet)
+    graft.Tables.writeTable(
+      Seq((dims, keyExpr, valueCol, k))
+        .toDF("dims", "key_expr", "value_col", "k"),
+      table + "_meta")
+  }
+
+  /** Incrementally maintain a persisted quantile sketch — the
+    * [[Summary.refreshSummary]] contract: appended files are sketched
+    * ALONE and merged (delta-sized, and the merge is EXACT — the
+    * refreshed asset is bit-identical to a one-shot sketch of the
+    * grown base, unlike a KLL whose refresh would drift from the
+    * rebuild); any removed file forces the full rebuild (a sample
+    * cannot un-see rows). Returns files read.
+    */
+  def refreshQuantileSummary(spark: SparkSession, fullScan: DataFrame,
+                             table: String): Long = {
+    val m = spark.table(table + "_meta").head()
+    val dims = m.getSeq[String](m.fieldIndex("dims"))
+    val keyExpr = m.getAs[String]("key_expr")
+    val valueCol = m.getAs[String]("value_col")
+    val k = m.getAs[Int]("k")
+    val (newFiles, anyGone, current) =
+      Summary.filesDiff(spark, fullScan, table + "_files")
+    if (anyGone) {
+      Manifest.requirePlainScan(fullScan, "refreshQuantileSummary (rebuild)")
+      graft.Tables.writeTable(
+        quantilePartials(fullScan, dims, expr(keyExpr), col(valueCol), k),
+        table)
+      Summary.writeFilesList(spark, table + "_files", current)
+      current.size.toLong
+    } else if (newFiles.nonEmpty) {
+      val delta = quantilePartials(spark.read.parquet(newFiles: _*),
+        dims, expr(keyExpr), col(valueCol), k)
+      graft.Tables.writeTable(
+        quantileMerge(spark.table(table).unionByName(delta), dims, k), table)
+      Summary.writeFilesList(spark, table + "_files", current)
+      newFiles.length.toLong
+    } else 0L
+  }
+
   /** KMV (bottom-k minimum values) sketch of the distinct keys: the k
     * lexicographically smallest md5 hashes (Bar-Yossef et al. RANDOM'02
     * distinct-count sketch; Beyer et al. SIGMOD'07 for the multi-set

@@ -242,4 +242,93 @@ class SketchesSpec extends SparkSpec {
     assert(dj.getAs[Long]("n_exact") === 0L)
     assert(dj.getAs[Long]("est_join_rows") === 0L)
   }
+
+  // ---------------------------------------------------------- quantiles
+
+  private def qsFixture(n: Long) = spark.range(0, n).select(
+    ($"id" % 3).cast("string").as("g"),
+    $"id".cast("string").as("rk"),
+    // per-group uniform 0..(n/3 - 1): exact quantiles are known
+    ($"id" / 3).cast("long").cast("double").as("x"))
+
+  test("quantile sketch: estimates track exact quantiles within the DKW bound") {
+    val n = 30000L
+    val perGroup = n / 3
+    val sk = Sketches.quantilePartials(qsFixture(n), Seq("g"),
+      col("rk"), col("x"), k = 512)
+    val got = Sketches.quantileEstimates(sk, Seq("g"), Seq(500, 900, 990))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set("0", "1", "2"))
+    // DKW: rank error ~ sqrt(ln(2/delta)/(2*512)) ≈ 7% at 99% conf;
+    // on uniform data value error ≈ rank error — allow 10% of range
+    val tol = 0.10 * perGroup
+    got.values.foreach { case (m, p500, p900, p990) =>
+      assert(m === 512L)
+      assert(math.abs(p500 - 0.50 * perGroup) < tol, s"p500 $p500")
+      assert(math.abs(p900 - 0.90 * perGroup) < tol, s"p900 $p900")
+      assert(math.abs(p990 - 0.99 * perGroup) < tol, s"p990 $p990")
+    }
+    // order-invariance: a different partitioning yields the SAME rows
+    val sk2 = Sketches.quantilePartials(qsFixture(n).repartition(7),
+      Seq("g"), col("rk"), col("x"), k = 512)
+    assert(sk.exceptAll(sk2).isEmpty && sk2.exceptAll(sk).isEmpty,
+      "sketch must be a pure function of the row multiset")
+  }
+
+  test("quantile sketch: merge of disjoint parts is BIT-EQUAL to the one-shot sketch") {
+    val df = qsFixture(12000)
+    val one = Sketches.quantilePartials(df, Seq("g"), col("rk"), col("x"), 256)
+    val a = Sketches.quantilePartials(df.filter($"rk".cast("long") % 2 === 0),
+      Seq("g"), col("rk"), col("x"), 256)
+    val b = Sketches.quantilePartials(df.filter($"rk".cast("long") % 2 =!= 0),
+      Seq("g"), col("rk"), col("x"), 256)
+    val merged = Sketches.quantileMerge(a.unionByName(b), Seq("g"), 256)
+    assert(one.exceptAll(merged).isEmpty && merged.exceptAll(one).isEmpty,
+      "bottom-k merge must equal the one-shot bottom-k — the property " +
+        "KLL/t-digest cannot give and the reason this sketch is a sample")
+    // saturation: k >= group size -> the sketch IS the group, and the
+    // permille serve is the exact lower quantile
+    val small = qsFixture(300) // 100 per group
+    val skAll = Sketches.quantilePartials(small, Seq("g"),
+      col("rk"), col("x"), k = 1000)
+    val est = Sketches.quantileEstimates(skAll, Seq("g"), Seq(500, 1000))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    est.values.foreach { case (m, p500, p1000) =>
+      assert(m === 100L)
+      assert(p500 === 49.0, "exact lower median of 0..99 at saturation")
+      assert(p1000 === 99.0)
+    }
+  }
+
+  test("quantile summary asset: delta refresh is bit-equal to one-shot; removal rebuilds") {
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ($"id" % 3).cast("string").as("g"), $"id".cast("string").as("rk"),
+      ($"id" % 997).cast("double").as("x"))
+    graft.Tables.writeTable(mk(0, 4000).repartition(2), "skspec_qs_base")
+    Sketches.writeQuantileSummary(spark.table("skspec_qs_base"),
+      "skspec_qs_sum", Seq("g"), "rk", "x", k = 128)
+    Layout.appendPlain(mk(4000, 6000).repartition(1), "skspec_qs_base")
+    val r1 = Sketches.refreshQuantileSummary(spark,
+      spark.table("skspec_qs_base"), "skspec_qs_sum")
+    assert(r1 === 1L, s"refresh should read the 1 delta file, read $r1")
+    val oneShot = Sketches.quantilePartials(spark.table("skspec_qs_base"),
+      Seq("g"), col("rk"), col("x"), 128)
+    assert(spark.table("skspec_qs_sum").exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(spark.table("skspec_qs_sum")).isEmpty,
+      "incremental sample != one-shot sample")
+    // replace the base wholesale -> removal -> sound full rebuild
+    graft.Tables.writeTable(mk(0, 1000).repartition(3), "skspec_qs_base")
+    val r2 = Sketches.refreshQuantileSummary(spark,
+      spark.table("skspec_qs_base"), "skspec_qs_sum")
+    assert(r2 === 3L, s"rebuild should read the 3 current files, read $r2")
+    val rebuilt = Sketches.quantilePartials(spark.table("skspec_qs_base"),
+      Seq("g"), col("rk"), col("x"), 128)
+    assert(spark.table("skspec_qs_sum").exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(spark.table("skspec_qs_sum")).isEmpty)
+    // no-op: nothing changed since the rebuild
+    assert(Sketches.refreshQuantileSummary(spark,
+      spark.table("skspec_qs_base"), "skspec_qs_sum") === 0L)
+  }
 }
