@@ -104,5 +104,11 @@ object SparkEntry {
     // semantic-dedup face (round 10): cluster-scoped epsilon compare
     // over the embedding table — assignment broadcast + ONE cent_id
     // shuffle; a regression toward all-pairs scoring surfaces here.
-    "q150_semdedup")
+    "q150_semdedup",
+    // maintenance-path face (round 12, carried r10 #7): one small
+    // append + one DELTA-SIZED summary refresh per repetition (the
+    // entry REQUIREs delta cost in-plan); a regression toward
+    // full-rebuild refresh shows here as a trend toward q01's
+    // fact-scan cost instead of only failing at gate scale.
+    "q179_summary_delta_refresh")
 }
