@@ -460,6 +460,44 @@ object Sessions {
       .withColumnRenamed("report_day", "day")
   }
 
+  /** Rolling trailing-window QUANTILES — the [[rollingActivesHll]]
+    * composition applied to the rank-sample sketch
+    * ([[Sketches.quantilePartials]]): for every OBSERVED activity
+    * day, permille quantile estimates of `valueCol` over the trailing
+    * `windowDays` window (the p50/p99-latency dashboard next to
+    * q175's DAU). ONE corpus pass seals per-day bottom-k partials;
+    * the trailing merge then explodes SKETCH rows (days × k × window
+    * — corpus-size-independent) and re-bottom-ks per report day.
+    * LOSSLESS by the same argument as the register max-merge: days
+    * partition the window's rows, so the re-merged bottom-k IS the
+    * one-shot bottom-k of the whole window (SessionsSpec asserts
+    * bit-equality), and the estimate replays in any engine.
+    * `keyExpr` is the row-unique natural key (the sample's
+    * randomness source). Output: (day, n_sample, p&lt;permille&gt;…).
+    */
+  def rollingQuantiles(events: DataFrame, keyExpr: String, tsCol: String,
+                       valueCol: String, windowDays: Int, k: Int,
+                       permille: Seq[Int],
+                       mat: Materializer = Materialize.Local): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 370,
+      s"windowDays must be 1..370, got $windowDays")
+    val ev = events
+      .select(expr(keyExpr).as("_rk"), col(valueCol).as("_rv"),
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+      .select(col("_rk"), col("_rv"), floorDay("_us").as("day"))
+    val partials = mat(Sketches.quantilePartials(ev, Seq("day"),
+      col("_rk"), col("_rv"), k))
+    val observed = partials.select(col("day")).distinct()
+    val windowed = partials
+      .select(explode(sequence(col("day"),
+          col("day") + lit(windowDays - 1))).as("day"),
+        col("h"), col("v"))
+      .join(observed, Seq("day"), "left_semi")
+    Sketches.quantileEstimates(
+      Sketches.quantileMerge(windowed, Seq("day"), k),
+      Seq("day"), permille)
+  }
+
   /** Retention cohort matrix: users grouped by the UTC day index of
     * their first event (cohort), counted distinct on each later day
     * they were active. Returns (cohort_day, day_offset, n_active) —

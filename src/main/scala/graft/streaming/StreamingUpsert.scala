@@ -1134,6 +1134,86 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------------------------- incremental quantiles
+
+  /** One micro-batch of incremental QUANTILE-SKETCH maintenance — the
+    * streaming member of the [[graft.ops.Sketches]] quantile family
+    * (batch build → q180, maintained files-diff asset → q181, THIS →
+    * row streams). State is the versioned overwrite of
+    * [[summaryStateBatch]] with one structural simplification: NO
+    * seen-ids gate. The sketch row (dims, h, v) is identified by its
+    * CONTENT (h = md5 of the row's natural key), so a re-delivered
+    * row re-sketches to the identical row and a distinct-before-merge
+    * absorbs it exactly — at-least-once delivery is free, the way
+    * HLL register maxes are idempotent, where the summary tier's
+    * counts/sums needed the explicit gate. Contract: rows are
+    * immutable facts (a key re-delivered with a DIFFERENT value is an
+    * update, which a sample cannot reconcile — same key granularity
+    * the summary tier states).
+    *
+    * [[quantileFromState]] then equals the batch
+    * [[graft.ops.Sketches.quantilePartials]] of the unioned batches
+    * BIT-FOR-BIT (the exact bottom-k merge; StreamingUpsertSpec
+    * asserts under shuffled arrival + re-delivery + replay).
+    */
+  def quantileStateBatch(spark: SparkSession, batch: DataFrame,
+                         dims: Seq[String], keyExpr: String,
+                         valueCol: String, k: Int, batchId: Long,
+                         basePath: String): Unit = {
+    val batchSketch = graft.ops.Sketches.quantilePartials(batch, dims,
+      expr(keyExpr), col(valueCol), k)
+    val versions = statsVersions(spark, s"$basePath/sketch")
+      .filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) =>
+        val raw = spark.read.parquet(p)
+        require(raw.schema.fieldNames.sorted.sameElements(
+          batchSketch.schema.fieldNames.sorted),
+          s"quantile state at $p has columns " +
+            s"${raw.schema.fieldNames.mkString(",")} but this batch " +
+            s"sketches ${batchSketch.schema.fieldNames.mkString(",")}" +
+            " — dims/key/value must not change mid-stream")
+        spark.read.schema(batchSketch.schema).parquet(p)
+      case None => batchSketch.limit(0)
+    }
+    graft.ops.Sketches.quantileMerge(
+        prev.unionByName(batchSketch)
+          .dropDuplicates(dims ++ Seq("h", "v")),
+        dims, k)
+      .write.mode("overwrite").parquet(s"$basePath/sketch/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/sketch")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** The current sketch partials from [[quantileStateBatch]] state —
+    * the drop-in input for [[graft.ops.Sketches.quantileEstimates]].
+    */
+  def quantileFromState(spark: SparkSession, basePath: String): DataFrame = {
+    val versions = statsVersions(spark, s"$basePath/sketch")
+    require(versions.nonEmpty, s"no quantile state under $basePath/sketch")
+    spark.read.parquet(versions.sortBy(_._1).last._2)
+  }
+
+  /** [[quantileStateBatch]] wired as the foreachBatch sink of a fact
+    * stream — arriving rows keep the rank sample micro-batch fresh.
+    */
+  def incrementalQuantile(stream: DataFrame, dims: Seq[String],
+                          keyExpr: String, valueCol: String, k: Int,
+                          basePath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileStateBatch(batch.sparkSession, batch, dims, keyExpr,
+          valueCol, k, batchId, basePath)
+      }
+      .start()
+
   /** [[pqEncodeBatch]] wired as the foreachBatch sink of an embedding
     * stream — arriving vectors extend the compressed index
     * incrementally against the frozen codebooks.

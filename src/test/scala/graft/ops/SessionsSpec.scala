@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{md5, concat, lit, row_number, unix_micros}
+import org.apache.spark.sql.functions.{md5, concat, lit, row_number, unix_micros, col, expr}
 
 class SessionsSpec extends SparkSpec {
   import spark.implicits._
@@ -341,6 +341,36 @@ class SessionsSpec extends SparkSpec {
     val got = Sessions.funnel(ev, "user_id", "ts", "etype", types5, 500L)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === (1L to 5L).map(_ -> 20L).toMap)
+  }
+
+  test("rollingQuantiles: rolling merge bit-equals the one-shot window sketch; observed days only") {
+    import java.sql.Timestamp
+    val day = 86400L
+    def ts(d: Long, i: Long) = new Timestamp((d * day + i) * 1000L)
+    // days 0, 1, 3 observed (day 2 silent) — id encodes the day so the
+    // per-window one-shot comparison below can slice rows exactly
+    val rows = for (d <- Seq(0L, 1L, 3L); i <- 0L until 50L)
+      yield (d * 1000L + i, ts(d, i), (d * 100L + i).toDouble)
+    val ev = rows.toDF("id", "ts", "value")
+    val got = Sessions.rollingQuantiles(ev, "cast(id as string)", "ts",
+        "value", windowDays = 2, k = 16, permille = Seq(500, 1000))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(0L, 1L, 3L), "report only OBSERVED days")
+    for (d <- Seq(0L, 1L, 3L)) {
+      // day 3's window reaches into the silent day 2 — only day-3
+      // rows contribute (trailing semantics, not 'last 2 observed')
+      val windowRows = ev.filter($"id" >= (d - 1) * 1000L &&
+        $"id" < (d + 1) * 1000L)
+      val direct = graft.ops.Sketches.quantileEstimates(
+          graft.ops.Sketches.quantilePartials(windowRows, Seq.empty,
+            expr("cast(id as string)"), col("value"), 16),
+          Seq.empty, Seq(500, 1000))
+        .head()
+      assert(got(d) === ((direct.getLong(0), direct.getDouble(1),
+        direct.getDouble(2))),
+        s"day $d: rolling sketch != one-shot window sketch")
+    }
   }
 
   test("retentionCohorts: day-index cohorts, offset 0 equals cohort size, distinct days") {

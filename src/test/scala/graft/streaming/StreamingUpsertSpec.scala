@@ -1129,4 +1129,41 @@ class StreamingUpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must not change mid-stream"))
   }
+
+  test("quantileStateBatch: state bit-equals the one-shot sketch; re-delivery absorbed without a gate; replay idempotent") {
+    import graft.ops.Sketches
+    val base = tmp("qs_state")
+    val dims = Seq("g")
+    def mk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        $"id".cast("string").as("k"),
+        ($"id" % 4).cast("string").as("g"),
+        ($"id" % 997).cast("double").as("x"))
+    def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.quantileStateBatch(spark, df, dims, "k", "x",
+        128, id, base)
+    feed(mk(0, 400), 0L)
+    // batch 1 re-delivers half of batch 0: NO seen gate exists — the
+    // content-identified sketch rows must absorb it via distinct
+    feed(mk(400, 700).unionByName(mk(0, 200)), 1L)
+    feed(mk(700, 1000), 2L)
+    val oneShot = Sketches.quantilePartials(mk(0, 1000), dims,
+      col("k"), col("x"), 128)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(snap(StreamingUpsert.quantileFromState(spark, base))
+      .sameElements(snap(oneShot)),
+      "streamed sketch != one-shot sketch of the union")
+    // same-batch replay reproduces the version exactly
+    feed(mk(700, 1000), 2L)
+    assert(snap(StreamingUpsert.quantileFromState(spark, base))
+      .sameElements(snap(oneShot)),
+      "replay of the last batch changed the state")
+    // key/value/dims changing mid-stream must fail fast
+    val e = intercept[IllegalArgumentException] {
+      StreamingUpsert.quantileStateBatch(spark, mk(1000, 1100),
+        Seq("g", "k"), "k", "x", 128, 3L, base)
+    }
+    assert(e.getMessage.contains("must not change mid-stream"))
+  }
 }
