@@ -282,7 +282,12 @@ object Graphs {
     var round = 0
     while (!converged && round < maxRounds) {
       val keep = degrees(cur).filter($"d" >= k).select($"node")
-      val next = mat(cur
+      // ONE action per round (the connectedComponents discipline,
+      // r12): `iterative` is a lazy lineage-truncating barrier, so
+      // the count below both materializes the round frame and reads
+      // the convergence statistic — previously the eager barrier and
+      // the count were two jobs.
+      val next = mat.iterative(cur
         .join(keep.as("ka"), $"a" === col("ka.node"), "left_semi")
         .join(keep.as("kb"), $"b" === col("kb.node"), "left_semi"))
       val m = next.count()
