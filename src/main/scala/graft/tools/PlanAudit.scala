@@ -241,8 +241,35 @@ object PlanAudit {
         fmt(OpsQueries.q154(spark, dir)),
       ("q163 funnel — aggregates + keyed joins only: no window " +
         "touches the raw events, so no user's history is ever " +
-        "co-located in one task") ->
-        fmt(OpsQueries.q163(spark, dir)))
+        "co-located in one task; per-step frames are sealed " +
+        "(ExistingRDD scans), so the final report is ONE tagged " +
+        "union + one aggregate + a broadcast step-table join " +
+        "(round 12 — previously one count job per step)") ->
+        fmt(OpsQueries.q163(spark, dir)),
+
+      ("q175 hll rolling actives (round 11) — the corpus reduces " +
+        "ONCE to per-day register partials (the only corpus-sized " +
+        "Exchange); the trailing-window merge explodes REGISTERS " +
+        "(days x 1024 x window rows, corpus-size-independent) and " +
+        "re-maxes per report day — compare q172's exact form, whose " +
+        "explode multiplies activity FACTS by the window length") ->
+        fmt(OpsQueries.q175(spark, dir)),
+
+      ("q178 bpe segment (round 12) — the APPLY pass that runs over " +
+        "100 TB: the trained merge list folds into the plan as one " +
+        "map-only chain of literal replaces inside a single Project " +
+        "over the posexploded words (no join anywhere on the corpus " +
+        "path); the only Exchange is the doc_id reassembly " +
+        "aggregate. Training jobs run at plan-build time (driver " +
+        "loop) and are NOT in this plan") ->
+        fmt(OpsQueries.q178(spark, dir)),
+
+      ("q180 quantile sketch (round 12) — salted two-phase " +
+        "bottom-k: window 1 ranks within (group, salt) so no task " +
+        "ever sorts a whole hot group, window 2 re-ranks the <= " +
+        "salts*k survivors per group; the serve aggregate's " +
+        "collect_list is k-bounded. The corpus is scanned once") ->
+        fmt(OpsQueries.q180(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
