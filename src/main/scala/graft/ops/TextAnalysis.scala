@@ -583,10 +583,21 @@ object TextAnalysis {
     * combined).
     */
   def buildVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                 minCount: Long): org.apache.spark.sql.DataFrame = {
+                 minCount: Long): org.apache.spark.sql.DataFrame =
+    buildVocabFromTokens(
+      docs.select(explode(toks(col(textCol))).as("token")), minCount)
+
+  /** [[buildVocab]] over an already-tokenized stream (one `token`
+    * column) — the seam that lets a TRAINED subword segmentation
+    * ([[bpeSegment]]) feed the same two-phase rank (q184: symbol
+    * vocabularies), instead of hard-wiring the whitespace tokenizer.
+    * Same contract and plan shape; see [[buildVocab]].
+    */
+  def buildVocabFromTokens(tokens: org.apache.spark.sql.DataFrame,
+                           minCount: Long): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     import org.apache.spark.sql.expressions.Window
-    val tc = docs.select(explode(toks(col(textCol))).as("token"))
+    val tc = tokens.select(col("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     val within = Window.partitionBy(col("n")).orderBy(col("token"))
@@ -611,9 +622,21 @@ object TextAnalysis {
     */
   def encodeDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String,
+                 vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    encodeSeqs(docs.select(col(idCol), toks(col(textCol)).as("_toks")),
+      idCol, "_toks", vocab)
+
+  /** [[encodeDocs]] over an already-tokenized sequence column (an
+    * array&lt;string&gt; per document) — the other half of the q184
+    * seam: a [[bpeSegment]] symbol run encodes through the identical
+    * broadcast-lookup/reassembly plan. Same contract; see
+    * [[encodeDocs]].
+    */
+  def encodeSeqs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 seqCol: String,
                  vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pos = docs.select(col(idCol).as("doc_id"),
-        posexplode(toks(col(textCol))).as(Seq("pos", "token")))
+        posexplode(col(seqCol)).as(Seq("pos", "token")))
       .join(broadcast(vocab.select(col("token"), col("id"))),
         Seq("token"), "left")
     val enc = pos.groupBy(col("doc_id"))

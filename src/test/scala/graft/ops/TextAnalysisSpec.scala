@@ -325,4 +325,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(10L) === want) // [aa, ab] [ab] [z] [ab, a]
     assert(got(11L) === Seq.empty)
   }
+
+  test("buildVocabFromTokens + encodeSeqs: symbol runs encode like q155 encodes words") {
+    // segment, then rank the SYMBOL vocabulary and encode the runs —
+    // the q184 composition on a hand fixture
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+    val seg = TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
+    // segmented corpus: doc1 [aa,ab][aa,ab][ab], doc2 [aa,ab][ab] ->
+    // counts: ab=5, aa=3 -> ids: ab=1, aa=2 (count desc, sym asc)
+    val vocab = TextAnalysis.buildVocabFromTokens(
+      seg.select(explode($"syms").as("token")), minCount = 1L)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("ab" -> 1L, "aa" -> 2L))
+    val enc = TextAnalysis.encodeSeqs(seg, "doc_id", "syms", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) === Seq(2L, 1L, 2L, 1L, 1L))
+    assert(enc(2L) === Seq(2L, 1L, 1L))
+    assert(enc(3L) === Seq.empty, "empty doc keeps an empty id sequence")
+  }
 }
