@@ -210,4 +210,44 @@ object Stats {
     dev.join(mad, Seq(groupCol))
       .filter(col("adev") > lit(k.toLong) * col("mad"))
   }
+
+  /** [[madOutliersBy]] with SKETCHED medians — the 100 TB swap for
+    * value domains where the exact bounded-histogram protocol's
+    * "shuffle ∝ distinct values per group" premise fails (corpus
+    * byte-lengths, score distributions: distinct values ∝ corpus).
+    * Both medians come from [[Sketches.quantilePartials]] rank
+    * samples (sampleK rows per group, DKW rank error stated there);
+    * the FENCE COMPARE stays exact and integer over every row, so
+    * given the deterministic sample the flagged set replays exactly
+    * in any engine — approximate fence, bit-exact gate (the
+    * q175-over-q172 relationship applied to q153). Both sketches key
+    * on the same row hash, so the deviation sample is the value
+    * sample's own rows around the plug-in median. When sampleK
+    * saturates every group this IS [[madOutliersBy]] (the permille
+    * ceil-rank convention equals the exact lower-median rank for
+    * every n — StatsSpec asserts equality).
+    *
+    * Scale shape: two corpus passes (value sample, then deviation
+    * sample over the broadcast-median-attached rows, sealed once for
+    * the sketch and the flag filter) + the flag pass; per-group state
+    * is sampleK-bounded everywhere.
+    */
+  def madOutliersSketchBy(df: DataFrame, groupCol: String,
+                          valueCol: String, keyCol: String,
+                          sampleK: Int, k: Int,
+                          mat: Materializer = Materialize.Local): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s1 = Sketches.quantilePartials(df, Seq(groupCol), col(keyCol),
+      col(valueCol), sampleK)
+    val med = Sketches.quantileEstimates(s1, Seq(groupCol), Seq(500))
+      .select(col(groupCol), col("p500").as("med"))
+    val dev = mat(df.join(med, Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol) - col("med"))))
+    val s2 = Sketches.quantilePartials(dev, Seq(groupCol), col(keyCol),
+      col("adev"), sampleK)
+    val mad = Sketches.quantileEstimates(s2, Seq(groupCol), Seq(500))
+      .select(col(groupCol), col("p500").as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .filter(col("adev") > lit(k.toLong) * col("mad"))
+  }
 }

@@ -159,4 +159,34 @@ class StatsSpec extends SparkSpec {
     // the two artifacts in group a are flagged; group b is clean
     assert(want.count(_._2 == "a") === 2 && !want.exists(_._2 == "b"))
   }
+
+  test("madOutliersSketchBy: saturated sample equals the exact fence; sub-sampled is deterministic") {
+    import spark.implicits._
+    val a = Seq.tabulate(21)(i => ("a", 95L + i)) ++
+      Seq(("a", 100000L), ("a", 0L))
+    val b = Seq.tabulate(20)(i => ("b", 50L * i))
+    val df = (a ++ b).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "g", "v", "med", "mad", "adev").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // sampleK saturates every group -> the ceil-rank sample median IS
+    // the exact lower median, so the sketch form equals madOutliersBy
+    val exact = snap(Stats.madOutliersBy(df, "g", "v", k = 3))
+    val saturated = snap(
+      Stats.madOutliersSketchBy(df, "g", "v", "id", sampleK = 100, k = 3))
+    assert(saturated === exact,
+      "saturated sketch fence must equal the exact fence")
+    // sub-sampled: the fence is approximate but the flagged set is a
+    // pure function of the row multiset (partitioning-invariant), and
+    // the gross artifacts still breach any sane fence
+    val sub = snap(Stats.madOutliersSketchBy(df, "g", "v", "id",
+      sampleK = 8, k = 3))
+    val sub2 = snap(Stats.madOutliersSketchBy(df.repartition(7), "g", "v",
+      "id", sampleK = 8, k = 3))
+    assert(sub === sub2, "sketch fence must be partitioning-invariant")
+    assert(sub.exists(x => x._2 == "a" && x._3 == 100000L),
+      "the gross artifact must breach the sampled fence")
+  }
 }
