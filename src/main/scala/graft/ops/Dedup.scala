@@ -608,6 +608,77 @@ object Dedup {
       ($"lbl" === $"id").as("is_keeper"))
   }
 
+  /** Incrementally maintain component labels under an edge DELTA — the
+    * maintenance swap for rerunning [[connectedComponentsWithRounds]]
+    * over the full pair list. At 100 TB the dedup graph is
+    * crawl-cumulative: each ingest batch adds a sliver of new pairs,
+    * and a full CC rerun pays O(log n) shuffle rounds over ALL edges
+    * for a delta that touches a handful of components.
+    *
+    * This form recomputes ONLY the touched slice. `prevLabels` is a
+    * prior labeling (id, lbl = component min — the CC fixpoint, which
+    * is also a lossless star-forest encoding of the prior
+    * connectivity: component-wise, the star edges connect exactly what
+    * the original edges connected). Steps:
+    *
+    *   1. components hit by the delta = prev labels of delta endpoints
+    *      (delta-sized; BROADCAST);
+    *   2. their full membership via one broadcast-hash join against
+    *      prevLabels — scan-only over the corpus-sized side, no
+    *      shuffle of it;
+    *   3. CC over (affected star edges) ∪ (delta) — an
+    *      affected+delta-sized problem whose star-forest part has
+    *      depth 1, so the loop converges in O(log affected-components)
+    *      rounds independent of the ORIGINAL graph's diameter;
+    *   4. untouched labels pass through via the same broadcast as an
+    *      anti-join.
+    *
+    * Result == [[connectedComponentsWithRounds]] on (prior edges ∪
+    * delta), exactly — merges ACROSS prior components re-label whole
+    * components to the new global min (DedupSpec property vs the batch
+    * run on random graphs/splits). Empty delta returns prevLabels
+    * unchanged; brand-new ids appear with their delta component.
+    */
+  def ccIncremental(prevLabels: DataFrame, deltaPairs: DataFrame,
+      mat: Materializer = Materialize.Local): DataFrame = {
+    val delta = mat(deltaPairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter($"u" =!= $"v").distinct())
+    val prev = prevLabels.select($"id", $"lbl")
+    val touched = delta.select($"u".as("id"))
+      .unionByName(delta.select($"v".as("id"))).distinct()
+    val hitLbls = mat(prev.join(touched, Seq("id"))
+      .select($"lbl").distinct())
+    val affected = prev.join(broadcast(hitLbls), Seq("lbl"))
+    val subPairs = affected.filter($"id" =!= $"lbl")
+      .select($"id".as("doc_a"), $"lbl".as("doc_b"))
+      .unionByName(delta.select($"u".as("doc_a"), $"v".as("doc_b")))
+    val (sub, _) = connectedComponentsWithRounds(subPairs, mat = mat)
+    // delta-only singletons (u === v pairs filtered at intake) cannot
+    // occur, and every affected member reaches subPairs: multi-node
+    // components through their star edges, touched singletons through
+    // the delta edge that touched them — so kept ∪ sub partitions the
+    // node set.
+    prev.join(broadcast(hitLbls), Seq("lbl"), "left_anti")
+      .select($"id", $"lbl")
+      .unionByName(sub.select($"id", $"lbl"))
+  }
+
+  /** [[duplicateClusters]] served incrementally: prior cluster table +
+    * new near-dup pairs → the updated (doc_id, cluster_id, is_keeper)
+    * decision, via [[ccIncremental]]. Results-invisible vs the batch
+    * operator on the full pair list (q187 runs under q49's oracle).
+    */
+  def duplicateClustersIncremental(prevClusters: DataFrame,
+      deltaPairs: DataFrame,
+      mat: Materializer = Materialize.Local): DataFrame =
+    ccIncremental(
+        prevClusters.select($"doc_id".as("id"), $"cluster_id".as("lbl")),
+        deltaPairs, mat)
+      .select($"id".as("doc_id"), $"lbl".as("cluster_id"),
+        ($"lbl" === $"id").as("is_keeper"))
+
   // ------------------------------------------------------------ SimHash
   /** SimHash near-dup pairs at Hamming distance <= maxDist on a 64-bit
     * fingerprint. Candidates come from banding the fingerprint into

@@ -328,4 +328,65 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(df, "doc_id", "text", maxDist = 8)
     }
   }
+
+  test("ccIncremental == batch CC on random graphs and random splits (property)") {
+    val rnd = new scala.util.Random(12187L)
+    for (trial <- 0 until 6) {
+      val n = 30 + trial * 10
+      val m = n + rnd.nextInt(n)
+      val edges = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val cut = rnd.nextInt(edges.size + 1)
+      val (base, delta) = edges.splitAt(cut)
+      val all = edges.toDF("doc_a", "doc_b")
+      val (want, _) = Dedup.connectedComponentsWithRounds(all)
+      val (prev, _) = Dedup.connectedComponentsWithRounds(
+        base.toDF("doc_a", "doc_b"))
+      val got = Dedup.ccIncremental(prev, delta.toDF("doc_a", "doc_b"))
+      val w = want.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(g === w, s"trial $trial cut=$cut/${edges.size}")
+    }
+  }
+
+  test("ccIncremental: cross-component merge relabels wholesale; untouched pass through") {
+    val base = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val (prev, _) = Dedup.connectedComponentsWithRounds(base)
+    // 2-3 merges components {1,2} and {3,4}; 20-21 is brand-new;
+    // {10,11} is untouched and must survive byte-identically
+    val delta = Seq((2L, 3L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ccIncremental(prev, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got)
+    assert(got(10L) === 10L && got(11L) === 10L)
+    assert(got(20L) === 20L && got(21L) === 20L)
+    assert(got.size === 8)
+  }
+
+  test("ccIncremental: empty delta returns the prior labeling unchanged") {
+    val base = Seq((5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val (prev, _) = Dedup.connectedComponentsWithRounds(base)
+    val got = Dedup.ccIncremental(prev,
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === prev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("ccIncremental sub-problem is affected-sized: delta rounds don't scale with the graph") {
+    // a 400-node corpus of 100 four-cliques (star depth 1 after CC),
+    // delta touches ONE component — the incremental CC must converge
+    // in a handful of rounds regardless of corpus-wide structure
+    val base = (0 until 100).flatMap { c =>
+      val b = c * 4L
+      Seq((b, b + 1), (b, b + 2), (b, b + 3))
+    }.toDF("doc_a", "doc_b")
+    val (prev, _) = Dedup.connectedComponentsWithRounds(base)
+    val delta = Seq((1L, 1000L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ccIncremental(prev, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1000L) === 0L)
+    assert(got(399L) === 396L) // untouched clique keeps its root
+    assert(got.size === 401)
+  }
 }
