@@ -64,4 +64,37 @@ object Prep {
         size($"chunk").cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
   }
+
+  /** Leakage-safe train/test split: the split decision is made per
+    * duplicate CLUSTER, not per document, so near-duplicates can never
+    * straddle the boundary (the eval-contamination failure mode of a
+    * naive per-row split: the test set silently contains paraphrases
+    * of training rows and eval scores inflate). `clusters` is a
+    * [[Dedup.duplicateClusters]]-shaped frame (doc_id, cluster_id);
+    * documents outside any near-dup pair are their own singleton
+    * cluster. A cluster lands in test iff its md5 per-million bucket
+    * ([[Sessions.ppmBucket]] — engine-portable, nests with every
+    * other sampler) falls below `testPpm`.
+    *
+    * Scale shape: the cluster table is pair-derived (dup-involved docs
+    * only — a sliver of the corpus), so the left join broadcasts it or
+    * shuffles only the sliver under AQE; the bucket decision is one
+    * codegen'd md5 over the resolved cluster id — no second pass, no
+    * per-cluster aggregate.
+    *
+    * Output: (idCol, cluster_id, split 'train'|'test').
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                   testPpm: Long): DataFrame = {
+    require(testPpm >= 0 && testPpm <= 1000000,
+      s"testPpm must be in [0, 1000000], got $testPpm")
+    docs.select(col(idCol))
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split",
+        when(Sessions.ppmBucket(col("cluster_id")) < testPpm, "test")
+          .otherwise("train"))
+  }
 }

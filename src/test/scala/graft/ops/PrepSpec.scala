@@ -39,4 +39,36 @@ class PrepSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_chunk_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
     assert(got.map(_.getAs[String]("chunk_fp")).distinct.length === 4)
   }
+
+  test("clusterSplit: near-dup clusters never straddle the split; singletons covered") {
+    // 3 clusters among docs 0..9: {0,1,2}, {5,6}, rest singletons
+    val docs = (0L until 10L).map(Tuple1(_)).toDF("doc_id")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Prep.clusterSplit(docs, "doc_id", clusters, testPpm = 500000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    assert(got.length === 10)
+    // every member of a cluster shares the cluster's split decision
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      s"a cluster straddles the split: $got")
+    assert(got.filter(_._2 == 0L).map(_._1).toSet === Set(0L, 1L, 2L))
+    // singletons resolve to their own id
+    assert(got.find(_._1 == 9L).get._2 === 9L)
+    // both splits occur at 50% on 7 clusters (md5-bucket sanity)
+    assert(got.map(_._3).toSet === Set("train", "test"))
+  }
+
+  test("clusterSplit: testPpm bounds enforced; rate tracks the ppm on many singletons") {
+    intercept[IllegalArgumentException] {
+      Prep.clusterSplit(Seq(Tuple1(1L)).toDF("doc_id"), "doc_id",
+        Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"), -1L)
+    }
+    val docs = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val n = Prep.clusterSplit(docs, "doc_id", none, testPpm = 100000L)
+      .filter($"split" === "test").count()
+    assert(n > 120 && n < 280, s"10% of 2000 expected, got $n")
+  }
 }

@@ -44,6 +44,20 @@ class PlanSpec extends SparkSpec {
     assert(plan(Relational.q06(spark, dir)).contains("LeftAnti"))
   }
 
+  test("q07: per-group top-n truncates MAP-SIDE (partial WindowGroupLimit below the exchange)") {
+    // Spark 3.5+'s InferWindowGroupLimit turns `row_number() <= k`
+    // into a partial group-limit under the window's shuffle, so q07
+    // ships <= k rows per key per task instead of the whole orders
+    // table (TopKSpec measures the record counts). Pin the shape: if
+    // a rewrite of the rank filter ever breaks the inference, the
+    // benched window face silently reverts to a corpus shuffle.
+    val p = plan(Relational.q07(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    val ex = p.indexOf("Exchange")
+    assert(ex >= 0 && p.indexOf("WindowGroupLimit", ex) > ex,
+      s"partial WindowGroupLimit must sit below the exchange:\n$p")
+  }
+
   test("q13: projection-only query reads a pruned schema") {
     val p = plan(Relational.q13(spark, dir))
     assert(p.contains("ReadSchema"), p)
