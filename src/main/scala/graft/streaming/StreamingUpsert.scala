@@ -734,6 +734,72 @@ object StreamingUpsert {
       .select(col("doc_a"), col("doc_b"), col("jaccard")).distinct()
   }
 
+  // ------------------------------------------ incremental clusters
+
+  /** One micro-batch of duplicate-cluster LABEL maintenance — the
+    * versioned-state form of
+    * [[graft.ops.Dedup.duplicateClustersIncremental]], closing the
+    * streaming dedup loop: [[nearDupBatch]] maintains the pair set
+    * under ingest, this maintains the cluster DECISION over it.
+    *
+    * State: `basePath/labels/v=<batchId>` (doc_id, cluster_id) in the
+    * [[statsVersions]] layout — readers trust only _SUCCESS, version
+    * N is built from the latest complete version BELOW N plus batch
+    * N's pairs via [[graft.ops.Dedup.ccIncremental]] (affected
+    * components + delta only; the prior label table is scanned, never
+    * shuffled), and versions older than the predecessor are pruned.
+    * The label table is pair-derived (dup-involved docs only — a
+    * sliver of the corpus), so a full-version write per batch stays
+    * delta-plus-sliver-sized.
+    *
+    * Replay contract (the spanStateBatch discipline): batch ids must
+    * arrive in nondecreasing order with only the LAST batch ever
+    * re-delivered (exactly foreachBatch's failure semantics); a
+    * replayed batch N rebuilds v=N from v<N and its own pairs —
+    * deterministic, so the overwrite is value-identical and
+    * downstream versions built on the earlier attempt are unchanged.
+    *
+    * By [[graft.ops.Dedup.ccIncremental]]'s exactness, after any
+    * batch sequence the state equals the BATCH operator on the union
+    * of all delivered pairs — arrival-order-invisible
+    * (StreamingUpsertSpec property; q191 under q49's oracle).
+    */
+  def clusterStateBatch(spark: SparkSession, pairsBatch: DataFrame,
+      basePath: String, batchId: Long,
+      mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+    val labelsDir = s"$basePath/labels"
+    val versions = statsVersions(spark, labelsDir).filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.parquet(p)
+        .select(col("doc_id").as("id"), col("cluster_id").as("lbl"))
+      case None => pairsBatch
+        .select(col("doc_a").as("id"), col("doc_a").as("lbl")).limit(0)
+    }
+    graft.ops.Dedup.ccIncremental(prev, pairsBatch, mat)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .write.mode("overwrite").parquet(s"$labelsDir/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, labelsDir)
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** The current duplicate-cluster decision from
+    * [[clusterStateBatch]] state — [[graft.ops.Dedup.duplicateClusters]]'
+    * (doc_id, cluster_id, is_keeper) shape from the latest complete
+    * label version.
+    */
+  def clustersFromState(spark: SparkSession, basePath: String): DataFrame = {
+    val vs = statsVersions(spark, s"$basePath/labels")
+    require(vs.nonEmpty, s"no completed label versions under $basePath/labels")
+    spark.read.parquet(vs.sortBy(_._1).last._2)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).as("is_keeper"))
+  }
+
   // ------------------------------------------ incremental SemDeDup
 
   /** One micro-batch of incremental semantic dedup against FROZEN

@@ -269,7 +269,31 @@ object PlanAudit {
         "ever sorts a whole hot group, window 2 re-ranks the <= " +
         "salts*k survivors per group; the serve aggregate's " +
         "collect_list is k-bounded. The corpus is scanned once") ->
-        fmt(OpsQueries.q180(spark, dir)))
+        fmt(OpsQueries.q180(spark, dir)),
+
+      ("q186 per-key top-k aggregator (round 12) — partial " +
+        "ObjectHashAggregate BELOW the exchange: each map task ships " +
+        "at most k rows per key; the final aggregate merges bounded " +
+        "sorted lists, then one posexplode ranks them. Contrast q07: " +
+        "the window form gets the same bound from " +
+        "InferWindowGroupLimit (partial WindowGroupLimit under the " +
+        "window exchange), pinned in PlanSpec") ->
+        fmt(OpsQueries.q186(spark, dir)),
+
+      ("q187 incremental connected components (round 12) — the final " +
+        "label union: untouched labels via BroadcastHashJoin " +
+        "LeftAnti against the delta-sized hit-label set (the prior " +
+        "corpus is scanned, never shuffled), unioned with the " +
+        "re-solved affected slice (an ExistingRDD barrier — the CC " +
+        "subproblem's jobs run at plan-build time over " +
+        "affected+delta-sized frames only)") ->
+        fmt(OpsQueries.q187(spark, dir)),
+
+      ("q189 cluster-aware split (round 12) — one BroadcastHashJoin " +
+        "LeftOuter of the corpus against the pair-derived cluster " +
+        "table, then a codegen'd md5 ppm-bucket projection; no " +
+        "corpus shuffle anywhere") ->
+        fmt(OpsQueries.q189(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * growth is the measured form of the 100 TB claim: the sketch's
   * per-group state is k-bounded, the rolling merge explodes sketch
   * rows (not facts), and segmentation is a map-only replace chain.
-  * Writes to /tmp only. Scratch tool, not part of the library
-  * surface.
+  *
+  * Second section (q187): full CC rerun vs ccIncremental under a
+  * FIXED 500-merge delta as the prior graph scales 1x/3x/10x — the
+  * incremental leg must stay ~flat (its work is affected+delta-sized)
+  * while the full rerun grows with the corpus. Writes to /tmp only.
+  * Scratch tool, not part of the library surface.
   */
 object ScaleSoakR12 {
   def main(args: Array[String]): Unit = {
@@ -75,6 +79,35 @@ object ScaleSoakR12 {
           windowDays = 7, k = 256, permille = Seq(500, 990)))
       time(s"bpe_segment_x$c")(
         graft.ops.TextAnalysis.bpeSegment(docs, "doc_id", "text", merges))
+    }
+
+    // ---- incremental CC: fixed delta on a growing prior graph ----
+    // base: 4-node cliques (50k components per scale unit); delta:
+    // 500 edges each merging two cliques far apart — affected slice
+    // is 1000 components regardless of scale
+    def cliqueEdges(scale: Int): DataFrame =
+      spark.range(0, 150000L * scale).select(
+        (($"id" / 3).cast("long") * 4L).as("doc_a"),
+        (($"id" / 3).cast("long") * 4L + 1L + ($"id" % 3L)).as("doc_b"))
+    val delta = spark.range(0, 500L).select(
+      ($"id" * 8L).as("doc_a"), ($"id" * 8L + 4L).as("doc_b"))
+    delta.cache().count()
+    Seq(1, 3, 10).foreach { c =>
+      val edgePath = s"/tmp/scale_soak_r12/edges_x$c"
+      cliqueEdges(c).write.mode("overwrite").parquet(edgePath)
+      val edges = spark.read.parquet(edgePath)
+      // prior labels persisted then re-read: the incremental leg's
+      // lineage starts from a scan, as it would in production
+      val lblPath = s"/tmp/scale_soak_r12/labels_x$c"
+      graft.ops.Dedup.connectedComponentsWithRounds(edges)._1
+        .write.mode("overwrite").parquet(lblPath)
+      val prev = spark.read.parquet(lblPath)
+      println(s"[soak-r12] ---- cc ${c}x (${edges.count()} edges) ----")
+      time(s"full_cc_x$c")(
+        graft.ops.Dedup.connectedComponentsWithRounds(
+          edges.unionByName(delta))._1)
+      time(s"inc_cc_x$c")(
+        graft.ops.Dedup.ccIncremental(prev, delta))
     }
     spark.stop()
   }

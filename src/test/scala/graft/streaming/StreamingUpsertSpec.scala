@@ -1166,4 +1166,44 @@ class StreamingUpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must not change mid-stream"))
   }
+
+  test("clusterStateBatch over shuffled pair batches equals batch duplicateClusters (property)") {
+    val rnd = new scala.util.Random(19112L)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val base = tmp(s"cluster_state_$trial")
+      val slices = rnd.shuffle(edges).grouped(edges.size / 3 + 1).toSeq
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        StreamingUpsert.clusterStateBatch(spark,
+          sl.toDF("doc_a", "doc_b"), base, i.toLong)
+      }
+      val got = StreamingUpsert.clustersFromState(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      val want = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(got === want, s"trial $trial slices=${slices.size}")
+    }
+  }
+
+  test("clusterStateBatch replay of the last batch rebuilds identical state") {
+    val base = tmp("cluster_state_replay")
+    StreamingUpsert.clusterStateBatch(spark,
+      Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b"), base, 0L)
+    StreamingUpsert.clusterStateBatch(spark,
+      Seq((2L, 3L)).toDF("doc_a", "doc_b"), base, 1L)
+    val before = StreamingUpsert.clustersFromState(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // foreachBatch failure semantics: the LAST batch is re-delivered
+    StreamingUpsert.clusterStateBatch(spark,
+      Seq((2L, 3L)).toDF("doc_a", "doc_b"), base, 1L)
+    val after = StreamingUpsert.clustersFromState(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+    assert(after === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
 }
