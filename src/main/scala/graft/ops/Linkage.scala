@@ -1,0 +1,134 @@
+package graft
+package ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Record linkage / fuzzy entity resolution: collapse dirty spellings
+  * of the same real-world entity (typos, case, whitespace) onto one
+  * canonical record — the classic blocking → pairwise-similarity →
+  * transitive-closure pipeline (Fellegi–Sunter family; blocking per
+  * Hernández & Stolfo's merge/purge). The reference's keyed dedup
+  * (SURVEY.md §2 D1–D3) assumes EXACT keys; linkage is its fuzzy
+  * generalization, the form entity data actually needs at ingest.
+  *
+  * Every stage is deterministic and engine-portable, so the whole
+  * chain is oracle-replayable (q193):
+  *
+  *  1. [[normalizeName]] — lower/trim/collapse-whitespace (pure
+  *     regexp, codegen'd).
+  *  2. [[blockKeys]] — multi-pass blocking on the normalized name's
+  *     2-char PREFIX and 2-char SUFFIX. A single-point corruption can
+  *     kill one end, not both, so any 1-edit variant shares at least
+  *     one block with every clean spelling of its entity. Two keys =
+  *     2 rows per record — corpus cost is ×2, never quadratic.
+  *  3. [[candidatePairs]] — within-block pairs (smaller id first).
+  *     Blocks larger than `maxBlock` are dropped WHOLE (the PPJoin
+  *     df-cap discipline, [[Dedup.exactJaccardPairs]]): a stopword-ish
+  *     prefix block at corpus scale is quadratic noise, not signal —
+  *     deterministic, documented, and visible to the caller via the
+  *     cap parameter. At 100 TB: one shuffle on bkey (block counts +
+  *     pair join share it), pair volume bounded by maxBlock² per
+  *     block.
+  *  4. [[levSimPpm]] — similarity = 1 − lev/max(len) in EXACT integer
+  *     ppm (Levenshtein is integer-valued in both engines; names are
+  *     normalized ASCII here, so DuckDB's byte-based and Spark's
+  *     char-based distances agree — same caveat as the q46 fuzzy
+  *     match).
+  *  5. [[resolve]] — threshold, then transitive closure via the
+  *     proven [[Dedup.duplicateClusters]] (O(log n) rounds); every
+  *     record gets (entity_id = min rec id of its component,
+  *     canonical = that record's normalized name); unmatched records
+  *     are their own singleton entity.
+  *
+  * The fuzzy scorer is pluggable where more recall is needed:
+  * [[graft.plans.Native.jaroWinkler]] is the codegen'd native
+  * expression form (spec-gated vs pinned DuckDB vectors); the gate
+  * face stays on Levenshtein because only it is exactly
+  * integer-replayable in the oracle.
+  */
+object Linkage {
+
+  /** Canonical name form: lowercase, trimmed, whitespace runs
+    * collapsed to one space. Pure regexp chain — codegen, linear.
+    */
+  def normalizeName(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Multi-pass blocking keys over a NORMALIZED name: tagged 2-char
+    * prefix and 2-char suffix (positive-index arithmetic only — both
+    * engines agree; ≤2-char names yield prefix == whole name and a
+    * suffix starting at position 1). `array_distinct` so a 2-char
+    * name contributes its identical keys once.
+    */
+  def blockKeys(norm: Column): Column = array_distinct(array(
+    concat(lit("p:"), substring(norm, 1, 2)),
+    concat(lit("s:"), norm.substr(greatest(length(norm) - 1, lit(1)),
+      lit(2)))))
+
+  /** Exact-integer similarity ppm: 10⁶ · (1 − lev(a,b)/max(|a|,|b|)),
+    * computed as 10⁶ − (lev·10⁶ DIV maxlen) so both engines do the
+    * same integer division. Two empty strings are identical (10⁶).
+    */
+  def levSimPpm(a: Column, b: Column): Column = {
+    val m = greatest(length(a), length(b)).cast("long")
+    val scaled = levenshtein(a, b).cast("long") * lit(1000000L)
+    when(m === 0L, lit(1000000L))
+      .otherwise(lit(1000000L) - ((scaled - pmod(scaled, m)) / m)
+        .cast("long"))
+  }
+
+  /** Candidate pairs under multi-pass blocking: one row per unordered
+    * record pair sharing at least one surviving block —
+    * (id_a, norm_a, id_b, norm_b), id_a < id_b. ONE shuffle on bkey
+    * serves both the block-size cap (window count) and the pair join;
+    * the distinct collapses pairs found under both keys.
+    */
+  def candidatePairs(recs: DataFrame, idCol: String, nameCol: String,
+      maxBlock: Int = 1000): DataFrame = {
+    val keyed = recs
+      .select(col(idCol).cast("long").as("rec_id"),
+        normalizeName(col(nameCol)).as("norm"))
+      .withColumn("bkey", explode(blockKeys(col("norm"))))
+    val sized = keyed.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("bn") <= maxBlock)
+    sized.as("a").join(sized.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+        col("a.rec_id") < col("b.rec_id"))
+      .select(col("a.rec_id").as("id_a"), col("a.norm").as("norm_a"),
+        col("b.rec_id").as("id_b"), col("b.norm").as("norm_b"))
+      .distinct()
+  }
+
+  /** End-to-end entity resolution: (rec_id, entity_id, canonical) for
+    * EVERY input record. `tauPpm` is the match threshold on
+    * [[levSimPpm]]; components come from the matched-pair graph
+    * (transitive: two dirty variants that only resemble the clean
+    * spelling still land in one entity). Canonical = the normalized
+    * name of the component's min-id record — deterministic, no vote.
+    *
+    * Scale shape: blocking join as above; CC over match-pairs only
+    * (≪ corpus); the label/canonical attach is a broadcast-sized left
+    * join when entities ≪ corpus (AQE picks it; matched pairs are cap
+    * -bounded). Nothing corpus-sized is ever self-joined.
+    */
+  def resolve(recs: DataFrame, idCol: String, nameCol: String,
+      tauPpm: Long, maxBlock: Int = 1000): DataFrame = {
+    val base = recs.select(col(idCol).cast("long").as("rec_id"),
+      normalizeName(col(nameCol)).as("norm"))
+    val matched = candidatePairs(recs, idCol, nameCol, maxBlock)
+      .filter(levSimPpm(col("norm_a"), col("norm_b")) >= tauPpm)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = Dedup.duplicateClusters(matched)
+      .select(col("doc_id").as("rec_id"), col("cluster_id"))
+    val labeled = base.join(clusters, Seq("rec_id"), "left")
+      .select(col("rec_id"), col("norm"),
+        coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
+    val canon = base.select(col("rec_id").as("entity_id"),
+      col("norm").as("canonical"))
+    labeled.join(canon, Seq("entity_id"))
+      .select(col("rec_id"), col("entity_id"), col("canonical"))
+  }
+}

@@ -243,6 +243,77 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  /** Duplicate-segment stats over one segment list (lines or
+    * paragraphs): a duplicate is any occurrence of a segment BEYOND
+    * its first (the Gopher convention, Rae et al. 2021 §A1.1 —
+    * `dup_n = n - n_distinct`), and duplicate characters are the
+    * characters of exactly those repeat occurrences
+    * (`total_chars - chars-of-one-copy-each`, order-free because only
+    * lengths are summed). Exact integer counts throughout.
+    */
+  private def dupSegStats(segs: Column): Column = {
+    val d = array_distinct(segs)
+    val totalChars = aggregate(segs, lit(0L), (acc, x) => acc + length(x))
+    val distinctChars = aggregate(d, lit(0L), (acc, x) => acc + length(x))
+    struct(
+      size(segs).cast("long").as("n"),
+      (size(segs) - size(d)).cast("long").as("dup_n"),
+      totalChars.as("total_chars"),
+      (totalChars - distinctChars).as("dup_chars"))
+  }
+
+  /** Gopher-family repetition quality signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 repetition filters),
+    * the structural complement of the n-gram [[repetitionScore]]:
+    * boilerplate-heavy pages repeat whole LINES (nav bars, cookie
+    * banners) and whole PARAGRAPHS (templated articles), which word
+    * n-gram fractions under-detect when the repeats are long.
+    *
+    * Pinned semantics (engine-portable, oracle-replayable):
+    *  - lines split on the literal `\n`, paragraphs on the literal
+    *    `\n\n`; empty segments (separator runs / edges) are dropped
+    *    BEFORE counting;
+    *  - `dup_*_ppm` = duplicate occurrences per million segments
+    *    (count·10⁶ DIV n, exact integer);
+    *  - `dup_*_char_ppm` = characters inside those repeat occurrences
+    *    per million segment characters.
+    * A doc with no segments (empty text) reports 0 across the board.
+    *
+    * Scale shape: pure Column expression over each document — no
+    * shuffle, no UDF, per-doc cost bounded by the doc itself; at
+    * 100 TB this rides the same single corpus scan as the other
+    * quality columns (see q192).
+    */
+  def repetitionStats(text: Column): Column = {
+    def nonEmpty(c: Column): Column = filter(c, x => x =!= "")
+    val lines = nonEmpty(split(text, "\n"))
+    val paras = nonEmpty(split(text, "\n\n"))
+    val ls = dupSegStats(lines)
+    val ps = dupSegStats(paras)
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, expr_ppm(num, den)).otherwise(0L)
+    struct(
+      ls.getField("n").as("n_lines"),
+      ppm(ls.getField("dup_n"), ls.getField("n")).as("dup_line_ppm"),
+      ppm(ls.getField("dup_chars"), ls.getField("total_chars"))
+        .as("dup_line_char_ppm"),
+      ps.getField("n").as("n_paras"),
+      ppm(ps.getField("dup_n"), ps.getField("n")).as("dup_para_ppm"),
+      ppm(ps.getField("dup_chars"), ps.getField("total_chars"))
+        .as("dup_para_char_ppm"))
+  }
+
+  /** Exact integer ppm: num·10⁶ DIV den over Column objects (no SQL
+    * name to feed `expr("... DIV ...")`): subtract the remainder, then
+    * the double division is of an exact multiple — correctly-rounded
+    * IEEE division of exact operands ≤ 2^53 yields the exact integer
+    * quotient, never the float-floor off-by-one.
+    */
+  private def expr_ppm(num: Column, den: Column): Column = {
+    val scaled = num * lit(1000000L)
+    ((scaled - pmod(scaled, den)) / den).cast("long")
+  }
+
   // -------------------------------------------------------- collocations
   /** Collocation extraction: adjacent-token bigrams ranked by the
     * pointwise association ratio p(ab) / (p(a)·p(b)) — the PMI

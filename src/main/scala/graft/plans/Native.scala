@@ -63,12 +63,21 @@ object Native {
     */
   def textStats(toks: Column, stopwordLists: Seq[Seq[String]]): Column =
     GraftNative.textStats(toks, stopwordLists)
+
+  /** Jaro–Winkler similarity in [0,1] — [[graft.ops.Linkage]]'s
+    * higher-recall pluggable scorer (DuckDB-parity semantics pinned in
+    * NativeSpec; the oracle-gated linkage face stays on the
+    * exact-integer Levenshtein ratio).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftNative.jaroWinkler(a, b)
 }
 
 /** SparkSessionExtensions entry point: registers the native functions
   * (`SELECT graft_hamming(a, b)`, `graft_shingles(toks, k)`,
   * `graft_minhash_band_keys(shs, bands, rows)`, `graft_simhash(mds,
-  * bits)`, `graft_min_md5(arr)`, `graft_qdot(a, b)`) and the
+  * bits)`, `graft_min_md5(arr)`, `graft_qdot(a, b)`,
+  * `graft_jaro_winkler(a, b)`) and the
   * levenshtein-threshold optimizer rule via
   * `spark.sql.extensions=graft.plans.GraftExtensions` — the standard
   * plug-in path for a cluster-wide deployment of this library.
@@ -108,6 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_min_md5", classOf[MinMd5], 1)(c => MinMd5(c.head))
     register(ext, "graft_qdot", classOf[QDotLong], 2)(c =>
       QDotLong(c.head, c(1)))
+    register(ext, "graft_jaro_winkler", classOf[JaroWinkler], 2)(c =>
+      JaroWinkler(c.head, c(1)))
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
     // materialized-aggregate navigation (no-op until Summary.register)

@@ -97,4 +97,9 @@ object GraftNative {
   def textStats(toks: Column, stopwordLists: Seq[Seq[String]]): Column =
     ExpressionUtils.column(
       TextStats(ExpressionUtils.expression(toks), stopwordLists))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaroWinkler(ExpressionUtils.expression(a),
+        ExpressionUtils.expression(b)))
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeName: case, trim, whitespace runs") {
+    val r = Seq("  Small   RING ", "small ring", "a\tb")
+      .toDF("n").select(Linkage.normalizeName($"n")).as[String].collect()
+    assert(r.toSeq == Seq("small ring", "small ring", "a b"))
+  }
+
+  test("levSimPpm: exact integer ratio, empty-empty = 1e6") {
+    val df = Seq(
+      ("small ring", "smal ring"),  // lev 1, max 10 -> 900000
+      ("small ring", "small ring"), // identical -> 1000000
+      ("red bolt", "old bolt"),     // lev 2, max 8 -> 750000
+      ("", ""),                     // both empty -> 1000000
+      ("abc", "")                   // lev 3, max 3 -> 0
+    ).toDF("a", "b")
+    val r = df.select(Linkage.levSimPpm($"a", $"b")).as[Long].collect()
+    assert(r.toSeq == Seq(900000L, 1000000L, 750000L, 1000000L, 0L))
+  }
+
+  test("blockKeys: prefix/suffix tags; short names degrade safely") {
+    val r = Seq("small ring", "ab", "x")
+      .toDF("n").select(Linkage.blockKeys($"n")).as[Seq[String]].collect()
+    assert(r(0) == Seq("p:sm", "s:ng"))
+    assert(r(1) == Seq("p:ab", "s:ab").distinct)
+    assert(r(2) == Seq("p:x", "s:x").distinct)
+  }
+
+  test("candidatePairs: 1-deletion variants share a block with clean copies") {
+    val recs = Seq(
+      (1L, "small ring"), (2L, "small ring"),
+      (3L, "smal ring"),   // middle deletion: both keys survive
+      (4L, "mall ring"),   // head deletion: suffix key survives
+      (5L, "small rin")    // tail deletion: prefix key survives
+    ).toDF("id", "name")
+    val pairs = Linkage.candidatePairs(recs, "id", "name")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (v <- Seq(3L, 4L, 5L); c <- Seq(1L, 2L))
+      assert(pairs.contains((math.min(v, c), math.max(v, c))),
+        s"variant $v must pair with clean $c")
+  }
+
+  test("candidatePairs: oversized blocks are dropped whole") {
+    val big = (1L to 50L).map(i => (i, s"zz common $i")) // block p:zz size 50
+    val small = Seq((100L, "qq one"), (101L, "qq two"))
+    val recs = (big ++ small).toDF("id", "name")
+    val pairs = Linkage.candidatePairs(recs, "id", "name", maxBlock = 10)
+      .as[(Long, String, Long, String)].collect()
+    // the qq block (size 2) survives; every zz pair is gone
+    assert(pairs.forall { case (a, _, b, _) => a >= 100L && b >= 100L })
+    assert(pairs.nonEmpty)
+  }
+
+  test("resolve: transitive linkage through the clean spelling; singletons kept") {
+    val recs = Seq(
+      (10L, "Small Ring"), (11L, "small  ring"),
+      (12L, "mall ring"),  // 1-del head: sim vs clean = 900000
+      (13L, "small rin"),  // 1-del tail: sim vs clean = 900000
+      (20L, "blue bolt"),  // its own entity
+      (30L, "unrelated gadget name")
+    ).toDF("id", "name")
+    // 12 vs 13: lev("mall ring","small rin") = 2 -> 777778 < tau:
+    // they link only THROUGH the clean records — transitivity.
+    val r = Linkage.resolve(recs, "id", "name", tauPpm = 850000L)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(Seq(10L, 11L, 12L, 13L).forall(byId(_)._2 == 10L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(byId(_)._3 == "small ring"))
+    assert(byId(20L)._2 == 20L && byId(20L)._3 == "blue bolt")
+    assert(byId(30L)._2 == 30L)
+    assert(r.length == 6)
+  }
+
+  test("resolve: no matches at all -> every record is its own entity") {
+    val recs = Seq((1L, "aaaa xxxx"), (2L, "bbbb yyyy"), (3L, "cccc zzzz"))
+      .toDF("id", "name")
+    val r = Linkage.resolve(recs, "id", "name", tauPpm = 900000L)
+      .as[(Long, Long, String)].collect()
+    assert(r.forall(x => x._1 == x._2))
+    assert(r.length == 3)
+  }
+}

@@ -345,4 +345,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc(2L) === Seq(2L, 1L, 1L))
     assert(enc(3L) === Seq.empty, "empty doc keeps an empty id sequence")
   }
+
+  test("repetitionStats: hand-computed duplicate line/paragraph fractions") {
+    // 4 lines: "nav" twice (dup), "x" and "yy" unique ->
+    //   n_lines=4, dup_n=1 -> 250000 ppm
+    //   chars: nav(3)+x(1)+yy(2)+nav(3)=9, dup chars = 3 -> 333333 ppm
+    // paragraphs (split \n\n): ["nav\nx", "yy\nnav"] -> no dups
+    val t1 = "nav\nx\n\nyy\nnav"
+    // all lines distinct
+    val t2 = "a\nb\nc"
+    // duplicate PARAGRAPHS: ["p\nq", "p\nq"] -> dup 1/2; lines p,q,p,q
+    // -> dup 2/4; dup chars 2/4
+    val t3 = "p\nq\n\np\nq"
+    // empty text -> all zero
+    val t4 = ""
+    val df = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4)).toDF("id", "text")
+    val st = TextAnalysis.repetitionStats($"text")
+    val r = df.select($"id", st.getField("n_lines"),
+        st.getField("dup_line_ppm"), st.getField("dup_line_char_ppm"),
+        st.getField("n_paras"), st.getField("dup_para_ppm"),
+        st.getField("dup_para_char_ppm"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 4L, 250000L, 333333L, 2L, 0L, 0L)))
+    assert(r(2L) == ((2L, 3L, 0L, 0L, 1L, 0L, 0L)))
+    assert(r(3L) == ((3L, 4L, 500000L, 500000L, 2L, 500000L, 500000L)))
+    assert(r(4L) == ((4L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionStats: separator runs yield no empty segments") {
+    // split("a\n\nb", "\n") has an empty middle -> dropped; the same
+    // text splits into 2 paragraphs
+    val df = Seq((1L, "a\n\na")).toDF("id", "text")
+    val st = TextAnalysis.repetitionStats($"text")
+    val (nl, dl, np) = df.select(st.getField("n_lines"),
+        st.getField("dup_line_ppm"), st.getField("n_paras"))
+      .as[(Long, Long, Long)].collect().head
+    assert(nl == 2L && dl == 500000L && np == 2L)
+  }
 }

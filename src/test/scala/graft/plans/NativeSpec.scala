@@ -154,4 +154,77 @@ class NativeSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(got === 1L)
   }
+
+  test("JaroWinkler: DuckDB-parity on the pinned vector table") {
+    // expected values generated from DuckDB 1.0 jaro_winkler_similarity
+    // (classics + 25 seeded random pairs) — pins the full semantics:
+    // window, greedy matching, transpositions, 0.7 boost threshold,
+    // prefix cap 4, empty -> 0.
+    val vectors = Seq(
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "xyz", 0.0),
+      ("ab", "ba", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("same", "same", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("ab", "abcdefgh", 0.8),
+      ("aaaa", "aaab", 0.8833333333333334),
+      ("TRATE", "TRACE", 0.9066666666666667),
+      ("abcdefx", "abcdefy", 0.9428571428571428),
+      ("small ring", "smal ring", 0.98),
+      ("red bolt", "old bolt", 0.8333333333333334),
+      ("aafcbbbfaff", "aedaaabbe", 0.6033670033670034),
+      ("aebfffedbd", "c  a  bfdc", 0.6),
+      ("bb ca", "da", 0.0),
+      (" cec a", "deadaec fe c", 0.5),
+      ("bfaafb ca ", " adc", 0.5666666666666667),
+      ("f cbccbf", "fffae", 0.44166666666666665),
+      ("befbbddcffe", "fc  ", 0.44696969696969696),
+      ("b", " ", 0.0),
+      ("dcabef", "bfddfd", 0.5555555555555555),
+      ("cbb", "eecfededcbbe", 0.47222222222222215),
+      ("a a abfb", "deaddedece ", 0.4053030303030303),
+      ("f", "afe c fcacdb", 0.6944444444444443),
+      ("affce be", " f", 0.5416666666666666),
+      (" feeb", "c b", 0.5111111111111111),
+      (" eaecdaac", "babea", 0.5333333333333333),
+      ("fd", " e", 0.0),
+      ("bfd", "bce edbe ", 0.6296296296296297),
+      ("fbfcdffcdeda", "baca", 0.5555555555555555),
+      ("ebebaaffab", "a ", 0.5333333333333333),
+      ("aebcfd", "ebfe", 0.75),
+      ("db d dbaaf", "cddd fa", 0.707936507936508),
+      ("ffaadfc  ab", "bedb", 0.44696969696969696),
+      ("bcdb ad", "aafe aa  ", 0.5026455026455027),
+      ("bddd", " dab", 0.5),
+      ("adc  dc", "ff effd", 0.5238095238095238))
+    val got = vectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(Native.jaroWinkler($"a", $"b")).as[Double].collect()
+    vectors.zip(got).foreach { case ((a, b, want), v) =>
+      assert(math.abs(v - want) <= 1e-12,
+        s"jw('$a','$b') = $v, DuckDB = $want")
+    }
+    // symmetry on the random half
+    val sym = vectors.map { case (a, b, _) => (b, a) }.toDF("a", "b")
+      .select(Native.jaroWinkler($"a", $"b")).as[Double].collect()
+    vectors.zip(sym).foreach { case ((a, b, want), v) =>
+      assert(math.abs(v - want) <= 1e-12, s"jw('$b','$a') asymmetric")
+    }
+    // interpreted eval must agree with codegen
+    assert(org.apache.spark.sql.graftnative.JaroWinkler.compute(
+      "DWAYNE".getBytes, "DUANE".getBytes) === 0.8400000000000001)
+    // SQL registration via GraftExtensions name
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.graftnative.JaroWinkler(children.head, children(1)),
+      "scala_udf")
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) <= 1e-12)
+  }
 }
