@@ -121,8 +121,16 @@ object Linkage {
     val matched = candidatePairs(recs, idCol, nameCol, maxBlock)
       .filter(levSimPpm(col("norm_a"), col("norm_b")) >= tauPpm)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val clusters = Dedup.duplicateClusters(matched)
-      .select(col("doc_id").as("rec_id"), col("cluster_id"))
+    attach(base, Dedup.duplicateClusters(matched)
+      .select(col("doc_id").as("rec_id"), col("cluster_id")))
+  }
+
+  /** Shared label/canonical attach: every `base` record gets
+    * (entity_id = its component label, or itself when unlabeled) and
+    * the normalized name of the entity's min-id record. Both joins
+    * are entity-table-sized (broadcast when entities ≪ corpus).
+    */
+  def attach(base: DataFrame, clusters: DataFrame): DataFrame = {
     val labeled = base.join(clusters, Seq("rec_id"), "left")
       .select(col("rec_id"), col("norm"),
         coalesce(col("cluster_id"), col("rec_id")).as("entity_id"))
@@ -131,4 +139,99 @@ object Linkage {
     labeled.join(canon, Seq("entity_id"))
       .select(col("rec_id"), col("entity_id"), col("canonical"))
   }
+
+  // ------------------------------------- maintained linkage state
+  // The nearDupBatch protocol applied to entity resolution: a record
+  // batch is blocked against the PERSISTED keyed state, so a growing
+  // record table is linked by comparing each new record only against
+  // its block mates — never by re-running the blocking self-join over
+  // the whole corpus.
+  //
+  // Layout under basePath: recs/ (rec_id, norm), keys/ (rec_id, norm,
+  // bkey — the block index), pairs/ (doc_a, doc_b — matched pairs,
+  // append-only). All appends are at-least-once under replay;
+  // consumers read with DISTINCT (rows are value-identical across
+  // replays), the same contract as nearDupBatch.
+  //
+  // Equivalence to batch resolve() on the full record set holds while
+  // no block CROSSES maxBlock over the state's lifetime: a block that
+  // grows past the cap keeps the pairs it emitted while under cap
+  // (arrival-time semantics) whereas the batch run drops the whole
+  // block — the incremental result is a SUPERSET on such corpora,
+  // never smaller (nearDupBatch's documented cap contract).
+
+  private def readOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      p: String, like: DataFrame): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) spark.read.schema(like.schema).parquet(p).distinct()
+    else like.limit(0)
+  }
+
+  /** Fold one record batch into the linkage state: candidates = block
+    * mates where AT LEAST ONE side is new (old-old pairs were found
+    * when their later record arrived), block sizes counted over the
+    * FULL state ∪ batch (so a block over cap stays consistently
+    * dropped), similarity thresholded exactly as [[resolve]]. Record
+    * ids must be unique across batches.
+    */
+  def linkBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, nameCol: String, tauPpm: Long,
+      basePath: String, maxBlock: Int = 1000,
+      mat: Materializer = Materialize.Local): Unit = {
+    val newBase = mat(batch.select(col(idCol).cast("long").as("rec_id"),
+      normalizeName(col(nameCol)).as("norm")))
+    val newKeyed = newBase.withColumn("bkey", explode(blockKeys(col("norm"))))
+    // anti-join the batch's own ids out of the prior state: a REPLAYED
+    // batch would otherwise appear twice in the union (old copy + new
+    // copy, differing only in is_new) and inflate block counts past
+    // the cap — with it, a replayed call sees exactly the state the
+    // original call saw (the delta-sized side drives the anti-join)
+    val oldKeyed = readOrEmpty(spark, s"$basePath/keys", newKeyed)
+      .join(newBase.select(col("rec_id")), Seq("rec_id"), "left_anti")
+    val all = oldKeyed.withColumn("is_new", lit(false))
+      .unionByName(newKeyed.withColumn("is_new", lit(true)))
+    val sized = all.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("bn") <= maxBlock)
+    val matched = sized.as("a").join(sized.as("b"),
+        col("a.bkey") === col("b.bkey") &&
+        col("a.rec_id") < col("b.rec_id") &&
+        (col("a.is_new") || col("b.is_new")))
+      .select(col("a.rec_id").as("doc_a"), col("a.norm").as("norm_a"),
+        col("b.rec_id").as("doc_b"), col("b.norm").as("norm_b"))
+      .distinct()
+      .filter(levSimPpm(col("norm_a"), col("norm_b")) >= tauPpm)
+      .select(col("doc_a"), col("doc_b"))
+    // pairs first: a replay after partial failure re-appends pairs
+    // (distinct-at-read) but never loses them against advanced state
+    matched.write.mode("append").parquet(s"$basePath/pairs")
+    newBase.write.mode("append").parquet(s"$basePath/recs")
+    newKeyed.write.mode("append").parquet(s"$basePath/keys")
+  }
+
+  /** The state's record table (rec_id, norm), exactly-once at read. */
+  def stateRecs(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    readOrEmpty(spark, s"$basePath/recs",
+      spark.range(0).select(col("id").as("rec_id"),
+        lit("").as("norm")))
+
+  /** The state's matched-pair table, exactly-once at read. */
+  def statePairs(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    readOrEmpty(spark, s"$basePath/pairs",
+      spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b")))
+
+  /** Entity labels + canonicals from the maintained state — equals
+    * [[resolve]] over every record ever fed (under the cap contract
+    * above). For delta-sized label maintenance compose [[statePairs]]
+    * snapshots with [[Dedup.duplicateClustersIncremental]] instead
+    * (the q190 pattern; q195 gates that composition).
+    */
+  def resolveFromState(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): DataFrame =
+    attach(stateRecs(spark, basePath),
+      Dedup.duplicateClusters(statePairs(spark, basePath))
+        .select(col("doc_id").as("rec_id"), col("cluster_id")))
 }

@@ -250,4 +250,63 @@ object Stats {
     dev.join(mad, Seq(groupCol))
       .filter(col("adev") > lit(k.toLong) * col("mad"))
   }
+
+  /** Sketch-binned distribution drift between a REFERENCE corpus and a
+    * CURRENT corpus — the ingest-gate check "did this batch's
+    * length/score/price distribution move?" (PSI's job, but with
+    * engine-portable arithmetic: PSI's ln() is libm-specific, so the
+    * distance here is total variation over equi-depth bins, which is
+    * exact integer ppm end to end).
+    *
+    * Protocol (every step deterministic and oracle-replayable):
+    *  1. bin edges = the REFERENCE side's bottom-k-by-hash quantile
+    *     sketch ([[Sketches.quantilePartials]]) read at the nBins−1
+    *     equi-depth permille points, distinct+sorted — data values,
+    *     no arithmetic, so both engines hold identical edges;
+    *  2. bin(v) = number of edges strictly below v (edges compared in
+    *     DOUBLE — exact for integral values up to 2^53, the envelope
+    *     the summary tier already documents); NULL values are
+    *     excluded on both sides;
+    *  3. per-bin rates in exact ppm (count·10⁶ DIV side total), per-
+    *     bin |Δ|, and tvd_ppm = Σ|Δ| DIV 2 stamped on every row.
+    *
+    * Scale shape: the sketch collect is ONE bounded row (loop-control
+    * discipline, like bpeTrain's per-round top-1); the edges fold
+    * into a codegen'd comparison chain (nBins−1 branches, no join);
+    * each side is then one linear scan into an nBins-sized aggregate;
+    * the rate/TVD windows run over the nBins-row joined table. Two
+    * passes over ref, one over cur — at 100 TB serve the edges from
+    * the MAINTAINED quantile summary (q181's asset) instead of
+    * re-sketching, which drops the ref cost to one pass too.
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, keyExpr: String,
+                        valueCol: String, nBins: Int = 10,
+                        k: Int = 512): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be 2..1000, got $nBins")
+    val pts = (1 until nBins).map(i => i * 1000 / nBins).distinct
+    val est = Sketches.quantileEstimates(
+      Sketches.quantilePartials(ref, Seq.empty, expr(keyExpr),
+        col(valueCol), k),
+      Seq.empty, pts).head() // ONE bounded row: nBins-1 edge values
+    val edges = pts.map(p =>
+        est.getAs[Number](s"p$p").doubleValue()).distinct.sorted
+    val binCol = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col(valueCol).cast("double") > lit(e), 1).otherwise(0)
+    }.cast("long")
+    def binCounts(df: DataFrame, nm: String) =
+      df.filter(col(valueCol).isNotNull)
+        .select(binCol.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as(nm))
+    val w = Window.partitionBy()
+    binCounts(ref, "n_ref")
+      .join(binCounts(cur, "n_cur"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
+      .withColumn("rate_ref_ppm", expr("n_ref * 1000000 DIV tot_ref"))
+      .withColumn("rate_cur_ppm", expr("n_cur * 1000000 DIV tot_cur"))
+      .withColumn("diff_ppm", abs(col("rate_ref_ppm") - col("rate_cur_ppm")))
+      .withColumn("tvd_ppm", expr("sum(diff_ppm) OVER () DIV 2"))
+      .drop("tot_ref", "tot_cur")
+  }
 }

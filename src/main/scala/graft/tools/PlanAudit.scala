@@ -293,7 +293,24 @@ object PlanAudit {
         "LeftOuter of the corpus against the pair-derived cluster " +
         "table, then a codegen'd md5 ppm-bucket projection; no " +
         "corpus shuffle anywhere") ->
-        fmt(OpsQueries.q189(spark, dir)))
+        fmt(OpsQueries.q189(spark, dir)),
+
+      ("q192 gopher repetition (round 12) — the whole derivation + " +
+        "line/paragraph duplicate stats are per-doc Column " +
+        "expressions: ONE corpus scan into one WholeStageCodegen " +
+        "projection, zero Exchange — the shape every per-doc quality " +
+        "column must keep at 100 TB") ->
+        fmt(OpsQueries.q192(spark, dir)),
+
+      ("q193 entity resolution (round 12) — ONE bkey Exchange serves " +
+        "both the block-size-cap window and the within-block pair " +
+        "self-join; the Levenshtein filter sits on the pair side " +
+        "(codegen'd, cap-bounded volume); the match-pair transitive " +
+        "closure runs behind an ExistingRDD barrier (match-sized, " +
+        "never corpus-sized), and the label + canonical attaches are " +
+        "broadcast joins — the record corpus itself is never " +
+        "self-joined raw") ->
+        fmt(OpsQueries.q193(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

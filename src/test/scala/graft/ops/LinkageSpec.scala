@@ -85,4 +85,46 @@ class LinkageSpec extends SparkSpec {
     assert(r.forall(x => x._1 == x._2))
     assert(r.length == 3)
   }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("linkBatch/resolveFromState == batch resolve, any slicing, replay-safe") {
+    val recs = Seq(
+      (10L, "Small Ring"), (11L, "small  ring"), (12L, "mall ring"),
+      (13L, "small rin"), (20L, "blue bolt"), (21L, "blue bol"),
+      (30L, "unrelated gadget name")
+    ).toDF("id", "name")
+    val want = Linkage.resolve(recs, "id", "name", tauPpm = 850000L)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    for (slices <- Seq(Seq(Seq(10L, 11L, 20L, 30L), Seq(12L, 13L, 21L)),
+                       Seq(Seq(12L, 21L), Seq(30L), Seq(10L, 11L, 13L, 20L)))) {
+      val base = tmp("linkage_state")
+      slices.foreach { ids =>
+        Linkage.linkBatch(spark, recs.filter($"id".isin(ids: _*)),
+          "id", "name", tauPpm = 850000L, basePath = base)
+      }
+      // replay the LAST batch once — distinct-at-read absorbs it
+      Linkage.linkBatch(spark, recs.filter($"id".isin(slices.last: _*)),
+        "id", "name", tauPpm = 850000L, basePath = base)
+      val got = Linkage.resolveFromState(spark, base)
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"slicing $slices diverged from batch resolve")
+    }
+  }
+
+  test("linkBatch: block already over cap stays consistently dropped") {
+    // a block over the cap from the FIRST batch: neither old-old nor
+    // new-old pairs may ever be emitted from it
+    val big = (1L to 12L).map(i => (i, s"zz common $i"))
+    val base = tmp("linkage_cap")
+    Linkage.linkBatch(spark, big.take(8).toDF("id", "name"),
+      "id", "name", tauPpm = 100000L, basePath = base, maxBlock = 5)
+    Linkage.linkBatch(spark, big.drop(8).toDF("id", "name"),
+      "id", "name", tauPpm = 100000L, basePath = base, maxBlock = 5)
+    assert(Linkage.statePairs(spark, base).count() == 0L)
+    val r = Linkage.resolveFromState(spark, base)
+      .as[(Long, Long, String)].collect()
+    assert(r.length == 12 && r.forall(x => x._1 == x._2))
+  }
 }

@@ -189,4 +189,39 @@ class StatsSpec extends SparkSpec {
     assert(sub.exists(x => x._2 == "a" && x._3 == 100000L),
       "the gross artifact must breach the sampled fence")
   }
+
+  test("distributionDrift: hand-computed bins, rates and TVD") {
+    import spark.implicits._
+    // ref 1..10, one edge at the sketch median: full sample (k=512)
+    // -> p500 = 5 -> bins: v<=5 -> 0, v>5 -> 1
+    val ref = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val curSame = ref
+    val curShift = (6 to 15).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    def run(cur: org.apache.spark.sql.DataFrame) =
+      Stats.distributionDrift(ref, cur, "cast(id as string)", "v",
+        nBins = 2, k = 512)
+        .select("bin", "n_ref", "n_cur", "rate_ref_ppm", "rate_cur_ppm",
+          "diff_ppm", "tvd_ppm")
+        .as[(Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(curSame) == Seq(
+      (0L, 5L, 5L, 500000L, 500000L, 0L, 0L),
+      (1L, 5L, 5L, 500000L, 500000L, 0L, 0L)))
+    assert(run(curShift) == Seq(
+      (0L, 5L, 0L, 500000L, 0L, 500000L, 500000L),
+      (1L, 5L, 10L, 500000L, 1000000L, 500000L, 500000L)))
+  }
+
+  test("distributionDrift: NULLs excluded, identical corpora drift zero") {
+    import spark.implicits._
+    val a = Seq((1L, Some(3L)), (2L, Some(7L)), (3L, None), (4L, Some(9L)))
+      .toDF("id", "v")
+    val r = Stats.distributionDrift(a, a, "cast(id as string)", "v",
+        nBins = 3, k = 16)
+      .agg(org.apache.spark.sql.functions.max("tvd_ppm"),
+        org.apache.spark.sql.functions.sum("n_ref"),
+        org.apache.spark.sql.functions.sum("n_cur"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((0L, 3L, 3L)))
+  }
 }
