@@ -325,4 +325,51 @@ object Graphs {
       .withColumn("coef_ppm",
         expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"))
   }
+
+  /** Deterministic SYNCHRONOUS label propagation (Raghavan et al.
+    * 2007) — community detection, the graph-family member next to
+    * components (q49), importance (q148) and cohesion (q151/q156/
+    * q159). Seeds label(v,0) = v; each round, label(v) becomes the
+    * most frequent label among v's OUT-neighbors — the dst labels of
+    * v's edges (== all neighbors on a symmetric graph; multi-edges
+    * weight the vote) — ties broken (count desc, label asc).
+    *
+    * Pinned semantics, chosen for exact replay: the classic
+    * ASYNC-with-random-tiebreak LPA is nondeterministic by
+    * construction; this synchronous form with a pinned tie order and
+    * a FIXED round count is a pure function of the edge multiset —
+    * an unrolled-rounds SQL oracle replays it exactly (q148's
+    * discipline). Synchronous LPA can oscillate on bipartite
+    * structures; the fixed `rounds` bound makes that part of the
+    * operator's contract (a labeling after exactly R rounds), not a
+    * convergence failure. Pass [[undirected]]/symmetric edges for
+    * the standard community semantics.
+    *
+    * Scale shape per round: one keyed join of edges against the
+    * label table (shuffle on node key), one (node, label) count
+    * aggregate with map-side combine, and a per-node window over the
+    * few candidate labels of that node — nothing corpus-quadratic;
+    * rounds are sealed through the Materializer like [[pageRank]]'s
+    * so lineage stays flat. Labels converge toward component minima
+    * on community-dense co-occurrence graphs in a handful of rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       mat: Materializer = Materialize.Local): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be 1..10, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e = mat(edges.select($"src", $"dst"))
+    val nodes = e.select($"src".as("node")).distinct()
+    var lbl = mat(nodes.withColumn("lbl", $"node"))
+    for (_ <- 1 to rounds) {
+      val votes = e.join(lbl, $"dst" === $"node")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"src")
+        .orderBy($"c".desc, $"lbl".asc)
+      lbl = mat(votes.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1)
+        .select($"src".as("node"), $"lbl"))
+    }
+    lbl
+  }
 }

@@ -307,9 +307,11 @@ object PlanAudit {
         "self-join; the Levenshtein filter sits on the pair side " +
         "(codegen'd, cap-bounded volume); the match-pair transitive " +
         "closure runs behind an ExistingRDD barrier (match-sized, " +
-        "never corpus-sized), and the label + canonical attaches are " +
-        "broadcast joins — the record corpus itself is never " +
-        "self-joined raw") ->
+        "never corpus-sized), and the label/canonical attaches are " +
+        "entity-table-keyed joins (the canonical side broadcasts " +
+        "here; the label side is SMJ at this fixture scale and " +
+        "broadcast-sized under AQE in production) — the record " +
+        "corpus itself is never self-joined raw") ->
         fmt(OpsQueries.q193(spark, dir)))
 
     val body = sections.map { case (title, plan) =>

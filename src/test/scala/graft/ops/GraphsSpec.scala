@@ -175,4 +175,34 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(path === Map(2L -> 0L))
   }
+
+  test("labelPropagation: hand-unrolled rounds separate two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; symmetric edges.
+    // Hand trace (count desc, label asc ties), seeds = own id:
+    //  round 1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    //  round 2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    //  round 3: 1->1, 2->1, 3->1, 4->3, 5->3, 6->3
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def labels(r: Int) = Graphs.labelPropagation(edges, rounds = r)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+    assert(labels(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 3L, 6L -> 3L))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: multi-edges weight the vote") {
+    // 7 has two edges to 8 and one to 9: label 8 outvotes the
+    // smaller label 9 (2 > 1), so multiplicity — not the tie order —
+    // must decide
+    val e = Seq((7L, 8L), (7L, 8L), (7L, 9L), (8L, 7L), (9L, 7L))
+      .toDF("src", "dst")
+    val got = Graphs.labelPropagation(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 8L)
+  }
 }
