@@ -279,6 +279,43 @@ object Stats {
     * the MAINTAINED quantile summary (q181's asset) instead of
     * re-sketching, which drops the ref cost to one pass too.
     */
+  /** Per-group winsorization (outlier clipping at sketch quantiles) —
+    * the standard robust-preprocessing step before scale-sensitive
+    * aggregates: each value is clamped into the group's
+    * [p(loPermille), p(hiPermille)] band, the band coming from the
+    * bottom-k-by-hash quantile sketch ([[Sketches.quantilePartials]]
+    * — deterministic, so the clipped table replays exactly).
+    *
+    * Pinned semantics: NULL values stay NULL (explicit guard — both
+    * engines' least/greatest IGNORE nulls, which would silently clamp
+    * a NULL to the lower edge); a group absent from the sketch (all
+    * values NULL) passes through unclamped via the left join; band
+    * edges are sketch SAMPLE values (no interpolation).
+    *
+    * Scale shape: one sketch pass, then ONE broadcast join of the
+    * group-edge table (groups × 2 values) and a codegen'd clamp —
+    * the corpus is scanned twice, shuffled never. With a maintained
+    * quantile summary (q181) the sketch pass is served from the
+    * asset instead.
+    */
+  def winsorizeBy(df: DataFrame, groupCol: String, keyExpr: String,
+                  valueCol: String, loPermille: Int, hiPermille: Int,
+                  k: Int = 512): DataFrame = {
+    require(1 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 1 <= lo < hi <= 1000, got ($loPermille, $hiPermille)")
+    val sk = Sketches.quantilePartials(df, Seq(groupCol), expr(keyExpr),
+      col(valueCol), k)
+    val edges = Sketches.quantileEstimates(sk, Seq(groupCol),
+        Seq(loPermille, hiPermille))
+      .select(col(groupCol), col(s"p$loPermille").as("_lo"),
+        col(s"p$hiPermille").as("_hi"))
+    df.join(broadcast(edges), Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("_lo")), col("_hi"))))
+      .drop("_lo", "_hi")
+  }
+
   def distributionDrift(ref: DataFrame, cur: DataFrame, keyExpr: String,
                         valueCol: String, nBins: Int = 10,
                         k: Int = 512): DataFrame = {

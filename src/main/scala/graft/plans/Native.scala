@@ -71,13 +71,20 @@ object Native {
     */
   def jaroWinkler(a: Column, b: Column): Column =
     GraftNative.jaroWinkler(a, b)
+
+  /** Unicode NFC normalization (UAX #15) — canonical composition
+    * before hash-based dedup/vocabulary work; `isNormalized` fast
+    * path returns the input untouched for ASCII/composed text. No
+    * built-in exists and a UDF would break codegen, hence native.
+    */
+  def nfcNormalize(s: Column): Column = GraftNative.nfcNormalize(s)
 }
 
 /** SparkSessionExtensions entry point: registers the native functions
   * (`SELECT graft_hamming(a, b)`, `graft_shingles(toks, k)`,
   * `graft_minhash_band_keys(shs, bands, rows)`, `graft_simhash(mds,
   * bits)`, `graft_min_md5(arr)`, `graft_qdot(a, b)`,
-  * `graft_jaro_winkler(a, b)`) and the
+  * `graft_jaro_winkler(a, b)`, `graft_nfc(s)`) and the
   * levenshtein-threshold optimizer rule via
   * `spark.sql.extensions=graft.plans.GraftExtensions` — the standard
   * plug-in path for a cluster-wide deployment of this library.
@@ -119,6 +126,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QDotLong(c.head, c(1)))
     register(ext, "graft_jaro_winkler", classOf[JaroWinkler], 2)(c =>
       JaroWinkler(c.head, c(1)))
+    register(ext, "graft_nfc", classOf[NfcNormalize], 1)(c =>
+      NfcNormalize(c.head))
     ext.injectOptimizerRule(_ =>
       org.apache.spark.sql.graftnative.LevenshteinThresholdRule)
     // materialized-aggregate navigation (no-op until Summary.register)

@@ -102,4 +102,7 @@ object GraftNative {
     ExpressionUtils.column(
       JaroWinkler(ExpressionUtils.expression(a),
         ExpressionUtils.expression(b)))
+
+  def nfcNormalize(s: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(s)))
 }

@@ -190,6 +190,24 @@ class StatsSpec extends SparkSpec {
       "the gross artifact must breach the sampled fence")
   }
 
+  test("winsorizeBy: clamps at sketch edges; NULLs stay NULL; all-null group passes through") {
+    import spark.implicits._
+    // group a: 1..10 fully sampled -> lo = vs[(200*10+999)//1000 = 2]
+    // = 2, hi = vs[(900*10+999)//1000 = 9] = 9
+    val a = (1 to 10).map(i => ("a", i.toLong, Some(i.toLong)))
+    val rows = a ++ Seq(("a", 99L, None), ("b", 100L, None), ("b", 101L, None))
+    val got = Stats.winsorizeBy(rows.toDF("g", "id", "v"),
+        "g", "cast(id as string)", "v", loPermille = 200, hiPermille = 900)
+      .select($"g", $"id", $"v_w").as[(String, Long, Option[Long])]
+      .collect().map(x => (x._1, x._2) -> x._3).toMap
+    assert(got(("a", 1L)).contains(2L), "below lo clamps up")
+    assert(got(("a", 10L)).contains(9L), "above hi clamps down")
+    assert((2 to 9).forall(i => got(("a", i.toLong)).contains(i.toLong)))
+    assert(got(("a", 99L)).isEmpty, "NULL value stays NULL")
+    assert(got(("b", 100L)).isEmpty && got(("b", 101L)).isEmpty,
+      "all-null group passes through")
+  }
+
   test("distributionDrift: hand-computed bins, rates and TVD") {
     import spark.implicits._
     // ref 1..10, one edge at the sketch median: full sample (k=512)

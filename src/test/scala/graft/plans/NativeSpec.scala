@@ -227,4 +227,30 @@ class NativeSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(viaSql - 0.9611111111111111) <= 1e-12)
   }
+
+  test("NfcNormalize: composes decomposed sequences; ASCII untouched; dedup keys converge") {
+    val deco = "e\u0301clair"  // decomposed: e + combining acute (7 cp)
+    val comp = "\u00e9clair"   // composed e-acute (6 cp)
+    val rows = Seq(deco, comp, "plain ascii",
+      "a\u0308 + o\u0308")    // a/o + combining diaeresis compose
+    val got = rows.toDF("s")
+      .select(Native.nfcNormalize($"s"), length(Native.nfcNormalize($"s")))
+      .as[(String, Int)].collect()
+    assert(got(0) == ((comp, 6)))
+    assert(got(1) == ((comp, 6)))
+    assert(got(2) == (("plain ascii", 11)))
+    assert(got(3) == (("\u00e4 + \u00f6", 5)))
+    // the dedup-key argument: both spellings hash identically after
+    val h = Seq(deco, comp).toDF("s")
+      .select(md5(Native.nfcNormalize($"s"))).as[String].collect()
+    assert(h(0) == h(1))
+    // interpreted eval agrees with codegen
+    assert(org.apache.spark.sql.graftnative.NfcNormalize.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(deco))
+      .toString == comp)
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(Native.nfcNormalize($"s")).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
