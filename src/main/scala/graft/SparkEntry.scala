@@ -110,5 +110,11 @@ object SparkEntry {
     // entry REQUIREs delta cost in-plan); a regression toward
     // full-rebuild refresh shows here as a trend toward q01's
     // fact-scan cost instead of only failing at gate scale.
-    "q179_summary_delta_refresh")
+    "q179_summary_delta_refresh",
+    // tokenizer-apply serve face (round 12): the 100 TB BPE pass —
+    // merge table prebuilt in the untimed warmup, timed runs pay the
+    // native per-token merge replay + doc reassembly only; a
+    // regression toward the composed replace chain (or toward
+    // retraining per call) surfaces here as a trend.
+    "q202_bpe_apply_serve")
 }

@@ -326,6 +326,187 @@ object Graphs {
         expr("(2 * n_triangles * 1000000) DIV (degree * (degree - 1))"))
   }
 
+  /** HITS hub/authority scores (Kleinberg, JACM 1999) over DIRECTED
+    * multi-edges — the importance member for graphs where pointing
+    * and being-pointed-at mean different things (buyer→seller,
+    * citer→cited, page→page), where PageRank's single score conflates
+    * the two roles. Per iteration: auth = Aᵀ·hub then hub = A·auth,
+    * each followed by max-normalization. Returns (node, hub, auth)
+    * at the final iteration, 0 for roles a node never plays.
+    *
+    * Determinism (the q148 discipline): scores are Q-scaled int64;
+    * the per-round normalization is exact integer — raw sums are
+    * int64, the rescale (raw × scale) DIV max runs the product
+    * through DECIMAL(38,0) so it cannot overflow, and truncating
+    * division agrees with any engine's floor-div on non-negatives.
+    * Bit-identical on any partitioning and replayable in DuckDB
+    * (HUGEINT), which makes the ranking oracle-checkable — float
+    * HITS would order near-equal scores differently per run.
+    *
+    * Overflow bound: a node's raw score is Σ over its (multi-)edges
+    * of the neighbor's ≤ `scale` score, so max in-degree × scale
+    * must stay under 2^63 — the default 10^12 is good to ~9×10^6
+    * incident edges per node; drop `scale` for hotter graphs.
+    *
+    * No sink guard needed (unlike [[pageRank]]): normalization
+    * re-anchors the mass each round, so dangling nodes just hold
+    * score 0 in the role they never play — the recurrence loses
+    * nothing silently. Empty edge sets yield all-zero scores (the
+    * max is floored at 1 rather than dividing by zero).
+    *
+    * Scale shape per iteration: two equi-joins of edges against a
+    * score table + two keyed aggregates (shuffles on node keys), two
+    * 1-row max aggregates broadcast back — the [[pageRank]] power-
+    * iteration shape run twice; rounds sealed via [[Materializer]].
+    */
+  def hits(edges: DataFrame, iters: Int,
+           scale: Long = 1000000000000L,
+           mat: Materializer = Materialize.Local): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
+    require(scale >= 1000000L, s"scale too small for integer rescale: $scale")
+    val e = mat(edges.select($"src", $"dst"))
+    val nodes = mat(e.select($"src".as("node"))
+      .unionAll(e.select($"dst".as("node"))).distinct())
+    // one half-step: raw = Σ over edges of the counterpart score,
+    // rescaled so max = scale; nodes without the role get 0
+    def halfStep(score: DataFrame, scoreCol: String, joinOn: String,
+                 outKey: String, outCol: String): DataFrame = {
+      val raw = e.join(score, col(joinOn) === $"node")
+        .groupBy(col(outKey)).agg(sum(col(scoreCol)).as("raw"))
+      val mx = raw.agg(greatest(max($"raw"), lit(1L)).as("_mx"))
+      nodes.join(
+          raw.crossJoin(broadcast(mx))
+            .select(col(outKey),
+              expr(s"CAST(raw AS DECIMAL(38,0)) * $scale DIV _mx")
+                .as("_v")),
+          $"node" === col(outKey), "left")
+        .select($"node", coalesce($"_v", lit(0L)).as(outCol))
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = mat(halfStep(hub, "hub", "src", "dst", "auth"))
+      hub = mat(halfStep(auth, "auth", "dst", "src", "hub"))
+    }
+    hub.join(auth, Seq("node")).select($"node", $"hub", $"auth")
+  }
+
+  /** Personalized PageRank (Page et al. 1999 §6; Haveliwala 2002) —
+    * importance RELATIVE TO a seed set: the teleport mass lands only
+    * on seeds, so scores measure co-occurrence proximity to the seeds
+    * rather than global centrality. The data-selection primitive: to
+    * grow a curated corpus, seed with the curated ids and take the
+    * top-ranked neighbors.
+    *
+    * Same exact-integer recurrence as [[pageRank]] (rank DIV outdeg
+    * contributions, 85/100 integer damping, bit-identical on any
+    * partitioning and replayable in an oracle), with the base term
+    * (15 × scale) DIV 100 paid to SEEDS only — every other node's
+    * rank is purely received mass, 0 if nothing points at it yet.
+    * Seeds start at `scale`, non-seeds at 0. Same sink contract and
+    * guard as [[pageRank]] (mass must not silently drain), same
+    * `skipSinkCheck` escape for sink-free-by-construction graphs.
+    * Seeds not present in the graph are IGNORED (the node table
+    * drives every round) — by the teleport definition they have no
+    * edges to send mass through; callers wanting them surfaced
+    * should anti-join seeds against the result.
+    *
+    * Scale shape per iteration: identical to [[pageRank]] — one
+    * edges⋈rank equi-join + one destination aggregate, rounds sealed
+    * via [[Materializer]]; the seed table joins once per round as a
+    * (typically broadcast-sized) left join for the base term.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = 1000000000000L,
+                           mat: Materializer = Materialize.Local,
+                           skipSinkCheck: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
+    require(scale >= 1000000L, s"scale too small for integer damping: $scale")
+    val e = mat(edges.select($"src", $"dst"))
+    val deg = mat(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+    val nodes = deg.select($"src".as("node"))
+    if (!skipSinkCheck) {
+      val nSinks = e.select($"dst").distinct()
+        .join(nodes, $"dst" === $"node", "left_anti").count()
+      require(nSinks == 0L,
+        s"personalizedPageRank: $nSinks sink node(s) (out-degree 0) — " +
+          "close the graph first (self-loops or teleport edges) to pick " +
+          "a dangling-mass convention explicitly")
+    }
+    val sd = mat(seeds.select($"node").distinct()
+      .withColumn("_seed", lit(true)))
+    val base = (15L * scale) / 100L
+    var r = nodes.join(sd, Seq("node"), "left")
+      .select($"node",
+        when($"_seed", lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, $"src" === $"node")
+        .join(deg, Seq("src"))
+        .select($"dst", expr("r DIV outdeg").as("c"))
+      val agg = contrib.groupBy($"dst")
+        .agg(expr("85 * sum(c) DIV 100").as("_m"))
+      r = mat(nodes.join(agg, $"node" === $"dst", "left")
+        .join(sd, Seq("node"), "left")
+        .select($"node",
+          (coalesce($"_m", lit(0L)) +
+            when($"_seed", lit(base)).otherwise(lit(0L))).as("r")))
+    }
+    r
+  }
+
+  /** Hop-bounded cheapest path from a SEED set over DIRECTED weighted
+    * edges (src, dst, w) — [[bfsHops]]' weighted sibling: cost(n) =
+    * the minimum total weight over paths of ≤ `maxHops` edges from
+    * any seed, unreached nodes absent. Weights must be non-negative
+    * int64 (guarded IN-PLAN via raise_error — the [[Stats]]
+    * discipline: no extra validation job).
+    *
+    * Algorithm: frontier Bellman-Ford — per round, relax only edges
+    * out of nodes whose cost IMPROVED last round (one frontier⋈edges
+    * equi-join + one min aggregate + one min-merge against the sealed
+    * cost table), stopping early when nothing improves. Equal by
+    * induction to the textbook relax-everything form (a node that
+    * did not improve re-derives only candidates it already produced
+    * the round after it last improved), which is exactly what the
+    * oracle replays — so post-convergence rounds are provable no-ops,
+    * the [[bfsHops]] contract. All arithmetic is int64 min/plus:
+    * bit-identical in any engine, no tie-break needed (min of a set).
+    *
+    * Scale shape: each round shuffles only the frontier fan-out, not
+    * the full node set — on expander-ish graphs the frontier decays
+    * after covering the seed neighborhood, and `maxHops` bounds the
+    * worst case. Returns (node, cost); seeds cost 0.
+    */
+  def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                    mat: Materializer = Materialize.Local): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 32,
+      s"maxHops must be 0..32, got $maxHops")
+    val e = mat(edges.select($"src", $"dst",
+      when($"w" < 0, raise_error(concat(
+          lit("cheapestPaths: negative weight on edge "),
+          $"src".cast("string"), lit("->"), $"dst".cast("string"))))
+        .otherwise($"w").as("w")))
+    var dist = mat(seeds.select($"node").distinct()
+      .withColumn("cost", lit(0L)))
+    var frontier = dist
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      val cand = frontier.join(e, $"node" === $"src")
+        .select($"dst", ($"cost" + $"w").as("_c"))
+        .groupBy($"dst").agg(min($"_c").as("_c"))
+      val improved = cand.join(
+          dist.select($"node", $"cost".as("_old")),
+          $"dst" === $"node", "left")
+        .filter($"_old".isNull || $"_c" < $"_old")
+        .select($"dst".as("node"), $"_c".as("cost"))
+      frontier = mat(improved)
+      dist = mat(dist.unionByName(frontier)
+        .groupBy($"node").agg(min($"cost").as("cost")))
+      h += 1
+    }
+    dist
+  }
+
   /** Deterministic SYNCHRONOUS label propagation (Raghavan et al.
     * 2007) — community detection, the graph-family member next to
     * components (q49), importance (q148) and cohesion (q151/q156/

@@ -557,23 +557,35 @@ object TextAnalysis {
     * doc_id reassembly (the [[encodeDocs]] shape). Words outside the
     * training contract (1-char, separator-bearing) pass through as
     * single symbols. Output: (doc_id, syms array&lt;string&gt;).
+    *
+    * `native = true` swaps the per-word replace chain for the fused
+    * [[graft.plans.Native.bpeMerge]] expression — one symbol-array
+    * scan per merge rank instead of `nMerges` separator-wrapped
+    * string rebuilds per token occurrence. Same output by contract:
+    * NativeSpec property-tests word-level equality, and q199 runs
+    * this path under q178's unchanged DuckDB oracle.
     */
   def bpeSegment(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String,
-                 merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                 merges: org.apache.spark.sql.DataFrame,
+                 native: Boolean = false): org.apache.spark.sql.DataFrame = {
     val ms = merges.orderBy(col("rank"))
       .select(col("lft"), col("rgt")).collect()
       .map(row => (row.getString(0), row.getString(1)))
-    val applied = ms.foldLeft(wordToSeq(col("word"))) { case (c, (l, rt)) =>
-      replace(c, lit(BpeSep + l + BpeSep + BpeSep + rt + BpeSep),
-        lit(BpeSep + l + rt + BpeSep))
-    }
-    val pos = docs.select(col(idCol).as("doc_id"),
-        posexplode(toks(col(textCol))).as(Seq("pos", "word")))
-      .withColumn("wsyms",
+    val wordSyms =
+      if (native) graft.plans.Native.bpeMerge(col("word"), ms.toSeq)
+      else {
+        val applied = ms.foldLeft(wordToSeq(col("word"))) { case (c, (l, rt)) =>
+          replace(c, lit(BpeSep + l + BpeSep + BpeSep + rt + BpeSep),
+            lit(BpeSep + l + rt + BpeSep))
+        }
         when(char_length(col("word")) < 2 ||
           col("word").contains(lit(BpeSep)), array(col("word")))
-          .otherwise(seqSymbols(applied)))
+          .otherwise(seqSymbols(applied))
+      }
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("wsyms", wordSyms)
     val asm = pos.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(
         struct(col("pos"), col("wsyms")))).as("_s"))

@@ -72,6 +72,17 @@ object Native {
   def jaroWinkler(a: Column, b: Column): Column =
     GraftNative.jaroWinkler(a, b)
 
+  /** BPE merge replay over one word — identical output to
+    * [[graft.ops.TextAnalysis.bpeSegment]]'s per-word guard +
+    * replace-chain composition (array of subword symbols), one
+    * symbol-array scan per merge instead of `nMerges` full
+    * separator-wrapped string rebuilds. The hot primitive of the
+    * 100 TB apply pass; equality property-tested in NativeSpec and
+    * oracle-proven by q199 (q178's oracle, unchanged).
+    */
+  def bpeMerge(word: Column, merges: Seq[(String, String)]): Column =
+    GraftNative.bpeMerge(word, merges)
+
   /** Unicode NFC normalization (UAX #15) — canonical composition
     * before hash-based dedup/vocabulary work; `isNormalized` fast
     * path returns the input untouched for ASCII/composed text. No

@@ -312,7 +312,84 @@ object PlanAudit {
         "here; the label side is SMJ at this fixture scale and " +
         "broadcast-sized under AQE in production) — the record " +
         "corpus itself is never self-joined raw") ->
-        fmt(OpsQueries.q193(spark, dir)))
+        fmt(OpsQueries.q193(spark, dir)),
+
+      ("q199 bpe native segment (round 12) — q178's pipeline with the " +
+        "per-token replace chain fused into ONE BpeMergeWord " +
+        "expression inside the same map-only Project (the plan keeps " +
+        "q178's shape: posexplode -> projection -> doc_id reassembly " +
+        "Exchange; what changed is per-ROW cost — one symbol-array " +
+        "scan per merge rank instead of nMerges wrapped-string " +
+        "rebuilds, PROFILE.md carries the measured ratio)") ->
+        fmt(OpsQueries.q199(spark, dir)),
+
+      ("q200 hits (round 12) — per half-step one edges-rank equi-join " +
+        "+ one keyed sum aggregate (node-key shuffles), the 1-row max " +
+        "broadcast back via BroadcastNestedLoopJoin (no second " +
+        "corpus-sized pass for the rescale), rounds sealed behind " +
+        "ExistingRDD barriers like q148's power iteration") ->
+        fmt(OpsQueries.q200(spark, dir)),
+
+      ("q201 cheapest paths (round 12) — the FRONTIER shape: each " +
+        "round joins only last round's improved nodes against the " +
+        "edge table (frontier-sized, not node-set-sized), one min " +
+        "aggregate + one min-merge; rounds sealed; the edge table " +
+        "with its DIV-derived weights builds once behind its own " +
+        "barrier") ->
+        fmt(OpsQueries.q201(spark, dir)),
+
+      ("q203 personalized pagerank (round 12) — q148's per-round shape " +
+        "(one edges-rank equi-join + one destination aggregate, sealed " +
+        "rounds) with the seed table attached as a broadcast left join " +
+        "for the teleport base; final TakeOrderedAndProject top-20; " +
+        "skipSinkCheck = true removes q148's up-front anti-join job " +
+        "(the graph is sink-free by construction)") ->
+        fmt(OpsQueries.q203(spark, dir)),
+
+      ("hits round subtree (un-materialized, iters=1) — the per-round " +
+        "shape q200's sealed barriers hide: edges joined to the score " +
+        "table, keyed partial+final sum, the 1-row greatest(max,1) " +
+        "attached via BroadcastNestedLoopJoin (no second corpus pass " +
+        "for the rescale), DECIMAL(38,0) DIV rescale projection, " +
+        "node-table left join re-seating every node") ->
+        fmt {
+          import org.apache.spark.sql.functions._
+          val e = spark.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"))
+            .join(spark.read.parquet(s"$dir/lineitem.parquet")
+              .select(col("l_orderkey"), col("l_suppkey")),
+              col("o_orderkey") === col("l_orderkey"))
+            .select(concat(lit("c"), col("o_custkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst"))
+          graft.ops.Graphs.hits(e, iters = 1,
+            mat = graft.ops.Materialize.Off)
+        },
+
+      ("cheapest-paths round subtree (un-materialized, maxHops=1) — " +
+        "the per-round shape q201's sealed barriers hide: the frontier " +
+        "(not the node set) joined to the weighted edge table, min " +
+        "candidate aggregate, improvement anti-filter against the " +
+        "sealed cost table, min-merge union") ->
+        fmt {
+          import org.apache.spark.sql.functions._
+          val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          val ki = li.select(col("l_orderkey").as("k"),
+            col("l_partkey").as("item")).distinct()
+          val pairs = ki.as("a").join(ki.as("b"),
+              col("a.k") === col("b.k") && col("a.item") < col("b.item"))
+            .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("w", lit(1L) + expr("1000 DIV n"))
+          val edges = pairs.select(col("a").as("src"), col("b").as("dst"),
+              col("w"))
+            .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"),
+              col("w")))
+          val seeds = spark.read.parquet(s"$dir/part.parquet")
+            .filter(col("p_size") === 50)
+            .select(col("p_partkey").as("node"))
+          graft.ops.Graphs.cheapestPaths(edges, seeds, maxHops = 1,
+            mat = graft.ops.Materialize.Off)
+        })
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

@@ -47,6 +47,27 @@ object ProfileBpe {
       TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
         .write.mode("overwrite").format("noop").save()
     }
+    time("segment native", 5) {
+      TextAnalysis.bpeSegment(docs, "doc_id", "text", merges, native = true)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // the apply-cost story at a REALISTIC merge-table size: the
+    // composed chain folds one replace per rank into the plan
+    // (O(nMerges) string rebuilds per token occurrence); the native
+    // expression pays one symbol-array scan per rank, allocation only
+    // on hit. Train once (driver-loop cost, excluded), time apply.
+    val merges100 = TextAnalysis.bpeTrain(docs, "text", nMerges = 100)
+    merges100.cache().count()
+    time("segment 100-merge", 5) {
+      TextAnalysis.bpeSegment(docs, "doc_id", "text", merges100)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("segment 100 native", 5) {
+      TextAnalysis.bpeSegment(docs, "doc_id", "text", merges100,
+          native = true)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.stop()
   }
 }

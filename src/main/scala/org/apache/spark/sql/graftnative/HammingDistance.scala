@@ -105,4 +105,8 @@ object GraftNative {
 
   def nfcNormalize(s: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(s)))
+
+  def bpeMerge(word: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      BpeMergeWord(ExpressionUtils.expression(word), merges))
 }

@@ -195,6 +195,101 @@ class GraphsSpec extends SparkSpec {
       5L -> 3L, 6L -> 3L))
   }
 
+  test("hits: hand-unrolled integer recurrence on a bipartite buyer/seller graph") {
+    // c1->{s1,s2}, c2->s1; S = 10^12. Hand trace:
+    //  r1: auth_raw s1=2S s2=S, max 2S  -> auth s1=S s2=S/2
+    //      hub_raw  c1=1.5S c2=S        -> hub  c1=S c2=floor(S^2/1.5S)
+    //  r2: auth_raw s1=S+666666666666 s2=S -> auth s1=S s2=600000000000
+    //      hub_raw  c1=1.6e12 c2=S         -> hub  c1=S c2=625000000000
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    def run(iters: Int, parts: Int = 1) =
+      Graphs.hits(edges.repartition(parts), iters)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val S = 1000000000000L
+    val r1 = run(1)
+    assert(r1 === Map(
+      "c1" -> ((S, 0L)), "c2" -> ((666666666666L, 0L)),
+      "s1" -> ((0L, S)), "s2" -> ((0L, 500000000000L))))
+    val r2 = run(2)
+    assert(r2 === Map(
+      "c1" -> ((S, 0L)), "c2" -> ((625000000000L, 0L)),
+      "s1" -> ((0L, S)), "s2" -> ((0L, 600000000000L))))
+    // bit-identical on a different partitioning
+    assert(run(2, parts = 7) === r2)
+    // single edge: both endpoints anchor their role at S
+    val one = Graphs.hits(Seq(("a", "b")).toDF("src", "dst"), iters = 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(one === Map("a" -> ((S, 0L)), "b" -> ((0L, S))))
+    // multi-edges weight the sums: c2's double edge to s1 beats c1
+    val multi = Seq(("c1", "s1"), ("c2", "s1"), ("c2", "s1"),
+      ("c1", "s2")).toDF("src", "dst")
+    val m = Graphs.hits(multi, iters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("c2")._1 > m("c1")._1)
+  }
+
+  test("personalizedPageRank: hand-unrolled seed-teleport recurrence") {
+    // path 1-2-3 (symmetric), seed {1}; S = 10^12, base = 1.5e11.
+    // deg: 1->1, 2->2, 3->1. r0 = (S, 0, 0).
+    //  r1: 1 = 0+base; 2 = 85*S/100; 3 = 0
+    //  r2: 1 = 85*(r1(2)/2)/100 + base = 361250000000 + 150000000000
+    //      2 = 85*(r1(1)/1)/100 = 127500000000
+    //      3 = 85*(r1(2)/2)/100 = 361250000000
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    // 99 is off-graph: ignored (the node table drives)
+    val seeds = Seq(1L, 99L).toDF("node")
+    def run(iters: Int, parts: Int = 1) =
+      Graphs.personalizedPageRank(edges.repartition(parts), seeds, iters)
+        .as[(Long, Long)].collect().toMap
+    assert(run(1) === Map(1L -> 150000000000L, 2L -> 850000000000L,
+      3L -> 0L))
+    val r2 = run(2)
+    assert(r2 === Map(1L -> 511250000000L, 2L -> 127500000000L,
+      3L -> 361250000000L))
+    assert(run(2, parts = 5) === r2)
+    // seeds pull rank toward themselves: the seed outranks the far end
+    assert(r2(1L) > r2(3L))
+    // sink guard carries over from pageRank
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(
+        Seq((1L, 2L)).toDF("src", "dst"), Seq(1L).toDF("node"), 2)
+    }
+    assert(ex.getMessage.contains("sink"))
+  }
+
+  test("cheapestPaths: min-plus relaxation per hop bound, early stop, guards") {
+    // 1->2 (5), 2->3 (1), 1->3 (10), 3->4 (2): node 3 improves from
+    // 10 to 6 in round 2, which must re-relax 4 from 12 to 8 in
+    // round 3 — the frontier-re-entry case
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 2L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 is off-graph: kept at 0
+    def run(h: Int, parts: Int = 1) =
+      Graphs.cheapestPaths(edges.repartition(parts), seeds, h)
+        .as[(Long, Long)].collect().toMap
+    assert(run(0) === Map(1L -> 0L, 99L -> 0L))
+    assert(run(1) === Map(1L -> 0L, 99L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(run(2) === Map(1L -> 0L, 99L -> 0L, 2L -> 5L, 3L -> 6L,
+      4L -> 12L))
+    assert(run(3) === Map(1L -> 0L, 99L -> 0L, 2L -> 5L, 3L -> 6L,
+      4L -> 8L))
+    // early stop: extra rounds are no-ops, same result
+    assert(run(32) === run(3))
+    assert(run(3, parts = 7) === run(3))
+    // negative weights rejected in-plan
+    val ex = intercept[Exception] {
+      Graphs.cheapestPaths(
+        Seq((1L, 2L, -1L)).toDF("src", "dst", "w"),
+        Seq(1L).toDF("node"), 2).collect()
+    }
+    assert(ex.getMessage.contains("negative weight"))
+  }
+
   test("labelPropagation: multi-edges weight the vote") {
     // 7 has two edges to 8 and one to 9: label 8 outvotes the
     // smaller label 9 (2 > 1), so multiplicity — not the tie order —

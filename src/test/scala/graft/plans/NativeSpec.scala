@@ -253,4 +253,103 @@ class NativeSpec extends SparkSpec {
       .select(Native.nfcNormalize($"s")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  // The composed per-word chain BpeMergeWord replaces, rebuilt from
+  // public builtins (TextAnalysis' wordToSeq/seqSymbols are private;
+  // U+001F is the format's pinned separator).
+  private def composedBpe(word: org.apache.spark.sql.Column,
+                          merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val S = "\u001f"
+    val wrapped = regexp_replace(word, "(?s)(.)", S + "$1" + S)
+    val applied = merges.foldLeft(wrapped) { case (c, (l, r)) =>
+      replace(c, lit(S + l + S + S + r + S), lit(S + l + r + S))
+    }
+    when(char_length(word) < 2 || word.contains(lit(S)), array(word))
+      .otherwise(filter(split(applied, S), x => x =!= ""))
+  }
+
+  test("BpeMergeWord: merge replay equals the replace chain on hand cases and random tables") {
+    // hand cases: non-overlapping left-to-right scan (the merged
+    // symbol is never the left half of a match in the same round),
+    // chained merges, accents both spellings, supplementary pairs
+    val hand = Seq(
+      ("aaaa", Seq("a" -> "a")),          // -> [aa, aa]
+      ("aaa", Seq("a" -> "a")),           // -> [aa, a]
+      ("aaaaa", Seq("a" -> "a", "aa" -> "aa")), // -> [aaaa, a]
+      ("abc", Seq("a" -> "b", "ab" -> "c")),    // -> [abc]
+      ("abab", Seq("a" -> "b", "ab" -> "ab")),  // -> [abab]
+      ("ababa", Seq("b" -> "a", "a" -> "ba")),  // chain into left-assoc
+      ("état", Seq("e" -> "́")),     // combining mark merge
+      ("état", Seq("é" -> "t")),
+      ("😀😀", Seq("😀" -> "😀")),
+      ("xy", Seq.empty[(String, String)]))
+    for ((w, ms) <- hand) {
+      val df = Seq(w).toDF("w")
+      val nat = df.select(Native.bpeMerge($"w", ms)).as[Seq[String]].collect().head
+      val cmp = df.select(composedBpe($"w", ms)).as[Seq[String]].collect().head
+      assert(nat === cmp, s"word=$w merges=$ms")
+    }
+    // guard edges: empty, 1-char, 1-codepoint supplementary,
+    // separator-bearing — all pass through as a single symbol
+    val guards = Seq("", "x", "😀", "\u001f", "a\u001fb")
+    val gdf = guards.toDF("w")
+    val gms = Seq("a" -> "b")
+    assert(gdf.select(Native.bpeMerge($"w", gms)).as[Seq[String]].collect().toSeq ===
+      gdf.select(composedBpe($"w", gms)).as[Seq[String]].collect().toSeq)
+    assert(gdf.select(Native.bpeMerge($"w", gms)).as[Seq[String]].collect().toSeq ===
+      guards.map(Seq(_)))
+    // randomized: progressive merge tables (later merges consume
+    // earlier outputs, as trained tables do) over random short words
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val alpha = Seq("a", "b", "c")
+      var symbols = alpha
+      val ms = (1 to 2 + rnd.nextInt(8)).map { _ =>
+        val l = symbols(rnd.nextInt(symbols.size))
+        val r = symbols(rnd.nextInt(symbols.size))
+        symbols = symbols :+ (l + r)
+        (l, r)
+      }
+      val words = (1 to 30).map(_ =>
+        Seq.fill(rnd.nextInt(13))(alpha(rnd.nextInt(3))).mkString)
+      val df = words.toDF("w")
+      val nat = df.select($"w", Native.bpeMerge($"w", ms))
+        .as[(String, Seq[String])].collect().toMap
+      val cmp = df.select($"w", composedBpe($"w", ms))
+        .as[(String, Seq[String])].collect().toMap
+      assert(nat === cmp, s"trial=$trial merges=$ms")
+    }
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("w")
+      .select(Native.bpeMerge($"w", Seq("a" -> "b"))).collect()
+    assert(n.head.isNullAt(0))
+    // interpreted eval agrees with codegen
+    val expr = org.apache.spark.sql.graftnative.BpeMergeWord(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true),
+      Seq("a" -> "a"))
+    val got = expr.eval(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaa")))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.toSeq[org.apache.spark.unsafe.types.UTF8String](
+      org.apache.spark.sql.types.StringType).map(_.toString) === Seq("aa", "aa"))
+  }
+
+  test("bpeSegment(native = true) equals the composed segmenter on a trained table") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "newer new newest wider wide"),
+      (3L, "état état etat"),
+      (4L, ""),
+      (5L, "a bb ccc dddd")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 8)
+    val a = TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    val b = TextAnalysis.bpeSegment(docs, "doc_id", "text", merges,
+        native = true)
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(a === b)
+    assert(a.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(a(3)._2.isEmpty) // empty doc -> empty symbol run, both paths
+  }
 }
