@@ -212,6 +212,52 @@ object Dedup {
       .filter($"jaccard" >= tau)
   }
 
+  /** CONTAINMENT near-dup pairs — the ASYMMETRIC overlap Jaccard
+    * misses: cont(A→B) = |A∩B| / |A|. A short document quoted whole
+    * inside a long one has cont(short→long) ≈ 1 while its Jaccard is
+    * tiny (the union is long-document-sized), so a Jaccard-thresholded
+    * dedup keeps both copies; production corpus pipelines run a
+    * containment pass for exactly this subset/quote case (RefinedWeb,
+    * Dolma). Same candidate shape as [[ngramJaccardPairs]] (shared
+    * RARE shingle via the df-capped inverted index — one hot phrase
+    * must not go O(df²); pairs sharing ONLY hot shingles are missed,
+    * the same documented trade, with [[minhashLshPairs]] as the
+    * probabilistic-recall route), then candidates verify with the
+    * exact intersect over FULL shingle sets.
+    *
+    * Scores are exact integer ppm (inter × 10⁶ DIV size — truncating,
+    * engine-portable), BOTH directions reported, pair kept when
+    * either direction reaches `tauPpm`. Returns (doc_a, doc_b, inter,
+    * na, nb, cont_a_ppm, cont_b_ppm) with doc_a &lt; doc_b.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, tauPpm: Long, maxDf: Long = 1000L,
+                       mat: Materializer = Materialize.Local): DataFrame = {
+    require(tauPpm >= 1L && tauPpm <= 1000000L,
+      s"tauPpm must be 1..1000000, got $tauPpm")
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val sets = mat(shingleSets(docs, idCol, textCol, n))
+    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
+    val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"sh")
+    val cinv = mat(inv.join(rare, Seq("sh")))
+    val cands = cinv.as("a").join(cinv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
+        expr("inter * 1000000 DIV na").as("cont_a_ppm"),
+        expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
+      .filter(greatest($"cont_a_ppm", $"cont_b_ppm") >= tauPpm)
+  }
+
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * AllPairs / PPJoin family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity

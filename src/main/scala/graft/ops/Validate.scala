@@ -103,4 +103,50 @@ object Validate {
           .as("bad_frac"),
         ($"r.n_bad" === 0L).as("passed"))
   }
+
+  // ------------------------------------------------------ privacy audits
+
+  /** k-anonymity audit (Sweeney, "k-Anonymity: a model for protecting
+    * privacy", IJUFKS 2002): rows group into EQUIVALENCE CLASSES by
+    * the quasi-identifier columns; a class with fewer than `k` members
+    * re-identifies them (the QI combination singles the rows out) —
+    * the release-side complement of [[TextAnalysis.redactPii]]'s
+    * content-side scrub. Returns the VIOLATING classes
+    * (qiCols…, class_size); empty result = the table is k-anonymous
+    * over these QIs. NULL QI values form their own class (groupBy
+    * semantics — a NULL combination is as linkable as any other).
+    *
+    * Scale shape: one grouped count on the QI key (map-side combined,
+    * the only shuffle) + a filter; class count is bounded by the QI
+    * domain, not the row count.
+    */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[String],
+                        k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityClasses needs at least one QI column")
+    require(k >= 2L, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter($"class_size" < k)
+  }
+
+  /** l-diversity audit (Machanavajjhala et al., "l-Diversity: privacy
+    * beyond k-anonymity", TKDD 2007): within each QI class the
+    * SENSITIVE attribute must take at least `l` distinct values — a
+    * class of adequate SIZE still leaks when its members share the
+    * sensitive value (and a small crowd, e.g. an (event_type, hour)
+    * slice touched by under `l` distinct users, pins those users).
+    * Returns the violating classes (qiCols…, class_size,
+    * n_sensitive). Cost note: the countDistinct adds an Expand
+    * duplication of the shuffle input (the q10 / [[Unique]] lesson) —
+    * one sensitive column per pass, not a list.
+    */
+  def lDiversityClasses(df: DataFrame, qiCols: Seq[String],
+                        sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityClasses needs at least one QI column")
+    require(l >= 2L, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter($"n_sensitive" < l)
+  }
 }

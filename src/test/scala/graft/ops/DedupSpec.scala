@@ -389,4 +389,39 @@ class DedupSpec extends SparkSpec {
     assert(got(399L) === 396L) // untouched clique keeps its root
     assert(got.size === 401)
   }
+
+  test("containmentPairs: quoted-subset pair passes where Jaccard fails") {
+    // doc 1 (8 tokens, 6 3-gram shingles) quoted whole inside doc 2's
+    // 28 tokens (26 shingles): inter = 6 -> cont_a = 1.0, jaccard =
+    // 6/26 ≈ 0.23; doc 3 unrelated
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"intro words go here $quote and then twelve more " +
+      "trailing tokens pad the document out to a useful length"
+    val docs = Seq((1L, quote), (2L, long),
+      (3L, "completely different content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        tauPpm = 900000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size === 1)
+    val (a, b, inter, na, nb, ca, cb) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(inter === 6L && na === 6L)
+    assert(ca === 1000000L)           // short side fully contained
+    assert(cb === inter * 1000000L / nb)
+    assert(cb < 900000L)              // long side is NOT contained
+    // the same pair FAILS a Jaccard dedup at the same strictness —
+    // the asymmetric case is why the operator exists
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.9).collect()
+    assert(jac.isEmpty)
+    // threshold respected: raising tau past both directions drops it
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3,
+      tauPpm = 1000000L).count() === 1L) // exact containment still 1.0
+    // df cap: pairs sharing only hot shingles are out of contract
+    val hot = (1L to 12L).map(i => (100L + i, "same hot shingle text"))
+    val capped = Dedup.containmentPairs(hot.toDF("doc_id", "text"),
+      "doc_id", "text", 3, tauPpm = 500000L, maxDf = 10L)
+    assert(capped.count() === 0L)
+  }
 }

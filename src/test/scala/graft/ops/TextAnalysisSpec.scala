@@ -383,4 +383,5 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(nl == 2L && dl == 500000L && np == 2L)
   }
+
 }

@@ -50,4 +50,35 @@ class ValidateSpec extends SparkSpec {
     assert(er("in_range(id,0.0,9.0)") === ((0L, 0L, true)))
     assert(er("size(1,5)") === ((0L, 1L, false)))
   }
+
+  test("kAnonymityClasses: small classes flagged, nulls form a class, k guard") {
+    val df = Seq(
+      (Some(1), "A"), (Some(1), "A"), (Some(1), "A"), // size 3: safe at k=3
+      (Some(2), "A"), (Some(2), "A"),                 // size 2: violates
+      (Some(3), "B"),                                 // size 1: violates
+      (None, "B"), (None, "B"))                       // null QI class, size 2
+      .toDF("zip", "seg")
+    val got = Validate.kAnonymityClasses(df, Seq("zip", "seg"), k = 3L)
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((Some(2), "A", 2L), (Some(3), "B", 1L),
+      (None, "B", 2L)))
+    // a k-anonymous table yields an empty report
+    assert(Validate.kAnonymityClasses(df, Seq("seg"), k = 3L)
+      .count() === 0L)
+    intercept[IllegalArgumentException] {
+      Validate.kAnonymityClasses(df, Seq("zip"), k = 1L)
+    }
+  }
+
+  test("lDiversityClasses: size-adequate class with shared sensitive value flagged") {
+    // class X: 4 rows but ONE sensitive value -> flagged at l=2;
+    // class Y: 2 rows, 2 values -> diverse, absent
+    val df = Seq(
+      ("X", "flu"), ("X", "flu"), ("X", "flu"), ("X", "flu"),
+      ("Y", "flu"), ("Y", "ok")).toDF("qi", "diag")
+    val got = Validate.lDiversityClasses(df, Seq("qi"), "diag", l = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("X", 4L, 1L)))
+  }
 }
