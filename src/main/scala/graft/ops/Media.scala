@@ -503,18 +503,9 @@ object Media {
       .as[MediaBlob]
       .mapPartitions(_.map { blob =>
         val b = blob.bytes
-        val okHeader = b != null && b.length >= 44 &&
-          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
-          b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
-          leU16(b, 20) == 1 && leU16(b, 34) == 16 &&
-          b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a'
-        if (!okHeader) WavPcmRow(blob.id, ok = false, None, None, None)
+        val n = pcm16SampleCount(b)
+        if (n < 0) WavPcmRow(blob.id, ok = false, None, None, None)
         else {
-          val declared = leU32(b, 40)
-          val avail = math.max(0L, b.length.toLong - 44L)
-          val nBytes = math.min(declared, avail)
-          val n = (nBytes / 2L).toInt
           var peak = 0L; var ss = 0L
           var i = 0
           while (i < n) {
@@ -525,6 +516,75 @@ object Media {
             i += 1
           }
           WavPcmRow(blob.id, ok = true, Some(n.toLong), Some(peak), Some(ss))
+        }
+      })
+      .toDF()
+  }
+
+  /** Clamped sample count of a canonical-layout PCM16 WAV blob, −1
+    * when the blob is outside [[decodeWavPcm16]]'s contract (non-WAV,
+    * non-PCM, non-16-bit, truncated header). Shared by the whole-blob
+    * and windowed decoders so both fail closed identically.
+    */
+  private def pcm16SampleCount(b: Array[Byte]): Int = {
+    val okHeader = b != null && b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+      b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ' &&
+      leU16(b, 20) == 1 && leU16(b, 34) == 16 &&
+      b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a'
+    if (!okHeader) -1
+    else {
+      val declared = leU32(b, 40)
+      val avail = math.max(0L, b.length.toLong - 44L)
+      (math.min(declared, avail) / 2L).toInt
+    }
+  }
+
+  case class WavWinRow(id: Long, win_idx: Long, n: Long,
+                       peak_abs: Long, sum_sq: Long)
+
+  /** Fixed-window PCM energy — the segmentation feature pass of the
+    * audio pipeline (frame energy is what voice-activity detection,
+    * silence trimming and loudness normalization all threshold on):
+    * samples split into consecutive windows of `winSamples`, one row
+    * per window with its exact int64 peak and energy (Σv²); the last
+    * window may be short (n carries its true size — callers weighting
+    * by window must use n, not winSamples). Blobs outside the PCM16
+    * contract produce NO rows (fail-closed, the [[decodeWavPcm16]]
+    * rule); silence thresholds stay caller-side, over exact integers.
+    *
+    * Scale shape: `mapPartitions` at the codec boundary only (no
+    * Catalyst byte-twiddling equivalent), map-only — one row per
+    * window, no shuffle introduced; downstream thresholds/trims are
+    * plain Column work.
+    */
+  def pcmEnergyWindows(df: DataFrame, idCol: String, binCol: String,
+                       winSamples: Int): DataFrame = {
+    require(winSamples >= 1 && winSamples <= (1 << 20),
+      s"winSamples must be 1..${1 << 20}, got $winSamples")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        val b = blob.bytes
+        val n = pcm16SampleCount(b)
+        if (n <= 0) Iterator.empty
+        else (0 until (n + winSamples - 1) / winSamples).iterator.map { w =>
+          val from = w * winSamples
+          val until = math.min(n, from + winSamples)
+          var peak = 0L; var ss = 0L
+          var i = from
+          while (i < until) {
+            val v = (leU16(b, 44 + 2 * i).toShort).toInt
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+            ss += v.toLong * v
+            i += 1
+          }
+          WavWinRow(blob.id, w.toLong, (until - from).toLong, peak, ss)
         }
       })
       .toDF()

@@ -261,6 +261,37 @@ class MediaSpec extends SparkSpec {
     assert(!r2(0).getAs[Boolean]("ok"))
   }
 
+  test("pcmEnergyWindows: exact per-window peak/energy, short tail, fail-closed") {
+    // win=2 over [1,-2,3,4,5]: (2, 2, 5), (2, 4, 25), tail (1, 5, 25)
+    val samples = Seq(1, -2, 3, 4, 5)
+    val rows = Media.pcmEnergyWindows(
+        Seq((1L, wav(samples)), (2L, "not a wav".getBytes))
+          .toDF("id", "bin"), "id", "bin", winSamples = 2)
+      .orderBy("id", "win_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 0L, 2L, 2L, 5L),
+      (1L, 1L, 2L, 4L, 25L),
+      (1L, 2L, 1L, 5L, 25L)))
+    // window totals reconcile with the whole-blob decode
+    val whole = Media.decodeWavPcm16(
+      Seq((1L, wav(samples))).toDF("id", "bin"), "id", "bin").collect().head
+    assert(rows.map(_._5).sum === whole.getAs[Long]("sum_sq"))
+    assert(rows.map(_._4).max === whole.getAs[Long]("peak_abs"))
+    assert(rows.map(_._3).sum === whole.getAs[Long]("n_samples"))
+    // truncation clamps BEFORE windowing (the shared contract helper)
+    val full = wav(Seq(100, 200, 300, 400))
+    val trunc = full.take(full.length - 4)
+    val tr = Media.pcmEnergyWindows(
+        Seq((1L, trunc)).toDF("id", "bin"), "id", "bin", winSamples = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(tr === Seq((1L, 0L, 2L, 200L, 100L * 100 + 200L * 200)))
+    intercept[IllegalArgumentException] {
+      Media.pcmEnergyWindows(Seq((1L, full)).toDF("id", "bin"),
+        "id", "bin", winSamples = 0)
+    }
+  }
+
   test("zlibStored spans multiple blocks past 65535 bytes") {
     val w = 300; val h = 80 // raw = 80*(1+900) = 72080 > 65535
     val png = Media.pngFixture(w, h)((x, y) => ((x + y) % 256, x % 256, y % 256))
