@@ -731,4 +731,38 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("ids"), array().cast("array<bigint>")).as("ids"))
   }
+
+  /** Pinned out-of-vocabulary sentinel of [[decodeIds]] — whitespace-
+    * free so space-joined fingerprints stay collision-unambiguous.
+    */
+  val UnkToken = "<unk>"
+
+  /** Decode id sequences back to token runs — [[encodeSeqs]]'s inverse
+    * on in-vocabulary tokens (OOV id 0 decodes to [[UnkToken]]; vocab
+    * ids start at 1, so the sentinel id cannot collide). The
+    * inspection/serving half of the tokenizer story: debugging a
+    * training batch, detokenizing model output, spot-checking an
+    * encoded corpus — all read THROUGH this path, so it is gated
+    * (q208) rather than left as a test helper. Same plan shape as the
+    * encode: broadcast vocab lookup on the posexploded ids, per-doc
+    * reassembly in position order (the one shuffle), empty/absent
+    * sequences decode to empty runs.
+    */
+  def decodeIds(encoded: org.apache.spark.sql.DataFrame,
+                vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pos = encoded.select(col("doc_id"),
+        posexplode(col("ids")).as(Seq("pos", "id")))
+      .join(broadcast(vocab.select(col("id"), col("token"))),
+        Seq("id"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token"), lit(UnkToken)).as("token"))
+    val asm = pos.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("token")))).as("_s"))
+      .select(col("doc_id"),
+        transform(col("_s"), s => s.getField("token")).as("toks"))
+    encoded.select(col("doc_id")).join(asm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("toks"), array().cast("array<string>")).as("toks"))
+  }
 }

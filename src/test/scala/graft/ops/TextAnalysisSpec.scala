@@ -384,4 +384,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nl == 2L && dl == 500000L && np == 2L)
   }
 
+  test("decodeIds inverts encodeDocs up to the <unk> sentinel (property)") {
+    val rnd = new scala.util.Random(17)
+    val vocabWords = Seq("the", "cat", "sat", "mat", "dog", "ran")
+    // every OOV token is globally unique (one occurrence < minCount),
+    // so it provably stays out of the vocabulary
+    var oovSeq = 0
+    def oov(): String = { oovSeq += 1; s"rare$oovSeq" }
+    val docs = (Seq("", "rare0", "the the the") ++
+      (1 to 40).map { _ =>
+        Seq.fill(rnd.nextInt(12))(
+          if (rnd.nextInt(4) == 0) oov()
+          else vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+      }).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 5L)
+    val inVocab = vocab.as[(String, Long, Long)].collect()
+      .map(_._1).toSet
+    val enc = TextAnalysis.encodeDocs(docs, "doc_id", "text", vocab)
+    val got = TextAnalysis.decodeIds(enc, vocab)
+      .as[(Long, Seq[String])].collect().toMap
+    val want = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+        .map(w => if (inVocab(w)) w else TextAnalysis.UnkToken)
+    }.toMap
+    assert(got === want)
+    assert(got(0L) === Seq.empty)                       // empty doc
+    assert(want.values.exists(_.contains(TextAnalysis.UnkToken)),
+      "fixture must exercise OOV")
+    assert(want.values.exists(s => s.nonEmpty && !s.contains(TextAnalysis.UnkToken)),
+      "fixture must exercise fully in-vocab docs")
+  }
 }
