@@ -74,6 +74,24 @@ object Validate {
       when(count(lit(1)).between(lo, hi), 0L).otherwise(1L)
   }
 
+  /** Row-level violation predicate of a ROW-SCOPED check (NULLs stay
+    * [[NotNull]]'s business, as in the aggregate suite). Table-scoped
+    * checks ([[Unique]], [[SizeBetween]]) have no per-row meaning and
+    * are rejected by [[withViolations]].
+    */
+  private def rowViolates(c: Check): Column = c match {
+    case NotNull(col0) => col(col0).isNull
+    case InRange(col0, lo, hi) =>
+      col(col0).isNotNull && !col(col0).between(lo, hi)
+    case OneOf(col0, allowed) =>
+      col(col0).isNotNull && !col(col0).isin(allowed: _*)
+    case MatchesRegex(col0, re) =>
+      col(col0).isNotNull && !col(col0).rlike(re)
+    case other => throw new IllegalArgumentException(
+      s"withViolations: ${other.name} is table-scoped — row-level " +
+        "routing accepts NotNull / InRange / OneOf / MatchesRegex only")
+  }
+
   private def evaluated(c: Check): Column = c match {
     case NotNull(_) | Unique(_) | SizeBetween(_, _) => count(lit(1))
     case InRange(col0, _, _) => count(col(col0))
@@ -102,6 +120,26 @@ object Validate {
           .otherwise($"r.n_bad".cast("double") / $"r.n_eval".cast("double"))
           .as("bad_frac"),
         ($"r.n_bad" === 0L).as("passed"))
+  }
+
+  /** Dead-letter ROUTING — the row-level production face of the
+    * aggregate suite: every row gains a `_violations` array naming the
+    * checks it fails (empty = clean), so one scan splits an ingest
+    * batch into the pipeline and the quarantine
+    * (`filter(size($"_violations") === 0)` vs `> 0`) WITH reasons
+    * attached — the aggregate report says how broken a drop is, this
+    * says which rows and why. Row-scoped checks only ([[NotNull]] /
+    * [[InRange]] / [[OneOf]] / [[MatchesRegex]]); [[Unique]] /
+    * [[SizeBetween]] are table-scoped and rejected. Check-name order
+    * in the array = `checks` order (deterministic, oracle-friendly).
+    * Pure per-row Column expressions: one codegen projection, zero
+    * shuffle — the q192 shape every per-row gate must keep at 100 TB.
+    */
+  def withViolations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val tagged = checks.map(c => when(rowViolates(c), lit(c.name)))
+    df.withColumn("_violations",
+      filter(array(tagged: _*), x => x.isNotNull))
   }
 
   // ------------------------------------------------------ privacy audits

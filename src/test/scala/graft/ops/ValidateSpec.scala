@@ -71,6 +71,31 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("withViolations: per-row reasons in suite order; table-scoped checks rejected") {
+    val df = Seq(
+      (Some(1L), Some(10.0), "A"),   // clean
+      (None, Some(10.0), "A"),       // null key only
+      (Some(2L), Some(99.0), "X"),   // range + set
+      (Some(3L), None, "A"))         // null value: NOT a range violation
+      .toDF("id", "v", "flag")
+    val checks = Seq(Validate.NotNull("id"),
+      Validate.InRange("v", 0, 50), Validate.OneOf("flag", Seq("A", "B")))
+    val got = Validate.withViolations(df, checks)
+      .select($"id", $"_violations").collect()
+      .map(r => (Option(r.get(0)), r.getSeq[String](1).toList)).toMap
+    assert(got(Some(1L)) === Nil)
+    assert(got(None) === List("not_null(id)"))
+    assert(got(Some(2L)) ===
+      List("in_range(v,0.0,50.0)", "one_of(flag)")) // suite order
+    assert(got(Some(3L)) === Nil) // NULL belongs to NotNull alone
+    intercept[IllegalArgumentException] {
+      Validate.withViolations(df, Seq(Validate.Unique(Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.withViolations(df, Seq(Validate.SizeBetween(1, 10)))
+    }
+  }
+
   test("lDiversityClasses: size-adequate class with shared sensitive value flagged") {
     // class X: 4 rows but ONE sensitive value -> flagged at l=2;
     // class Y: 2 rows, 2 values -> diverse, absent
