@@ -189,27 +189,37 @@ object Dedup {
     // capped index feeds both sides of the candidate self-join —
     // without them every branch re-tokenizes the corpus.
     val sets = mat(shingleSets(docs, idCol, textCol, n))
-    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
-    val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"sh")
-    val cinv = mat(inv.join(rare, Seq("sh")))
-    val cands = cinv.as("a").join(cinv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
-      // staged so the (expensive) intersection is computed once per
-      // candidate, not once per reference in the jaccard formula
-      .select($"doc_a", $"doc_b",
-        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
-        size(col("sa.shs")).cast("long").as("na"),
-        size(col("sb.shs")).cast("long").as("nb"))
+    rareShingleCandidates(sets, maxDf, mat)
       .select($"doc_a", $"doc_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter").cast("double"))
           .as("jaccard"))
       .filter($"jaccard" >= tau)
+  }
+
+  /** Shared candidate chain of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: pairs sharing a RARE shingle (df <= maxDf)
+    * via the inverted-index self-join, verified with ONE exact
+    * intersect over the full sets (staged so the expensive
+    * intersection is computed once per candidate, not once per
+    * reference in the score formula). Returns
+    * (doc_a, doc_b, inter, na, nb), doc_a &lt; doc_b.
+    */
+  private def rareShingleCandidates(sets: DataFrame, maxDf: Long,
+                                    mat: Materializer): DataFrame = {
+    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
+    val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDf).select($"sh")
+    val cinv = mat(inv.join(rare, Seq("sh")))
+    cinv.as("a").join(cinv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
   }
 
   /** CONTAINMENT near-dup pairs — the ASYMMETRIC overlap Jaccard
@@ -237,21 +247,7 @@ object Dedup {
       s"tauPpm must be 1..1000000, got $tauPpm")
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
     val sets = mat(shingleSets(docs, idCol, textCol, n))
-    val inv = sets.select($"doc_id", explode($"shs").as("sh"))
-    val rare = inv.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDf).select($"sh")
-    val cinv = mat(inv.join(rare, Seq("sh")))
-    val cands = cinv.as("a").join(cinv.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cands
-      .join(sets.as("sa"), $"doc_a" === col("sa.doc_id"))
-      .join(sets.as("sb"), $"doc_b" === col("sb.doc_id"))
-      .select($"doc_a", $"doc_b",
-        size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long").as("inter"),
-        size(col("sa.shs")).cast("long").as("na"),
-        size(col("sb.shs")).cast("long").as("nb"))
+    rareShingleCandidates(sets, maxDf, mat)
       .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
         expr("inter * 1000000 DIV na").as("cont_a_ppm"),
         expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
