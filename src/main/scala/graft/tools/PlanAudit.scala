@@ -346,6 +346,12 @@ object PlanAudit {
         "(the graph is sink-free by construction)") ->
         fmt(OpsQueries.q203(spark, dir)),
 
+      ("q209 dead-letter routing (round 12) — the whole reasons array " +
+        "+ quarantine filter is ONE WholeStageCodegen projection over " +
+        "one scan, zero Exchange (the q192 shape every per-row gate " +
+        "must keep at 100 TB)") ->
+        fmt(OpsQueries.q209(spark, dir)),
+
       ("hits round subtree (un-materialized, iters=1) — the per-round " +
         "shape q200's sealed barriers hide: edges joined to the score " +
         "table, keyed partial+final sum, the 1-row greatest(max,1) " +
