@@ -132,8 +132,9 @@ object Validate {
     * [[InRange]] / [[OneOf]] / [[MatchesRegex]]); [[Unique]] /
     * [[SizeBetween]] are table-scoped and rejected. Check-name order
     * in the array = `checks` order (deterministic, oracle-friendly).
-    * Pure per-row Column expressions: one codegen projection, zero
-    * shuffle — the q192 shape every per-row gate must keep at 100 TB.
+    * Pure per-row Column expressions: one map-only projection, zero
+    * shuffle — the q192 shape every per-row gate must keep at 100 TB
+    * (the HOF-built array evaluates interpreted, outside codegen).
     */
   def withViolations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")

@@ -347,9 +347,10 @@ object PlanAudit {
         fmt(OpsQueries.q203(spark, dir)),
 
       ("q209 dead-letter routing (round 12) — the whole reasons array " +
-        "+ quarantine filter is ONE WholeStageCodegen projection over " +
+        "+ quarantine filter is one map-only filter+projection over " +
         "one scan, zero Exchange (the q192 shape every per-row gate " +
-        "must keep at 100 TB)") ->
+        "must keep at 100 TB; the HOF reasons array itself evaluates " +
+        "interpreted — lambdas sit outside whole-stage codegen)") ->
         fmt(OpsQueries.q209(spark, dir)),
 
       ("hits round subtree (un-materialized, iters=1) — the per-round " +

@@ -72,6 +72,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "per-document stats must not shuffle")
   }
 
+  test("q209 dead-letter routing is shuffle-free (one scan, filter, projection)") {
+    // the reasons array + quarantine filter must stay a per-row gate:
+    // a regression introducing an Exchange turns the 100 TB ingest
+    // split into a corpus shuffle. (The HOF-built reasons array
+    // evaluates interpreted — array/filter lambdas sit outside
+    // whole-stage codegen — so the pin is structural: map-only.)
+    val p = plan(OpsQueries.q209(spark, dir))
+    assert(!p.contains("Exchange"), s"row routing must not shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1, s"one scan only:\n$p")
+  }
+
   test("classic search: one scan into TakeOrderedAndProject, no join/shuffle before top-k") {
     val view = Recipes.searchView(Recipes.dedupByKey(Recipes.loadRaw(spark)))
     val p = plan(Search.classic(view, "chocolat"))
