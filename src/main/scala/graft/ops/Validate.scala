@@ -168,6 +168,35 @@ object Validate {
       .filter($"class_size" < k)
   }
 
+  /** The STORED partial of [[kAnonymityClasses]] — the q145/q188
+    * maintenance axis applied to the privacy audit: per (`segmentCol`,
+    * qiCols…) class counts, one corpus pass per ingest segment,
+    * partial-sized output. Counts are plain sums, so the serve-side
+    * merge is exact by associativity — "is the RELEASE (everything
+    * ingested so far) k-anonymous?" never re-scans history.
+    */
+  def kAnonymityPartials(df: DataFrame, segmentCol: String,
+                         qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityPartials needs at least one QI column")
+    df.groupBy((segmentCol +: qiCols).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Serve the release-level k-anonymity audit from stored partials:
+    * sum-merge per QI class, filter &lt; k — equal to
+    * [[kAnonymityClasses]] over the raw union by sum associativity
+    * (ValidateSpec property; q210 runs it under q205's oracle
+    * verbatim). Touches segments × classes rows, never the corpus.
+    */
+  def serveKAnonymity(partials: DataFrame, qiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "serveKAnonymity needs at least one QI column")
+    require(k >= 2L, s"k must be >= 2, got $k")
+    partials.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_n")).as("class_size"))
+      .filter($"class_size" < k)
+  }
+
   /** l-diversity audit (Machanavajjhala et al., "l-Diversity: privacy
     * beyond k-anonymity", TKDD 2007): within each QI class the
     * SENSITIVE attribute must take at least `l` distinct values — a

@@ -96,6 +96,27 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymityPartials + serveKAnonymity == one-shot audit on any segmentation (property)") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(7), Seq("A", "B", "C")(rnd.nextInt(3)))
+    }
+    for (nSeg <- Seq(1, 3, 10)) {
+      val df = rows.map { case (id, zip, seg) =>
+        (id, zip, seg, id % nSeg) }.toDF("id", "zip", "mkt", "ingest")
+      val partials = Validate.kAnonymityPartials(df, "ingest",
+        Seq("zip", "mkt"))
+      val served = Validate.serveKAnonymity(partials, Seq("zip", "mkt"),
+          k = 15L)
+        .as[(Int, String, Long)].collect().toSet
+      val batch = Validate.kAnonymityClasses(
+          df.drop("ingest"), Seq("zip", "mkt"), k = 15L)
+        .as[(Int, String, Long)].collect().toSet
+      assert(served === batch, s"nSeg=$nSeg")
+      assert(batch.nonEmpty, "fixture must have violating classes")
+    }
+  }
+
   test("lDiversityClasses: size-adequate class with shared sensitive value flagged") {
     // class X: 4 rows but ONE sensitive value -> flagged at l=2;
     // class Y: 2 rows, 2 values -> diverse, absent
