@@ -335,18 +335,21 @@ object Graphs {
     * at the final iteration, 0 for roles a node never plays.
     *
     * Determinism (the q148 discipline): scores are Q-scaled int64;
-    * the per-round normalization is exact integer — raw sums are
-    * int64, the rescale (raw × scale) DIV max runs the product
-    * through DECIMAL(38,0) so it cannot overflow, and truncating
-    * division agrees with any engine's floor-div on non-negatives.
-    * Bit-identical on any partitioning and replayable in DuckDB
-    * (HUGEINT), which makes the ranking oracle-checkable — float
-    * HITS would order near-equal scores differently per run.
+    * the per-round normalization is exact integer — raw sums AND the
+    * (raw × scale) DIV max rescale run in DECIMAL(38,0) (matching
+    * the oracle's HUGEINT, so a hot node cannot silently wrap an
+    * int64 partial sum the way a plain `sum` would — ADVICE r12),
+    * and truncating division agrees with any engine's floor-div on
+    * non-negatives. Bit-identical on any partitioning and replayable
+    * in DuckDB (HUGEINT), which makes the ranking oracle-checkable —
+    * float HITS would order near-equal scores differently per run.
     *
     * Overflow bound: a node's raw score is Σ over its (multi-)edges
-    * of the neighbor's ≤ `scale` score, so max in-degree × scale
-    * must stay under 2^63 — the default 10^12 is good to ~9×10^6
-    * incident edges per node; drop `scale` for hotter graphs.
+    * of the neighbor's ≤ `scale` score; the decimal pipeline caps at
+    * raw × scale &lt; 10^38, i.e. ~10^14 incident edges per node at
+    * the default 10^12 — beyond any physical graph (int64 summing
+    * capped at ~9×10^6). Past even that, the rescale raises in-plan
+    * (raise_error) instead of returning a silently-wrong ranking.
     *
     * No sink guard needed (unlike [[pageRank]]): normalization
     * re-anchors the mass each round, so dangling nodes just hold
@@ -375,13 +378,21 @@ object Graphs {
       // — unsealed, the corpus-sized join+aggregate runs twice per
       // half-step (measured 36 s -> 13 s at 3M edges, 30 s -> 18 s at
       // 10M; ScaleSoakGraphs)
+      // DECIMAL(38,0) sum: a hot node's raw score must not wrap the
+      // int64 partial sum (ADVICE r12 — the oracle sums in HUGEINT);
+      // raw*scale overflowing even decimal38 (inconceivable: ~1e14
+      // in-edges at default scale) raises rather than NULLing to 0
       val raw = mat(e.join(score, col(joinOn) === $"node")
-        .groupBy(col(outKey)).agg(sum(col(scoreCol)).as("raw")))
-      val mx = raw.agg(greatest(max($"raw"), lit(1L)).as("_mx"))
+        .groupBy(col(outKey))
+        .agg(sum(col(scoreCol).cast("decimal(38,0)")).as("raw")))
+      val mx = raw.agg(greatest(max($"raw"),
+        lit(1L).cast("decimal(38,0)")).as("_mx"))
       nodes.join(
           raw.crossJoin(broadcast(mx))
             .select(col(outKey),
-              expr(s"CAST(raw AS DECIMAL(38,0)) * $scale DIV _mx")
+              coalesce(expr(s"raw * $scale DIV _mx"),
+                raise_error(lit("hits: raw*scale overflows DECIMAL(38,0)" +
+                  " — lower `scale`")).cast("long"))
                 .as("_v")),
           $"node" === col(outKey), "left")
         .select($"node", coalesce($"_v", lit(0L)).as(outCol))
@@ -407,6 +418,13 @@ object Graphs {
     * partitioning and replayable in an oracle), with the base term
     * (15 × scale) DIV 100 paid to SEEDS only — every other node's
     * rank is purely received mass, 0 if nothing points at it yet.
+    * Overflow envelope (ADVICE r12 — previously unstated here): the
+    * damped sum runs in DECIMAL(38,0) (matching the oracle's
+    * HUGEINT), so the bound is Σ contributions &lt; 10^38 per node ≈
+    * 10^26 in-edges at the default scale — not [[pageRank]]'s
+    * documented int64 ~9×10^6; within int64 range the two
+    * recurrences are value-identical (DIV truncation is unaffected
+    * by the wider intermediate).
     * Seeds start at `scale`, non-seeds at 0. Same sink contract and
     * guard as [[pageRank]] (mass must not silently drain), same
     * `skipSinkCheck` escape for sink-free-by-construction graphs.
@@ -447,8 +465,10 @@ object Graphs {
       val contrib = e.join(r, $"src" === $"node")
         .join(deg, Seq("src"))
         .select($"dst", expr("r DIV outdeg").as("c"))
+      // decimal sum: a hot destination must not wrap int64 silently
+      // (the HITS fix, ADVICE r12); DIV truncates back to long
       val agg = contrib.groupBy($"dst")
-        .agg(expr("85 * sum(c) DIV 100").as("_m"))
+        .agg(expr("85 * sum(CAST(c AS DECIMAL(38,0))) DIV 100").as("_m"))
       r = mat(nodes.join(agg, $"node" === $"dst", "left")
         .join(sd, Seq("node"), "left")
         .select($"node",
@@ -530,13 +550,23 @@ object Graphs {
     * convergence failure. Pass [[undirected]]/symmetric edges for
     * the standard community semantics.
     *
+    * Node set = src ∪ dst (ADVICE r12 — src-only node tables silently
+    * dropped dst-only nodes AND the votes their in-neighbors should
+    * have received from them): a node with no out-edges casts no vote
+    * for itself but its self-label is votable by in-neighbors, and it
+    * keeps its own current label every round (no neighbors to adopt
+    * from). On symmetric graphs — the documented standard use — this
+    * is behavior-identical to the src-only form.
+    *
     * Scale shape per round: one keyed join of edges against the
     * label table (shuffle on node key), one (node, label) count
-    * aggregate with map-side combine, and a per-node window over the
-    * few candidate labels of that node — nothing corpus-quadratic;
-    * rounds are sealed through the Materializer like [[pageRank]]'s
-    * so lineage stays flat. Labels converge toward component minima
-    * on community-dense co-occurrence graphs in a handful of rounds.
+    * aggregate with map-side combine, a per-node window over the
+    * few candidate labels of that node, and a node-keyed left join
+    * folding winners back over carried labels — nothing
+    * corpus-quadratic; rounds are sealed through the Materializer
+    * like [[pageRank]]'s so lineage stays flat. Labels converge
+    * toward component minima on community-dense co-occurrence graphs
+    * in a handful of rounds.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        mat: Materializer = Materialize.Local): DataFrame = {
@@ -544,16 +574,19 @@ object Graphs {
       s"rounds must be 1..10, got $rounds")
     import org.apache.spark.sql.expressions.Window
     val e = mat(edges.select($"src", $"dst"))
-    val nodes = e.select($"src".as("node")).distinct()
+    val nodes = mat(e.select($"src".as("node"))
+      .unionAll(e.select($"dst".as("node"))).distinct())
     var lbl = mat(nodes.withColumn("lbl", $"node"))
     for (_ <- 1 to rounds) {
       val votes = e.join(lbl, $"dst" === $"node")
         .groupBy($"src", $"lbl").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy($"src")
         .orderBy($"c".desc, $"lbl".asc)
-      lbl = mat(votes.withColumn("_rn", row_number().over(w))
+      val win = votes.withColumn("_rn", row_number().over(w))
         .filter($"_rn" === 1)
-        .select($"src".as("node"), $"lbl"))
+        .select($"src".as("node"), $"lbl".as("_wl"))
+      lbl = mat(lbl.join(win, Seq("node"), "left")
+        .select($"node", coalesce($"_wl", $"lbl").as("lbl")))
     }
     lbl
   }

@@ -499,10 +499,13 @@ object Sketches {
             else partials.groupBy(dims.map(col): _*)
     val agg = g.agg(count(lit(1)).as("n_sample"),
       sort_array(collect_list(col("v"))).as("_vs"))
+    // empty-group guard: the global (dims-empty) aggregate emits one
+    // row even over zero input; its points are NULL, not an ANSI
+    // array-index error (callers check n_sample)
     val points = permille.map { p =>
-      element_at(col("_vs"),
+      when(col("n_sample") > 0L, element_at(col("_vs"),
         greatest(lit(1L), expr(s"($p * n_sample + 999) DIV 1000"))
-          .cast("int")).as(s"p$p")
+          .cast("int"))).as(s"p$p")
     }
     agg.select((dims.map(col) :+ col("n_sample")) ++ points: _*)
   }

@@ -289,7 +289,10 @@ object Stats {
     * Pinned semantics: NULL values stay NULL (explicit guard — both
     * engines' least/greatest IGNORE nulls, which would silently clamp
     * a NULL to the lower edge); a group absent from the sketch (all
-    * values NULL) passes through unclamped via the left join; band
+    * values NULL) passes through unclamped via the left join; NULL
+    * group KEYS clamp into the NULL group's band (null-safe join —
+    * the sketch's groupBy computed a band for the NULL group, so the
+    * rows it was computed FROM must receive it; ADVICE r12); band
     * edges are sketch SAMPLE values (no interpolation).
     *
     * Scale shape: one sketch pass, then ONE broadcast join of the
@@ -307,13 +310,13 @@ object Stats {
       col(valueCol), k)
     val edges = Sketches.quantileEstimates(sk, Seq(groupCol),
         Seq(loPermille, hiPermille))
-      .select(col(groupCol), col(s"p$loPermille").as("_lo"),
+      .select(col(groupCol).as("_g"), col(s"p$loPermille").as("_lo"),
         col(s"p$hiPermille").as("_hi"))
-    df.join(broadcast(edges), Seq(groupCol), "left")
+    df.join(broadcast(edges), col(groupCol) <=> col("_g"), "left")
       .withColumn(s"${valueCol}_w",
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("_lo")), col("_hi"))))
-      .drop("_lo", "_hi")
+      .drop("_g", "_lo", "_hi")
   }
 
   def distributionDrift(ref: DataFrame, cur: DataFrame, keyExpr: String,
@@ -321,10 +324,18 @@ object Stats {
                         k: Int = 512): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be 2..1000, got $nBins")
     val pts = (1 until nBins).map(i => i * 1000 / nBins).distinct
+    // ONE bounded row: nBins-1 edge values. headOption, not head —
+    // an empty / all-NULL reference must fail diagnosably, not with
+    // a bare NoSuchElementException (ADVICE r12)
     val est = Sketches.quantileEstimates(
       Sketches.quantilePartials(ref, Seq.empty, expr(keyExpr),
         col(valueCol), k),
-      Seq.empty, pts).head() // ONE bounded row: nBins-1 edge values
+      Seq.empty, pts).collect().headOption
+      .filter(_.getAs[Long]("n_sample") > 0L).getOrElse(
+        throw new IllegalArgumentException(
+          s"distributionDrift: reference side has no non-NULL " +
+            s"'$valueCol' values — cannot derive bin edges from an " +
+            "empty reference corpus"))
     val edges = pts.map(p =>
         est.getAs[Number](s"p$p").doubleValue()).distinct.sorted
     val binCol = edges.foldLeft(lit(0)) { (acc, e) =>

@@ -300,4 +300,19 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(7L) == 8L)
   }
+
+  test("labelPropagation: dst-only nodes are present, votable, and keep their label") {
+    import spark.implicits._
+    // 1->2, 3->2: node 2 never appears as src (ADVICE r12 — it was
+    // silently absent AND the edges pointing at it cast no votes).
+    // Round 1: 1 and 3 adopt 2's self-label; 2 has no out-neighbors
+    // so it keeps its own label every round.
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    for (r <- Seq(1, 3)) {
+      val got = Graphs.labelPropagation(e, rounds = r)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+        s"after $r round(s)")
+    }
+  }
 }

@@ -208,6 +208,40 @@ class StatsSpec extends SparkSpec {
       "all-null group passes through")
   }
 
+  test("winsorizeBy: NULL group keys clamp into the NULL group's band") {
+    import spark.implicits._
+    // the NULL group is a real equivalence class to groupBy: its rows
+    // must receive the band the sketch computed FROM them (ADVICE r12
+    // — a non-null-safe join silently passed them through unclamped)
+    val rows = (1 to 10).map(i => (None: Option[String], i.toLong,
+      Some(i.toLong))) ++ Seq((Some("a"), 90L, Some(0L)),
+      (Some("a"), 91L, Some(5L)))
+    val got = Stats.winsorizeBy(rows.toDF("g", "id", "v"),
+        "g", "cast(id as string)", "v", loPermille = 200, hiPermille = 900)
+      .select($"id", $"v_w").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(2L), "NULL-group row below lo clamps up")
+    assert(got(10L).contains(9L), "NULL-group row above hi clamps down")
+    assert((2 to 9).forall(i => got(i.toLong).contains(i.toLong)))
+    // the non-null group keeps its own (degenerate two-value) band
+    assert(got(90L).contains(0L) && got(91L).contains(5L))
+  }
+
+  test("distributionDrift: empty or all-NULL reference fails diagnosably") {
+    import spark.implicits._
+    val cur = Seq((1L, Some(3L))).toDF("id", "v")
+    val emptyRef = cur.filter($"id" < 0L)
+    val nullRef = Seq((1L, None: Option[Long])).toDF("id", "v")
+    for (ref <- Seq(emptyRef, nullRef)) {
+      val ex = intercept[IllegalArgumentException] {
+        Stats.distributionDrift(ref, cur, "cast(id as string)", "v",
+          nBins = 2, k = 16)
+      }
+      assert(ex.getMessage.contains("reference"),
+        s"message must name the empty reference, got: ${ex.getMessage}")
+    }
+  }
+
   test("distributionDrift: hand-computed bins, rates and TVD") {
     import spark.implicits._
     // ref 1..10, one edge at the sketch median: full sample (k=512)
