@@ -743,13 +743,6 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int, maxBucket: Long = defaultMaxBucket,
                    mat: Materializer = Materialize.Local): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 7,
-      s"maxDist must be 0..7 (bandLen >= 8), got $maxDist")
-    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
-    val bits = 64
-    val nBands = maxDist + 1
-    val base = bits / nBands
-    val rem = bits % nBands
     val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("mds", transform(toks($"text"), t => md5(t)))
       // empty/null-text docs all hash to the all-zero fingerprint and
@@ -757,6 +750,36 @@ object Dedup {
       // content to compare, so drop them (mirrors minhashLshPairs)
       .filter(size($"mds") > 0)
       .select($"doc_id", simhash64($"mds").as("fp"))
+    hammingPairs(fps, maxDist, maxBucket, mat)
+  }
+
+  /** Banded Hamming near-dup pairs over PRECOMPUTED 64-char '0'/'1'
+    * fingerprints (doc_id, fp) — [[simhashPairs]]' candidate+verify
+    * machinery with the fingerprint pluggable, so ANY 64-bit
+    * locality-preserving hash reuses it (SimHash for text, the
+    * [[Media.dhashImages]] perceptual dHash for images). Same
+    * pigeonhole guarantee: split into maxDist+1 contiguous bands and
+    * a pair within `maxDist` must agree on at least one whole band —
+    * banding is LOSSLESS for the distance threshold (modulo the
+    * documented [[capBuckets]] hot-bucket cap); the verify is the
+    * native codegen'd [[graft.plans.Native.hamming]]. Returns
+    * (doc_a, doc_b, dist), doc_a &lt; doc_b, dist ≤ maxDist.
+    *
+    * Scale shape: one shuffle on (band, bkey) shared by the
+    * population cap and the pair join; pair volume bounded by
+    * maxBucket² per bucket; the fingerprint side is computed ONCE
+    * (sealed via the Materializer) however many bands explode it.
+    */
+  def hammingPairs(fps: DataFrame, maxDist: Int,
+                   maxBucket: Long = defaultMaxBucket,
+                   mat: Materializer = Materialize.Local): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be 0..7 (bandLen >= 8), got $maxDist")
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
+    val bits = 64
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val rem = bits % nBands
     val bandCols = (0 until nBands).map { b =>
       val start = b * base + math.min(b, rem)
       val len = base + (if (b < rem) 1 else 0)

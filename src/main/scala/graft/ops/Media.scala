@@ -268,6 +268,88 @@ object Media {
       .toDF()
   }
 
+  // --------------------------------------------- perceptual hash (dHash)
+
+  case class ImageDHashRow(id: Long, ok: Boolean, n_bytes: Long,
+                           width: Option[Long], height: Option[Long],
+                           dhash: Option[String])
+
+  /** Difference hash of one decoded raster: fixed (gw × gh) luma grid
+    * by exact integer box-assignment (pixel x lands in cell
+    * x·gw DIV w — every cell non-empty when w ≥ gw; cell value =
+    * Σluma DIV count), then one bit per horizontally adjacent cell
+    * pair: bit(y·(gw−1)+x) = 1 iff grid[y][x+1] &gt; grid[y][x].
+    * All-integer, so an engine decoding the same pixels replays the
+    * hash bit-for-bit — and a UNIFORM brightness shift +d (no
+    * clamping) moves every luma by exactly d (the 299+587+114=1000
+    * weights divide out) and every cell mean by exactly d, leaving
+    * the hash IDENTICAL: the perceptual invariance is arithmetic
+    * here, not approximate.
+    */
+  private def dhashOf(img: java.awt.image.BufferedImage,
+                      gw: Int, gh: Int): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val sums = Array.ofDim[Long](gh, gw)
+    val cnts = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val p = argb(y * w + x)
+        sums(cy)(x * gw / w) +=
+          luma((p >>> 16) & 0xFF, (p >>> 8) & 0xFF, p & 0xFF)
+        cnts(cy)(x * gw / w) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.lang.StringBuilder((gw - 1) * gh)
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val a = sums(cy)(cx) / cnts(cy)(cx)
+        val b = sums(cy)(cx + 1) / cnts(cy)(cx + 1)
+        out.append(if (b > a) '1' else '0')
+        cx += 1
+      }
+      cy += 1
+    }
+    out.toString
+  }
+
+  /** REAL perceptual-hash pass: (id, ok, n_bytes, width, height,
+    * dhash) per blob, dhash = the (gw−1)·gh-char '0'/'1' difference
+    * hash over the decoded luma grid (default 9×8 → 64 bits — the
+    * drop-in fingerprint for [[Dedup.hammingPairs]]). Fails closed
+    * like [[decodeImages]]: undecodable blobs AND images smaller
+    * than the grid (a cell would be empty) keep ok = false with a
+    * null hash. One partition-local pass, no shuffle — at 100 TB
+    * this is the map-only stage before the banded pair join.
+    */
+  def dhashImages(df: DataFrame, idCol: String, binCol: String,
+                  gridW: Int = 9, gridH: Int = 8): DataFrame = {
+    require(gridW >= 2 && gridH >= 1,
+      s"grid must be at least 2x1, got ${gridW}x$gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[MediaBlob]
+      .mapPartitions(_.map { b =>
+        val nBytes = if (b.bytes == null) 0L else b.bytes.length.toLong
+        val img = readImage(b.bytes)
+        if (img == null || img.getWidth < gridW || img.getHeight < gridH)
+          ImageDHashRow(b.id, ok = false, nBytes, None, None, None)
+        else ImageDHashRow(b.id, ok = true, nBytes,
+          Some(img.getWidth.toLong), Some(img.getHeight.toLong),
+          Some(dhashOf(img, gridW, gridH)))
+      })
+      .toDF()
+  }
+
   // ---------------------------------------------------- box downsample
 
   case class ResizedImageRow(id: Long, ok: Boolean,

@@ -217,4 +217,44 @@ object Validate {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter($"n_sensitive" < l)
   }
+
+  /** The STORED partial of [[lDiversityClasses]] (VERDICT r12 Next #3
+    * — the q210 maintenance axis extended to the diversity audit):
+    * per (`segmentCol`, qiCols…, sensitive value) row counts. Two
+    * merge laws make the serve exact under ANY segmentation: the
+    * class size is the SUM of `_n` (plain associativity, q210's law)
+    * and the distinct sensitive count is the count of DISTINCT
+    * sensitive values across partials (distinct-union is idempotent
+    * and associative — a value seen in three segments is still one
+    * value). One corpus pass per ingest segment; output is bounded by
+    * segments × QI classes × sensitive domain, not the row count.
+    * NULL sensitive values keep their own partial row but must not
+    * count toward diversity (countDistinct ignores NULL) — the serve
+    * filters them out of `n_sensitive` exactly as the one-shot audit
+    * does.
+    */
+  def lDiversityPartials(df: DataFrame, segmentCol: String,
+                         qiCols: Seq[String],
+                         sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversityPartials needs at least one QI column")
+    df.groupBy((segmentCol +: qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Serve the release-level l-diversity audit from stored partials:
+    * sum-merge sizes, distinct-merge sensitive values, filter &lt; l —
+    * equal to [[lDiversityClasses]] over the raw union (ValidateSpec
+    * property; the gate runs it under q206's oracle verbatim).
+    * Touches segments × classes × sensitive-domain rows, never the
+    * corpus.
+    */
+  def serveLDiversity(partials: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "serveLDiversity needs at least one QI column")
+    require(l >= 2L, s"l must be >= 2, got $l")
+    partials.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_n")).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter($"n_sensitive" < l)
+  }
 }

@@ -127,4 +127,32 @@ class ValidateSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("X", 4L, 1L)))
   }
+
+  test("lDiversityPartials + serveLDiversity == one-shot audit on any segmentation (property)") {
+    // the q210 pattern for the diversity audit: sum-merge sizes,
+    // distinct-merge sensitive values; NULL sensitive rows count
+    // toward class size but never toward diversity
+    val rnd = new scala.util.Random(31)
+    // planted violator: zip 99 is size-adequate (8 rows spanning
+    // segments) but monotone in its sensitive value
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(7),
+        if (rnd.nextInt(10) == 0) None
+        else Some(Seq("A", "B", "C", "D")(rnd.nextInt(4))))
+    } ++ (301 to 308).map(i => (i.toLong, 99, Some("A")))
+    for (nSeg <- Seq(1, 3, 10)) {
+      val df = rows.map { case (id, zip, sv) =>
+        (id, zip, sv, id % nSeg) }.toDF("id", "zip", "sv", "ingest")
+      val partials = Validate.lDiversityPartials(df, "ingest",
+        Seq("zip"), "sv")
+      val served = Validate.serveLDiversity(partials, Seq("zip"),
+          "sv", l = 4L)
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = Validate.lDiversityClasses(
+          df.drop("ingest"), Seq("zip"), "sv", l = 4L)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(served === batch, s"nSeg=$nSeg")
+      assert(batch.nonEmpty, "fixture must have violating classes")
+    }
+  }
 }
