@@ -319,25 +319,51 @@ object Stats {
       .drop("_g", "_lo", "_hi")
   }
 
-  def distributionDrift(ref: DataFrame, cur: DataFrame, keyExpr: String,
-                        valueCol: String, nBins: Int = 10,
-                        k: Int = 512): DataFrame = {
+  /** Equi-depth bin edges from EXISTING quantile-sketch partials —
+    * the 100 TB serve path this operator's own doc promises: at scale
+    * the reference edges come from the MAINTAINED summary asset
+    * (q181's [[Sketches.refreshQuantileSummary]] — bit-equal to a
+    * one-shot sketch by the exact bottom-k merge) instead of
+    * re-sketching the reference corpus, dropping the ref cost to the
+    * single bin-count pass. ONE bounded collect (nBins−1 values from
+    * a ≤ k-row sketch).
+    */
+  def driftEdgesFromSketch(partials: DataFrame, valueCol: String,
+                           nBins: Int): Seq[Double] = {
     require(nBins >= 2 && nBins <= 1000, s"nBins must be 2..1000, got $nBins")
     val pts = (1 until nBins).map(i => i * 1000 / nBins).distinct
-    // ONE bounded row: nBins-1 edge values. headOption, not head —
-    // an empty / all-NULL reference must fail diagnosably, not with
-    // a bare NoSuchElementException (ADVICE r12)
-    val est = Sketches.quantileEstimates(
-      Sketches.quantilePartials(ref, Seq.empty, expr(keyExpr),
-        col(valueCol), k),
-      Seq.empty, pts).collect().headOption
+    // headOption, not head — an empty / all-NULL reference must fail
+    // diagnosably, not with a bare NoSuchElementException (ADVICE r12)
+    val est = Sketches.quantileEstimates(partials, Seq.empty, pts)
+      .collect().headOption
       .filter(_.getAs[Long]("n_sample") > 0L).getOrElse(
         throw new IllegalArgumentException(
           s"distributionDrift: reference side has no non-NULL " +
             s"'$valueCol' values — cannot derive bin edges from an " +
             "empty reference corpus"))
-    val edges = pts.map(p =>
-        est.getAs[Number](s"p$p").doubleValue()).distinct.sorted
+    pts.map(p => est.getAs[Number](s"p$p").doubleValue()).distinct.sorted
+  }
+
+  def distributionDrift(ref: DataFrame, cur: DataFrame, keyExpr: String,
+                        valueCol: String, nBins: Int = 10,
+                        k: Int = 512): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be 2..1000, got $nBins")
+    val edges = driftEdgesFromSketch(
+      Sketches.quantilePartials(ref, Seq.empty, expr(keyExpr),
+        col(valueCol), k),
+      valueCol, nBins)
+    distributionDriftWithEdges(ref, cur, valueCol, edges)
+  }
+
+  /** The drift compare against PRECOMPUTED edges (see
+    * [[driftEdgesFromSketch]]) — one linear scan per side into an
+    * nBins-sized aggregate; the rate/TVD windows run over the joined
+    * nBins-row table only.
+    */
+  def distributionDriftWithEdges(ref: DataFrame, cur: DataFrame,
+                                 valueCol: String,
+                                 edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "need at least one bin edge")
     val binCol = edges.foldLeft(lit(0)) { (acc, e) =>
       acc + when(col(valueCol).cast("double") > lit(e), 1).otherwise(0)
     }.cast("long")

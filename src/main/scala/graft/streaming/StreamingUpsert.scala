@@ -251,6 +251,125 @@ object StreamingUpsert {
       }
       .start()
 
+  // ------------------------------------- maintained containment state
+  // The nearDupBatch/linkBatch protocol applied to the asymmetric-
+  // overlap pass (VERDICT r12 Next #6): a document batch is blocked
+  // against the PERSISTED rare-shingle inverted index, so a growing
+  // corpus is containment-checked by comparing each new document only
+  // against its block mates — never by re-running the df-capped
+  // blocking self-join over the whole corpus.
+  //
+  // Layout under basePath: sets/ (doc_id, shs — full shingle sets for
+  // the exact verify), inv/ (doc_id, sh — the inverted index), pairs/
+  // (the verified scored pairs, append-only). All appends are
+  // at-least-once under replay; consumers read with DISTINCT (rows
+  // are value-identical across replays), and a replayed batch's own
+  // ids are anti-joined out of the prior state so df counts match
+  // what the original call saw (linkBatch's discipline — df is
+  // cap-sensitive).
+  //
+  // Cap-crossing contract (nearDupBatch's, restated for df): the
+  // incremental result equals batch [[graft.ops.Dedup.containmentPairs]]
+  // on the full corpus while no shingle's document frequency CROSSES
+  // maxDf over the state's lifetime. A shingle that grows past the
+  // cap keeps the pairs it verified while under cap (arrival-time
+  // semantics) where the batch run drops the whole block — the
+  // incremental pair set is a SUPERSET on such corpora, never
+  // smaller, and every kept pair still carries an exact verified
+  // score (the cap bounds WORK, not correctness of emitted scores).
+
+  /** Fold one document batch into the containment state (see the
+    * section contract above). Document ids must be unique across
+    * batches; shingle sets use [[graft.ops.Dedup.shingleSets]]'
+    * n-gram definition, matching the batch operator.
+    */
+  def containmentBatch(spark: SparkSession, batch: DataFrame,
+                       idCol: String, textCol: String, n: Int,
+                       tauPpm: Long, maxDf: Long, basePath: String,
+                       mat: graft.ops.Materializer =
+                         graft.ops.Materialize.Local): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def readOrEmpty(p: String, like: DataFrame): DataFrame = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(hconf).exists(hp))
+        spark.read.schema(like.schema).parquet(p).distinct()
+      else like.limit(0)
+    }
+    val newSets = mat(Dedup.shingleSets(batch, idCol, textCol, n))
+    val newIds = newSets.select(col("doc_id"))
+    val newInv = newSets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // a REPLAYED batch would otherwise appear twice in the df count
+    // (old copy + new copy) and push shingles past the cap that the
+    // original call kept — the delta-sized side drives the anti-join
+    val oldInv = readOrEmpty(s"$basePath/inv", newInv)
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val all = oldInv.withColumn("is_new", lit(false))
+      .unionByName(newInv.withColumn("is_new", lit(true)))
+    val rare = all.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf)
+    val cands = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = readOrEmpty(s"$basePath/sets", newSets)
+      .join(newIds, Seq("doc_id"), "left_anti")
+      .unionByName(newSets)
+    val verified = cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs")))
+          .cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"),
+        expr("inter * 1000000 DIV na").as("cont_a_ppm"),
+        expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
+    // pairs first: a replay after a partial failure re-appends pairs
+    // (distinct-at-read) but never loses them against advanced state
+    verified.write.mode("append").parquet(s"$basePath/pairs")
+    newSets.write.mode("append").parquet(s"$basePath/sets")
+    newInv.write.mode("append").parquet(s"$basePath/inv")
+  }
+
+  /** The verified containment pairs from [[containmentBatch]] state,
+    * exactly-once at read — the columns of
+    * [[graft.ops.Dedup.containmentPairs]] verbatim.
+    */
+  def containmentPairsFromState(spark: SparkSession,
+                                basePath: String): DataFrame = {
+    val like = spark.range(0).select(
+      col("id").as("doc_a"), col("id").as("doc_b"),
+      col("id").as("inter"), col("id").as("na"), col("id").as("nb"),
+      col("id").as("cont_a_ppm"), col("id").as("cont_b_ppm"))
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/pairs")
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+      spark.read.schema(like.schema).parquet(s"$basePath/pairs").distinct()
+    else like.limit(0)
+  }
+
+  /** [[containmentBatch]] wired as the foreachBatch sink of a
+    * document stream — arriving documents are containment-checked
+    * against their persisted block mates only.
+    */
+  def incrementalContainment(stream: DataFrame, idCol: String,
+                             textCol: String, n: Int, tauPpm: Long,
+                             maxDf: Long, basePath: String,
+                             checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        containmentBatch(batch.sparkSession, batch, idCol, textCol,
+          n, tauPpm, maxDf, basePath)
+      }
+      .start()
+
   // ------------------------------------------- incremental span dedup
 
   private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
@@ -1277,6 +1396,95 @@ object StreamingUpsert {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         quantileStateBatch(batch.sparkSession, batch, dims, keyExpr,
           valueCol, k, batchId, basePath)
+      }
+      .start()
+
+  // ------------------------------------------- incremental top-k
+
+  /** One micro-batch of incremental TOP-K maintenance — the streaming
+    * member of the [[graft.ops.TopK]] family (batch aggregate → q186,
+    * stored per-segment partials → q188, THIS → row streams). State is
+    * the versioned overwrite of [[quantileStateBatch]], and like the
+    * quantile sketch it needs NO seen-ids gate: a kept entry is
+    * content-identified by its (key, ord, id) values, so a
+    * re-delivered row re-reduces to the identical entry and the
+    * distinct-before-merge absorbs it exactly (same immutable-facts
+    * contract — a key re-delivered with a DIFFERENT ord is an update,
+    * which a bounded buffer cannot reconcile). State layout: the
+    * current top-k ENTRIES per key, exploded flat (keyCols…, ord, id)
+    * — ≤ k rows per key, so each version is keys × k sized.
+    *
+    * Merge law: top-k(prev ∪ batch) = top-k(top-k(prev) ∪
+    * top-k(batch)) — the aggregator's associativity (entries outside
+    * a side's top-k are dominated by k better entries on that side
+    * alone, so they cannot enter the union's top-k). Hence
+    * [[topKFromState]] equals the batch [[graft.ops.TopK.topKPerKey]]
+    * of the unioned batches exactly (StreamingUpsertSpec asserts
+    * under shuffled arrival + re-delivery + replay).
+    */
+  def topKStateBatch(spark: SparkSession, batch: DataFrame,
+                     keyCols: Seq[String], ordCol: String, idCol: String,
+                     k: Int, batchId: Long, basePath: String): Unit = {
+    val batchTop = graft.ops.TopK.topKPerKey(batch, keyCols, ordCol,
+        idCol, k)
+      .select((keyCols.map(col) :+ col(ordCol) :+ col(idCol)): _*)
+    val versions = statsVersions(spark, s"$basePath/topk")
+      .filter(_._1 < batchId)
+    val prev = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) =>
+        val raw = spark.read.parquet(p)
+        require(raw.schema.fieldNames.sorted.sameElements(
+          batchTop.schema.fieldNames.sorted),
+          s"top-k state at $p has columns " +
+            s"${raw.schema.fieldNames.mkString(",")} but this batch " +
+            s"produces ${batchTop.schema.fieldNames.mkString(",")}" +
+            " — keys/ord/id must not change mid-stream")
+        spark.read.schema(batchTop.schema).parquet(p)
+      case None => batchTop.limit(0)
+    }
+    graft.ops.TopK.topKPerKey(
+        prev.unionByName(batchTop)
+          .dropDuplicates(keyCols ++ Seq(ordCol, idCol)),
+        keyCols, ordCol, idCol, k)
+      .select((keyCols.map(col) :+ col(ordCol) :+ col(idCol)): _*)
+      .write.mode("overwrite").parquet(s"$basePath/topk/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/topk")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** The current per-key top-k from [[topKStateBatch]] state, ranked
+    * exactly as [[graft.ops.TopK.topKPerKey]] emits it — (keyCols…,
+    * rank 1..k, id, ord). The rank pass touches only the keys × k
+    * state rows, never the stream's history.
+    */
+  def topKFromState(spark: SparkSession, basePath: String,
+                    keyCols: Seq[String], ordCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val versions = statsVersions(spark, s"$basePath/topk")
+    require(versions.nonEmpty, s"no top-k state under $basePath/topk")
+    graft.ops.TopK.topKPerKey(
+      spark.read.parquet(versions.sortBy(_._1).last._2),
+      keyCols, ordCol, idCol, k)
+  }
+
+  /** [[topKStateBatch]] wired as the foreachBatch sink of a fact
+    * stream — arriving rows keep the per-key leaderboard micro-batch
+    * fresh.
+    */
+  def incrementalTopK(stream: DataFrame, keyCols: Seq[String],
+                      ordCol: String, idCol: String, k: Int,
+                      basePath: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topKStateBatch(batch.sparkSession, batch, keyCols, ordCol,
+          idCol, k, batchId, basePath)
       }
       .start()
 

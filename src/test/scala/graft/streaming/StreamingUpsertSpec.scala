@@ -1167,6 +1167,42 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("must not change mid-stream"))
   }
 
+  test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
+    import graft.ops.TopK
+    val base = tmp("topk_state")
+    def mk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        ($"id" % 5).as("g"), ($"id" * 37 % 101).as("ord"), $"id".as("rid"))
+    def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.topKStateBatch(spark, df, Seq("g"), "ord", "rid",
+        3, id, base)
+    feed(mk(0, 40), 0L)
+    // batch 1 re-delivers half of batch 0, INCLUDING rows that were
+    // top-k at version 0 (the duplicate-eviction hazard: without the
+    // distinct, a re-delivered leader evicts a genuine runner-up) and
+    // rows already evicted (dominated — must stay out)
+    feed(mk(40, 70).unionByName(mk(0, 20)), 1L)
+    feed(mk(70, 100), 2L)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val oneShot = TopK.topKPerKey(mk(0, 100), Seq("g"), "ord", "rid", 3)
+    def served = StreamingUpsert.topKFromState(spark, base,
+      Seq("g"), "ord", "rid", 3)
+    assert(snap(served).sameElements(snap(oneShot)),
+      "streamed top-k != one-shot aggregate of the union")
+    // same-batch replay reproduces the version exactly
+    feed(mk(70, 100), 2L)
+    assert(snap(served).sameElements(snap(oneShot)),
+      "replay of the last batch changed the state")
+    // schema drift fails fast
+    val e = intercept[IllegalArgumentException] {
+      StreamingUpsert.topKStateBatch(spark,
+        mk(100, 110).withColumnRenamed("ord", "ord2"),
+        Seq("g"), "ord2", "rid", 3, 3L, base)
+    }
+    assert(e.getMessage.contains("must not change mid-stream"))
+  }
+
   test("clusterStateBatch over shuffled pair batches equals batch duplicateClusters (property)") {
     val rnd = new scala.util.Random(19112L)
     for (trial <- 0 until 3) {
