@@ -42,6 +42,50 @@ object Features {
           transform(col("lum_hist"), h => h.cast("double")).as("embedding"))
   }
 
+  /** Second REAL in-sandbox provider — AUDIO (VERDICT r12 Next #8,
+    * proving the seam across modalities): WAV PCM16 decode →
+    * [[Media.pcmEnergyWindows]] frame energies → a FIXED-length
+    * `nFrames` energy vector per blob, so clips of any duration land
+    * in one embedding space. Window w of a clip with nWins windows
+    * feeds frame w·nFrames DIV nWins (the [[Media.dhashImages]]
+    * box-assignment trick on the time axis); a frame's value is its
+    * FRACTION of the clip's total Σv² energy — the energy ENVELOPE,
+    * loudness- and duration-normalized and bounded in [0,1], so the
+    * downstream ×10⁶ cosine quantization ([[Similarity.prepared]])
+    * never overflows the way raw int64 energies (up to 2⁶⁰) would.
+    * An all-silent clip embeds as the zero vector. Fails closed like
+    * the image provider: blobs outside the PCM16 contract produce no
+    * windows, hence no row.
+    *
+    * Scale shape: the codec pass is map-only; the frame fold is one
+    * per-clip window function + two keyed aggregates on the id —
+    * window rows per clip are duration/winSamples, never corpus-wide.
+    */
+  final case class PcmFrameEnergy(winSamples: Int = 64, nFrames: Int = 8)
+      extends FeatureProvider {
+    require(nFrames >= 1 && nFrames <= 4096,
+      s"nFrames must be 1..4096, got $nFrames")
+    override def features(docs: DataFrame, idCol: String,
+                          binCol: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      Media.pcmEnergyWindows(docs, idCol, binCol, winSamples)
+        .withColumn("_nw",
+          max(col("win_idx")).over(Window.partitionBy(col("id"))) + lit(1L))
+        .withColumn("_f", expr(s"win_idx * $nFrames DIV _nw"))
+        .groupBy(col("id"), col("_f"))
+        .agg(sum(col("sum_sq")).cast("double").as("_e"))
+        .groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("_f"), col("_e"))))
+          .as("_m"), sum(col("_e")).as("_tot"))
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0L), lit(nFrames - 1L)),
+            f => when(col("_tot") > 0.0,
+              coalesce(try_element_at(col("_m"), f), lit(0.0)) / col("_tot"))
+              .otherwise(lit(0.0)))
+            .as("embedding"))
+    }
+  }
+
   /** The clearly-marked MODEL-BOUND seam: deterministic md5-window
     * fake features ([[Multimodal.stubFeatures]]) where a learned
     * image/audio embedding model would run — the model weights are

@@ -66,4 +66,54 @@ class FeaturesSpec extends SparkSpec {
     assert(d1 === d2, "semDedup must depend only on the provider's output")
     assert(k1 === k2, "kNN must depend only on the provider's output")
   }
+
+  test("PcmFrameEnergy: hand-computed energy envelope; duration-independent length; fail-closed") {
+    // 8 samples at winSamples=4 -> window ssq (4, 48); nWins=2,
+    // nFrames=2 -> envelope [4/52, 48/52]
+    val a = Media.encodeWavPcm16(Seq(1, 1, 1, 1, 2, 2, 2, -6))
+    // 16 samples -> 4 windows of ssq 14 each; frame 0 = w0+w1,
+    // frame 1 = w2+w3 -> [0.5, 0.5]
+    val b = Media.encodeWavPcm16((1 to 16).map(i => i % 4))
+    // all-silent clip embeds as the zero vector (no 0/0)
+    val silent = Media.encodeWavPcm16(Seq.fill(8)(0))
+    val corpus = Seq((1L, a), (2L, b), (3L, silent),
+      (9L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "bin")
+    val got = Features.PcmFrameEnergy(winSamples = 4, nFrames = 2)
+      .features(corpus, "doc_id", "bin")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "non-WAV blob must be dropped")
+    assert(got(1L) === Seq(4.0 / 52.0, 48.0 / 52.0))
+    assert(got(2L) === Seq(0.5, 0.5))
+    assert(got(3L) === Seq(0.0, 0.0))
+    // fixed length regardless of clip duration
+    assert(got.values.forall(_.length == 2))
+  }
+
+  test("the q177 chain runs under the AUDIO provider (modality-agnostic seam)") {
+    // three steady clips (identical uniform energy envelopes — the
+    // envelope is loudness-normalized, so these are duplicates in
+    // feature space) and one front-loaded burst clip with a distinct
+    // envelope — SemDeDup over PcmFrameEnergy must drop the steady
+    // duplicates and keep the distinct shape, exactly as it does over
+    // image features (the provider swap is config, not surgery)
+    val quiet = (0 until 3).map { i =>
+      (i.toLong, Media.encodeWavPcm16((1 to 64).map(j => (i + j) % 2)))
+    }
+    val loud = Seq((7L, Media.encodeWavPcm16(
+      (1 to 64).map(j => if (j <= 16) 1000 * (j % 8) else 0))))
+    val texts = Seq((100L, "not audio".getBytes("UTF-8")))
+    val corpus = (quiet ++ loud ++ texts).toDF("doc_id", "bin")
+    val prep = Similarity.prepared(
+      Features.PcmFrameEnergy(winSamples = 8, nFrames = 4)
+        .features(corpus, "doc_id", "bin"),
+      "vec_id", "embedding")
+    val dedup = Similarity.semDedup(prep,
+        Similarity.strideCentroids(prep, 2L), tau = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+    assert(dedup.map(_._1).toSet === Set(0L, 1L, 2L, 7L),
+      "text blob must never enter the audio embedding space")
+    val dropped = dedup.filter(!_._3).map(_._1).toSet
+    assert(dropped.nonEmpty && !dropped.contains(7L),
+      "near-identical quiet clips dedup; the loud clip survives")
+  }
 }
