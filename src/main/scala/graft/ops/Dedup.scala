@@ -770,12 +770,16 @@ object Dedup {
     * maxBucket² per bucket; the fingerprint side is computed ONCE
     * (sealed via the Materializer) however many bands explode it.
     */
-  def hammingPairs(fps: DataFrame, maxDist: Int,
-                   maxBucket: Long = defaultMaxBucket,
-                   mat: Materializer = Materialize.Local): DataFrame = {
+  /** The (band, bkey) rows of a 64-bit fingerprint under maxDist+1
+    * contiguous bands — the blocking index [[hammingPairs]] joins on,
+    * exposed for the maintained-state protocol
+    * ([[graft.streaming.StreamingUpsert.dhashNearDupBatch]]), which
+    * persists exactly these rows.
+    */
+  private[graft] def hammingBandBuckets(fps: DataFrame,
+                                        maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist must be 0..7 (bandLen >= 8), got $maxDist")
-    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     val bits = 64
     val nBands = maxDist + 1
     val base = bits / nBands
@@ -786,12 +790,18 @@ object Dedup {
       struct(lit(b).as("band"),
         substring($"fp", start + 1, len).as("bkey"))
     }
+    fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey"))
+  }
+
+  def hammingPairs(fps: DataFrame, maxDist: Int,
+                   maxBucket: Long = defaultMaxBucket,
+                   mat: Materializer = Materialize.Local): DataFrame = {
+    require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     // Materialize once before AND after capping: the population
     // aggregate + join-back and both self-join sides otherwise re-run
     // the fingerprint pipeline per consumer (see minhashLshPairs).
-    val rawBuckets = mat(
-      fps.select($"doc_id", $"fp", explode(array(bandCols: _*)).as("bb"))
-        .select($"doc_id", $"fp", $"bb.band".as("band"), $"bb.bkey".as("bkey")))
+    val rawBuckets = mat(hammingBandBuckets(fps, maxDist))
     val buckets = mat(capBuckets(rawBuckets, maxBucket))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -1167,6 +1167,47 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("must not change mid-stream"))
   }
 
+  test("dhashNearDupBatch over sliced image batches equals batch hammingPairs; replay absorbed; fail-closed") {
+    import graft.ops.{Dedup, Media}
+    // 4 pattern groups x 2 copies (copy = +16 brightness shift, dHash-
+    // identical) + 2 undecodable text blobs
+    def pat(i: Long)(x: Int, y: Int): (Int, Int, Int) =
+      (8 + ((x * (2 + i) + y * (3 + 2 * i)) * 7).toInt % 180,
+        8 + ((x * (5 + i) + y * (1 + i)) * 11).toInt % 180,
+        8 + ((x + y * (2 + i)) * 13).toInt % 180)
+    val blobs = (0L until 4L).flatMap { i =>
+      Seq((i * 10, Media.pngFixture(18, 16)(pat(i))),
+        (i * 10 + 1, Media.pngFixture(18, 16) { (x, y) =>
+          val (r, g, b) = pat(i)(x, y); (r + 16, g + 16, b + 16)
+        }))
+    } ++ Seq((90L, "nope".getBytes("UTF-8")),
+      (91L, "also nope".getBytes("UTF-8")))
+    val df = blobs.toDF("doc_id", "bin")
+    val want = Dedup.hammingPairs(
+        graft.ops.Media.dhashImages(df, "doc_id", "bin")
+          .filter($"ok")
+          .select($"id".as("doc_id"), $"dhash".as("fp")),
+        maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    for (slices <- Seq(Seq(Seq(0L, 1L, 90L), Seq(10L, 11L, 21L), Seq(20L, 30L, 31L, 91L)),
+                       Seq(Seq(31L, 1L), Seq(11L, 21L, 0L, 91L), Seq(10L, 20L, 30L, 90L)))) {
+      val base = tmp("dhash_state")
+      slices.foreach { ids =>
+        StreamingUpsert.dhashNearDupBatch(spark,
+          df.filter($"doc_id".isin(ids: _*)), "doc_id", "bin",
+          maxDist = 6, basePath = base)
+      }
+      // replay the LAST batch — anti-join guard + distinct-at-read
+      StreamingUpsert.dhashNearDupBatch(spark,
+        df.filter($"doc_id".isin(slices.last: _*)), "doc_id", "bin",
+        maxDist = 6, basePath = base)
+      val got = StreamingUpsert.dhashPairsFromState(spark, base)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"slicing $slices diverged from batch pairs")
+    }
+  }
+
   test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
     import graft.ops.TopK
     val base = tmp("topk_state")
