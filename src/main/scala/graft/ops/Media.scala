@@ -671,4 +671,66 @@ object Media {
       })
       .toDF()
   }
+
+  case class WavHashRow(id: Long, ok: Boolean, n_samples: Option[Long],
+                        fp: Option[String])
+
+  /** Perceptual audio fingerprint — the acoustic analog of
+    * [[dhashImages]] (energy-delta hash in the Haitsma–Kalker 2002
+    * robust-hashing family, whole-clip segments instead of STFT
+    * bands): the PCM16 stream splits into `nSeg` proportional
+    * segments (sample i → segment i·nSeg/n, the dhash grid rule —
+    * every segment non-empty when n ≥ nSeg), each segment's energy is
+    * the exact int64 Σv², and bit s of the (nSeg−1)-char '0'/'1' hash
+    * is '1' iff E(s+1) &gt; E(s). Default nSeg = 65 → the 64-bit
+    * fingerprint [[Dedup.hammingPairs]] consumes. Properties that
+    * make it a dedup signal, not a checksum: the hash depends only on
+    * the clip's energy ENVELOPE shape, so a re-encoded copy (same
+    * samples, different container bytes) hashes identically, an
+    * exactly gain-scaled copy (every sample × g) hashes identically
+    * (energies scale by g² uniformly — comparisons invariant), and a
+    * locally perturbed copy flips only the bits whose segments the
+    * perturbation touches. Fails closed like [[decodeWavPcm16]]:
+    * non-PCM16 blobs AND clips shorter than nSeg samples (a segment
+    * would be empty) keep ok = false with a null hash.
+    *
+    * Scale shape: one partition-local pass at the codec boundary, one
+    * row per blob, no shuffle — the map-only stage before the banded
+    * pair join, exactly [[dhashImages]]' position in the image chain.
+    */
+  def energyHashWav(df: DataFrame, idCol: String, binCol: String,
+                    nSeg: Int = 65): DataFrame = {
+    require(nSeg >= 2 && nSeg <= (1 << 16),
+      s"nSeg must be 2..${1 << 16}, got $nSeg")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[MediaBlob]
+      .mapPartitions(_.map { blob =>
+        val b = blob.bytes
+        val n = pcm16SampleCount(b)
+        if (n < nSeg) WavHashRow(blob.id, ok = false, None, None)
+        else {
+          val e = new Array[Long](nSeg)
+          var i = 0
+          while (i < n) {
+            val v = (leU16(b, 44 + 2 * i).toShort).toLong
+            // proportional assignment: i*nSeg fits int64 (n <= 2^31,
+            // nSeg <= 2^16); each segment gets floor/ceil(n/nSeg) samples
+            e(((i.toLong * nSeg) / n).toInt) += v * v
+            i += 1
+          }
+          val out = new java.lang.StringBuilder(nSeg - 1)
+          var s = 0
+          while (s < nSeg - 1) {
+            out.append(if (e(s + 1) > e(s)) '1' else '0')
+            s += 1
+          }
+          WavHashRow(blob.id, ok = true, Some(n.toLong),
+            Some(out.toString))
+        }
+      })
+      .toDF()
+  }
 }

@@ -257,4 +257,101 @@ object Validate {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .filter($"n_sensitive" < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
+    * privacy beyond k-anonymity and l-diversity", ICDE 2007) — the
+    * third leg of the release-audit triad: a QI class can be large
+    * ([[kAnonymityClasses]] passes) and diverse
+    * ([[lDiversityClasses]] passes) yet still leak by SKEW — if 95%
+    * of one nation-segment's members share a status that is rare
+    * globally, membership in the class itself is informative. The
+    * check: within each QI class, the distribution of the sensitive
+    * attribute must sit within `tPpm` of the GLOBAL distribution
+    * under total variation distance, computed in exact integer ppm
+    * with [[Stats.distributionDriftWithEdges]]'s quantization
+    * (per-value rates = count·10⁶ DIV total, TVD = Σ|Δ| DIV 2 —
+    * engine-portable, no floating point; exact for counts ≤ ~9.2e12,
+    * the same envelope the drift tier documents). Returns the
+    * VIOLATING classes (qiCols…, class_size, tvd_ppm) with
+    * tvd_ppm &gt; tPpm.
+    *
+    * Pinned semantics: NULL sensitive values are excluded from BOTH
+    * distributions (the countDistinct discipline of
+    * [[lDiversityClasses]]) — a class whose rows are all
+    * NULL-sensitive has no distribution and is absent from the audit;
+    * NULL QI combinations form their own class (groupBy semantics);
+    * values ABSENT from a class still contribute their full global
+    * rate to that class's TVD (the cross attach below — dropping
+    * them would understate exactly the skew the audit exists to
+    * catch).
+    *
+    * Scale shape: ONE grouped count on (QI, sensitive) is the only
+    * corpus shuffle; the class-size and global-value tables re-
+    * aggregate THAT result (classes × domain sized, never the
+    * corpus); the global table is sensitive-domain-sized and
+    * broadcast into a classes × domain cross attach. Keep the
+    * sensitive domain bounded (status codes, buckets — not free
+    * text): the audit compares distributions, and a near-unique
+    * column has none worth comparing.
+    */
+  def tClosenessClasses(df: DataFrame, qiCols: Seq[String],
+                        sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "tClosenessClasses needs at least one QI column")
+    require(tPpm >= 0L && tPpm < 1000000L,
+      s"tPpm must be 0..999999, got $tPpm")
+    val cv = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_n_cv"))
+    tClosenessFromCv(cv, qiCols, sensitiveCol, tPpm)
+  }
+
+  /** Serve the release-level t-closeness audit from STORED partials —
+    * and the partial is [[lDiversityPartials]]' asset VERBATIM: both
+    * audits reduce to per-(segment, QI class, sensitive value) counts,
+    * so ONE maintained table serves the diversity AND closeness
+    * checks (sum-merge is exact by associativity; ValidateSpec holds
+    * the any-segmentation property). Touches segments × classes ×
+    * sensitive-domain rows, never the corpus.
+    */
+  def serveTCloseness(partials: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: String, tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "serveTCloseness needs at least one QI column")
+    require(tPpm >= 0L && tPpm < 1000000L,
+      s"tPpm must be 0..999999, got $tPpm")
+    val cv = partials.filter(col(sensitiveCol).isNotNull)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(sum(col("_n")).as("_n_cv"))
+    tClosenessFromCv(cv, qiCols, sensitiveCol, tPpm)
+  }
+
+  /** Shared TVD core over the (QI, sensitive) count table: class
+    * sizes and the global distribution re-aggregate `cv`; every class
+    * is crossed with the broadcast global value table so absent
+    * values count their global rate; exact-ppm rates and Σ|Δ| DIV 2.
+    */
+  private def tClosenessFromCv(cv: DataFrame, qiCols: Seq[String],
+                               sensitiveCol: String,
+                               tPpm: Long): DataFrame = {
+    val cls = cv.groupBy(qiCols.map(col): _*)
+      .agg(sum($"_n_cv").as("class_size"))
+    val gv = cv.groupBy(col(sensitiveCol).as("_gs"))
+      .agg(sum($"_n_cv").as("_n_v"))
+      .withColumn("_n",
+        sum($"_n_v").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+    val qiEq = qiCols.map(q => col(s"c.$q") <=> col(s"v.$q"))
+      .reduce(_ && _)
+    cls.as("c").crossJoin(broadcast(gv).as("g"))
+      .join(cv.as("v"),
+        qiEq && col("g._gs") === col(s"v.$sensitiveCol"), "left")
+      .select(qiCols.map(q => col(s"c.$q")) ++ Seq(
+        col("c.class_size"), col("g._n_v"), col("g._n"),
+        coalesce(col("v._n_cv"), lit(0L)).as("_n_cv")): _*)
+      .withColumn("_d",
+        abs(expr("_n_cv * 1000000 DIV class_size") -
+          expr("_n_v * 1000000 DIV _n")))
+      .groupBy((qiCols.map(col) :+ col("class_size")): _*)
+      .agg(expr("sum(_d) DIV 2").as("tvd_ppm"))
+      .filter($"tvd_ppm" > tPpm)
+  }
 }

@@ -370,4 +370,64 @@ class MediaSpec extends SparkSpec {
     assert(clusters === Set((10L, 10L, true), (11L, 10L, false),
       (12L, 10L, false)))
   }
+
+  test("energyHashWav: hand-replayed envelope hash; exact gain invariance; fail-closed") {
+    def samples(seed: Int): Seq[Int] =
+      (0 until 130).map { t =>
+        2 * ((((t.toLong * (7 + 3 * seed) * 2029L + (seed + 1) * 991L +
+          t.toLong * t * (11 + seed)) % 3001L).toInt) - 1500)
+      }
+    // hand-replay: proportional segments, exact energies, delta bits
+    def expected(ss: Seq[Int]): String = {
+      val e = new Array[Long](65)
+      ss.zipWithIndex.foreach { case (v, i) =>
+        e((i.toLong * 65 / ss.length).toInt) += v.toLong * v }
+      (0 until 64).map(s => if (e(s + 1) > e(s)) '1' else '0').mkString
+    }
+    val base = samples(0)
+    val rows = Media.energyHashWav(Seq(
+        (1L, Media.encodeWavPcm16(base)),
+        (2L, Media.encodeWavPcm16(base.map(_ / 2))), // exact gain scale
+        (3L, Media.encodeWavPcm16(base.take(40))),   // shorter than nSeg
+        (4L, "RIFFnot really a wav".getBytes("UTF-8")),
+        (5L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "bin"), "id", "bin")
+      .as[(Long, Boolean, Option[Long], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 && rows(1L)._4.contains(expected(base)))
+    assert(rows(1L)._4.get.length === 64)
+    assert(rows(1L)._3.contains(130L))
+    // even samples halve exactly -> every energy is exactly /4 -> every
+    // strict comparison (and every tie) is preserved bit-for-bit
+    assert(rows(2L)._4 === rows(1L)._4)
+    assert(!rows(3L)._2 && rows(3L)._4.isEmpty, "sub-segment clip fails closed")
+    assert(!rows(4L)._2 && !rows(5L)._2)
+  }
+
+  test("energyHashWav + hammingPairs: gain/perturbed copies cluster, distinct clip does not") {
+    def samples(seed: Int): Seq[Int] =
+      (0 until 130).map { t =>
+        2 * ((((t.toLong * (7 + 3 * seed) * 2029L + (seed + 1) * 991L +
+          t.toLong * t * (11 + seed)) % 3001L).toInt) - 1500)
+      }
+    val base = samples(0)
+    val blobs = Seq(
+      (10L, Media.encodeWavPcm16(base)),
+      (11L, Media.encodeWavPcm16(base.map(_ / 2))), // gain copy, dist 0
+      (12L, Media.encodeWavPcm16(base.zipWithIndex.map { case (v, t) =>
+        if (t >= 34 && t < 58) v + 1200 else v })), // local burst, dist 4
+      (20L, Media.encodeWavPcm16(samples(3))))      // distinct clip
+      .toDF("id", "bin")
+    val fps = Media.energyHashWav(blobs, "id", "bin")
+      .filter($"ok").select($"id".as("doc_id"), $"fp")
+    val pairs = Dedup.hammingPairs(fps, maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L, 0L), (10L, 12L, 4L), (11L, 12L, 4L)),
+      "gain copy at distance 0, perturbed at 4; the distinct clip pairs with nothing")
+    val clusters = Dedup.duplicateClusters(
+        Dedup.hammingPairs(fps, maxDist = 6).select($"doc_a", $"doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(clusters === Set((10L, 10L, true), (11L, 10L, false),
+      (12L, 10L, false)))
+  }
 }

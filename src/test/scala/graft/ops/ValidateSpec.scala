@@ -155,4 +155,54 @@ class ValidateSpec extends SparkSpec {
       assert(batch.nonEmpty, "fixture must have violating classes")
     }
   }
+
+  test("tClosenessClasses: hand-computed TVD; absent values count; NULL sensitive excluded") {
+    // global (non-NULL): A=6, B=2 over n=8 -> rates 750000 / 250000 ppm
+    // class X (4 rows, all A): |1e6-750000| + |0-250000| = 500000 -> tvd 250000
+    // class Y (4 rows, 2A+2B): |500000-750000| + |500000-250000| -> tvd 250000
+    //   ...with a NULL-sensitive row that must not change Y's distribution
+    val df = Seq(
+      ("X", Some("A")), ("X", Some("A")), ("X", Some("A")), ("X", Some("A")),
+      ("Y", Some("A")), ("Y", Some("A")), ("Y", Some("B")), ("Y", Some("B")),
+      ("Y", None)).toDF("qi", "s")
+    val got = Validate.tClosenessClasses(df, Seq("qi"), "s", tPpm = 200000L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("X", 4L, 250000L), ("Y", 4L, 250000L)))
+    // tighten nothing out / loosen everything out
+    assert(Validate.tClosenessClasses(df, Seq("qi"), "s", 250000L)
+      .count() === 0L, "strict > threshold")
+    // a class that exactly mirrors the global distribution has tvd 0
+    val mirror = Seq(("Z", "A"), ("Z", "A"), ("Z", "A"), ("Z", "B"))
+      .toDF("qi", "s")
+    val all = df.select($"qi", $"s").unionByName(mirror)
+    val z = Validate.tClosenessClasses(all, Seq("qi"), "s", 0L)
+      .filter($"qi" === "Z").collect()
+    assert(z.isEmpty, "mirror-of-global class sits at tvd 0, never flagged")
+  }
+
+  test("lDiversityPartials + serveTCloseness == one-shot audit on any segmentation (property)") {
+    // ONE stored asset, TWO audits: the t-closeness serve consumes the
+    // l-diversity partial verbatim; sum-merge makes it exact under any
+    // segmentation
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(6),
+        if (rnd.nextInt(12) == 0) None
+        else Some(Seq("A", "B", "C")(rnd.nextInt(3))))
+    } ++ (401 to 412).map(i => (i.toLong, 99, Some("A"))) // skewed class
+    for (nSeg <- Seq(1, 4, 9)) {
+      val df = rows.map { case (id, zip, sv) =>
+        (id, zip, sv, id % nSeg) }.toDF("id", "zip", "sv", "ingest")
+      val partials = Validate.lDiversityPartials(df, "ingest",
+        Seq("zip"), "sv")
+      val served = Validate.serveTCloseness(partials, Seq("zip"),
+          "sv", tPpm = 100000L)
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = Validate.tClosenessClasses(
+          df.drop("ingest"), Seq("zip"), "sv", tPpm = 100000L)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(served === batch, s"nSeg=$nSeg")
+      assert(batch.nonEmpty, "fixture must have violating classes")
+    }
+  }
 }
