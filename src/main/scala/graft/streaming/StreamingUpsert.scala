@@ -277,7 +277,26 @@ object StreamingUpsert {
                         basePath: String,
                         maxBucket: Long = Dedup.defaultMaxBucket,
                         mat: graft.ops.Materializer =
-                          graft.ops.Materialize.Local): Unit = {
+                          graft.ops.Materialize.Local): Unit =
+    hammingNearDupBatch(spark,
+      graft.ops.Media.dhashImages(batch, idCol, binCol)
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("dhash").as("fp")),
+      maxDist, basePath, maxBucket, mat)
+
+  /** Fold one batch of PRECOMPUTED 64-char '0'/'1' fingerprints
+    * (doc_id, fp) into the banded-Hamming near-dup state — the
+    * modality-agnostic core of [[dhashNearDupBatch]], factored the
+    * way [[graft.ops.Dedup.hammingPairs]] factors the batch chain:
+    * ANY 64-bit locality-preserving hash maintains through the same
+    * protocol (image dHash, audio [[graft.ops.Media.energyHashWav]],
+    * text SimHash). Section contract above applies verbatim.
+    */
+  def hammingNearDupBatch(spark: SparkSession, fps: DataFrame,
+                          maxDist: Int, basePath: String,
+                          maxBucket: Long = Dedup.defaultMaxBucket,
+                          mat: graft.ops.Materializer =
+                            graft.ops.Materialize.Local): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def readOrEmpty(p: String, like: DataFrame): DataFrame = {
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -285,9 +304,7 @@ object StreamingUpsert {
         spark.read.schema(like.schema).parquet(p).distinct()
       else like.limit(0)
     }
-    val newFps = mat(graft.ops.Media.dhashImages(batch, idCol, binCol)
-      .filter(col("ok"))
-      .select(col("id").as("doc_id"), col("dhash").as("fp")))
+    val newFps = mat(fps)
     val newBuckets = mat(Dedup.hammingBandBuckets(newFps, maxDist))
     val oldBuckets = readOrEmpty(s"$basePath/buckets", newBuckets)
       .join(newFps.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -312,8 +329,9 @@ object StreamingUpsert {
     newBuckets.write.mode("append").parquet(s"$basePath/buckets")
   }
 
-  /** The verified near-dup pairs from [[dhashNearDupBatch]] state,
-    * exactly-once at read — (doc_a, doc_b, dist), the columns of
+  /** The verified near-dup pairs from [[hammingNearDupBatch]] /
+    * [[dhashNearDupBatch]] state, exactly-once at read —
+    * (doc_a, doc_b, dist), the columns of
     * [[graft.ops.Dedup.hammingPairs]] verbatim.
     */
   def dhashPairsFromState(spark: SparkSession,

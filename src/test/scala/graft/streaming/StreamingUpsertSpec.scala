@@ -1208,6 +1208,44 @@ class StreamingUpsertSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDupBatch over sliced AUDIO batches equals batch hammingPairs; replay absorbed") {
+    import graft.ops.{Dedup, Media}
+    // the fingerprint-agnostic protocol on the audio modality: 3 clip
+    // groups x 2 copies (copy = exact half-gain, hash-identical) + a
+    // non-WAV blob that fails the fingerprint contract closed
+    def samples(seed: Int): Seq[Int] =
+      (0 until 130).map { t =>
+        2 * ((((t.toLong * (7 + 3 * seed) * 2029L + (seed + 1) * 991L +
+          t.toLong * t * (11 + seed)) % 3001L).toInt) - 1500)
+      }
+    val blobs = (0 until 3).flatMap { i =>
+      Seq((i * 10L, Media.encodeWavPcm16(samples(i))),
+        (i * 10L + 1, Media.encodeWavPcm16(samples(i).map(_ / 2))))
+    } :+ ((90L, "not a wav".getBytes("UTF-8")))
+    val df = blobs.toDF("doc_id", "bin")
+    def fps(d: org.apache.spark.sql.DataFrame) =
+      Media.energyHashWav(d, "doc_id", "bin")
+        .filter($"ok").select($"id".as("doc_id"), $"fp")
+    val want = Dedup.hammingPairs(fps(df), maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want === Set((0L, 1L, 0L), (10L, 11L, 0L), (20L, 21L, 0L)),
+      "each gain pair at distance 0, nothing across groups")
+    val base = tmp("audio_hamming_state")
+    val slices = Seq(Seq(0L, 11L, 90L), Seq(1L, 10L), Seq(20L, 21L))
+    slices.foreach { ids =>
+      StreamingUpsert.hammingNearDupBatch(spark,
+        fps(df.filter($"doc_id".isin(ids: _*))), maxDist = 6,
+        basePath = base)
+    }
+    // replay the middle batch — anti-join guard + distinct-at-read
+    StreamingUpsert.hammingNearDupBatch(spark,
+      fps(df.filter($"doc_id".isin(slices(1): _*))), maxDist = 6,
+      basePath = base)
+    val got = StreamingUpsert.dhashPairsFromState(spark, base)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want, "sliced audio state diverged from batch pairs")
+  }
+
   test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
     import graft.ops.TopK
     val base = tmp("topk_state")
