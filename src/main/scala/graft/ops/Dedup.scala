@@ -254,6 +254,38 @@ object Dedup {
       .filter(greatest($"cont_a_ppm", $"cont_b_ppm") >= tauPpm)
   }
 
+  /** Exact set-Jaccard near-dup pairs over PRECOMPUTED item sets
+    * (doc_id, shs: array&lt;string&gt;) — [[ngramJaccardPairs]]' df-capped
+    * candidate+verify chain with the SET pluggable, the same factoring
+    * [[hammingPairs]] gives the 64-bit hash family: any
+    * set-of-fingerprints representation reuses it. The video near-dup
+    * chain is the motivating caller (items = per-frame perceptual
+    * hashes from [[Media.dhashGifFrames]] — clip similarity as frame-
+    * set overlap survives re-encode, frame drops and re-ordering).
+    * Scores in exact integer ppm (inter × 10⁶ DIV union — truncating,
+    * engine-portable). Returns (doc_a, doc_b, inter, na, nb, jac_ppm),
+    * doc_a &lt; doc_b, jac_ppm ≥ tauPpm. Same documented df-cap trade
+    * as [[ngramJaccardPairs]]: pairs sharing ONLY hot items (df &gt;
+    * maxDf) are missed — one viral frame must not go O(df²).
+    *
+    * Scale shape: inverted index + df cap + equi self-join on the
+    * item; ONE exact array_intersect per candidate; empty sets are
+    * dropped (nothing to compare, and they would pair quadratically).
+    */
+  def setJaccardPairs(sets: DataFrame, tauPpm: Long,
+                      maxDf: Long = 1000L,
+                      mat: Materializer = Materialize.Local): DataFrame = {
+    require(tauPpm >= 1L && tauPpm <= 1000000L,
+      s"tauPpm must be 1..1000000, got $tauPpm")
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val s = mat(sets.select($"doc_id", array_distinct($"shs").as("shs"))
+      .filter(size($"shs") > 0))
+    rareShingleCandidates(s, maxDf, mat)
+      .select($"doc_a", $"doc_b", $"inter", $"na", $"nb",
+        expr("inter * 1000000 DIV (na + nb - inter)").as("jac_ppm"))
+      .filter($"jac_ppm" >= tauPpm)
+  }
+
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * AllPairs / PPJoin family: Bayardo et al., "Scaling Up All Pairs
     * Similarity Search", WWW'07; Xiao et al., "Efficient Similarity

@@ -483,6 +483,63 @@ object Media {
       .toDF()
   }
 
+  case class GifFrameHashRow(id: Long, frame_idx: Long, dhash: String)
+
+  /** Per-frame perceptual dHash of (possibly animated) GIF clips — the
+    * VIDEO half of the near-dup fingerprint family: one row per
+    * decoded frame with the same (gw−1)·gh '0'/'1' difference hash
+    * [[dhashImages]] computes for stills (default 9×8 → 64 bits), so
+    * a clip becomes a SET of frame fingerprints and clip-level
+    * near-dup is set overlap ([[Dedup.setJaccardPairs]]) — robust to
+    * re-encoding, uniform brightness shifts (dHash invariance),
+    * frame drops and frame re-ordering, which byte-level and
+    * single-image dedup all miss. Non-GIF/undecodable blobs produce
+    * no rows ([[decodeGifFrames]]' fail-closed rule); frames smaller
+    * than the grid are skipped.
+    *
+    * Scale shape: partition-local decode bounded by maxFrames, one
+    * row per frame, no shuffle — the map-only stage before the
+    * clip-level set join.
+    */
+  def dhashGifFrames(df: DataFrame, idCol: String, binCol: String,
+                     maxFrames: Int, gridW: Int = 9,
+                     gridH: Int = 8): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    require(gridW >= 2 && gridH >= 1,
+      s"grid must be at least 2x1, got ${gridW}x$gridH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(binCol).cast("binary").as("bytes"))
+      .as[MediaBlob]
+      .mapPartitions(_.flatMap { blob =>
+        if (blob.bytes == null || blob.bytes.length < 6 ||
+            !(blob.bytes(0) == 'G' && blob.bytes(1) == 'I' &&
+              blob.bytes(2) == 'F')) Iterator.empty
+        else {
+          val in = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(blob.bytes))
+          val readers = ImageIO.getImageReaders(in)
+          if (!readers.hasNext) { in.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(in, false, true)
+              val n = reader.getNumImages(true)
+              (0 until math.min(n, maxFrames)).iterator.flatMap { i =>
+                val img = reader.read(i)
+                if (img.getWidth < gridW || img.getHeight < gridH) None
+                else Some(GifFrameHashRow(blob.id, i.toLong,
+                  dhashOf(img, gridW, gridH)))
+              }.toVector.iterator
+            } catch { case _: Exception => Iterator.empty }
+            finally { reader.dispose(); in.close() }
+          }
+        }
+      })
+      .toDF()
+  }
+
   /** A complete (optionally animated) GIF89a written with the
     * "uncompressed LZW" technique: minimum code size 7 makes every
     * LZW code exactly one byte (codes 0..127 = literal palette

@@ -424,4 +424,36 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", 3, tauPpm = 500000L, maxDf = 10L)
     assert(capped.count() === 0L)
   }
+
+  test("setJaccardPairs: exact ppm over precomputed sets; df cap; empty sets dropped") {
+    // A={a,b,c,d}, B={a,b,c,e} -> 3/5 = 600000 ppm; C={a,b} -> vs A:
+    // 2/4 = 500000; D={z} disjoint; E empty (dropped, no quadratic pairing)
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),
+      (3L, Seq("a", "b")),
+      (4L, Seq("z")),
+      (5L, Seq.empty[String]),
+      (6L, Seq.empty[String])).toDF("doc_id", "shs")
+    val got = Dedup.setJaccardPairs(sets, tauPpm = 500000L)
+      .select($"doc_a", $"doc_b", $"jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 600000L), (1L, 3L, 500000L),
+      (2L, 3L, 500000L)))
+    // duplicate items inside one set must not inflate the intersection
+    val dup = Seq((1L, Seq("a", "a", "b")), (2L, Seq("a", "b")))
+      .toDF("doc_id", "shs")
+    val d = Dedup.setJaccardPairs(dup, tauPpm = 1L)
+      .select($"jac_ppm").as[Long].collect()
+    assert(d.toSeq === Seq(1000000L), "array_distinct must apply first")
+    // df cap: an item shared by everyone is excluded from candidates
+    val hot = (1L to 20L).map(i => (i, Seq("hot", s"u$i")))
+      .toDF("doc_id", "shs")
+    assert(Dedup.setJaccardPairs(hot, tauPpm = 1L, maxDf = 10L)
+      .count() === 0L)
+    // guards
+    intercept[IllegalArgumentException] {
+      Dedup.setJaccardPairs(sets, tauPpm = 0L)
+    }
+  }
 }

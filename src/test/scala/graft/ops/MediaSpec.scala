@@ -371,6 +371,37 @@ class MediaSpec extends SparkSpec {
       (12L, 10L, false)))
   }
 
+  test("dhashGifFrames: per-frame hash equals the PNG dhash of the same raster; palette shift invariant; fail-closed") {
+    val w = 12; val h = 10 // 120 px: the uncompressed-LZW frame cap
+    def pal(k: Int): (Int, Int, Int) =
+      ((2 * k) % 180 + 8, (k * 5 + 17) % 180 + 8, (k * 11 + 3) % 180 + 8)
+    def idx(f: Int)(i: Int): Int = (i * (3 + f) + i * i * (1 + 2 * f)) % 128
+    val palette = (0 until 128).map(pal)
+    val shifted = palette.map { case (r, g, b) => (r + 16, g + 16, b + 16) }
+    def frames(p: Seq[(Int, Int, Int)]) = Media.encodeGifUncompressed(w, h,
+      p, (0 until 3).map(f => Array.tabulate(w * h)(i => idx(f)(i).toByte)))
+    val rows = Media.dhashGifFrames(Seq(
+        (1L, frames(palette)),
+        (2L, frames(shifted)),                    // palette +16: same hashes
+        (3L, "GIF89a-but-not-really".getBytes("UTF-8")),
+        (4L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "bin"), "id", "bin", maxFrames = 8)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(rows(1L).length === 3)
+    assert(rows(1L).toSet.size === 3, "fixture frames must hash distinctly")
+    // same raster through the OTHER decoder: PNG dhash must agree
+    val viaPng = (0 until 3).map { f =>
+      Media.dhashImages(Seq((10L, Media.pngFixture(w, h) { (x, y) =>
+          pal(idx(f)(y * w + x)) })).toDF("id", "bin"), "id", "bin")
+        .as[(Long, Boolean, Long, Option[Long], Option[Long], Option[String])]
+        .collect().head._6.get
+    }
+    assert(rows(1L) === viaPng, "GIF frame dhash != PNG dhash of same raster")
+    assert(rows(2L) === rows(1L), "uniform palette shift changed the hash")
+    assert(!rows.contains(3L) && !rows.contains(4L), "non-GIF fails closed")
+  }
+
   test("energyHashWav: hand-replayed envelope hash; exact gain invariance; fail-closed") {
     def samples(seed: Int): Seq[Int] =
       (0 until 130).map { t =>
