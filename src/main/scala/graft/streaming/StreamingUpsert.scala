@@ -397,7 +397,52 @@ object StreamingUpsert {
                        idCol: String, textCol: String, n: Int,
                        tauPpm: Long, maxDf: Long, basePath: String,
                        mat: graft.ops.Materializer =
-                         graft.ops.Materialize.Local): Unit = {
+                         graft.ops.Materialize.Local): Unit =
+    setStateBatch(spark, Dedup.shingleSets(batch, idCol, textCol, n),
+      maxDf, basePath, mat) { raw =>
+      raw.select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+          col("nb"),
+          expr("inter * 1000000 DIV na").as("cont_a_ppm"),
+          expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
+    }
+
+  /** Fold one batch of PRECOMPUTED item sets (doc_id, shs) into the
+    * set-Jaccard state — the set-protocol analog of
+    * [[hammingNearDupBatch]]'s factoring: [[containmentBatch]]'s
+    * block-index/anti-join/cap machinery with the SCORE pluggable,
+    * so the video chain ([[graft.ops.Media.dhashGifFrames]] frame
+    * sets under [[graft.ops.Dedup.setJaccardPairs]]) maintains
+    * through the protocol text containment already uses. Sets are
+    * normalized exactly like the batch operator (array_distinct,
+    * empty sets dropped). Same section contract and cap-crossing
+    * semantics as containment.
+    */
+  def setJaccardBatch(spark: SparkSession, sets: DataFrame,
+                      tauPpm: Long, maxDf: Long, basePath: String,
+                      mat: graft.ops.Materializer =
+                        graft.ops.Materialize.Local): Unit =
+    setStateBatch(spark,
+      sets.select(col("doc_id"), array_distinct(col("shs")).as("shs"))
+        .filter(size(col("shs")) > 0),
+      maxDf, basePath, mat) { raw =>
+      raw.select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+          col("nb"),
+          expr("inter * 1000000 DIV (na + nb - inter)").as("jac_ppm"))
+        .filter(col("jac_ppm") >= tauPpm)
+    }
+
+  /** The shared state fold of [[containmentBatch]] /
+    * [[setJaccardBatch]]: persist (doc_id, shs) sets and the inverted
+    * item index, block new docs against their df-capped block mates
+    * only, verify candidates with ONE exact intersect, and hand the
+    * raw (doc_a, doc_b, inter, na, nb) table to the caller's scorer.
+    * Write order (pairs before state) keeps replays loss-free.
+    */
+  private def setStateBatch(spark: SparkSession, newSetsIn: DataFrame,
+                            maxDf: Long, basePath: String,
+                            mat: graft.ops.Materializer)(
+                            score: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val hconf = spark.sparkContext.hadoopConfiguration
     def readOrEmpty(p: String, like: DataFrame): DataFrame = {
@@ -406,7 +451,7 @@ object StreamingUpsert {
         spark.read.schema(like.schema).parquet(p).distinct()
       else like.limit(0)
     }
-    val newSets = mat(Dedup.shingleSets(batch, idCol, textCol, n))
+    val newSets = mat(newSetsIn)
     val newIds = newSets.select(col("doc_id"))
     val newInv = newSets.select(col("doc_id"), explode(col("shs")).as("sh"))
     // a REPLAYED batch would otherwise appear twice in the df count
@@ -428,24 +473,35 @@ object StreamingUpsert {
     val sets = readOrEmpty(s"$basePath/sets", newSets)
       .join(newIds, Seq("doc_id"), "left_anti")
       .unionByName(newSets)
-    val verified = cands
+    val verified = score(cands
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.shs"), col("sb.shs")))
           .cast("long").as("inter"),
         size(col("sa.shs")).cast("long").as("na"),
-        size(col("sb.shs")).cast("long").as("nb"))
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
-        col("nb"),
-        expr("inter * 1000000 DIV na").as("cont_a_ppm"),
-        expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
-      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
+        size(col("sb.shs")).cast("long").as("nb")))
     // pairs first: a replay after a partial failure re-appends pairs
     // (distinct-at-read) but never loses them against advanced state
     verified.write.mode("append").parquet(s"$basePath/pairs")
     newSets.write.mode("append").parquet(s"$basePath/sets")
     newInv.write.mode("append").parquet(s"$basePath/inv")
+  }
+
+  /** The verified set-Jaccard pairs from [[setJaccardBatch]] state,
+    * exactly-once at read — the columns of
+    * [[graft.ops.Dedup.setJaccardPairs]] verbatim.
+    */
+  def setJaccardPairsFromState(spark: SparkSession,
+                               basePath: String): DataFrame = {
+    val like = spark.range(0).select(
+      col("id").as("doc_a"), col("id").as("doc_b"),
+      col("id").as("inter"), col("id").as("na"), col("id").as("nb"),
+      col("id").as("jac_ppm"))
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/pairs")
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+      spark.read.schema(like.schema).parquet(s"$basePath/pairs").distinct()
+    else like.limit(0)
   }
 
   /** The verified containment pairs from [[containmentBatch]] state,

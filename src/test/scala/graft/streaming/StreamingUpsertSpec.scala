@@ -1246,6 +1246,39 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === want, "sliced audio state diverged from batch pairs")
   }
 
+  test("setJaccardBatch over sliced set batches equals batch setJaccardPairs; replay absorbed") {
+    import graft.ops.Dedup
+    // synthetic frame-hash sets (the protocol is set-level — no codec
+    // needed): two near-dup groups, one disjoint clip, one empty set
+    val sets = Seq(
+      (1L, Seq("f1", "f2", "f3", "f4")),
+      (2L, Seq("f1", "f2", "f3", "f9")),   // 3/5 vs 1
+      (3L, Seq("f1", "f2", "f3", "f4")),   // exact copy of 1
+      (10L, Seq("g1", "g2")),
+      (11L, Seq("g1", "g2")),
+      (20L, Seq("z1", "z2", "z3")),
+      (30L, Seq.empty[String])).toDF("doc_id", "shs")
+    val want = Dedup.setJaccardPairs(sets, tauPpm = 500000L, maxDf = 10L)
+      .select($"doc_a", $"doc_b", $"jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want === Set((1L, 2L, 600000L), (1L, 3L, 1000000L),
+      (2L, 3L, 600000L), (10L, 11L, 1000000L)))
+    val base = tmp("setjac_state")
+    def feed(ids: Seq[Long]): Unit =
+      StreamingUpsert.setJaccardBatch(spark,
+        sets.filter($"doc_id".isin(ids: _*)), tauPpm = 500000L,
+        maxDf = 10L, basePath = base)
+    feed(Seq(1L, 10L, 30L))
+    feed(Seq(2L, 11L))
+    feed(Seq(3L, 20L))
+    // replay the middle batch — anti-join guard + distinct-at-read
+    feed(Seq(2L, 11L))
+    val got = StreamingUpsert.setJaccardPairsFromState(spark, base)
+      .select($"doc_a", $"doc_b", $"jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want, "sliced set state diverged from batch pairs")
+  }
+
   test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
     import graft.ops.TopK
     val base = tmp("topk_state")
