@@ -765,4 +765,102 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("toks"), array().cast("array<string>")).as("toks"))
   }
+
+  // ------------------------------- distribution-matching selection
+
+  /** md5 bucket of a token — `conv` of the first 8 md5 hex chars mod
+    * nBuckets ([[Sessions.ppmBucket]]'s hash with a caller-sized
+    * modulus), the feature hashing every bucket-rate/score operator
+    * below shares. Exact int64; replays in any engine from the hex.
+    */
+  private def tokBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % nBuckets
+
+  /** Hashed-unigram bucket rates of a corpus — the distribution asset
+    * of distribution-matching selection: every token hashes to one of
+    * `nBuckets` buckets and the bucket's rate is its exact-ppm share
+    * of the corpus's total token count (count·10⁶ DIV total, the
+    * drift-tier quantization). Returns (bucket, n, rate_ppm); buckets
+    * no token hit are absent (treat as rate 0 downstream).
+    *
+    * Scale shape: one corpus explode into one grouped count (map-side
+    * combined, nBuckets-bounded output) — the asset is tiny and
+    * broadcastable however large the corpus.
+    */
+  def bucketRates(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000000,
+      s"nBuckets must be 2..1000000, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(toks(col(textCol))).as("tok"))
+      .select(tokBucket(col("tok"), nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("_tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("rate_ppm", expr("n * 1000000 DIV _tot"))
+      .drop("_tot")
+  }
+
+  /** Per-document hashed-bucket linear score — the inference core of
+    * the fastText-style hashed linear classifier (external weight
+    * table) and of [[distributionMatchScore]] (rate-difference
+    * weights): score_ppm(doc) = Σ_tok w(bucket(tok)) DIV n_toks, the
+    * TRUNCATE-toward-zero integer mean of the per-token weights —
+    * sums can be NEGATIVE, and truncation is pinned deliberately:
+    * Spark's DIV and DuckDB's // both truncate (verified, −7÷2 = −3
+    * in both), so the quantization replays verbatim. Buckets absent
+    * from `weights` score 0. Token-less documents are ABSENT from the
+    * output (no distribution to score — the t-closeness discipline);
+    * weights must be int64 ppm-scale values (|w| ≤ 10⁶ keeps every
+    * per-doc sum under 2⁶³ for documents up to ~9e12 tokens).
+    *
+    * Scale shape: one corpus explode, a BROADCAST weight join
+    * (nBuckets-bounded), ONE doc-key aggregate — the only shuffle.
+    */
+  def scoreByBucketWeights(docs: org.apache.spark.sql.DataFrame,
+                           idCol: String, textCol: String,
+                           weights: org.apache.spark.sql.DataFrame,
+                           nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000000,
+      s"nBuckets must be 2..1000000, got $nBuckets")
+    docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("tok"))
+      .withColumn("bucket", tokBucket(col("tok"), nBuckets))
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"), "left")
+      .na.fill(0L, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("_sw"))
+      .withColumn("score_ppm", expr("_sw DIV n_toks"))
+      .drop("_sw")
+  }
+
+  /** Distribution-matching selection score — the DSIR selection shape
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023: rank raw documents by how much more
+    * their hashed-unigram features look like a TARGET corpus than the
+    * raw corpus average) with the per-token log-likelihood ratio
+    * replaced by the exact-integer ppm RATE DIFFERENCE, so the score
+    * is engine-portable and the oracle replays it bit-for-bit (the
+    * same no-libm trade [[Stats.distributionDrift]] makes against
+    * PSI). score_ppm &gt; 0 = the document leans on vocabulary the
+    * target over-represents; select by threshold or top-k.
+    *
+    * Scale shape: two bucket-rate passes (target + raw — each one
+    * explode into an nBuckets-bounded count) build a broadcast weight
+    * table; scoring is [[scoreByBucketWeights]]' single-shuffle pass.
+    */
+  def distributionMatchScore(docs: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             target: org.apache.spark.sql.DataFrame,
+                             targetTextCol: String,
+                             nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val rt = bucketRates(target, targetTextCol, nBuckets)
+      .select(col("bucket"), col("rate_ppm").as("_rt"))
+    val rr = bucketRates(docs, textCol, nBuckets)
+      .select(col("bucket"), col("rate_ppm").as("_rr"))
+    val w = rt.join(rr, Seq("bucket"), "full")
+      .na.fill(0L, Seq("_rt", "_rr"))
+      .select(col("bucket"), (col("_rt") - col("_rr")).as("w"))
+    scoreByBucketWeights(docs, idCol, textCol, w, nBuckets)
+  }
 }

@@ -415,4 +415,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(want.values.exists(s => s.nonEmpty && !s.contains(TextAnalysis.UnkToken)),
       "fixture must exercise fully in-vocab docs")
   }
+
+  // the engine's token hash, replayed independently for expectations
+  private def bucketOf(tok: String, nBuckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16) % nBuckets
+  }
+
+  test("bucketRates: exact ppm shares over hashed buckets") {
+    // 4 tokens of a, 4 of b -> each bucket holds 500000 ppm (if a and
+    // b collide, one bucket holds 1000000)
+    val docs = Seq((1L, "a a b b"), (2L, "a a b b")).toDF("doc_id", "text")
+    val rates = TextAnalysis.bucketRates(docs, "text", 1024)
+      .as[(Long, Long, Long)].collect()
+      .map { case (b, n, r) => b -> ((n, r)) }.toMap
+    val (ba, bb) = (bucketOf("a", 1024), bucketOf("b", 1024))
+    if (ba == bb) assert(rates(ba) === ((8L, 1000000L)))
+    else {
+      assert(rates(ba) === ((4L, 500000L)))
+      assert(rates(bb) === ((4L, 500000L)))
+    }
+    assert(rates.values.map(_._1).sum === 8L)
+  }
+
+  test("scoreByBucketWeights: truncating mean over negative sums; absent buckets 0; token-less docs absent") {
+    val n = 1024
+    val Seq(bx, by) = Seq("x", "y").map(bucketOf(_, n))
+    assume(bx != by, "fixture tokens must not collide")
+    val weights = Seq((bx, -7L)).toDF("bucket", "w")
+    val docs = Seq(
+      (1L, "x y"),   // sum -7, n 2 -> -3 (both engines truncate to zero)
+      (2L, "x x"),   // sum -14, n 2 -> -7
+      (3L, "y y y"), // absent bucket -> 0
+      (4L, " ")      // token-less -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scoreByBucketWeights(docs, "doc_id", "text",
+        weights, n)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got === Map(1L -> ((2L, -3L)), 2L -> ((2L, -7L)),
+      3L -> ((3L, 0L))))
+  }
+
+  test("distributionMatchScore: target-leaning docs positive, raw-common negative") {
+    // target speaks 'tgt'; the raw corpus is dominated by 'noise'
+    val docs = (1L to 8L).map(i => (i, "noise noise noise")) ++
+      Seq((9L, "tgt tgt tgt"), (10L, "tgt noise"))
+    val df = docs.toDF("doc_id", "text")
+    val target = Seq((100L, "tgt tgt")).toDF("doc_id", "text")
+    val got = TextAnalysis.distributionMatchScore(df, "doc_id", "text",
+        target, "text", 1024)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(9L) > 0L, "pure-target doc must score positive")
+    assert(got(1L) < 0L, "raw-dominant doc must score negative")
+    assert(got(9L) > got(10L) && got(10L) > got(1L),
+      "scores must order by target lean")
+  }
 }
