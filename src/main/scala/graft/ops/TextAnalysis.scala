@@ -800,6 +800,41 @@ object TextAnalysis {
       .drop("_tot")
   }
 
+  /** The STORED partial of [[bucketRates]] — the q210/q212 maintenance
+    * axis applied to the distribution asset: per (`segmentCol`,
+    * bucket) token counts, one corpus pass per ingest segment,
+    * nBuckets-bounded output per segment. Counts are plain sums, so
+    * [[bucketRatesFromPartials]]' merge is exact by associativity —
+    * at 100 TB the weight table refreshes from delta-sized partials
+    * instead of re-exploding the corpus.
+    */
+  def bucketCountPartials(docs: org.apache.spark.sql.DataFrame,
+                          segmentCol: String, textCol: String,
+                          nBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000000,
+      s"nBuckets must be 2..1000000, got $nBuckets")
+    docs.select(col(segmentCol).as("_seg"),
+        explode(toks(col(textCol))).as("tok"))
+      .select(col("_seg"), tokBucket(col("tok"), nBuckets).as("bucket"))
+      .groupBy(col("_seg"), col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Serve [[bucketRates]] from stored partials: sum-merge per bucket,
+    * re-derive the exact-ppm rates — equal to the one-shot pass by
+    * sum associativity (TextAnalysisSpec property; the gate runs it
+    * under q224's oracle verbatim). Touches segments × buckets rows,
+    * never the corpus.
+    */
+  def bucketRatesFromPartials(partials: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    partials.groupBy(col("bucket")).agg(sum(col("_n")).as("n"))
+      .withColumn("_tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("rate_ppm", expr("n * 1000000 DIV _tot"))
+      .drop("_tot")
+  }
+
   /** Per-document hashed-bucket linear score — the inference core of
     * the fastText-style hashed linear classifier (external weight
     * table) and of [[distributionMatchScore]] (rate-difference
@@ -853,14 +888,23 @@ object TextAnalysis {
                              idCol: String, textCol: String,
                              target: org.apache.spark.sql.DataFrame,
                              targetTextCol: String,
-                             nBuckets: Int): org.apache.spark.sql.DataFrame = {
-    val rt = bucketRates(target, targetTextCol, nBuckets)
-      .select(col("bucket"), col("rate_ppm").as("_rt"))
-    val rr = bucketRates(docs, textCol, nBuckets)
-      .select(col("bucket"), col("rate_ppm").as("_rr"))
-    val w = rt.join(rr, Seq("bucket"), "full")
+                             nBuckets: Int): org.apache.spark.sql.DataFrame =
+    scoreByBucketWeights(docs, idCol, textCol,
+      rateDiffWeights(bucketRates(target, targetTextCol, nBuckets),
+        bucketRates(docs, textCol, nBuckets)), nBuckets)
+
+  /** The (bucket, w = target rate − raw rate) weight table of
+    * [[distributionMatchScore]], exposed so maintained rate assets
+    * ([[bucketRatesFromPartials]]) plug in without re-exploding
+    * either corpus. Buckets absent from one side take rate 0.
+    */
+  def rateDiffWeights(targetRates: org.apache.spark.sql.DataFrame,
+                      rawRates: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rt = targetRates.select(col("bucket"), col("rate_ppm").as("_rt"))
+    val rr = rawRates.select(col("bucket"), col("rate_ppm").as("_rr"))
+    rt.join(rr, Seq("bucket"), "full")
       .na.fill(0L, Seq("_rt", "_rr"))
       .select(col("bucket"), (col("_rt") - col("_rr")).as("w"))
-    scoreByBucketWeights(docs, idCol, textCol, w, nBuckets)
   }
 }

@@ -459,6 +459,26 @@ class TextAnalysisSpec extends SparkSpec {
       3L -> ((3L, 0L))))
   }
 
+  test("bucketCountPartials + bucketRatesFromPartials == one-shot bucketRates on any segmentation (property)") {
+    val rnd = new scala.util.Random(53)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(8))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    for (nSeg <- Seq(1, 3, 7)) {
+      val df = rows.map { case (id, txt) => (id, txt, id % nSeg) }
+        .toDF("doc_id", "text", "ingest")
+      val served = TextAnalysis.bucketRatesFromPartials(
+          TextAnalysis.bucketCountPartials(df, "ingest", "text", 256))
+        .as[(Long, Long, Long)].collect().toSet
+      val oneShot = TextAnalysis.bucketRates(df.drop("ingest"), "text", 256)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(served === oneShot, s"nSeg=$nSeg")
+      assert(oneShot.nonEmpty)
+    }
+  }
+
   test("distributionMatchScore: target-leaning docs positive, raw-common negative") {
     // target speaks 'tgt'; the raw corpus is dominated by 'noise'
     val docs = (1L to 8L).map(i => (i, "noise noise noise")) ++
