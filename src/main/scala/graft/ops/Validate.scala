@@ -286,22 +286,26 @@ object Validate {
     * catch).
     *
     * Scale shape: ONE grouped count on (QI, sensitive) is the only
-    * corpus shuffle; the class-size and global-value tables re-
-    * aggregate THAT result (classes × domain sized, never the
-    * corpus); the global table is sensitive-domain-sized and
-    * broadcast into a classes × domain cross attach. Keep the
-    * sensitive domain bounded (status codes, buckets — not free
-    * text): the audit compares distributions, and a near-unique
-    * column has none worth comparing.
+    * corpus pass — SEALED behind the Materializer barrier (the Dedup
+    * discipline: cls, the global table and the attach all consume it,
+    * and without the barrier each branch re-scans the corpus — the
+    * plan audit caught exactly that); the class-size and global-value
+    * tables re-aggregate the sealed classes × domain result, and the
+    * global table is sensitive-domain-sized and broadcast into a
+    * classes × domain cross attach. Keep the sensitive domain bounded
+    * (status codes, buckets — not free text): the audit compares
+    * distributions, and a near-unique column has none worth
+    * comparing.
     */
   def tClosenessClasses(df: DataFrame, qiCols: Seq[String],
-                        sensitiveCol: String, tPpm: Long): DataFrame = {
+                        sensitiveCol: String, tPpm: Long,
+                        mat: Materializer = Materialize.Local): DataFrame = {
     require(qiCols.nonEmpty, "tClosenessClasses needs at least one QI column")
     require(tPpm >= 0L && tPpm < 1000000L,
       s"tPpm must be 0..999999, got $tPpm")
-    val cv = df.filter(col(sensitiveCol).isNotNull)
+    val cv = mat(df.filter(col(sensitiveCol).isNotNull)
       .groupBy((qiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("_n_cv"))
+      .agg(count(lit(1)).as("_n_cv")))
     tClosenessFromCv(cv, qiCols, sensitiveCol, tPpm)
   }
 
@@ -314,13 +318,14 @@ object Validate {
     * sensitive-domain rows, never the corpus.
     */
   def serveTCloseness(partials: DataFrame, qiCols: Seq[String],
-                      sensitiveCol: String, tPpm: Long): DataFrame = {
+                      sensitiveCol: String, tPpm: Long,
+                      mat: Materializer = Materialize.Local): DataFrame = {
     require(qiCols.nonEmpty, "serveTCloseness needs at least one QI column")
     require(tPpm >= 0L && tPpm < 1000000L,
       s"tPpm must be 0..999999, got $tPpm")
-    val cv = partials.filter(col(sensitiveCol).isNotNull)
+    val cv = mat(partials.filter(col(sensitiveCol).isNotNull)
       .groupBy((qiCols :+ sensitiveCol).map(col): _*)
-      .agg(sum(col("_n")).as("_n_cv"))
+      .agg(sum(col("_n")).as("_n_cv")))
     tClosenessFromCv(cv, qiCols, sensitiveCol, tPpm)
   }
 

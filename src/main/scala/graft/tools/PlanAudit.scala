@@ -396,7 +396,57 @@ object PlanAudit {
             .select(col("p_partkey").as("node"))
           graft.ops.Graphs.cheapestPaths(edges, seeds, maxHops = 1,
             mat = graft.ops.Materialize.Off)
-        })
+        },
+
+      ("q219 t-closeness (round 13) — ONE corpus pass (the " +
+        "(QI, sensitive) grouped count, map-side combined) SEALED " +
+        "behind the Materializer barrier: every downstream branch " +
+        "(class sizes, the broadcast global table, the attach) scans " +
+        "the classes x domain ExistingRDD, never the corpus (the " +
+        "unsealed form re-scanned orders three times — caught by this " +
+        "audit); the TVD aggregate runs over classes x domain rows") ->
+        fmt(OpsQueries.q219(spark, dir)),
+
+      ("q218 audio fingerprint subtree (round 13) — the map-only stage " +
+        "before the banded pair join: one scan into the codec-boundary " +
+        "mapPartitions (ExistingRDD-free plan — the fingerprint is " +
+        "computed in the SerializeFromObject pipeline, no shuffle); " +
+        "the pair join behind it is q211's banded-Hamming shape " +
+        "verbatim (hammingPairs audits above apply)") ->
+        fmt {
+          import org.apache.spark.sql.functions._
+          graft.ops.Media.energyHashWav(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text").cast("binary").as("bin")),
+            "doc_id", "bin")
+        },
+
+      ("q222 video frame-set Jaccard (round 13) — the clip-set join: " +
+        "frame hashes aggregate per clip (collect_set, one doc-key " +
+        "shuffle), the inverted frame-hash index is df-capped before " +
+        "the candidate equi self-join, ONE exact array_intersect per " +
+        "candidate; nothing all-pairs, no raster column anywhere past " +
+        "the hash projection") ->
+        fmt {
+          import org.apache.spark.sql.functions._
+          val sets = graft.ops.Media.dhashGifFrames(
+              spark.read.parquet(s"$dir/documents.parquet")
+                .select(col("doc_id"),
+                  col("text").cast("binary").as("bin")),
+              "doc_id", "bin", maxFrames = 8)
+            .groupBy(col("id").as("doc_id"))
+            .agg(collect_set(col("dhash")).as("shs"))
+          graft.ops.Dedup.setJaccardPairs(sets, tauPpm = 500000L,
+            maxDf = 10L, mat = graft.ops.Materialize.Off)
+        },
+
+      ("q224 distribution-match scoring (round 13) — the rate tables " +
+        "reduce each corpus explode to an nBuckets-bounded count " +
+        "(map-side combined) and come back as BROADCAST weight joins " +
+        "on the token explode; the ONLY corpus-sized shuffle is the " +
+        "final doc-key aggregate — the shape every per-token scorer " +
+        "must keep at 100 TB") ->
+        fmt(OpsQueries.q224(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
