@@ -105,4 +105,76 @@ class RangesSpec extends SparkSpec {
     assert(naive.except(bucketed).count() === 0L)
     assert(naive.count() > 0L) // fixture actually exercises matches
   }
+
+  private def livs(rows: (Long, String, String, String)*): DataFrame =
+    rows.toDF("l_id", "k", "a_start", "a_end")
+      .withColumn("a_start", $"a_start".cast("timestamp"))
+      .withColumn("a_end", $"a_end".cast("timestamp"))
+
+  private def ojoin(l: DataFrame, r: DataFrame,
+                    bucket: Long = HourMicros): DataFrame =
+    Ranges.bucketedIntervalOverlapJoin(l, r, "k", "ik",
+      "a_start", "a_end", "w_start", "w_end", bucket)
+
+  test("overlap join: half-open boundaries — touching intervals do not match") {
+    val l = livs(
+      (1L, "a", "2024-01-01 08:00:00", "2024-01-01 10:00:00"), // touches
+      (2L, "a", "2024-01-01 09:00:00", "2024-01-01 11:00:00"), // overlaps
+      (3L, "a", "2024-01-01 12:00:00", "2024-01-01 13:00:00"), // after
+      (4L, "b", "2024-01-01 10:30:00", "2024-01-01 11:00:00")) // other key
+    val r = ivs((10L, "a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+    val got = ojoin(l, r).select("l_id").as[Long].collect().toSet
+    assert(got === Set(2L))
+  }
+
+  test("overlap join: multi-bucket intersection emits the pair EXACTLY once") {
+    // both intervals span 6 shared hourly buckets — the canonical-
+    // bucket rule must keep one row, not six
+    val l = livs((1L, "a", "2024-01-01 00:00:00", "2024-01-01 08:00:00"))
+    val r = ivs((10L, "a", "2024-01-01 01:00:00", "2024-01-01 07:00:00"))
+    val got = ojoin(l, r).collect()
+    assert(got.length === 1)
+  }
+
+  test("overlap join: empty intervals on either side match nothing") {
+    val l = livs(
+      (1L, "a", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+      (2L, "a", "2024-01-01 09:00:00", "2024-01-01 11:00:00"))
+    val r = ivs(
+      (10L, "a", "2024-01-01 09:30:00", "2024-01-01 09:30:00"),
+      (11L, "a", "2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+    val got = ojoin(l, r).select("l_id", "iv_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 11L)))
+  }
+
+  test("overlap join matches the naive theta-join on randomized data (property)") {
+    val rnd = new scala.util.Random(61)
+    val base = 1704067200000000L
+    def mk(n: Int, maxLenH: Int) = Seq.tabulate(n) { i =>
+      val s = base + math.abs(rnd.nextLong()) % (86400L * 1000000L)
+      (i.toLong, s"k${rnd.nextInt(4)}",
+        new java.sql.Timestamp(s / 1000),
+        new java.sql.Timestamp((s + rnd.nextInt(maxLenH * 3600) * 1000000L) / 1000))
+    }
+    val l = mk(120, 6).toDF("l_id", "k", "a_start", "a_end")
+    val r = mk(50, 9).toDF("iv_id", "ik", "w_start", "w_end")
+    val bucketed = ojoin(l, r).select("l_id", "iv_id")
+    val naive = l.join(r,
+        $"k" === $"ik" && $"a_start" < $"w_end" && $"w_start" < $"a_end")
+      .select("l_id", "iv_id")
+    assert(bucketed.except(naive).count() === 0L)
+    assert(naive.except(bucketed).count() === 0L)
+    assert(naive.count() > 0L)
+    // pair-once: bucketed emits no duplicate rows
+    assert(bucketed.count() === bucketed.distinct().count())
+  }
+
+  test("overlap join: colliding interval column names are rejected") {
+    val l = livs((1L, "a", "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+    intercept[IllegalArgumentException] {
+      Ranges.bucketedIntervalOverlapJoin(l, l, "k", "k",
+        "a_start", "a_end", "a_start", "a_end", HourMicros)
+    }
+  }
 }
