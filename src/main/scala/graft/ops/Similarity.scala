@@ -59,6 +59,23 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("n2", qnorm2($"qv"))
 
+  /** Matryoshka prefix view of a [[prepared]] corpus: rank on only
+    * the FIRST `dims` components of the quantized vector (Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS 2022 —
+    * MRL-trained embeddings concentrate meaning in the prefix, so
+    * serving trades dimensions for cost AT QUERY TIME without
+    * re-embedding: 16 of 64 dims = 4× less ranking arithmetic and
+    * scan bytes). The norm is recomputed over the prefix so cosine
+    * stays a true cosine in the truncated space. Recall vs the
+    * full-dim exact ranking is gate-measured (q227), the q74 int8
+    * protocol on the DIMENSION axis instead of the precision axis.
+    */
+  def preparedPrefix(p: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    p.select($"vec_id", slice($"qv", 1, dims).as("qv"))
+      .withColumn("n2", qnorm2($"qv"))
+  }
+
   /** The ONE ranking tail every kNN variant ends in: per-query
     * top-k over (query_id, neighbor_id, cos_sim) rows with the
     * (cos desc, neighbor_id asc) tie-break. Single definition so the

@@ -59,6 +59,37 @@ class SimilaritySpec extends SparkSpec {
     assert(res(0).getAs[Double]("cos_sim") > 0.99)
   }
 
+  test("preparedPrefix: ranks on the prefix only; full-width prefix is identity") {
+    // vectors built so the 2-dim PREFIX ordering disagrees with the
+    // full 4-dim ordering: neighbor 1 matches the query's prefix
+    // exactly but diverges in the tail; neighbor 2 the reverse
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, -1.0f, 0.0f)),   // prefix-identical, tail opposite
+      (2L, Seq(0.6f, 0.2f, 1.0f, 0.0f)),    // prefix off, tail matches
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))),
+      "vec_id", "embedding")
+    val full = Similarity.knnBrute(p, p.filter($"vec_id" === 0L), 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(full === Seq(2L), "full-dim ranking prefers the tail match")
+    val pp = Similarity.preparedPrefix(p, 2)
+    val pre = Similarity.knnBrute(pp, pp.filter($"vec_id" === 0L), 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(pre === Seq(1L), "prefix ranking sees only the first dims")
+    // norm recomputed over the prefix: cos of the prefix-identical
+    // neighbor is exactly 1.0
+    val cos = Similarity.knnBrute(pp, pp.filter($"vec_id" === 0L), 1)
+      .select("cos_sim").as[Double].collect().head
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // full-width prefix is the identity view
+    val idAll = Similarity.preparedPrefix(p, 4)
+    val a = Similarity.knnBrute(p, p.filter($"vec_id" === 0L), 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    val b = Similarity.knnBrute(idAll, idAll.filter($"vec_id" === 0L), 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("preparedInt8: codes in [-127,127], zero-vector safe, kNN-compatible") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 40L).map(i =>
