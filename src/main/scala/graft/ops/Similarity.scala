@@ -1375,6 +1375,25 @@ object Similarity {
     rerankExact(cand, corpus, queries, k)
   }
 
+  /** Matryoshka ADAPTIVE-RETRIEVAL serve (the funnel Kusupati et al.
+    * 2022 propose MRL embeddings for): shortlist on the CHEAP prefix
+    * ranking ([[preparedPrefix]] — dims/64 of the arithmetic and scan
+    * bytes), then exact full-dim re-rank of only the shortlist rows
+    * via the shared [[rerankExact]] fetch. Prefix recall loss is
+    * confined to true neighbors that never reach the shortlist —
+    * q228 measures the recovery against q227's raw-prefix audit, the
+    * q85→q86 protocol on the dimension axis.
+    */
+  def knnPrefixRerank(corpus: DataFrame, queries: DataFrame, dims: Int,
+                      k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val pp = preparedPrefix(corpus, dims)
+    val qp = preparedPrefix(queries, dims)
+    val cand = knnBrute(pp, qp, shortlist)
+      .select($"query_id", $"neighbor_id")
+    rerankExact(cand, corpus, queries, k)
+  }
+
   /** Exact cosine re-rank of a (query_id, neighbor_id) candidate
     * table: only candidate rows fetch full vectors (selective
     * equi-join), shared by the PQ and IVF-PQ refine paths.

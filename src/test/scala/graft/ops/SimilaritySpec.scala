@@ -90,6 +90,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("knnPrefixRerank: shortlist from the prefix, final order from full vectors") {
+    // prefix ranking puts the prefix-identical neighbor first, but a
+    // large-enough shortlist lets the exact re-rank restore the true
+    // full-dim winner
+    val p = Similarity.prepared(emb(
+      (0L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, -1.0f, 0.0f)),
+      (2L, Seq(0.6f, 0.2f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))),
+      "vec_id", "embedding")
+    val got = Similarity.knnPrefixRerank(p, p.filter($"vec_id" === 0L),
+        dims = 2, k = 1, shortlist = 3)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(2L), "re-rank must restore the full-dim winner")
+    // with shortlist = 1 the true winner never reaches the re-rank —
+    // the documented funnel loss
+    val tight = Similarity.knnPrefixRerank(p, p.filter($"vec_id" === 0L),
+        dims = 2, k = 1, shortlist = 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(tight === Seq(1L))
+    intercept[IllegalArgumentException] {
+      Similarity.knnPrefixRerank(p, p, dims = 2, k = 5, shortlist = 3)
+    }
+  }
+
   test("preparedInt8: codes in [-127,127], zero-vector safe, kNN-compatible") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 40L).map(i =>
