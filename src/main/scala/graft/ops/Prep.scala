@@ -65,6 +65,51 @@ object Prep {
         md5(concat_ws(" ", $"chunk")).as("chunk_fp"))
   }
 
+  /** Packed training sequences — the LAST mile after tokenization:
+    * encoded documents (doc_id, ids — [[TextAnalysis.encodeDocs]]'
+    * output) shard by id, pack by cumulative id count
+    * ([[packBins]]' bin rule with n = size(ids) + 1 for the
+    * document-boundary token), and each (shard, bin) assembles its
+    * documents' id runs in doc_id order with `eosId` appended after
+    * EVERY document — the GPT-style doc-separator convention that
+    * lets attention masking recover document boundaries. Token-less
+    * documents are dropped (nothing to train on). Oversized
+    * documents straddle bins exactly as [[packBins]] documents
+    * (whole-doc assignment by cumulative end; exact first-fit is
+    * inherently sequential). Output per (shard, bin_id): n_docs,
+    * n_ids, and the md5 fingerprint of the space-joined packed ids —
+    * the q155 fingerprint discipline, because the packed sequence
+    * itself is budget-sized.
+    *
+    * Scale shape: ONE shard-partitioned cumulative window (no global
+    * sort — shards pack independently) + one (shard, bin) aggregate;
+    * in-bin ordering is an array_sort over the bin's own structs
+    * (budget-bounded), never a corpus sort.
+    */
+  def packSequences(encoded: DataFrame, budgetTokens: Long,
+                    numShards: Int, eosId: Long): DataFrame = {
+    require(budgetTokens > 0 && numShards > 0)
+    val w = Window.partitionBy($"shard")
+      .orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    encoded.select($"doc_id", $"ids")
+      .filter(size($"ids") > 0)
+      .withColumn("shard", pmod($"doc_id", lit(numShards)).cast("long"))
+      .withColumn("_n", size($"ids").cast("long") + 1L)
+      .withColumn("_c", sum($"_n").over(w) - 1)
+      .withColumn("bin_id", expr(s"_c DIV $budgetTokens"))
+      .groupBy($"shard", $"bin_id")
+      .agg(array_sort(collect_list(struct($"doc_id", $"ids"))).as("_s"))
+      .select($"shard", $"bin_id",
+        size($"_s").cast("long").as("n_docs"),
+        flatten(transform($"_s",
+          s => concat(s.getField("ids"), array(lit(eosId))))).as("_ids"))
+      .select($"shard", $"bin_id", $"n_docs",
+        size($"_ids").cast("long").as("n_ids"),
+        md5(concat_ws(" ",
+          transform($"_ids", _.cast("string")))).as("ids_fp"))
+  }
+
   /** Leakage-safe train/test split: the split decision is made per
     * duplicate CLUSTER, not per document, so near-duplicates can never
     * straddle the boundary (the eval-contamination failure mode of a

@@ -71,4 +71,42 @@ class PrepSpec extends SparkSpec {
       .filter($"split" === "test").count()
     assert(n > 120 && n < 280, s"10% of 2000 expected, got $n")
   }
+
+  test("packSequences: hand-computed bins, separator placement, empty docs dropped") {
+    import org.apache.spark.sql.functions._
+    // one shard, budget 10: d0 (3 ids -> n 4, cum 4 -> bin 0),
+    // d8 (5 ids -> n 6, cum 10 -> bin 0), d16 (4 ids -> n 5, cum 15
+    // -> bin 1); d24 empty -> dropped
+    val enc = Seq(
+      (0L, Seq(11L, 12L, 13L)),
+      (8L, Seq(21L, 22L, 23L, 24L, 25L)),
+      (16L, Seq(31L, 32L, 33L, 34L)),
+      (24L, Seq.empty[Long])).toDF("doc_id", "ids")
+    val got = Prep.packSequences(enc, budgetTokens = 10L, numShards = 8,
+        eosId = -1L)
+      .orderBy("shard", "bin_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    def fp(ids: Seq[Long]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ids.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(got === Seq(
+      (0L, 0L, 2L, 10L,
+        fp(Seq(11L, 12L, 13L, -1L, 21L, 22L, 23L, 24L, 25L, -1L))),
+      (0L, 1L, 1L, 5L, fp(Seq(31L, 32L, 33L, 34L, -1L)))))
+  }
+
+  test("packSequences: shards pack independently; oversized doc assigned by cumulative end") {
+    import org.apache.spark.sql.functions._
+    val enc = Seq(
+      (1L, (1L to 15L).toSeq), // 15 ids -> n 16, cum 16 -> bin 1 (straddles)
+      (2L, Seq(7L, 8L)))       // other shard, bin 0
+      .toDF("doc_id", "ids")
+    val got = Prep.packSequences(enc, budgetTokens = 10L, numShards = 2,
+        eosId = -1L)
+      .select("shard", "bin_id", "n_ids")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 16L), (0L, 0L, 3L)))
+  }
 }
