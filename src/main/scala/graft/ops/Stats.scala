@@ -303,12 +303,27 @@ object Stats {
     */
   def winsorizeBy(df: DataFrame, groupCol: String, keyExpr: String,
                   valueCol: String, loPermille: Int, hiPermille: Int,
-                  k: Int = 512): DataFrame = {
+                  k: Int = 512): DataFrame =
+    winsorizeFromPartials(df, groupCol,
+      Sketches.quantilePartials(df, Seq(groupCol), expr(keyExpr),
+        col(valueCol), k),
+      valueCol, loPermille, hiPermille)
+
+  /** [[winsorizeBy]]'s clamp served from EXISTING quantile-sketch
+    * partials — the composition winsorizeBy's own doc promises at
+    * 100 TB (the q215 discipline applied to the clamp): the
+    * MAINTAINED summary asset (bit-equal to a one-shot sketch by the
+    * exact bottom-k merge) provides the per-group band, so the corpus
+    * is scanned ONCE (the clamp pass) instead of twice, and appends
+    * refresh the band delta-sized instead of re-sketching history.
+    * Same pinned NULL semantics as the one-shot form.
+    */
+  def winsorizeFromPartials(df: DataFrame, groupCol: String,
+                            partials: DataFrame, valueCol: String,
+                            loPermille: Int, hiPermille: Int): DataFrame = {
     require(1 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
       s"need 1 <= lo < hi <= 1000, got ($loPermille, $hiPermille)")
-    val sk = Sketches.quantilePartials(df, Seq(groupCol), expr(keyExpr),
-      col(valueCol), k)
-    val edges = Sketches.quantileEstimates(sk, Seq(groupCol),
+    val edges = Sketches.quantileEstimates(partials, Seq(groupCol),
         Seq(loPermille, hiPermille))
       .select(col(groupCol).as("_g"), col(s"p$loPermille").as("_lo"),
         col(s"p$hiPermille").as("_hi"))
