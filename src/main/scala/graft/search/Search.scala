@@ -525,4 +525,46 @@ object Search {
       .groupBy($"id").agg(sum($"contrib").as("score_fp"))
       .filter($"score_fp" > 0)
   }
+
+  /** Hybrid lexical + vector retrieval via Reciprocal Rank Fusion
+    * (Cormack, Clarke & Büttcher, "Reciprocal rank fusion outperforms
+    * Condorcet and individual rank learning methods", SIGIR 2009) —
+    * the fusion production search stacks run because BM25 and cosine
+    * scores live on incomparable scales while RANKS always fuse: each
+    * system contributes 10⁶ DIV (kRrf + rank) for its top-`n` list
+    * (exact integer, the ppm discipline; kRrf = 60 is the paper's
+    * constant), a document absent from one list contributes 0 there,
+    * final order (rrf_fp desc, id asc). `corpus`/`queryVec` are
+    * [[graft.ops.Similarity.prepared]] frames (queryVec one row — its
+    * own vector is excluded from its neighbors by knnBrute's
+    * self-filter). Returns (id, rrf_fp, rank), rank 1..k.
+    *
+    * Scale shape: the BM25 side keeps [[bm25Search]]'s 2-scan /
+    * 1-shuffle plan plus one rank window over the MATCHED set only
+    * (docs sharing ≥ 1 query token — query-bounded, not
+    * corpus-bounded); the vector side is [[graft.ops.Similarity
+    * .knnBrute]]'s broadcast-query scan with its k-bounded window;
+    * the fusion itself is an n-bounded union + aggregate.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+                queryToks: Seq[String], corpus: DataFrame,
+                queryVec: DataFrame, n: Int, k: Int,
+                kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25Search(docs, idCol, textCol, queryToks)
+      .withColumn("r", row_number().over(
+        Window.orderBy($"score_fp".desc, $"id".asc)).cast("long"))
+      .filter($"r" <= n)
+      .select($"id", expr(s"1000000 DIV ($kRrf + r)").as("c"))
+    val vec = graft.ops.Similarity.knnBrute(corpus, queryVec, n)
+      .select($"neighbor_id".as("id"),
+        expr(s"1000000 DIV ($kRrf + rank)").as("c"))
+    bm.unionByName(vec)
+      .groupBy($"id").agg(sum($"c").as("rrf_fp"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rrf_fp".desc, $"id".asc)).cast("long"))
+      .filter($"rank" <= k)
+  }
 }

@@ -176,4 +176,45 @@ class SearchSpec extends SparkSpec {
     assert(after === before, "constructing idfSearch must not run a job")
     assert(df.count() === 2L)
   }
+
+  test("hybridRrf fuses the engine's own BM25 and kNN rankings; both-list docs sum") {
+    import graft.ops.Similarity
+    val docs = Seq(
+      (0L, "spark spark engine"), (1L, "spark only"),
+      (2L, "nothing relevant here"), (3L, "spark table join"))
+      .toDF("doc_id", "text")
+    def v(xs: Float*) = xs.toSeq
+    val corpus = Similarity.prepared(Seq(
+        (0L, v(1f, 0f)), (1L, v(0f, 1f)), (2L, v(0.9f, 0.1f)),
+        (3L, v(-1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val qv = Similarity.prepared(Seq((9L, v(1f, 0f)))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val toks = Seq("spark", "table")
+    // expected fusion from the CONSTITUENT rankings the engine itself
+    // produces (each constituent has its own oracle-gated tests)
+    val bmRank = graft.search.Search.bm25Search(docs, "doc_id", "text", toks)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).toSeq
+    val vecRank = Similarity.knnBrute(corpus, qv, 4)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val want = (bmRank.zipWithIndex.map { case (id, i) =>
+        id -> (1000000L / (60 + i + 1)) } ++
+      vecRank.zipWithIndex.map { case (id, i) =>
+        id -> (1000000L / (60 + i + 1)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wantTop = want.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(3).zipWithIndex.map { case ((id, s), i) => (id, s, i + 1L) }
+    val got = graft.search.Search.hybridRrf(docs, "doc_id", "text", toks,
+        corpus, qv, n = 4, k = 3)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(got === wantTop)
+    // doc 2 is lexically irrelevant but vector-close: it must appear
+    // with a single-list contribution
+    assert(want.contains(2L) && !bmRank.contains(2L))
+    intercept[IllegalArgumentException] {
+      graft.search.Search.hybridRrf(docs, "doc_id", "text", toks,
+        corpus, qv, n = 2, k = 3)
+    }
+  }
 }
