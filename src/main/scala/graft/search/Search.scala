@@ -549,11 +549,38 @@ object Search {
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
                 queryToks: Seq[String], corpus: DataFrame,
                 queryVec: DataFrame, n: Int, k: Int,
-                kRrf: Int = 60): DataFrame = {
+                kRrf: Int = 60): DataFrame =
+    fuseRrf(bm25Search(docs, idCol, textCol, queryToks),
+      corpus, queryVec, n, k, kRrf)
+
+  /** [[hybridRrf]] with the lexical side served from the PERSISTED
+    * BM25 index ([[writeBm25Index]] tables) — the hybrid stack's
+    * production shape: repeat queries never re-tokenize the corpus
+    * (the index scan is token-pruned and bucketed), and since
+    * [[bm25MultiFieldFromIndex]] is result-identical to the inline
+    * form (q95's proof), the fused ranking is identical too — the
+    * gate runs it under the inline composition's oracle verbatim.
+    */
+  def hybridRrfFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         postingsTable: String, dfTable: String,
+                         statsTable: String, field: String,
+                         queryToks: Seq[String], corpus: DataFrame,
+                         queryVec: DataFrame, n: Int, k: Int,
+                         kRrf: Int = 60): DataFrame =
+    fuseRrf(bm25MultiFieldFromIndex(spark, postingsTable, dfTable,
+        statsTable, Seq(field), queryToks),
+      corpus, queryVec, n, k, kRrf)
+
+  /** The shared RRF tail: rank the (id, score_fp) lexical table over
+    * its matched set, rank the vector side with knnBrute, fuse.
+    */
+  private def fuseRrf(bmScores: DataFrame, corpus: DataFrame,
+                      queryVec: DataFrame, n: Int, k: Int,
+                      kRrf: Int): DataFrame = {
     require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     import org.apache.spark.sql.expressions.Window
-    val bm = bm25Search(docs, idCol, textCol, queryToks)
+    val bm = bmScores
       .withColumn("r", row_number().over(
         Window.orderBy($"score_fp".desc, $"id".asc)).cast("long"))
       .filter($"r" <= n)
