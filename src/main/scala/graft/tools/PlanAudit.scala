@@ -446,7 +446,23 @@ object PlanAudit {
         "on the token explode; the ONLY corpus-sized shuffle is the " +
         "final doc-key aggregate — the shape every per-token scorer " +
         "must keep at 100 TB") ->
-        fmt(OpsQueries.q224(spark, dir)))
+        fmt(OpsQueries.q224(spark, dir)),
+
+      ("q226 interval-overlap join (round 13) — the theta-join " +
+        "REWRITE: both interval sides Generate onto the bucket grid " +
+        "and meet in ONE hash equi-join on (key, bucket); the overlap " +
+        "predicate and the canonical-bucket pair-once filter sit " +
+        "ABOVE the join as codegen'd filters — no BroadcastNestedLoop, " +
+        "no per-key cross product anywhere") ->
+        fmt(OpsQueries.q226(spark, dir)),
+
+      ("q231 hybrid RRF fusion (round 13) — the BM25 side keeps q65's " +
+        "2-scan/1-shuffle shape with its rank window over the MATCHED " +
+        "set only; the vector side is the broadcast-query knnBrute " +
+        "scan; fusion is an n-bounded union into one tiny aggregate. " +
+        "The two single-partition rank windows run over query-bounded " +
+        "row sets (matched docs / k candidates), never the corpus") ->
+        fmt(OpsQueries.q231(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
