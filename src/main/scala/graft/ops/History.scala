@@ -74,4 +74,29 @@ object History {
         when(col("op").isNotNull, col("cvalue"))
           .otherwise(col("value")).as("value"))
   }
+
+  /** Point-in-time (AS OF) lookup against an [[scd2]] history — the
+    * time-travel probe every warehouse dimension serves: each probe
+    * row (keyCol, tsCol) gains the `state` valid AT its timestamp.
+    * Because scd2 validity intervals PARTITION each key's timeline
+    * (every valid_from is the previous valid_to), the PIT lookup IS a
+    * backward as-of join on valid_from — the interval END is
+    * redundant for lookups — so the composition rides
+    * [[AsOf.asofJoin]]'s single-shuffle union+running-last plan
+    * instead of an interval join. Zero-length versions (two run heads
+    * at one instant — the earlier is superseded the same microsecond)
+    * are dropped first, which also makes the same-instant as-of tie
+    * deterministic. Probes before a key's first version carry NULL
+    * state.
+    */
+  def pointInTime(history: DataFrame, probes: DataFrame, keyCol: String,
+                  tsCol: String): DataFrame = {
+    val versions = history
+      .filter(col("valid_to_us").isNull ||
+        col("valid_to_us") > col("valid_from_us"))
+      .select(col("key").as("_hk"),
+        timestamp_micros(col("valid_from_us")).as("_vf"), col("state"))
+    AsOf.asofJoin(probes, versions, keyCol, "_hk", tsCol, "_vf",
+      payload = Seq("state"))
+  }
 }

@@ -51,4 +51,43 @@ class HistorySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got === Map(2L -> 23.0, 3L -> 30.0, 4L -> 44.0))
   }
+
+  test("pointInTime: version at each probe; NULL before first; same-instant supersede") {
+    import org.apache.spark.sql.functions._
+    // key u: A from 10:00, B from 11:00, C from 12:00; at 11:30 a
+    // zero-length flurry (X then Y at the same microsecond) — wait, a
+    // flurry is exercised below via a crafted history directly
+    val ev = Seq(
+      (1L, "u", "2024-01-01 10:00:00", "A"),
+      (2L, "u", "2024-01-01 11:00:00", "B"),
+      (3L, "u", "2024-01-01 12:00:00", "C"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val hist = History.scd2(ev, "user_id", "ts", "event_id", "event_type")
+    val probes = Seq(
+      (10L, "u", "2024-01-01 09:30:00"), // before first -> NULL
+      (11L, "u", "2024-01-01 10:00:00"), // exactly at valid_from -> A
+      (12L, "u", "2024-01-01 11:59:59"), // inside B
+      (13L, "u", "2024-01-01 13:00:00"), // open interval -> C
+      (14L, "w", "2024-01-01 12:00:00")) // unknown key -> NULL
+      .toDF("probe_id", "user_id", "pts")
+      .withColumn("pts", $"pts".cast("timestamp"))
+    val got = History.pointInTime(hist, probes, "user_id", "pts")
+      .select("probe_id", "state")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(10L -> None, 11L -> Some("A"), 12L -> Some("B"),
+      13L -> Some("C"), 14L -> None))
+    // same-instant supersede: two versions at one ts_us — the earlier
+    // (zero-length) must not win the as-of tie
+    val flurry = Seq(
+      ("u", "X", 1000000L, Some(2000000L)),
+      ("u", "Y", 2000000L, Some(2000000L)),  // zero-length: dropped
+      ("u", "Z", 2000000L, None))
+      .toDF("key", "state", "valid_from_us", "valid_to_us")
+    val p2 = Seq((20L, "u", 3000000L)).toDF("probe_id", "key2", "us")
+      .withColumn("pts", timestamp_micros($"us"))
+    val got2 = History.pointInTime(flurry, p2, "key2", "pts")
+      .select("probe_id", "state").as[(Long, String)].collect().toMap
+    assert(got2 === Map(20L -> "Z"))
+  }
 }
