@@ -258,6 +258,49 @@ object Validate {
       .filter($"n_sensitive" < l)
   }
 
+  /** Referential-integrity audit — the CROSS-TABLE check the
+    * single-table suite cannot express (Schelter et al.'s
+    * isContainedIn against a reference table): every child foreign
+    * key must exist in the parent's key set; a violating ("orphan")
+    * child row references an entity that does not exist. NULL foreign
+    * keys are excluded from evaluation (the suite's NotNull
+    * discipline — one broken column yields one diagnosis). Returns
+    * ONE report row (check, n_eval, n_orphans, orphan_ppm, ok);
+    * [[orphanRows]] is the row face (the q209 dead-letter shape
+    * across tables).
+    *
+    * Scale shape: the parent reduces to its DISTINCT key set
+    * (broadcast when dimension-sized, AQE otherwise); ONE left join
+    * feeds both counts (no second pass, no row multiplication — keys
+    * are distinct on the build side); orphan_ppm in exact integer
+    * division.
+    */
+  def refIntegrityReport(child: DataFrame, fkCol: String,
+                         parent: DataFrame, pkCol: String): DataFrame = {
+    val pk = parent.select(col(pkCol).as("_pk")).distinct()
+    child.filter(col(fkCol).isNotNull)
+      .join(pk, col(fkCol) === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_eval"),
+        count(when(col("_pk").isNull, 1)).as("n_orphans"))
+      .select(
+        lit(s"ref_integrity($fkCol -> $pkCol)").as("check"),
+        $"n_eval", $"n_orphans",
+        when($"n_eval" === 0L, 0L)
+          .otherwise(expr("n_orphans * 1000000 DIV n_eval"))
+          .as("orphan_ppm"),
+        ($"n_orphans" === 0L).as("ok"))
+  }
+
+  /** The violating child rows of [[refIntegrityReport]] — quarantine
+    * with the same NULL semantics (NULL foreign keys pass through to
+    * the NotNull check, not here). One LEFT ANTI join.
+    */
+  def orphanRows(child: DataFrame, fkCol: String,
+                 parent: DataFrame, pkCol: String): DataFrame =
+    child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as("_pk")).distinct(),
+        col(fkCol) === col("_pk"), "left_anti")
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
     * privacy beyond k-anonymity and l-diversity", ICDE 2007) — the
     * third leg of the release-audit triad: a QI class can be large

@@ -156,6 +156,30 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+  test("refIntegrityReport/orphanRows: planted orphans counted; NULL fk excluded; clean table ok") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val r = Validate.refIntegrityReport(child, "fk", parent, "pk")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(r === (("ref_integrity(fk -> pk)", 4L, 2L, 500000L, false)))
+    val o = Validate.orphanRows(child, "fk", parent, "pk")
+      .as[Long].collect().toSeq
+    assert(o === Seq(9L, 9L))
+    // clean child: ok = true, 0 ppm; duplicate parent keys don't
+    // multiply child rows
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val clean = Seq(1L, 1L, 2L).toDF("fk")
+    val r2 = Validate.refIntegrityReport(clean, "fk", dupParent, "pk")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(r2 === (("ref_integrity(fk -> pk)", 3L, 0L, 0L, true)))
+    // all-NULL child: n_eval 0, ppm 0 (no division by zero)
+    val nulls = Seq(Option.empty[Long]).toDF("fk")
+    val r3 = Validate.refIntegrityReport(nulls, "fk", parent, "pk")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    assert(r3._2 === 0L && r3._4 === 0L && r3._5)
+  }
+
   test("tClosenessClasses: hand-computed TVD; absent values count; NULL sensitive excluded") {
     // global (non-NULL): A=6, B=2 over n=8 -> rates 750000 / 250000 ppm
     // class X (4 rows, all A): |1e6-750000| + |0-250000| = 500000 -> tvd 250000
