@@ -124,4 +124,48 @@ object AsOf {
       payload.map(p =>
         when(inTol, col("_match").getField(p)).as(p)): _*)
   }
+
+  /** NEAREST as-of join — each left row pairs with the temporally
+    * CLOSEST right row of the same key in EITHER direction,
+    * optionally tolerance-bounded per side (the sensor-alignment /
+    * pandas `merge_asof(direction='nearest')` shape). Composed from
+    * the backward and forward passes — two single-shuffle runs, never
+    * a theta join — with the closer match chosen per row in exact
+    * micro arithmetic; an EQUIDISTANT before/after pair resolves
+    * BACKWARD (pandas' rule, and consistent with backward's inclusive
+    * at-or-before). Right rows sharing one (key, time) instant should
+    * be pre-deduped (q18's discipline) — each directional pass's
+    * same-instant winner is otherwise unspecified.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      payload: Seq[String],
+                      toleranceSeconds: Long = -1L): DataFrame = {
+    val temps = payload.flatMap(p => Seq(s"_b_$p", s"_f_$p")) ++
+      Seq("_b__asof_t", "_f__asof_t")
+    val clash = temps.filter((left.columns ++ right.columns).contains)
+    require(clash.isEmpty,
+      s"asofJoinNearest reserves ${clash.distinct.mkString(", ")}")
+    def side(pfx: String) = right.select(
+      Seq(col(rightKey), col(rightTime),
+        col(rightTime).as(s"$pfx${"_asof_t"}")) ++
+        payload.map(p => col(p).as(s"$pfx$p")): _*)
+    val back = asofImpl(left, side("_b_"), leftKey, rightKey, leftTime,
+      rightTime, payload.map("_b_" + _) :+ "_b__asof_t",
+      forward = false, toleranceSeconds = toleranceSeconds)
+    val both = asofImpl(back, side("_f_"), leftKey, rightKey, leftTime,
+      rightTime, payload.map("_f_" + _) :+ "_f__asof_t",
+      forward = true, toleranceSeconds = toleranceSeconds)
+    val lUs = unix_micros(col(leftTime).cast("timestamp"))
+    val bUs = unix_micros(col("_b__asof_t").cast("timestamp"))
+    val fUs = unix_micros(col("_f__asof_t").cast("timestamp"))
+    // backward wins when forward is absent, or both present and the
+    // backward gap is <= the forward gap (equidistant -> backward)
+    val useB = col("_f__asof_t").isNull ||
+      (col("_b__asof_t").isNotNull && (lUs - bUs) <= (fUs - lUs))
+    both.select(left.columns.map(col).toSeq ++
+      payload.map(p =>
+        when(useB, col(s"_b_$p")).otherwise(col(s"_f_$p")).as(p)): _*)
+  }
 }

@@ -76,4 +76,33 @@ class AsOfSpec extends SparkSpec {
     // 100 is 10 s after 90 (in tol); 500 is 410 s after (stale)
     assert(got === Map(1L -> 9L, 2L -> -1L))
   }
+
+  test("asofJoinNearest: closer side wins, equidistant backward, tolerance per side") {
+    val quotes = Seq(("A", 10L, 100L), ("A", 20L, 200L), ("B", 50L, 500L))
+      .toDF("sym", "t", "px")
+    val trades = Seq(
+      (1L, "A", 14L), // back gap 4 < fwd gap 6 -> 100
+      (2L, "A", 16L), // fwd gap 4 < back gap 6 -> 200
+      (3L, "A", 15L), // equidistant -> BACKWARD -> 100
+      (4L, "A", 3L),  // nothing behind -> forward 100
+      (5L, "A", 25L), // nothing ahead -> backward 200
+      (6L, "C", 9L))  // no right rows -> null
+      .toDF("id", "sym", "t")
+    val got = AsOf.asofJoinNearest(trades, quotes, "sym", "sym", "t", "t",
+        Seq("px"))
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 100L, 2L -> 200L, 3L -> 100L, 4L -> 100L,
+      5L -> 200L, 6L -> -1L))
+    // tolerance bounds BOTH directions: gap 7 s > 5 s -> null,
+    // gap 5 s (id 5) stays
+    val tol = AsOf.asofJoinNearest(trades, quotes, "sym", "sym", "t", "t",
+        Seq("px"), toleranceSeconds = 5L)
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(tol === Map(1L -> 100L, 2L -> 200L, 3L -> 100L, 4L -> -1L,
+      5L -> 200L, 6L -> -1L))
+  }
 }
