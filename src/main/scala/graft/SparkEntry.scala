@@ -116,5 +116,12 @@ object SparkEntry {
     // native per-token merge replay + doc reassembly only; a
     // regression toward the composed replace chain (or toward
     // retraining per call) surfaces here as a trend.
-    "q202_bpe_apply_serve")
+    "q202_bpe_apply_serve",
+    // hybrid-retrieval serve face (round 13): BM25-from-index + brute
+    // vector ranking fused by RRF — the postings/df/stats tables build
+    // in the untimed warmup (catalog-existence guard), so timed runs
+    // pay only the token-pruned index scan, the broadcast-query vector
+    // scan and the n-bounded fusion; a regression toward re-tokenizing
+    // the corpus per query surfaces here as a cliff.
+    "q232_hybrid_rrf_serve")
 }
