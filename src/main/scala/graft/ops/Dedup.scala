@@ -774,16 +774,25 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int, maxBucket: Long = defaultMaxBucket,
-                   mat: Materializer = Materialize.Local): DataFrame = {
-    val fps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+                   mat: Materializer = Materialize.Local): DataFrame =
+    hammingPairs(simhashFingerprints(docs, idCol, textCol), maxDist,
+      maxBucket, mat)
+
+  /** The (doc_id, fp) 64-bit SimHash fingerprint table of
+    * [[simhashPairs]], exposed for the maintained protocol
+    * ([[graft.streaming.StreamingUpsert.hammingNearDupBatch]] — the
+    * text modality maintains through the same persisted band index
+    * the image dHash and audio energy hash use). Empty/null-text docs
+    * all hash to the all-zero fingerprint and would pair
+    * quadratically with each other — they carry no content to
+    * compare, so drop them (mirrors minhashLshPairs).
+    */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("mds", transform(toks($"text"), t => md5(t)))
-      // empty/null-text docs all hash to the all-zero fingerprint and
-      // would pair quadratically with each other — they carry no
-      // content to compare, so drop them (mirrors minhashLshPairs)
       .filter(size($"mds") > 0)
       .select($"doc_id", simhash64($"mds").as("fp"))
-    hammingPairs(fps, maxDist, maxBucket, mat)
-  }
 
   /** Banded Hamming near-dup pairs over PRECOMPUTED 64-char '0'/'1'
     * fingerprints (doc_id, fp) — [[simhashPairs]]' candidate+verify
