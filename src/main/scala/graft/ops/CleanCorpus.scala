@@ -60,4 +60,74 @@ object CleanCorpus {
       .select(col("doc_id").as("_drop"))
     exact.join(drops, id === col("_drop"), "left_anti")
   }
+
+  /** ONE near-dup decision over a MIXED binary corpus — the
+    * cross-modality capstone: blobs route by magic sniff
+    * ([[Multimodal.sniffFormat]]) to their modality's fingerprint
+    * chain, and the four pair sets union into one
+    * connected-components cluster table:
+    *
+    *  - GIF → per-frame dHash frame-set Jaccard
+    *    ([[Media.dhashGifFrames]] → [[Dedup.setJaccardPairs]]);
+    *  - PNG / JPEG → perceptual dHash banded Hamming
+    *    ([[Media.dhashImages]] → [[Dedup.hammingPairs]]);
+    *  - RIFF → PCM energy-envelope banded Hamming
+    *    ([[Media.energyHashWav]] — non-WAV RIFF fails the contract
+    *    closed);
+    *  - everything else (valid UTF-8 text cannot start with the
+    *    PNG/JPEG magic bytes; PDF/MP3/FLAC route here too and simply
+    *    tokenize as text) → SimHash banded Hamming
+    *    ([[Dedup.simhashFingerprints]]).
+    *
+    * The union is EXACT, not heuristic: fingerprints live in disjoint
+    * spaces, so pairs can only form WITHIN a modality, and each chain
+    * keeps its own blocking discipline (banded Hamming pigeonhole /
+    * df-capped inverted frame-hash index). Like [[clean]], cluster
+    * resolution is an iterative fixpoint — calling this runs jobs.
+    *
+    * Scale shape: the sniffed corpus is sealed ONCE behind the
+    * Materializer (four modality filters scan the barrier, not the
+    * source); every chain then keeps the scale shape its own gate
+    * entry pins (map-only fingerprints, banded/capped candidate
+    * joins, CC over pairs only).
+    */
+  def multimodalNearDupClusters(corpus: DataFrame,
+                                textMaxDist: Int = 3,
+                                imageMaxDist: Int = 6,
+                                audioMaxDist: Int = 6,
+                                videoTauPpm: Long = 500000L,
+                                videoMaxDf: Long = 10L,
+                                maxFrames: Int = 8,
+                                mat: Materializer = Materialize.Local)
+      : DataFrame = {
+    val c = mat(corpus.select(col("doc_id"), col("bin"),
+      Multimodal.sniffFormat(col("bin")).as("_fmt")))
+    def pairsOf(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
+    val text = pairsOf(Dedup.hammingPairs(
+      Dedup.simhashFingerprints(
+        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff"))
+          .select(col("doc_id"), col("bin").cast("string").as("text")),
+        "doc_id", "text"),
+      textMaxDist, mat = mat))
+    val image = pairsOf(Dedup.hammingPairs(
+      Media.dhashImages(c.filter(col("_fmt").isin("png", "jpeg")),
+          "doc_id", "bin")
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("dhash").as("fp")),
+      imageMaxDist, mat = mat))
+    val audio = pairsOf(Dedup.hammingPairs(
+      Media.energyHashWav(c.filter(col("_fmt") === "riff"),
+          "doc_id", "bin")
+        .filter(col("ok"))
+        .select(col("id").as("doc_id"), col("fp")),
+      audioMaxDist, mat = mat))
+    val video = pairsOf(Dedup.setJaccardPairs(
+      Media.dhashGifFrames(c.filter(col("_fmt") === "gif"),
+          "doc_id", "bin", maxFrames)
+        .groupBy(col("id").as("doc_id"))
+        .agg(collect_set(col("dhash")).as("shs")),
+      videoTauPpm, videoMaxDf, mat))
+    Dedup.duplicateClusters(
+      text.unionByName(image).unionByName(audio).unionByName(video), mat)
+  }
 }

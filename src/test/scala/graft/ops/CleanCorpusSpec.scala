@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class CleanCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodalNearDupClusters: routes by magic, clusters within modality, never across") {
+    import org.apache.spark.sql.functions._
+    def wavSamples(seed: Int): Seq[Int] =
+      (0 until 130).map { t =>
+        2 * ((((t.toLong * (7 + 3 * seed) * 2029L + (seed + 1) * 991L +
+          t.toLong * t * (11 + seed)) % 3001L).toInt) - 1500)
+      }
+    def pat(i: Int)(x: Int, y: Int): (Int, Int, Int) =
+      (8 + ((x * (2 + i) + y * (3 + 2 * i)) * 7) % 180,
+        8 + ((x * (5 + i) + y * (1 + i)) * 11) % 180,
+        8 + ((x + y * (2 + i)) * 13) % 180)
+    val pal = (0 until 128).map(k =>
+      ((2 * k) % 180 + 8, (k * 5 + 17) % 180 + 8, (k * 11 + 3) % 180 + 8))
+    def gif(shift: Int) = Media.encodeGifUncompressed(12, 10, pal.map {
+        case (r, g, b) => (r + shift, g + shift, b + shift) },
+      (0 until 3).map(f => Array.tabulate(120)(i =>
+        ((i * (3 + f) + i * i * (1 + 2 * f)) % 128).toByte)))
+    // one dup pair per modality + one singleton each
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today".getBytes("UTF-8")),
+      (2L, "the quick brown fox jumps over the lazy dog today".getBytes("UTF-8")),
+      (3L, "completely different words entirely unrelated content".getBytes("UTF-8")),
+      (10L, Media.pngFixture(18, 16)(pat(0))),
+      (11L, Media.pngFixture(18, 16) { (x, y) =>
+        val (r, g, b) = pat(0)(x, y); (r + 16, g + 16, b + 16) }),
+      (12L, Media.pngFixture(18, 16)(pat(3))),
+      (20L, Media.encodeWavPcm16(wavSamples(0))),
+      (21L, Media.encodeWavPcm16(wavSamples(0).map(_ / 2))),
+      (22L, Media.encodeWavPcm16(wavSamples(3))),
+      (30L, gif(0)),
+      (31L, gif(16)),
+      (40L, "GIF8 looks like a gif but is text and must cluster nowhere"
+        .getBytes("UTF-8"))) // routed to video, fails decode closed
+      .toDF("doc_id", "bin")
+    val got = CleanCorpus.multimodalNearDupClusters(corpus)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false),     // text pair
+      (10L, 10L, true), (11L, 10L, false), // image pair
+      (20L, 20L, true), (21L, 20L, false), // audio pair
+      (30L, 30L, true), (31L, 30L, false)) // video pair
+      , "exactly the four within-modality pairs; singletons and the " +
+        "GIF-prefixed text blob absent")
+  }
+}
