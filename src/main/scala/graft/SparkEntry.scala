@@ -123,5 +123,21 @@ object SparkEntry {
     // pay only the token-pruned index scan, the broadcast-query vector
     // scan and the n-bounded fusion; a regression toward re-tokenizing
     // the corpus per query surfaces here as a cliff.
-    "q232_hybrid_rrf_serve")
+    "q232_hybrid_rrf_serve",
+    // fully index-served hybrid (round 14, VERDICT r13 #1): the vector
+    // leg swaps knnBrute's per-query corpus scan for the persisted
+    // IVF-PQ serve (probes → bucketed codes join → ADC shortlist →
+    // exact re-rank of 100 rows). Benched NEXT TO q232 so the two
+    // vector-leg economics stay directly comparable per round; a
+    // regression toward a raw-vector ranking scan shows as q238
+    // converging to q232's cost.
+    "q238_hybrid_rrf_ann",
+    // cross-modality dedup capstone (round 14, VERDICT r13 #7): the
+    // most expensive composed shape in the suite — magic-sniff
+    // routing, four fingerprint chains (SimHash / image dHash / audio
+    // energy hash / GIF frame-set Jaccard), one pair union, one CC
+    // fixpoint. Gate-only until now; benched so the cross-modality
+    // decision cost is trended per round (PROFILE notes which chain
+    // dominates).
+    "q237_multimodal_neardup")
 }

@@ -147,6 +147,15 @@ object AsOf {
     val clash = temps.filter((left.columns ++ right.columns).contains)
     require(clash.isEmpty,
       s"asofJoinNearest reserves ${clash.distinct.mkString(", ")}")
+    // Mirror asofImpl's payload-vs-left guard: the directional passes
+    // only see the _b_/_f_-prefixed names, so without this check a
+    // payload name already present in left would come back as a
+    // silently duplicated output column (ADVICE r13).
+    val payloadClash = payload.filter(left.columns.contains)
+    require(payloadClash.isEmpty,
+      s"asofJoinNearest payload names collide with left columns: " +
+        s"${payloadClash.mkString(", ")} — rename on the right input " +
+        "before joining")
     def side(pfx: String) = right.select(
       Seq(col(rightKey), col(rightTime),
         col(rightTime).as(s"$pfx${"_asof_t"}")) ++

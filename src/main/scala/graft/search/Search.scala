@@ -571,12 +571,83 @@ object Search {
         statsTable, Seq(field), queryToks),
       corpus, queryVec, n, k, kRrf)
 
+  /** [[hybridRrfFromIndex]] with the VECTOR side served from the
+    * persisted IVF-PQ index as well (VERDICT r13 Next #1) — the fully
+    * index-served hybrid stack: the lexical leg reads only the
+    * bucketed postings/df/stats tables, and the vector leg is
+    * [[graft.ops.Similarity.knnIvfPqRerankOnIndex]] — broadcast
+    * probes from the tiny coarse table → bucketed codes equi-join →
+    * ADC shortlist → exact re-rank fetching full vectors for ONLY
+    * queries × `shortlist` rows. No leg scans the corpus per query:
+    * [[hybridRrf]]/[[hybridRrfFromIndex]] rank the vector side with
+    * [[graft.ops.Similarity.knnBrute]], a full prepared-vector scan
+    * per query, which is exactly what the PQ index exists to avoid
+    * reading at 100 TB.
+    *
+    * Unlike the lexical swap (result-identical, q95's proof), the
+    * ANN vector leg CHANGES the ranking where the shortlist misses a
+    * true neighbor — the fused result is a deterministic function of
+    * the IVF-PQ arithmetic (every step exact int64 / single double
+    * divisions), so the gate replays probe selection, ADC, re-rank
+    * and fusion end-to-end rather than gating under the brute form's
+    * oracle (q104/q228's discipline).
+    */
+  def hybridRrfAnnFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            postingsTable: String, dfTable: String,
+                            statsTable: String, field: String,
+                            queryToks: Seq[String], pqIndexTable: String,
+                            corpus: DataFrame, queryVec: DataFrame,
+                            coarse: DataFrame, codebooks: DataFrame,
+                            m: Int, dims: Int, n: Int, k: Int,
+                            nProbe: Int, shortlist: Int,
+                            kRrf: Int = 60): DataFrame = {
+    requireSingleQuery(queryVec)
+    fuseRanked(bm25MultiFieldFromIndex(spark, postingsTable, dfTable,
+        statsTable, Seq(field), queryToks),
+      graft.ops.Similarity.knnIvfPqRerankOnIndex(spark, pqIndexTable,
+        corpus, queryVec, coarse, codebooks, m, dims, k = n,
+        nProbe = nProbe, shortlist = shortlist),
+      n, k, kRrf)
+  }
+
+  /** RRF fuses the two systems' ranks into ONE ranking, so a
+    * multi-row queryVec would silently SUM per-query rank
+    * contributions across unrelated queries (ADVICE r13). queryVec is
+    * the user's single query vector — a limit-2 count on that frame
+    * short-circuits after two rows, so the guard stays cheap even
+    * when the caller passes a filtered corpus scan.
+    */
+  private def requireSingleQuery(queryVec: DataFrame): Unit = {
+    val nq = queryVec.limit(2).count()
+    require(nq == 1L,
+      s"hybrid RRF fuses ranks for exactly ONE query vector; got " +
+        s"${if (nq == 0) "an empty frame" else ">= 2 rows"} — fuse " +
+        "per query by calling once per vector")
+  }
+
   /** The shared RRF tail: rank the (id, score_fp) lexical table over
     * its matched set, rank the vector side with knnBrute, fuse.
     */
   private def fuseRrf(bmScores: DataFrame, corpus: DataFrame,
                       queryVec: DataFrame, n: Int, k: Int,
                       kRrf: Int): DataFrame = {
+    requireSingleQuery(queryVec)
+    fuseRanked(bmScores,
+      graft.ops.Similarity.knnBrute(corpus, queryVec, n), n, k, kRrf)
+  }
+
+  /** The rank-fusion core shared by the brute and index-served
+    * vector legs: rank the (id, score_fp) lexical table over its
+    * matched set, fuse with an already-ranked (neighbor_id, rank)
+    * vector table (rank 1..n — both [[graft.ops.Similarity.knnBrute]]
+    * and [[graft.ops.Similarity.knnIvfPqRerankOnIndex]] cap there).
+    * Both `row_number <= n` windows ride InferWindowGroupLimit
+    * (per-partition partial limit before the single-partition window
+    * — PlanSpec pins it on this path) and range over query-bounded
+    * sets only: BM25-matched docs / the vector leg's top-n list.
+    */
+  private def fuseRanked(bmScores: DataFrame, vecRanked: DataFrame,
+                         n: Int, k: Int, kRrf: Int): DataFrame = {
     require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     import org.apache.spark.sql.expressions.Window
@@ -585,7 +656,7 @@ object Search {
         Window.orderBy($"score_fp".desc, $"id".asc)).cast("long"))
       .filter($"r" <= n)
       .select($"id", expr(s"1000000 DIV ($kRrf + r)").as("c"))
-    val vec = graft.ops.Similarity.knnBrute(corpus, queryVec, n)
+    val vec = vecRanked
       .select($"neighbor_id".as("id"),
         expr(s"1000000 DIV ($kRrf + rank)").as("c"))
     bm.unionByName(vec)

@@ -139,6 +139,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q232/q238 RRF: every row_number window rides WindowGroupLimit (VERDICT r13 #6)") {
+    // fuseRanked's `row_number() <= n` windows must never plan as
+    // UNBOUNDED single-partition sorts. Spark bounds them two ways:
+    // the GLOBAL (empty-partition-spec) rank windows become
+    // TakeOrderedAndProject(limit=n) feeding a re-window over n rows,
+    // and the per-query windows get a partial+final WindowGroupLimit
+    // under the exchange (InferWindowGroupLimit). Pin: every Window
+    // node in the physical plan is fed by one of the two bounded
+    // forms — TakeOrderedAndProject or a Final WindowGroupLimit — on
+    // both the brute-leg (q232) and ANN-leg (q238) hybrids.
+    def pin(name: String, df: DataFrame): Unit = {
+      val p = plan(df)
+      val wins = "\\+- Window ".r.findAllIn(p).length
+      val top = "TakeOrderedAndProject".r.findAllIn(p).length
+      val wglFinal = "WindowGroupLimit .*, Final".r.findAllIn(p).length
+      assert(wins >= 2, s"$name: expected the RRF rank windows:\n$p")
+      assert(top + wglFinal >= wins,
+        s"$name: a rank window lost its bound ($top TakeOrdered + " +
+          s"$wglFinal WindowGroupLimit for $wins windows):\n$p")
+    }
+    pin("q232", OpsQueries.q232(spark, dir))
+    pin("q238", OpsQueries.q238(spark, dir))
+  }
+
+  test("q238: the vector leg serves from the persisted codes index, not a corpus rank scan") {
+    // the plan must read the bucketed (vec_id, cent_id, codes) table
+    // (the ADC candidate source); the raw-vector table appears only
+    // under the re-rank's selective equi-join and the broadcast
+    // probe/LUT builds — never under a corpus×query ranking join.
+    val p = plan(OpsQueries.q238(spark, dir))
+    assert(p.contains("graft_pq_srv104"),
+      s"vector leg must scan the persisted IVF-PQ index table:\n$p")
+  }
+
   test("q87 shuffle rank: no single-partition window over the corpus") {
     // the corpus-sized window must be partitioned by the hash bucket;
     // the only global (empty-partition-spec) window allowed is the
