@@ -370,8 +370,11 @@ object StreamingUpsert {
   // blocking self-join over the whole corpus.
   //
   // Layout under basePath: sets/ (doc_id, shs — full shingle sets for
-  // the exact verify), inv/ (doc_id, sh — the inverted index), pairs/
-  // (the verified scored pairs, append-only). All appends are
+  // the exact verify), inv/ (doc_id, sh — the inverted index), df/
+  // ((sh, df, first_doc) per-batch df partials — the sum-mergeable
+  // asset the cap check reads instead of window-counting inv; see
+  // setStateBatch), pairs/ (the verified scored pairs, append-only).
+  // All appends are
   // at-least-once under replay; consumers read with DISTINCT (rows
   // are value-identical across replays), and a replayed batch's own
   // ids are anti-joined out of the prior state so df counts match
@@ -433,17 +436,44 @@ object StreamingUpsert {
     }
 
   /** The shared state fold of [[containmentBatch]] /
-    * [[setJaccardBatch]]: persist (doc_id, shs) sets and the inverted
-    * item index, block new docs against their df-capped block mates
-    * only, verify candidates with ONE exact intersect, and hand the
-    * raw (doc_a, doc_b, inter, na, nb) table to the caller's scorer.
-    * Write order (pairs before state) keeps replays loss-free.
+    * [[setJaccardBatch]]: persist (doc_id, shs) sets, the inverted
+    * item index, AND per-item df partials; block new docs against
+    * their df-capped block mates only, verify candidates with ONE
+    * exact intersect, and hand the raw (doc_a, doc_b, inter, na, nb)
+    * table to the caller's scorer. Write order (pairs before state)
+    * keeps replays loss-free.
+    *
+    * The df pass is ASSET-SIZED, not inv-row-sized (VERDICT r13 Next
+    * #2 — the r13 PROFILE named the old window-count over state ∪
+    * batch as the protocol's honest asymptote): each batch appends
+    * (sh, df, first_doc) partials to `df/` counting ONLY the batch's
+    * FRESH docs (ids not yet in `inv/` — re-delivered docs were
+    * counted by the batch that first delivered them, so every doc
+    * contributes to the asset exactly once), and the cap check
+    * sum-merges the partials for the BATCH's shingles only (a shingle
+    * absent from the batch can form no candidate, so its total is
+    * never needed). That replaces the full-state window SHUFFLE with
+    * one delta-sized aggregate plus a semi-joined scan of the narrow
+    * (sh, df) partials — the inv/sets state is still scanned per
+    * batch, but only through join filters on the batch's rare
+    * shingles / candidate ids, never reshuffled whole.
+    *
+    * Crash/replay discipline for the asset: `df/` is written BEFORE
+    * sets/inv, so a replay after a partial failure either recomputes
+    * the identical fresh set (inv not yet advanced → re-appends
+    * value-identical rows that distinct-at-read collapses) or sees
+    * the docs in inv and appends nothing (the original write stands).
+    * `first_doc` (the min FRESH doc id per shingle) makes partials
+    * from different batches value-distinct, and doubles as the
+    * crashed-attempt discriminator: a stored partial has first_doc in
+    * the current fresh set iff THIS batch's earlier attempt wrote it
+    * (an older batch's first_doc is by construction already in inv,
+    * hence never fresh), so the cap merge anti-joins exactly those.
     */
   private def setStateBatch(spark: SparkSession, newSetsIn: DataFrame,
                             maxDf: Long, basePath: String,
                             mat: graft.ops.Materializer)(
                             score: DataFrame => DataFrame): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val hconf = spark.sparkContext.hadoopConfiguration
     def readOrEmpty(p: String, like: DataFrame): DataFrame = {
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -454,21 +484,47 @@ object StreamingUpsert {
     val newSets = mat(newSetsIn)
     val newIds = newSets.select(col("doc_id"))
     val newInv = newSets.select(col("doc_id"), explode(col("shs")).as("sh"))
-    // a REPLAYED batch would otherwise appear twice in the df count
-    // (old copy + new copy) and push shingles past the cap that the
-    // original call kept — the delta-sized side drives the anti-join
-    val oldInv = readOrEmpty(s"$basePath/inv", newInv)
+    val oldInvAll = readOrEmpty(s"$basePath/inv", newInv)
+    // FRESH docs: ids this stream has never folded before. A
+    // re-delivered doc is already counted in the df asset, so only
+    // fresh docs contribute partials (see the contract above).
+    val freshIds = mat(newIds.join(oldInvAll.select(col("doc_id")),
+      Seq("doc_id"), "left_anti"))
+    val newDf = mat(newInv.join(freshIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc")))
+    // drop a crashed earlier attempt's own partials before merging
+    // (first_doc fresh <=> written by this batch — contract above)
+    val oldDf = readOrEmpty(s"$basePath/df", newDf)
+      .join(freshIds.select(col("doc_id").as("first_doc")),
+        Seq("first_doc"), "left_anti")
+    // cap totals for the batch's shingles only: prior partials are
+    // semi-joined down to the (delta-sized) batch shingle set before
+    // the sum-merge — no full-state shuffle, no window over inv
+    val batchShs = newInv.select(col("sh")).distinct()
+    val dfTot = newDf.select(col("sh"), col("df"))
+      .unionByName(oldDf
+        .join(batchShs, Seq("sh"), "left_semi")
+        .select(col("sh"), col("df")))
+      .groupBy(col("sh")).agg(sum(col("df")).as("df_total"))
+    val rareShs = dfTot.filter(col("df_total") <= maxDf).select(col("sh"))
+    // a REPLAYED batch would otherwise appear twice (old copy + new
+    // copy) — the delta-sized side drives the anti-join
+    val oldInvRare = oldInvAll
       .join(newIds, Seq("doc_id"), "left_anti")
-    val all = oldInv.withColumn("is_new", lit(false))
-      .unionByName(newInv.withColumn("is_new", lit(true)))
-    val rare = all.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf)
-    val cands = rare.as("a").join(rare.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.is_new") || col("b.is_new")))
+      .join(rareShs, Seq("sh"), "left_semi")
+    val newRare = newInv.join(rareShs, Seq("sh"), "left_semi")
+    // every candidate pair needs >= 1 NEW side (an old-old pair was
+    // found when the later of the two arrived): new-new ordered by
+    // id, new-old normalized with least/greatest (the anti-join
+    // guarantees a new id never equals an old id)
+    val cands = newRare.as("a").join(newRare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .unionByName(newRare.as("a").join(oldInvRare.as("b"),
+          col("a.sh") === col("b.sh"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")))
       .distinct()
     val sets = readOrEmpty(s"$basePath/sets", newSets)
       .join(newIds, Seq("doc_id"), "left_anti")
@@ -482,10 +538,29 @@ object StreamingUpsert {
         size(col("sa.shs")).cast("long").as("na"),
         size(col("sb.shs")).cast("long").as("nb")))
     // pairs first: a replay after a partial failure re-appends pairs
-    // (distinct-at-read) but never loses them against advanced state
+    // (distinct-at-read) but never loses them against advanced state.
+    // df BEFORE sets/inv: freshness keys on inv, so writing df first
+    // keeps a crash-replay's re-append value-identical (see contract)
     verified.write.mode("append").parquet(s"$basePath/pairs")
+    newDf.write.mode("append").parquet(s"$basePath/df")
     newSets.write.mode("append").parquet(s"$basePath/sets")
     newInv.write.mode("append").parquet(s"$basePath/inv")
+  }
+
+  /** The per-shingle df asset maintained by the set-state protocol:
+    * (sh, df) TOTALS sum-merged from the `df/` partials, exactly-once
+    * at read. Equals `inv/` recounted per shingle by construction —
+    * q240 REQUIREs that equality in-gate.
+    */
+  def setStateDfTotals(spark: SparkSession, basePath: String): DataFrame = {
+    val like = spark.range(0).select(col("id").cast("string").as("sh"),
+      col("id").as("df"), col("id").as("first_doc"))
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/df")
+    val parts =
+      if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+        spark.read.schema(like.schema).parquet(s"$basePath/df").distinct()
+      else like.limit(0)
+    parts.groupBy(col("sh")).agg(sum(col("df")).as("df"))
   }
 
   /** The verified set-Jaccard pairs from [[setJaccardBatch]] state,

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-14 soak: per-batch cost of the set-state protocol IN STATE
+  * DEPTH (VERDICT r13 Next #2's "Done" leg). The r13 PROFILE named
+  * the honest asymptote of containmentBatch/setJaccardBatch: the df
+  * pass window-counted state ∪ batch per batch, so per-batch cost
+  * grew with the TOTAL state. The round-14 protocol sum-merges the
+  * persisted (sh, df, first_doc) partials for the batch's shingles
+  * only. This soak feeds EQUAL-SIZED document batches and times each
+  * fold as the state deepens — the signal is the per-batch TREND:
+  * flat-ish (residual growth is the unavoidable join-filtered scan of
+  * the narrow df/inv/sets state files, not a full-state shuffle)
+  * instead of the old linear-in-state window pass.
+  *
+  * Corpus: synthetic 40-token docs whose tokens embed the doc id
+  * (shingles are unique to their doc except the planted 10% near-dup
+  * rate, one copy per group of 10 differing in the last token) — so
+  * candidate volume is planted-pair-bounded per batch and the
+  * measured trend is PROTOCOL overhead in state depth, not corpus
+  * pair growth.
+  */
+object ScaleSoakR14 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.LocalSession.build("32")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def docs(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).as[Long].map { i =>
+        val dup = i % 10 == 9
+        val s = if (dup) (i / 10) * 10 else i
+        val toks = (0 until 40).map { t =>
+          if (dup && t == 39) s"w${s}x" else s"w${s}_$t"
+        }
+        (i, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+
+    val base = java.nio.file.Files
+      .createTempDirectory("soak_r14_state").toString
+    val batchRows = 20000L
+    val nBatches = 8
+    println(s"[soak-r14] containment fold: $nBatches x $batchRows docs, " +
+      "per-batch seconds as state deepens")
+    (0 until nBatches).foreach { b =>
+      val batch = docs(b * batchRows, (b + 1) * batchRows).localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingUpsert.containmentBatch(spark, batch,
+        "doc_id", "text", n = 3, tauPpm = 500000L, maxDf = 100L,
+        basePath = base)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[soak-r14] batch $b%2d (state ${b * batchRows}%7d docs) $s%8.3f s")
+    }
+    val pairs = graft.streaming.StreamingUpsert
+      .containmentPairsFromState(spark, base).count()
+    println(s"[soak-r14] verified pairs in state: $pairs")
+    spark.stop()
+  }
+}

@@ -1279,6 +1279,44 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(got === want, "sliced set state diverged from batch pairs")
   }
 
+  test("set-state df ASSET: totals equal the inv recount under replay; partials batch-bounded; cap crossing keeps pre-cap pairs") {
+    import graft.ops.Dedup
+    // docs 3/4/5 are exact "hot"-only copies (jaccard 1.0 — only the
+    // df cap can block them), so cap crossing is behaviorally visible
+    val sets = Seq(
+      (1L, Seq("hot", "a1")), (2L, Seq("hot", "a1")),
+      (3L, Seq("hot")), (4L, Seq("hot")),
+      (5L, Seq("hot")), (20L, Seq("z1", "z2"))).toDF("doc_id", "shs")
+    val base = tmp("setjac_df_state")
+    def feed(ids: Seq[Long]): Unit =
+      StreamingUpsert.setJaccardBatch(spark,
+        sets.filter($"doc_id".isin(ids: _*)), tauPpm = 400000L,
+        maxDf = 3L, basePath = base)
+    feed(Seq(1L, 2L, 20L))   // "hot" df=2: 1-2 pair found under cap
+    feed(Seq(3L, 4L))        // "hot" df=4: crosses maxDf=3
+    feed(Seq(3L, 4L))        // replay — must not inflate df totals
+    feed(Seq(5L))
+    // df asset == inv recount per shingle, replay absorbed
+    val fromAsset = StreamingUpsert.setStateDfTotals(spark, base)
+      .as[(String, Long)].collect().toMap
+    val recount = spark.read.parquet(s"$base/inv").distinct()
+      .groupBy($"sh")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(fromAsset === recount, "df asset diverged from inv recount")
+    assert(fromAsset("hot") === 5L, "replayed batch inflated the df total")
+    // partials are batch-bounded: <= one row per (batch, shingle)
+    val parts = spark.read.parquet(s"$base/df").distinct().count()
+    assert(parts <= 4L * recount.size, s"df partials not batch-bounded: $parts")
+    // arrival-time cap semantics survive the asset swap: the pair
+    // found while "hot" was under cap stays; no post-cap "hot" pairs
+    val got = StreamingUpsert.setJaccardPairsFromState(spark, base)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      s"cap-crossing pairs diverged from arrival-time contract: $got")
+  }
+
   test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
     import graft.ops.TopK
     val base = tmp("topk_state")
