@@ -1160,6 +1160,173 @@ object StreamingUpsert {
         (col("cluster_id") === col("doc_id")).as("is_keeper"))
   }
 
+  // ------------------------------------------ incremental SCD2
+
+  /** One micro-batch of SCD2 HISTORY maintenance (VERDICT r13 Next
+    * #3) — the incremental form of [[graft.ops.History.scd2]]:
+    * production CDC folds event batches into the history instead of
+    * rebuilding it from the full event log, closing currently-OPEN
+    * intervals and appending new versions.
+    *
+    * State under basePath: `closed/` — append-only CLOSED versions
+    * (key, state, valid_from_us, valid_to_us), each written exactly
+    * when the event that supersedes it arrives; `open/v=<batchId>` —
+    * the current OPEN version per key in the [[statsVersions]]
+    * versioned layout, carrying the run cursor (last_ts_us, last_id)
+    * alongside (state, valid_from_us). The open set is
+    * key-cardinality-sized, so the per-batch full-version write is
+    * dimension-sized, never history-sized; closed appends are
+    * delta-sized.
+    *
+    * ORDERING CONTRACT (REQUIREd in-fold, one tiny action): per key,
+    * every batch event is STRICTLY later by (ts, id) than every event
+    * already folded — the CDC log guarantee. An out-of-order event
+    * would belong INSIDE an already-closed interval (or split the
+    * open run before its cursor), which an append-only fold cannot
+    * express; such feeds are a rebuild ([[graft.ops.History.scd2]]),
+    * not an append. Within a batch, order is free (the fold sorts).
+    *
+    * Replay contract (the [[clusterStateBatch]] discipline): batch
+    * ids nondecreasing, only the LAST batch ever re-delivered. A
+    * replayed batch N rebuilds open/v=N from the latest open version
+    * BELOW N plus its own events — deterministic, so the overwrite is
+    * value-identical and the re-appended closed rows (also
+    * deterministic) collapse under distinct-at-read; closed rows from
+    * different batches can never be value-identical because the
+    * ordering contract makes every valid_from_us strictly newer than
+    * the key's folded history.
+    *
+    * After any in-contract batch sequence, [[scd2FromState]] equals
+    * [[graft.ops.History.scd2]] on the union of all delivered events
+    * (HistorySpec property; q239 under q233's oracle verbatim): the
+    * open-state seed reproduces the global lag at each batch
+    * boundary, and the batch-local lead plus the open-interval close
+    * reproduce the global lead.
+    */
+  def scd2StateBatch(spark: SparkSession, batch: DataFrame,
+                     keyCol: String, tsCol: String, idCol: String,
+                     valueCol: String, basePath: String,
+                     batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = batch.select(col(keyCol).as("key"),
+      unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+      col(idCol).as("id"), col(valueCol).as("state"))
+    val openDir = s"$basePath/open"
+    val versions = statsVersions(spark, openDir).filter(_._1 < batchId)
+    val prevOpen = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.parquet(p)
+      case None => ev.select(col("key"), col("state"),
+        col("ts_us").as("valid_from_us"), col("ts_us").as("last_ts_us"),
+        col("id").as("last_id")).limit(0)
+    }
+    // ordering contract: the batch's FIRST event per key must be
+    // strictly later than the folded run's cursor
+    val firstPerKey = ev.groupBy(col("key"))
+      .agg(min(struct(col("ts_us"), col("id"))).as("_f"))
+    val nViol = firstPerKey.join(prevOpen, Seq("key"))
+      .filter(col("_f.ts_us") < col("last_ts_us") ||
+        (col("_f.ts_us") === col("last_ts_us") &&
+          col("_f.id") <= col("last_id")))
+      .limit(1).count()
+    require(nViol == 0L,
+      s"scd2StateBatch batch $batchId contains events at or before a " +
+        "key's folded history — out-of-order CDC feeds are a rebuild " +
+        "(History.scd2), not an append")
+    // run heads, seeded at the batch boundary by the key's open state
+    val wK = Window.partitionBy(col("key"))
+      .orderBy(col("ts_us").asc, col("id").asc)
+    val evp = ev
+      .withColumn("_rn", row_number().over(wK))
+      .withColumn("_lag", lag(col("state"), 1).over(wK))
+      .join(prevOpen.select(col("key"), col("state").as("_open_state")),
+        Seq("key"), "left")
+      .withColumn("_prev",
+        when(col("_rn") === 1, col("_open_state")).otherwise(col("_lag")))
+    val heads = evp
+      .filter(col("_prev").isNull || col("_prev") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(wK))
+      .select(col("key"), col("state"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("ts_us"), col("id"))
+    // close the prior open interval at the key's first new head
+    val firstHead = heads.groupBy(col("key"))
+      .agg(min(struct(col("ts_us"), col("id"))).as("_h"))
+    val closedPrior = prevOpen.join(firstHead, Seq("key"))
+      .select(col("key"), col("state"), col("valid_from_us"),
+        col("_h.ts_us").as("valid_to_us"))
+    val closedBatch = heads.filter(col("valid_to_us").isNotNull)
+      .select(col("key"), col("state"), col("valid_from_us"),
+        col("valid_to_us"))
+    // next open set: untouched keys verbatim; keys with heads open at
+    // their LAST head; head-free keys keep their interval, cursor
+    // advanced to the batch's last event
+    val lastEv = ev.groupBy(col("key"))
+      .agg(max(struct(col("ts_us"), col("id"))).as("_l"))
+    val batchKeys = ev.select(col("key")).distinct()
+    val openFromHeads = heads.filter(col("valid_to_us").isNull)
+      .select(col("key"), col("state"), col("valid_from_us"))
+      .join(lastEv, Seq("key"))
+      .select(col("key"), col("state"), col("valid_from_us"),
+        col("_l.ts_us").as("last_ts_us"), col("_l.id").as("last_id"))
+    val openNoHeads = prevOpen
+      .join(batchKeys, Seq("key"), "left_semi")
+      .join(heads.select(col("key")).distinct(), Seq("key"), "left_anti")
+      .select(col("key"), col("state"), col("valid_from_us"))
+      .join(lastEv, Seq("key"))
+      .select(col("key"), col("state"), col("valid_from_us"),
+        col("_l.ts_us").as("last_ts_us"), col("_l.id").as("last_id"))
+    val untouched = prevOpen.join(batchKeys, Seq("key"), "left_anti")
+    val newOpen = untouched.unionByName(openNoHeads)
+      .unionByName(openFromHeads)
+    // closed first (delta-sized, deterministic — replays collapse at
+    // read), then the open version, then prune to predecessor+self
+    closedPrior.unionByName(closedBatch)
+      .write.mode("append").parquet(s"$basePath/closed")
+    newOpen.write.mode("overwrite").parquet(s"$openDir/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, openDir)
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+  }
+
+  /** The SCD2 history from [[scd2StateBatch]] state —
+    * [[graft.ops.History.scd2]]'s (key, state, valid_from_us,
+    * valid_to_us) shape: the append-only closed versions
+    * (exactly-once at read) plus the latest open version per key.
+    */
+  def scd2FromState(spark: SparkSession, basePath: String): DataFrame = {
+    val vs = statsVersions(spark, s"$basePath/open")
+    require(vs.nonEmpty, s"no completed open versions under $basePath/open")
+    val open = spark.read.parquet(vs.sortBy(_._1).last._2)
+      .select(col("key"), col("state"), col("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"))
+    val like = open.limit(0)
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/closed")
+    val closed =
+      if (hfs(spark, hp).exists(hp))
+        spark.read.schema(like.schema).parquet(s"$basePath/closed")
+          .distinct()
+      else like
+    closed.unionByName(open)
+  }
+
+  /** [[scd2StateBatch]] wired as the foreachBatch sink of a change
+    * stream — the maintained dimension-history ingest path.
+    */
+  def incrementalScd2(stream: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valueCol: String, basePath: String,
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        scd2StateBatch(batch.sparkSession, batch, keyCol, tsCol, idCol,
+          valueCol, basePath, id)
+      }
+      .start()
+
   // ------------------------------------------ incremental SemDeDup
 
   /** One micro-batch of incremental semantic dedup against FROZEN

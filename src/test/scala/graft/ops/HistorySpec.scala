@@ -90,4 +90,67 @@ class HistorySpec extends SparkSpec {
       .select("probe_id", "state").as[(Long, String)].collect().toMap
     assert(got2 === Map(20L -> "Z"))
   }
+
+  test("scd2StateBatch: fold equals batch scd2 under any in-order slicing; replay idempotent") {
+    import graft.streaming.StreamingUpsert
+    val ev = Seq(
+      (1L, t(100), 10L, "A"), (1L, t(200), 11L, "A"),
+      (1L, t(300), 12L, "B"), (1L, t(400), 13L, "A"),
+      (2L, t(50), 20L, "X"), (2L, t(450), 21L, "X"),
+      (3L, t(70), 22L, "Q"), (3L, t(70), 21L, "P"),
+      (4L, t(350), 30L, "Z")
+    ).toDF("k", "ts", "eid", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val want = snap(History.scd2(ev, "k", "ts", "eid", "v"))
+    // three different time-ordered slicings, incl. a batch that is
+    // pure run-continuation (no head) and a batch introducing new keys
+    val cuts = Seq(Seq(150L, 350L), Seq(60L, 400L), Seq(75L, 95L))
+    for (Seq(c1, c2) <- cuts) {
+      val base = java.nio.file.Files
+        .createTempDirectory("scd2_state").toString
+      val us = unix_micros($"ts".cast("timestamp"))
+      def feed(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        StreamingUpsert.scd2StateBatch(spark, b, "k", "ts", "eid", "v",
+          base, id)
+      feed(ev.filter(us < c1 * 1000000L), 0L)
+      feed(ev.filter(us >= c1 * 1000000L && us < c2 * 1000000L), 1L)
+      feed(ev.filter(us >= c2 * 1000000L), 2L)
+      // replay the last batch: overwrite + distinct must absorb it
+      feed(ev.filter(us >= c2 * 1000000L), 2L)
+      val got = snap(StreamingUpsert.scd2FromState(spark, base))
+      assert(got === want, s"cuts ($c1,$c2) diverged from batch scd2")
+    }
+  }
+
+  test("scd2StateBatch REQUIREs in-order feeds (out-of-order event rejected)") {
+    import graft.streaming.StreamingUpsert
+    val base = java.nio.file.Files
+      .createTempDirectory("scd2_state_ooo").toString
+    def feed(rows: Seq[(Long, Timestamp, Long, String)], id: Long): Unit =
+      StreamingUpsert.scd2StateBatch(spark,
+        rows.toDF("k", "ts", "eid", "v"), "k", "ts", "eid", "v", base, id)
+    feed(Seq((1L, t(100), 10L, "A"), (1L, t(200), 11L, "B")), 0L)
+    // an event INSIDE the folded run (ts 150) must be rejected...
+    val e1 = intercept[IllegalArgumentException] {
+      feed(Seq((1L, t(150), 12L, "C")), 1L)
+    }
+    assert(e1.getMessage.contains("out-of-order"))
+    // ...and so must a same-(ts,id)-or-earlier tie at the cursor
+    val e2 = intercept[IllegalArgumentException] {
+      feed(Seq((1L, t(200), 11L, "C")), 1L)
+    }
+    assert(e2.getMessage.contains("out-of-order"))
+    // the rejected batches left state serveable and unchanged
+    val got = StreamingUpsert.scd2FromState(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set((1L, "A", 100000000L, 200000000L),
+      (1L, "B", 200000000L, -1L)))
+    // a strictly-later event for the same key is accepted
+    feed(Seq((1L, t(300), 13L, "C")), 1L)
+    assert(StreamingUpsert.scd2FromState(spark, base).count() === 3L)
+  }
+
 }
