@@ -74,10 +74,16 @@ object CleanCorpus {
     *  - RIFF → PCM energy-envelope banded Hamming
     *    ([[Media.energyHashWav]] — non-WAV RIFF fails the contract
     *    closed);
-    *  - everything else (valid UTF-8 text cannot start with the
-    *    PNG/JPEG magic bytes; PDF/MP3/FLAC route here too and simply
-    *    tokenize as text) → SimHash banded Hamming
-    *    ([[Dedup.simhashFingerprints]]).
+    *  - everything else that IS valid UTF-8 (text cannot start with
+    *    the PNG/JPEG magic bytes; a textual PDF/MP3-with-ID3-comment
+    *    routes here and simply tokenizes as text) → SimHash banded
+    *    Hamming ([[Dedup.simhashFingerprints]]);
+    *  - everything else — bytes with no recognized magic that are
+    *    NOT valid UTF-8 — routes to `unknown` and is EXCLUDED
+    *    (fail-closed, the Media decoders' discipline; VERDICT r13
+    *    Next #5). Before this route, a corrupt binary silently
+    *    simhashed as mojibake text — two identical corrupt blobs
+    *    would cluster as "near-dup documents" nobody can read.
     *
     * The union is EXACT, not heuristic: fingerprints live in disjoint
     * spaces, so pairs can only form WITHIN a modality, and each chain
@@ -103,9 +109,13 @@ object CleanCorpus {
     val c = mat(corpus.select(col("doc_id"), col("bin"),
       Multimodal.sniffFormat(col("bin")).as("_fmt")))
     def pairsOf(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
+    // binary->string cast is zero-copy in Spark (no validation), so
+    // is_valid_utf8 genuinely detects corrupt bytes; invalid blobs
+    // fail closed out of every chain
     val text = pairsOf(Dedup.hammingPairs(
       Dedup.simhashFingerprints(
-        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff"))
+        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
+            is_valid_utf8(col("bin").cast("string")))
           .select(col("doc_id"), col("bin").cast("string").as("text")),
         "doc_id", "text"),
       textMaxDist, mat = mat))

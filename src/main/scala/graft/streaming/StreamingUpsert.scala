@@ -1160,6 +1160,88 @@ object StreamingUpsert {
         (col("cluster_id") === col("doc_id")).as("is_keeper"))
   }
 
+  // ---------------------------- maintained multimodal dedup capstone
+
+  /** One micro-batch of the CROSS-MODALITY near-dup decision
+    * ([[graft.ops.CleanCorpus.multimodalNearDupClusters]] kept
+    * current under ingest — VERDICT r13 Next #4): the batch routes by
+    * magic sniff into the four per-modality MAINTAINED states (text
+    * SimHash / image dHash / audio energy-hash band indexes via
+    * [[hammingNearDupBatch]]+[[dhashNearDupBatch]], video frame-set
+    * Jaccard via [[setJaccardBatch]]), exactly the batch operator's
+    * routing — including the fail-closed `unknown` route: a blob with
+    * no recognized magic that is not valid UTF-8 enters NO chain —
+    * then the union of the four states' verified pairs folds into the
+    * shared cluster state ([[clusterStateBatch]]).
+    *
+    * Layout under basePath: text/ image/ audio/ video/ (each its
+    * protocol's own layout) + clusters/ (the versioned label state).
+    * The cluster fold reads the CURRENT pair union — pair-set-sized,
+    * the same "sliver of the corpus" argument as clusterStateBatch's
+    * full-version label write — so the fold is independent of which
+    * pairs are new this batch and re-delivered pairs are absorbed by
+    * [[graft.ops.Dedup.ccIncremental]]'s idempotence.
+    *
+    * Replay contract: the four modality states absorb a re-delivered
+    * batch by their own protocols; the cluster fold rebuilds
+    * v=batchId from the prior version plus the (identical) pair
+    * union. After any batch sequence, [[multimodalClustersFromState]]
+    * equals the batch capstone on the union of all delivered blobs
+    * while no band bucket / frame-hash df crosses its cap (the
+    * per-modality arrival-time contracts) — q241 gates that under
+    * q237's oracle verbatim.
+    */
+  def multimodalNearDupBatch(spark: SparkSession, batch: DataFrame,
+                             basePath: String, batchId: Long,
+                             textMaxDist: Int = 3, imageMaxDist: Int = 6,
+                             audioMaxDist: Int = 6,
+                             videoTauPpm: Long = 500000L,
+                             videoMaxDf: Long = 10L, maxFrames: Int = 8,
+                             maxBucket: Long = Dedup.defaultMaxBucket,
+                             mat: graft.ops.Materializer =
+                               graft.ops.Materialize.Local): Unit = {
+    val c = mat(batch.select(col("doc_id"), col("bin"),
+      graft.ops.Multimodal.sniffFormat(col("bin")).as("_fmt")))
+    hammingNearDupBatch(spark,
+      Dedup.simhashFingerprints(
+        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
+            is_valid_utf8(col("bin").cast("string")))
+          .select(col("doc_id"), col("bin").cast("string").as("text")),
+        "doc_id", "text"),
+      textMaxDist, s"$basePath/text", maxBucket, mat)
+    dhashNearDupBatch(spark, c.filter(col("_fmt").isin("png", "jpeg")),
+      "doc_id", "bin", imageMaxDist, s"$basePath/image", maxBucket, mat)
+    hammingNearDupBatch(spark,
+      graft.ops.Media.energyHashWav(c.filter(col("_fmt") === "riff"),
+          "doc_id", "bin")
+        .filter(col("ok")).select(col("id").as("doc_id"), col("fp")),
+      audioMaxDist, s"$basePath/audio", maxBucket, mat)
+    setJaccardBatch(spark,
+      graft.ops.Media.dhashGifFrames(c.filter(col("_fmt") === "gif"),
+          "doc_id", "bin", maxFrames)
+        .groupBy(col("id").as("doc_id"))
+        .agg(collect_set(col("dhash")).as("shs")),
+      videoTauPpm, videoMaxDf, s"$basePath/video", mat)
+    val pairs = dhashPairsFromState(spark, s"$basePath/text")
+      .select(col("doc_a"), col("doc_b"))
+      .unionByName(dhashPairsFromState(spark, s"$basePath/image")
+        .select(col("doc_a"), col("doc_b")))
+      .unionByName(dhashPairsFromState(spark, s"$basePath/audio")
+        .select(col("doc_a"), col("doc_b")))
+      .unionByName(setJaccardPairsFromState(spark, s"$basePath/video")
+        .select(col("doc_a"), col("doc_b")))
+    clusterStateBatch(spark, pairs, s"$basePath/clusters", batchId, mat)
+  }
+
+  /** The current cross-modality cluster decision from
+    * [[multimodalNearDupBatch]] state —
+    * [[graft.ops.Dedup.duplicateClusters]]' (doc_id, cluster_id,
+    * is_keeper) shape from the latest complete label version.
+    */
+  def multimodalClustersFromState(spark: SparkSession,
+                                  basePath: String): DataFrame =
+    clustersFromState(spark, s"$basePath/clusters")
+
   // ------------------------------------------ incremental SCD2
 
   /** One micro-batch of SCD2 HISTORY maintenance (VERDICT r13 Next

@@ -37,7 +37,13 @@ class CleanCorpusSpec extends SparkSpec {
       (30L, gif(0)),
       (31L, gif(16)),
       (40L, "GIF8 looks like a gif but is text and must cluster nowhere"
-        .getBytes("UTF-8"))) // routed to video, fails decode closed
+        .getBytes("UTF-8")), // routed to video, fails decode closed
+      // IDENTICAL corrupt blobs: no magic, invalid UTF-8 (0xFE can
+      // never open a UTF-8 sequence). The fail-closed unknown route
+      // must keep this value-identical pair out of EVERY chain — the
+      // old mojibake-text fallback simhashed them to distance 0
+      (50L, Array[Byte](0xFE.toByte, 0x01, 0xC3.toByte, 0x28, 0x77)),
+      (51L, Array[Byte](0xFE.toByte, 0x01, 0xC3.toByte, 0x28, 0x77)))
       .toDF("doc_id", "bin")
     val got = CleanCorpus.multimodalNearDupClusters(corpus)
       .as[(Long, Long, Boolean)].collect().toSet
@@ -46,7 +52,7 @@ class CleanCorpusSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false), // image pair
       (20L, 20L, true), (21L, 20L, false), // audio pair
       (30L, 30L, true), (31L, 30L, false)) // video pair
-      , "exactly the four within-modality pairs; singletons and the " +
-        "GIF-prefixed text blob absent")
+      , "exactly the four within-modality pairs; singletons, the " +
+        "GIF-prefixed text blob, and the corrupt unknown pair absent")
   }
 }

@@ -1317,6 +1317,40 @@ class StreamingUpsertSpec extends SparkSpec {
       s"cap-crossing pairs diverged from arrival-time contract: $got")
   }
 
+  test("multimodalNearDupBatch: sliced mixed batches equal the batch capstone; unknown fails closed; replay absorbed") {
+    import graft.ops.{CleanCorpus, Media}
+    def pat(i: Int)(x: Int, y: Int): (Int, Int, Int) =
+      (8 + ((x * (2 + i) + y * (3 + 2 * i)) * 7) % 180,
+        8 + ((x * (5 + i) + y * (1 + i)) * 11) % 180,
+        8 + ((x + y * (2 + i)) * 13) % 180)
+    val junk = Array[Byte](0xFE.toByte, 0x01, 0xC3.toByte, 0x28, 0x77)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today".getBytes("UTF-8")),
+      (2L, "the quick brown fox jumps over the lazy dog today".getBytes("UTF-8")),
+      (3L, "completely different words entirely unrelated content".getBytes("UTF-8")),
+      (10L, Media.pngFixture(18, 16)(pat(0))),
+      (11L, Media.pngFixture(18, 16) { (x, y) =>
+        val (r, g, b) = pat(0)(x, y); (r + 16, g + 16, b + 16) }),
+      (12L, Media.pngFixture(18, 16)(pat(3))),
+      (50L, junk), (51L, junk)).toDF("doc_id", "bin")
+    val want = CleanCorpus.multimodalNearDupClusters(corpus)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(want === Set((1L, 1L, true), (2L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)),
+      "batch capstone: text + image pairs only, junk fails closed")
+    val base = tmp("mm_state")
+    def feed(ids: Seq[Long], id: Long): Unit =
+      StreamingUpsert.multimodalNearDupBatch(spark,
+        corpus.filter($"doc_id".isin(ids: _*)), base, id)
+    feed(Seq(1L, 11L, 50L), 0L)
+    feed(Seq(2L, 10L, 51L, 1L), 1L) // re-delivers doc 1
+    feed(Seq(3L, 12L), 2L)
+    feed(Seq(3L, 12L), 2L)          // replayed last batch
+    val got = StreamingUpsert.multimodalClustersFromState(spark, base)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === want, "maintained capstone diverged from batch")
+  }
+
   test("topKStateBatch: state equals one-shot topKPerKey; re-delivery absorbed; replay idempotent; eviction permanent") {
     import graft.ops.TopK
     val base = tmp("topk_state")
