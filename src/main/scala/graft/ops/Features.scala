@@ -86,6 +86,45 @@ object Features {
     }
   }
 
+  /** Third REAL in-sandbox provider — VIDEO (VERDICT r13 Next #8,
+    * completing the provider matrix): GIF frame decode →
+    * [[Media.dhashGifFrames]] per-frame 64-bit perceptual hashes →
+    * the clip's temporal BIT-OCCUPANCY signature: embedding[p] is the
+    * fraction of sampled frames whose gradient bit p is set. Folding
+    * over frames makes clips of any length land in one 64-dim space
+    * (duration-normalized like [[PcmFrameEnergy]]'s envelope), values
+    * are bounded in [0,1] so the downstream ×10⁶ cosine quantization
+    * never overflows, and the dHash base makes the signature
+    * brightness-shift-invariant exactly like the q211/q222 chains.
+    * Fails closed: non-GIF blobs, undecodable frames and frames
+    * smaller than the grid produce no rows, hence no embedding.
+    *
+    * Scale shape: the codec pass is map-only and bounded by
+    * maxFrames; the fold is one per-(clip, bit) aggregate over
+    * ≤ 64 × maxFrames rows per clip, then one per-clip rebuild —
+    * never corpus-wide.
+    */
+  final case class GifFrameDhashFold(maxFrames: Int = 8)
+      extends FeatureProvider {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    override def features(docs: DataFrame, idCol: String,
+                          binCol: String): DataFrame =
+      Media.dhashGifFrames(docs, idCol, binCol, maxFrames)
+        .select(col("id"), expr(
+          "transform(sequence(1, 64), i -> cast(substring(dhash, i, 1) as double))")
+          .as("_bits"))
+        .select(col("id"), posexplode(col("_bits")))
+        .groupBy(col("id"), col("pos"))
+        .agg(avg(col("col")).as("_v"))
+        .groupBy(col("id"))
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("_v"))))
+          .as("_m"))
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            p => coalesce(try_element_at(col("_m"), p), lit(0.0)))
+            .as("embedding"))
+  }
+
   /** The clearly-marked MODEL-BOUND seam: deterministic md5-window
     * fake features ([[Multimodal.stubFeatures]]) where a learned
     * image/audio embedding model would run — the model weights are

@@ -116,4 +116,51 @@ class FeaturesSpec extends SparkSpec {
     assert(dropped.nonEmpty && !dropped.contains(7L),
       "near-identical quiet clips dedup; the loud clip survives")
   }
+
+  test("GifFrameDhashFold: shift-invariant bit-occupancy; fixed 64-dim; fail-closed") {
+    val pal = (0 until 128).map(k =>
+      ((2 * k) % 180 + 8, (k * 5 + 17) % 180 + 8, (k * 11 + 3) % 180 + 8))
+    def gif(shift: Int, c: Int) = Media.encodeGifUncompressed(12, 10,
+      pal.map { case (r, g, b) => (r + shift, g + shift, b + shift) },
+      (0 until 3).map(f => Array.tabulate(120)(i =>
+        ((i * (3 + f + c) + i * i * (1 + 2 * f + c)) % 128).toByte)))
+    val corpus = Seq((1L, gif(0, 0)), (2L, gif(16, 0)), (3L, gif(0, 5)),
+      (9L, "not a gif".getBytes("UTF-8"))).toDF("doc_id", "bin")
+    val got = Features.GifFrameDhashFold(maxFrames = 8)
+      .features(corpus, "doc_id", "bin")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "non-GIF blob must be dropped")
+    assert(got.values.forall(_.length == 64), "fixed 64-dim signature")
+    assert(got.values.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
+    // dHash is gradient-based: a uniform brightness shift preserves
+    // every bit, so the folded signature is identical
+    assert(got(1L) === got(2L), "brightness shift must not move the signature")
+    assert(got(1L) !== got(3L), "different content must move the signature")
+  }
+
+  test("the q177 chain runs under the VIDEO provider (provider matrix complete)") {
+    val pal = (0 until 128).map(k =>
+      ((2 * k) % 180 + 8, (k * 5 + 17) % 180 + 8, (k * 11 + 3) % 180 + 8))
+    def gif(shift: Int, c: Int) = Media.encodeGifUncompressed(12, 10,
+      pal.map { case (r, g, b) => (r + shift, g + shift, b + shift) },
+      (0 until 3).map(f => Array.tabulate(120)(i =>
+        ((i * (3 + f + c) + i * i * (1 + 2 * f + c)) % 128).toByte)))
+    // three brightness-shifted copies (identical signatures) + one
+    // distinct clip + a text blob that must never enter the space
+    val corpus = Seq((0L, gif(0, 0)), (1L, gif(8, 0)), (2L, gif(16, 0)),
+      (7L, gif(0, 5)), (100L, "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "bin")
+    val prep = Similarity.prepared(
+      Features.GifFrameDhashFold(maxFrames = 8)
+        .features(corpus, "doc_id", "bin"),
+      "vec_id", "embedding")
+    val dedup = Similarity.semDedup(prep,
+        Similarity.strideCentroids(prep, 2L), tau = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+    assert(dedup.map(_._1).toSet === Set(0L, 1L, 2L, 7L),
+      "text blob must never enter the video embedding space")
+    val dropped = dedup.filter(!_._3).map(_._1).toSet
+    assert(dropped === Set(1L, 2L),
+      "shifted copies dedup to the smallest id; the distinct clip survives")
+  }
 }
