@@ -602,7 +602,7 @@ object Search {
                             nProbe: Int, shortlist: Int,
                             kRrf: Int = 60): DataFrame = {
     requireSingleQuery(queryVec)
-    fuseRanked(bm25MultiFieldFromIndex(spark, postingsTable, dfTable,
+    fuseRrfRanked(bm25MultiFieldFromIndex(spark, postingsTable, dfTable,
         statsTable, Seq(field), queryToks),
       graft.ops.Similarity.knnIvfPqRerankOnIndex(spark, pqIndexTable,
         corpus, queryVec, coarse, codebooks, m, dims, k = n,
@@ -632,22 +632,28 @@ object Search {
                       queryVec: DataFrame, n: Int, k: Int,
                       kRrf: Int): DataFrame = {
     requireSingleQuery(queryVec)
-    fuseRanked(bmScores,
+    fuseRrfRanked(bmScores,
       graft.ops.Similarity.knnBrute(corpus, queryVec, n), n, k, kRrf)
   }
 
   /** The rank-fusion core shared by the brute and index-served
-    * vector legs: rank the (id, score_fp) lexical table over its
-    * matched set, fuse with an already-ranked (neighbor_id, rank)
-    * vector table (rank 1..n — both [[graft.ops.Similarity.knnBrute]]
-    * and [[graft.ops.Similarity.knnIvfPqRerankOnIndex]] cap there).
-    * Both `row_number <= n` windows ride InferWindowGroupLimit
-    * (per-partition partial limit before the single-partition window
-    * — PlanSpec pins it on this path) and range over query-bounded
-    * sets only: BM25-matched docs / the vector leg's top-n list.
+    * vector legs — PUBLIC so maintained-state serves compose
+    * (q244 fuses [[graft.streaming.StreamingUpsert
+    * .bm25FromCompactedState]] with a [[graft.streaming
+    * .StreamingUpsert.pqIndexServe]] shortlist re-ranked by
+    * [[graft.ops.Similarity.rerankExact]]). Contract: `bmScores` is
+    * the (id, score_fp) lexical table for ONE query's token set;
+    * `vecRanked` is an already-ranked (neighbor_id, rank) table for
+    * ONE query vector, rank 1..n ([[graft.ops.Similarity.knnBrute]],
+    * [[graft.ops.Similarity.knnIvfPqRerankOnIndex]] and the
+    * state-served shortlist+rerank composition all cap there).
+    * Both `row_number <= n` windows plan bounded
+    * (TakeOrderedAndProject / WindowGroupLimit — PlanSpec pins it on
+    * this path) and range over query-bounded sets only: BM25-matched
+    * docs / the vector leg's top-n list.
     */
-  private def fuseRanked(bmScores: DataFrame, vecRanked: DataFrame,
-                         n: Int, k: Int, kRrf: Int): DataFrame = {
+  def fuseRrfRanked(bmScores: DataFrame, vecRanked: DataFrame,
+                    n: Int, k: Int, kRrf: Int = 60): DataFrame = {
     require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
     import org.apache.spark.sql.expressions.Window

@@ -462,7 +462,19 @@ object PlanAudit {
         "scan; fusion is an n-bounded union into one tiny aggregate. " +
         "The two single-partition rank windows run over query-bounded " +
         "row sets (matched docs / k candidates), never the corpus") ->
-        fmt(OpsQueries.q231(spark, dir)))
+        fmt(OpsQueries.q231(spark, dir)),
+
+      ("q238 hybrid RRF, ANN-served vector leg (round 14) — NO corpus " +
+        "rank scan anywhere: the lexical side reads the token-pruned " +
+        "bucketed postings, the vector side reads the bucketed codes " +
+        "INDEX (broadcast probes -> cent_id equi-join -> ADC), and " +
+        "the raw-vector table appears only under the re-rank's " +
+        "selective equi-join on the 100-row shortlist and the " +
+        "broadcast probe/LUT builds. Every rank window is bounded " +
+        "(TakeOrderedAndProject for the global ones, partial+final " +
+        "WindowGroupLimit for the per-query ones — PlanSpec pins " +
+        "both); fusion stays the n-bounded union + tiny aggregate") ->
+        fmt(OpsQueries.q238(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
