@@ -611,6 +611,189 @@ object StreamingUpsert {
       }
       .start()
 
+  // --------------------------- compacted containment/set-Jaccard state
+
+  /** [[containmentBatch]] against COMPACTED state — the
+    * [[nearDupBatchCompacted]] protocol for the set family, closing
+    * the compaction matrix (LSH, PQ codes/index, BM25 and span state
+    * all have compacted twins; the set protocol was the last
+    * batch-dir-only family). Per batch: the seen-ids gate drops
+    * cross-batch re-delivery up front; df totals live in an ADDITIVE
+    * versioned stats table (version N = N−1 + the fresh batch's
+    * counts — shingle-cardinality-sized, the bstats pattern, and the
+    * same each-doc-counted-once semantics as the df asset); the
+    * sets/inv state reads are compacted-table + completed delta dirs
+    * from OTHER batches. Writes are per-batch dirs that
+    * [[compactSetState]] later folds into the doc_id-bucketed sets
+    * table and the sh-bucketed inv table, so a long-running stream's
+    * file count stays bounded and the candidate probe becomes a
+    * bucket-pruned table scan plus only the uncompacted delta.
+    * Cap-crossing contract: [[containmentBatch]]'s, verbatim.
+    */
+  def containmentBatchCompacted(spark: SparkSession, batch: DataFrame,
+                                idCol: String, textCol: String, n: Int,
+                                tauPpm: Long, maxDf: Long,
+                                basePath: String, setsTable: String,
+                                invTable: String, batchId: Long,
+                                mat: graft.ops.Materializer =
+                                  graft.ops.Materialize.Local): Unit =
+    setStateCompactedCore(spark,
+      Dedup.shingleSets(batch, idCol, textCol, n),
+      maxDf, basePath, setsTable, invTable, batchId, mat) { raw =>
+      raw.select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+          col("nb"),
+          expr("inter * 1000000 DIV na").as("cont_a_ppm"),
+          expr("inter * 1000000 DIV nb").as("cont_b_ppm"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= tauPpm)
+    }
+
+  /** [[setJaccardBatch]] against COMPACTED state — the score-pluggable
+    * twin of [[containmentBatchCompacted]] (the video frame-set chain
+    * maintains through it unchanged).
+    */
+  def setJaccardBatchCompacted(spark: SparkSession, sets: DataFrame,
+                               tauPpm: Long, maxDf: Long,
+                               basePath: String, setsTable: String,
+                               invTable: String, batchId: Long,
+                               mat: graft.ops.Materializer =
+                                 graft.ops.Materialize.Local): Unit =
+    setStateCompactedCore(spark,
+      sets.select(col("doc_id"), array_distinct(col("shs")).as("shs")),
+      maxDf, basePath, setsTable, invTable, batchId, mat) { raw =>
+      raw.select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+          col("nb"),
+          expr("inter * 1000000 DIV (na + nb - inter)").as("jac_ppm"))
+        .filter(col("jac_ppm") >= tauPpm)
+    }
+
+  private def setStateCompactedCore(spark: SparkSession,
+                                    newSetsAll: DataFrame, maxDf: Long,
+                                    basePath: String, setsTable: String,
+                                    invTable: String, batchId: Long,
+                                    mat: graft.ops.Materializer)(
+                                    score: DataFrame => DataFrame): Unit = {
+    val freshRows = mat(freshAgainstSeen(spark, newSetsAll, "doc_id",
+      batchId, s"$basePath/seen"))
+    val newSets = mat(freshRows.filter(size(col("shs")) > 0))
+    val newInv = newSets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // additive df stats — version N = N−1 + the fresh batch's counts
+    val versions = statsVersions(spark, s"$basePath/dfstats")
+      .filter(_._1 < batchId)
+    val newCnt = newInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prevCnt = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(newCnt.schema).parquet(p)
+      case None         => newCnt.limit(0)
+    }
+    prevCnt.unionByName(newCnt)
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$basePath/dfstats/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/dfstats")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+    val admitted = spark.read.parquet(s"$basePath/dfstats/v=$batchId")
+      .filter(col("df") <= maxDf).select(col("sh"))
+    // state readers: compacted table + completed delta dirs from
+    // OTHER batches (a replay must not join its own prior attempt)
+    def stateOf(table: String, sub: String, like: DataFrame): DataFrame = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+        .filterNot(_.endsWith(s"batch=$batchId"))
+      val parts =
+        (if (spark.catalog.tableExists(table))
+          Seq(spark.table(table)
+            .select(like.columns.toIndexedSeq.map(col): _*))
+        else Seq.empty) ++
+        (if (dirs.nonEmpty)
+          Seq(spark.read.schema(like.schema).parquet(dirs: _*))
+        else Seq.empty)
+      parts.foldLeft(like.limit(0))(_ unionByName _)
+    }
+    val newAdm = newInv.join(admitted, Seq("sh"), "left_semi")
+    val allInv = stateOf(invTable, "inv", newInv).unionByName(newInv)
+    val cands = newAdm.as("na").join(allInv.as("ab"),
+        col("na.sh") === col("ab.sh") &&
+          col("na.doc_id") =!= col("ab.doc_id"))
+      .select(least(col("na.doc_id"), col("ab.doc_id")).as("doc_a"),
+        greatest(col("na.doc_id"), col("ab.doc_id")).as("doc_b"))
+      .distinct()
+    val allSets = stateOf(setsTable, "sets", newSets).unionByName(newSets)
+    val verified = score(cands
+      .join(allSets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(allSets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shs"), col("sb.shs")))
+          .cast("long").as("inter"),
+        size(col("sa.shs")).cast("long").as("na"),
+        size(col("sb.shs")).cast("long").as("nb")))
+    verified.write.mode("overwrite")
+      .parquet(s"$basePath/pairs/batch=$batchId")
+    newSets.write.mode("overwrite")
+      .parquet(s"$basePath/sets/batch=$batchId")
+    newInv.write.mode("overwrite")
+      .parquet(s"$basePath/inv/batch=$batchId")
+    recordSeen(spark, freshRows.select(col("doc_id").as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Fold the accumulated set-state batch dirs into the bucketed
+    * catalog assets — [[compactLshState]]'s pattern for the set
+    * family: sets fold into the doc_id-bucketed table (the verify
+    * probe side), inv into the sh-bucketed table (the candidate probe
+    * side). Pairs and the df/seen version chains are NOT touched:
+    * pairs are already found-exactly-once per-batch results, and the
+    * version chains are already compact (one live version each).
+    */
+  def compactSetState(spark: SparkSession, basePath: String,
+                      setsTable: String, invTable: String,
+                      numBuckets: Int = 32): Unit = {
+    def fold(sub: String, table: String, cols: Seq[String],
+             keys: Seq[String]): Unit = {
+      val dirs = batchDirs(spark, s"$basePath/$sub")
+      if (dirs.nonEmpty) {
+        val state = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
+        val all = if (spark.catalog.tableExists(table))
+          spark.table(table).select(cols.map(col): _*).unionByName(state)
+        else state
+        graft.Tables.writeBucketed(all.distinct(), table, keys, numBuckets)
+        dirs.foreach { d =>
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hfs(spark, hp).delete(hp, true)
+        }
+      }
+    }
+    fold("sets", setsTable, Seq("doc_id", "shs"), Seq("doc_id"))
+    fold("inv", invTable, Seq("doc_id", "sh"), Seq("sh"))
+  }
+
+  /** All verified pairs found so far by [[containmentBatchCompacted]]
+    * (each found exactly once — the seen gate keeps a doc from ever
+    * being "new" twice): a plain union of the per-batch results, the
+    * columns of [[graft.ops.Dedup.containmentPairs]] verbatim.
+    */
+  def containmentPairsFromCompactedState(spark: SparkSession,
+                                         basePath: String): DataFrame = {
+    val dirs = batchDirs(spark, s"$basePath/pairs")
+    require(dirs.nonEmpty, s"no completed pair batches under $basePath/pairs")
+    spark.read.parquet(dirs: _*)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("cont_a_ppm"), col("cont_b_ppm")).distinct()
+  }
+
+  /** [[containmentPairsFromCompactedState]] for the Jaccard scorer —
+    * [[graft.ops.Dedup.setJaccardPairs]]' columns verbatim.
+    */
+  def setJaccardPairsFromCompactedState(spark: SparkSession,
+                                        basePath: String): DataFrame = {
+    val dirs = batchDirs(spark, s"$basePath/pairs")
+    require(dirs.nonEmpty, s"no completed pair batches under $basePath/pairs")
+    spark.read.parquet(dirs: _*)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"),
+        col("nb"), col("jac_ppm")).distinct()
+  }
+
   // ------------------------------------------- incremental span dedup
 
   private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =

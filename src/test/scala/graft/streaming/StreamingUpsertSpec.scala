@@ -1317,6 +1317,41 @@ class StreamingUpsertSpec extends SparkSpec {
       s"cap-crossing pairs diverged from arrival-time contract: $got")
   }
 
+  test("setJaccardBatchCompacted: mid-stream compaction + delta equals batch pairs; replay overwrites idempotently") {
+    import graft.ops.Dedup
+    val sets = Seq(
+      (1L, Seq("f1", "f2", "f3", "f4")),
+      (2L, Seq("f1", "f2", "f3", "f9")),
+      (3L, Seq("f1", "f2", "f3", "f4")),
+      (10L, Seq("g1", "g2")),
+      (11L, Seq("g1", "g2")),
+      (20L, Seq("z1", "z2", "z3"))).toDF("doc_id", "shs")
+    val want = Dedup.setJaccardPairs(sets, tauPpm = 500000L, maxDf = 10L)
+      .select($"doc_a", $"doc_b", $"jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val base = tmp("setjac_compacted")
+    val (setsT, invT) = ("sjc_sets_spec", "sjc_inv_spec")
+    spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    spark.sql(s"DROP TABLE IF EXISTS $invT")
+    def feed(ids: Seq[Long], id: Long): Unit =
+      StreamingUpsert.setJaccardBatchCompacted(spark,
+        sets.filter($"doc_id".isin(ids: _*)), tauPpm = 500000L,
+        maxDf = 10L, basePath = base, setsTable = setsT,
+        invTable = invT, batchId = id)
+    feed(Seq(1L, 10L), 0L)
+    // batch 1 re-delivers doc 1 (cross-batch — the seen gate drops it)
+    feed(Seq(2L, 11L, 1L), 1L)
+    StreamingUpsert.compactSetState(spark, base, setsT, invT)
+    feed(Seq(3L, 20L), 2L)   // uncompacted delta vs the bucketed tables
+    feed(Seq(3L, 20L), 2L)   // replayed last batch — overwrite, no dupes
+    val got = StreamingUpsert.setJaccardPairsFromCompactedState(spark, base)
+      .select($"doc_a", $"doc_b", $"jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want, "compacted set state diverged from batch pairs")
+    spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    spark.sql(s"DROP TABLE IF EXISTS $invT")
+  }
+
   test("multimodalNearDupBatch: sliced mixed batches equal the batch capstone; unknown fails closed; replay absorbed") {
     import graft.ops.{CleanCorpus, Media}
     def pat(i: Int)(x: Int, y: Int): (Int, Int, Int) =
