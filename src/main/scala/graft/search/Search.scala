@@ -610,6 +610,105 @@ object Search {
       n, k, kRrf)
   }
 
+  /** BM25 scores for an EXPLICIT (query_id, tok) query table — the
+    * BATCH-SERVING lexical form: ONE scan of the persisted postings
+    * index scores N queries at once (per-row contrib arithmetic is
+    * [[bm25ScoreTail]]'s verbatim — a (doc, tok) contrib is
+    * query-independent, so rows are tagged with query_id by a
+    * broadcast join and summed per (query_id, id)). Single `field`:
+    * the multi-field best-of needs a per-field pivot that the batch
+    * shape doesn't change — compose per field if needed.
+    *
+    * Scale note vs [[bm25MultiFieldFromIndex]]: literal query tokens
+    * push an IN filter into the bucketed scan; a DYNAMIC query table
+    * cannot, so this reads the postings for the UNION of all query
+    * tokens through a broadcast semi-structure instead — the point of
+    * batch serving is amortizing that one scan over the whole query
+    * set.
+    */
+  def bm25MultiQueryFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              postingsTable: String, dfTable: String,
+                              statsTable: String, field: String,
+                              queryToks: DataFrame): DataFrame = {
+    val qt = broadcast(
+      queryToks.select($"query_id", $"tok").distinct())
+    val tf = spark.table(postingsTable).filter($"field" === field)
+      .join(broadcast(qt.select($"tok").distinct()), Seq("tok"),
+        "left_semi")
+    val df_ = spark.table(dfTable).filter($"field" === field)
+    val stats = broadcast(spark.table(statsTable))
+    tf.join(qt, Seq("tok"))
+      .join(broadcast(df_), Seq("field", "tok"))
+      .crossJoin(stats)
+      .withColumn("tt", col(s"_t_$field"))
+      .withColumn("idf",
+        log(($"n_docs".cast("double") + lit(1.0)) /
+          ($"df".cast("double") + lit(0.5))))
+      .withColumn("tfpart",
+        (lit(22L) * $"tf" * $"tt").cast("double") /
+          (lit(10L) * $"tf" * $"tt" + lit(3L) * $"tt" +
+            lit(9L) * $"dl" * $"n_docs").cast("double"))
+      .withColumn("contrib", floor($"idf" * $"tfpart" * lit(1e6)).cast("long"))
+      .groupBy($"query_id", $"id")
+      .agg(sum($"contrib").as("score_fp"))
+      .filter($"score_fp" > 0)
+  }
+
+  /** BATCH hybrid serving — the production form of the ADVICE r13
+    * observation that RRF must fuse PER QUERY: N (query_id, token
+    * set) lexical queries and N query vectors served together, every
+    * window partitioned by query_id (WindowGroupLimit-bounded — no
+    * global sort grows with the query batch), one postings scan and
+    * one probes→codes→ADC pass for the whole set. Output:
+    * (query_id, id, rrf_fp, rank), rank 1..k per query.
+    */
+  def hybridRrfBatchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              postingsTable: String, dfTable: String,
+                              statsTable: String, field: String,
+                              queryToks: DataFrame, pqIndexTable: String,
+                              corpus: DataFrame, queryVecs: DataFrame,
+                              coarse: DataFrame, codebooks: DataFrame,
+                              m: Int, dims: Int, n: Int, k: Int,
+                              nProbe: Int, shortlist: Int,
+                              kRrf: Int = 60): DataFrame =
+    fuseRrfRankedPerQuery(
+      bm25MultiQueryFromIndex(spark, postingsTable, dfTable, statsTable,
+        field, queryToks),
+      graft.ops.Similarity.knnIvfPqRerankOnIndex(spark, pqIndexTable,
+        corpus, queryVecs, coarse, codebooks, m, dims, k = n,
+        nProbe = nProbe, shortlist = shortlist),
+      n, k, kRrf)
+
+  /** [[fuseRrfRanked]] per query: `bmScores` = (query_id, id,
+    * score_fp), `vecRanked` = (query_id, neighbor_id, rank 1..n);
+    * ranks, contributions and the final top-k all partition by
+    * query_id, so fusion never mixes queries (the ADVICE r13 hazard)
+    * and every window is a per-partition bounded group limit.
+    */
+  def fuseRrfRankedPerQuery(bmScores: DataFrame, vecRanked: DataFrame,
+                            n: Int, k: Int,
+                            kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && n >= k, s"need n >= k >= 1, got n=$n k=$k")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy($"query_id")
+      .orderBy($"score_fp".desc, $"id".asc)
+    val bm = bmScores
+      .withColumn("r", row_number().over(wq).cast("long"))
+      .filter($"r" <= n)
+      .select($"query_id", $"id",
+        expr(s"1000000 DIV ($kRrf + r)").as("c"))
+    val vec = vecRanked
+      .select($"query_id", $"neighbor_id".as("id"),
+        expr(s"1000000 DIV ($kRrf + rank)").as("c"))
+    bm.unionByName(vec)
+      .groupBy($"query_id", $"id").agg(sum($"c").as("rrf_fp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"rrf_fp".desc, $"id".asc)).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** RRF fuses the two systems' ranks into ONE ranking, so a
     * multi-row queryVec would silently SUM per-query rank
     * contributions across unrelated queries (ADVICE r13). queryVec is

@@ -1578,6 +1578,61 @@ object StreamingUpsert {
     closed.unionByName(open)
   }
 
+  /** Fold the append-only `closed/` history deltas into a
+    * key-bucketed catalog table — the [[compactSetState]] pattern for
+    * the SCD2 family, so a long-running CDC stream's closed-version
+    * file count stays bounded and point-in-time reads become a
+    * bucket-pruned table scan plus only the uncompacted delta. Rows
+    * are value-distinct across batches (every valid_from_us is
+    * strictly newer than the key's folded history), so the
+    * distinct-at-fold is exactly the read-side distinct moved into
+    * the asset. Call BETWEEN folds (the other compactions' contract —
+    * a concurrent scd2StateBatch append could be swallowed
+    * mid-write); the open/ and any replay semantics are untouched
+    * (the versioned cursor is already one live version).
+    */
+  def compactScd2State(spark: SparkSession, basePath: String,
+                       closedTable: String, numBuckets: Int = 32): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/closed")
+    val f = hfs(spark, hp)
+    if (f.exists(hp)) {
+      val state = spark.read.parquet(s"$basePath/closed").distinct()
+      val all = if (spark.catalog.tableExists(closedTable))
+        spark.table(closedTable)
+          .select(state.columns.toIndexedSeq.map(col): _*)
+          .unionByName(state)
+        else state
+      graft.Tables.writeBucketed(all.distinct(), closedTable,
+        Seq("key"), numBuckets)
+      f.delete(hp, true)
+    }
+  }
+
+  /** [[scd2FromState]] with the closed versions served from the
+    * COMPACTED table plus only the uncompacted `closed/` delta.
+    */
+  def scd2FromCompactedState(spark: SparkSession, basePath: String,
+                             closedTable: String): DataFrame = {
+    val vs = statsVersions(spark, s"$basePath/open")
+    require(vs.nonEmpty, s"no completed open versions under $basePath/open")
+    val open = spark.read.parquet(vs.sortBy(_._1).last._2)
+      .select(col("key"), col("state"), col("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"))
+    val like = open.limit(0)
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/closed")
+    val delta =
+      if (hfs(spark, hp).exists(hp))
+        spark.read.schema(like.schema).parquet(s"$basePath/closed")
+          .distinct()
+      else like
+    val table =
+      if (spark.catalog.tableExists(closedTable))
+        spark.table(closedTable)
+          .select(like.columns.toIndexedSeq.map(col): _*)
+      else like
+    table.unionByName(delta).unionByName(open)
+  }
+
   /** [[scd2StateBatch]] wired as the foreachBatch sink of a change
     * stream — the maintained dimension-history ingest path.
     */

@@ -153,4 +153,39 @@ class HistorySpec extends SparkSpec {
     assert(StreamingUpsert.scd2FromState(spark, base).count() === 3L)
   }
 
+
+  test("compactScd2State: bucketed closed table + delta serve equals the uncompacted state") {
+    import graft.streaming.StreamingUpsert
+    val ev = Seq(
+      (1L, t(100), 10L, "A"), (1L, t(200), 11L, "B"),
+      (1L, t(300), 12L, "A"), (2L, t(50), 20L, "X"),
+      (2L, t(400), 21L, "Y"), (3L, t(150), 30L, "Q")
+    ).toDF("k", "ts", "eid", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val want = snap(History.scd2(ev, "k", "ts", "eid", "v"))
+    val base = java.nio.file.Files
+      .createTempDirectory("scd2_compact").toString
+    val tbl = "scd2_closed_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val us = unix_micros($"ts".cast("timestamp"))
+    def feed(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.scd2StateBatch(spark, b, "k", "ts", "eid", "v",
+        base, id)
+    feed(ev.filter(us < 150L * 1000000L), 0L)
+    feed(ev.filter(us >= 150L * 1000000L && us < 300L * 1000000L), 1L)
+    StreamingUpsert.compactScd2State(spark, base, tbl)
+    // the closed/ delta dir is gone; the table carries its rows
+    assert(!new java.io.File(s"$base/closed").exists())
+    feed(ev.filter(us >= 300L * 1000000L), 2L)
+    val got = snap(StreamingUpsert.scd2FromCompactedState(spark, base, tbl))
+    assert(got === want, "compacted scd2 serve diverged from batch scd2")
+    // compacting twice (second fold = delta-only) stays equal
+    StreamingUpsert.compactScd2State(spark, base, tbl)
+    assert(snap(StreamingUpsert.scd2FromCompactedState(spark, base, tbl))
+      === want)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
 }
