@@ -301,6 +301,45 @@ object Validate {
       .join(parent.select(col(pkCol).as("_pk")).distinct(),
         col(fkCol) === col("_pk"), "left_anti")
 
+  /** Functional-dependency audit — the cross-COLUMN constraint the
+    * row-scoped suite ([[validate]]) and the cross-TABLE check
+    * ([[refIntegrityReport]]) cannot express: does `lhs → rhs` hold,
+    * i.e. does every lhs determinant value map to exactly ONE rhs
+    * tuple? The denormalization-drift check every warehouse needs
+    * (a nation key that maps to two nation names after a bad merge).
+    * Returns the VIOLATING determinants:
+    * (lhs..., n_rhs — distinct rhs tuples, n_rows — rows carrying
+    * the determinant), n_rhs >= 2, ordered nowhere (callers sort).
+    * NULL semantics: a NULL in lhs groups like any value (NULL
+    * determinants are still determinants); a NULL in rhs is a
+    * distinct tuple value (SQL count-distinct semantics would drop
+    * it silently — this uses the struct form so NULL ≠ absent).
+    *
+    * Scale shape: ONE grouped aggregate on the determinant
+    * (count_distinct over a struct is a partial+final aggregate, no
+    * self-join); violating-row quarantine is a broadcast semi-join
+    * back ([[fdViolatingRows]]).
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+                   rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty, "lhs and rhs must be non-empty")
+    require(lhs.intersect(rhs).isEmpty,
+      s"lhs and rhs overlap: ${lhs.intersect(rhs).mkString(", ")}")
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(struct(rhs.map(col): _*)).as("n_rhs"),
+        count(lit(1)).as("n_rows"))
+      .filter($"n_rhs" >= 2L)
+  }
+
+  /** The rows carrying a violating determinant of [[fdViolations]] —
+    * the quarantine face: everything needed to adjudicate which rhs
+    * is correct. One semi-join on the (usually tiny) violator set.
+    */
+  def fdViolatingRows(df: DataFrame, lhs: Seq[String],
+                      rhs: Seq[String]): DataFrame =
+    df.join(broadcast(fdViolations(df, lhs, rhs).select(lhs.map(col): _*)),
+      lhs, "left_semi")
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
     * privacy beyond k-anonymity and l-diversity", ICDE 2007) — the
     * third leg of the release-audit triad: a QI class can be large

@@ -1425,6 +1425,19 @@ object StreamingUpsert {
                                   basePath: String): DataFrame =
     clustersFromState(spark, s"$basePath/clusters")
 
+  /** [[multimodalNearDupBatch]] wired as the foreachBatch sink of a
+    * mixed-blob stream — arriving blobs route to their modality's
+    * maintained state and the cluster decision stays current.
+    */
+  def incrementalMultimodalNearDup(stream: DataFrame, basePath: String,
+                                   checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        multimodalNearDupBatch(batch.sparkSession, batch, basePath, id)
+      }
+      .start()
+
   // ------------------------------------------ incremental SCD2
 
   /** One micro-batch of SCD2 HISTORY maintenance (VERDICT r13 Next

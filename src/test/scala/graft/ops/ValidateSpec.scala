@@ -229,4 +229,28 @@ class ValidateSpec extends SparkSpec {
       assert(batch.nonEmpty, "fixture must have violating classes")
     }
   }
+
+  test("fdViolations: clean FD empty; NULL rhs counts as a value; quarantine matches") {
+    import org.apache.spark.sql.functions._
+    val clean = Seq((1L, "A"), (1L, "A"), (2L, "B")).toDF("k", "v")
+    assert(Validate.fdViolations(clean, Seq("k"), Seq("v")).count() === 0L)
+    val dirty = Seq((1L, "A"), (1L, "B"), (2L, "B"), (2L, "B"),
+      (3L, "C"), (3L, null.asInstanceOf[String])).toDF("k", "v")
+    val got = Validate.fdViolations(dirty, Seq("k"), Seq("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    // key 3: NULL is a DISTINCT rhs value (bare count-distinct would
+    // report n_rhs = 1 and hide the violation)
+    assert(got === Set((1L, 2L, 2L), (3L, 2L, 2L)))
+    val rows = Validate.fdViolatingRows(dirty, Seq("k"), Seq("v"))
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 1L, 3L, 3L))
+    // guards: overlapping lhs/rhs and empty sides rejected
+    intercept[IllegalArgumentException] {
+      Validate.fdViolations(dirty, Seq("k"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.fdViolations(dirty, Seq.empty, Seq("v"))
+    }
+  }
+
 }

@@ -161,6 +161,17 @@ class PlanSpec extends SparkSpec {
     }
     pin("q232", OpsQueries.q232(spark, dir))
     pin("q238", OpsQueries.q238(spark, dir))
+    // the batch-serving form: every window carries a query_id
+    // partition, so ALL of them must plan as WindowGroupLimit (no
+    // TakeOrderedAndProject — there is no global rank anywhere)
+    val p245 = plan(OpsQueries.q245(spark, dir))
+    val wins245 = "\\+- Window ".r.findAllIn(p245).length
+    val wgl245 = "WindowGroupLimit .*, Final".r.findAllIn(p245).length
+    assert(wins245 >= 3 && wgl245 >= wins245,
+      s"q245: a per-query rank window lost its WindowGroupLimit " +
+        s"($wgl245 for $wins245):\n$p245")
+    assert(!p245.contains("TakeOrderedAndProject"),
+      s"q245 must have no GLOBAL rank at all:\n$p245")
   }
 
   test("q238: the vector leg serves from the persisted codes index, not a corpus rank scan") {
