@@ -56,6 +56,35 @@ object ScaleSoakR14 {
     val pairs = graft.streaming.StreamingUpsert
       .containmentPairsFromState(spark, base).count()
     println(s"[soak-r14] verified pairs in state: $pairs")
+
+    // ---- 2. scd2StateBatch per-batch cost in HISTORY depth ----------
+    // fixed 20k keys, one event per key per batch with alternating
+    // states (every batch opens a new version for every key — the
+    // worst case for closed-append volume). The open cursor set stays
+    // key-sized, closed appends are delta-sized, so per-batch cost
+    // should be flat as the history deepens.
+    import org.apache.spark.sql.functions.{col, expr}
+    val scd2Base = java.nio.file.Files
+      .createTempDirectory("soak_r14_scd2").toString
+    val nKeys = 20000L
+    println(s"[soak-r14] scd2 fold: 10 batches x $nKeys keys, " +
+      "per-batch seconds as history deepens")
+    (0 until 10).foreach { b =>
+      val batch = spark.range(0, nKeys)
+        .select(col("id").as("k"),
+          expr(s"timestamp_micros(1000000 * (1000 + $b * 60))").as("ts"),
+          (col("id") * 100 + b).as("eid"),
+          expr(s"CASE WHEN $b % 2 = 0 THEN 'A' ELSE 'B' END").as("v"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingUpsert.scd2StateBatch(spark, batch,
+        "k", "ts", "eid", "v", scd2Base, b.toLong)
+      val s2 = (System.nanoTime() - t0) / 1e9
+      println(f"[soak-r14] scd2 batch $b%2d (history ${b * nKeys}%7d closed rows) $s2%8.3f s")
+    }
+    val hist = graft.streaming.StreamingUpsert
+      .scd2FromState(spark, scd2Base).count()
+    println(s"[soak-r14] scd2 history rows: $hist")
     spark.stop()
   }
 }
