@@ -340,6 +340,40 @@ object Validate {
     df.join(broadcast(fdViolations(df, lhs, rhs).select(lhs.map(col): _*)),
       lhs, "left_semi")
 
+  /** The STORED partial of [[fdViolations]] — the
+    * [[lDiversityPartials]] maintenance axis for the FD audit: per
+    * (`segmentCol`, lhs…, rhs tuple) row counts. The same two merge
+    * laws make the serve exact under ANY segmentation (sum for
+    * n_rows, distinct-union for the rhs tuples), with ONE deliberate
+    * difference from the diversity partial: the rhs is stored as a
+    * STRUCT so a NULL rhs remains a counted value after the merge —
+    * the same NULL discipline as the batch audit.
+    */
+  def fdPartials(df: DataFrame, segmentCol: String, lhs: Seq[String],
+                 rhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty && rhs.nonEmpty, "lhs and rhs must be non-empty")
+    require(lhs.intersect(rhs).isEmpty,
+      s"lhs and rhs overlap: ${lhs.intersect(rhs).mkString(", ")}")
+    df.groupBy(col(segmentCol) +: lhs.map(col) :+
+        struct(rhs.map(col): _*).as("_rhs"): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Serve the FD audit from stored partials: sum-merge row counts,
+    * distinct-merge rhs tuples, filter n_rhs >= 2 — equal to
+    * [[fdViolations]] over the raw union under any segmentation
+    * (ValidateSpec property; q248 runs it under q247's oracle).
+    * Touches segments × determinants × rhs-domain rows, never the
+    * corpus.
+    */
+  def serveFd(partials: DataFrame, lhs: Seq[String]): DataFrame = {
+    require(lhs.nonEmpty, "serveFd needs at least one lhs column")
+    partials.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col("_rhs")).as("n_rhs"),
+        sum(col("_n")).as("n_rows"))
+      .filter($"n_rhs" >= 2L)
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, "t-Closeness:
     * privacy beyond k-anonymity and l-diversity", ICDE 2007) — the
     * third leg of the release-audit triad: a QI class can be large

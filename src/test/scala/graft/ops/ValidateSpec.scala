@@ -253,4 +253,32 @@ class ValidateSpec extends SparkSpec {
     }
   }
 
+
+  test("serveFd over partials equals fdViolations under any segmentation (distinct-union law)") {
+    import org.apache.spark.sql.functions._
+    val dirty = Seq((1L, "A"), (1L, "B"), (2L, "B"), (2L, "B"),
+      (3L, "C"), (3L, null.asInstanceOf[String])).toDF("k", "v")
+    val want = Validate.fdViolations(dirty, Seq("k"), Seq("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    // segmentations chosen so a violator's rhs values SPLIT across
+    // segments (the merge must reassemble them) and so duplicate
+    // (k, v) rows land in different segments (sum law)
+    val segmentations: Seq[Seq[Seq[Int]]] = Seq(
+      Seq(Seq(0, 2, 4), Seq(1, 3, 5)),
+      Seq(Seq(0), Seq(1), Seq(2), Seq(3), Seq(4), Seq(5)),
+      Seq(Seq(0, 1, 2, 3, 4, 5)))
+    val rows = dirty.collect()
+    for (segs <- segmentations) {
+      val partials = segs.zipWithIndex.map { case (idx, i) =>
+        val part = spark.createDataFrame(
+          spark.sparkContext.parallelize(idx.map(rows)), dirty.schema)
+        Validate.fdPartials(part.withColumn("_seg", lit(i.toLong)),
+          "_seg", Seq("k"), Seq("v"))
+      }.reduce(_ unionByName _)
+      val got = Validate.serveFd(partials, Seq("k"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === want, s"segmentation $segs diverged")
+    }
+  }
+
 }
