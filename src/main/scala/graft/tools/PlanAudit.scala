@@ -474,7 +474,17 @@ object PlanAudit {
         "(TakeOrderedAndProject for the global ones, partial+final " +
         "WindowGroupLimit for the per-query ones — PlanSpec pins " +
         "both); fusion stays the n-bounded union + tiny aggregate") ->
-        fmt(OpsQueries.q238(spark, dir)))
+        fmt(OpsQueries.q238(spark, dir)),
+
+      ("q245 BATCH hybrid serving (round 14) — N queries, ONE " +
+        "postings scan (broadcast token semi-join + broadcast " +
+        "query-tag join) and ONE probes→codes→ADC pass; EVERY rank " +
+        "window partitions by query_id and plans as partial+final " +
+        "WindowGroupLimit — no TakeOrderedAndProject, no global sort " +
+        "anywhere, so the plan's depth is independent of the query " +
+        "batch size (ProfileBatchHybrid measured flat 1.7 s for " +
+        "N=1..16 vs linear per-call growth)") ->
+        fmt(OpsQueries.q245(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
