@@ -611,6 +611,109 @@ object StreamingUpsert {
       }
       .start()
 
+  // ----------------------------------- maintained decontamination
+
+  /** One TRAIN micro-batch checked against a FROZEN eval set
+    * ([[graft.ops.Decontaminate.contaminationPairs]] kept current
+    * under ingest) — the production shape of benchmark-leakage
+    * checking: eval sets are static, the training corpus streams in,
+    * and each arriving doc must be checked ONCE, against the eval
+    * side only. Because candidates are bipartite, NO train-side
+    * sets/inv retention is needed (an old train doc never re-compares
+    * — its pairs were found when it arrived); the ONLY growing state
+    * is the additive per-shingle train-df version chain that keeps
+    * the union-df cap equal to the batch operator's, plus the
+    * found-pairs log and the seen-ids replay gate. Per-batch cost is
+    * batch-sized work against the (broadcastable) eval-side index —
+    * delta-sized in the strictest sense.
+    *
+    * `testSets` must be FROZEN across the stream (a new eval set is a
+    * new state dir — the pqEncodeBatch codebook rule). Cap-crossing
+    * contract: [[containmentBatch]]'s, restated bipartite — the state
+    * equals the batch operator while no shingle's UNION df (train so
+    * far + eval) crosses maxDf over the stream's lifetime; a shingle
+    * that grows past the cap keeps the pairs found while under cap.
+    * Layout: dfstats/v=&lt;id&gt; (train-side additive counts),
+    * pairs/batch=&lt;id&gt;, seen/v=&lt;id&gt;.
+    */
+  def decontaminationBatch(spark: SparkSession, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           testSets: DataFrame, n: Int, tauPpm: Long,
+                           maxDf: Long, basePath: String, batchId: Long,
+                           mat: graft.ops.Materializer =
+                             graft.ops.Materialize.Local): Unit = {
+    require(tauPpm >= 1L && tauPpm <= 1000000L,
+      s"tauPpm must be 1..1000000, got $tauPpm")
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val newSets = mat(Dedup.shingleSets(fresh, idCol, textCol, n)
+      .filter(size(col("shs")) > 0))
+    val newInv = newSets
+      .select(col("doc_id").as("train_id"), explode(col("shs")).as("sh"))
+    val tb = mat(testSets
+      .select(col("test_id"), array_distinct(col("shs")).as("shs"))
+      .filter(size(col("shs")) > 0))
+    val testInv = tb.select(col("test_id"), explode(col("shs")).as("sh"))
+    // additive TRAIN-side df — version N = N−1 + the fresh batch's
+    // counts (the q243 chain); the eval side's static df adds at read
+    val versions = statsVersions(spark, s"$basePath/dfstats")
+      .filter(_._1 < batchId)
+    val newCnt = newInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prevCnt = versions.sortBy(_._1).lastOption match {
+      case Some((_, p)) => spark.read.schema(newCnt.schema).parquet(p)
+      case None         => newCnt.limit(0)
+    }
+    prevCnt.unionByName(newCnt)
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$basePath/dfstats/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, s"$basePath/dfstats")
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
+    val testDf = testInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val rare = spark.read.parquet(s"$basePath/dfstats/v=$batchId")
+      .unionByName(testDf)
+      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val cands = newInv.join(rare, Seq("sh"), "left_semi")
+      .join(broadcast(testInv.join(rare, Seq("sh"), "left_semi")),
+        Seq("sh"))
+      .select(col("train_id"), col("test_id")).distinct()
+    val verified = cands
+      .join(newSets.select(col("doc_id").as("train_id"),
+        col("shs").as("_sa")), Seq("train_id"))
+      .join(broadcast(tb.select(col("test_id"), col("shs").as("_sb"))),
+        Seq("test_id"))
+      .select(col("train_id"), col("test_id"),
+        size(array_intersect(col("_sa"), col("_sb")))
+          .cast("long").as("inter"),
+        size(col("_sa")).cast("long").as("na"),
+        size(col("_sb")).cast("long").as("nb"))
+      .withColumn("cont_test_ppm", expr("inter * 1000000 DIV nb"))
+      .filter(col("cont_test_ppm") >= tauPpm)
+    verified.write.mode("overwrite")
+      .parquet(s"$basePath/pairs/batch=$batchId")
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** All contamination pairs found so far by [[decontaminationBatch]]
+    * — [[graft.ops.Decontaminate.contaminationPairs]]' columns
+    * verbatim (each pair found exactly once: the seen gate keeps a
+    * train doc from ever being "new" twice).
+    */
+  def decontaminationPairsFromState(spark: SparkSession,
+                                    basePath: String): DataFrame = {
+    val dirs = batchDirs(spark, s"$basePath/pairs")
+    require(dirs.nonEmpty, s"no completed pair batches under $basePath/pairs")
+    spark.read.parquet(dirs: _*)
+      .select(col("train_id"), col("test_id"), col("inter"), col("na"),
+        col("nb"), col("cont_test_ppm")).distinct()
+  }
+
   // --------------------------- compacted containment/set-Jaccard state
 
   /** [[containmentBatch]] against COMPACTED state — the

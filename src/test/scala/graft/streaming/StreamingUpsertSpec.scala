@@ -1352,6 +1352,51 @@ class StreamingUpsertSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $invT")
   }
 
+  test("decontaminationBatch: sliced train equals batch contaminationPairs; re-delivery + replay absorbed; df chain only") {
+    import graft.ops.{Decontaminate, Dedup}
+    val trainDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words entirely unrelated content here"),
+      (4L, "yet more other material nothing shared with anything"),
+      (5L, "short text")).toDF("doc_id", "text")
+    val testDf = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "fox jumps over the lazy"),
+      (103L, "never seen anywhere zq1 zq2 zq3 zq4 zq5"))
+      .toDF("test_id", "text")
+    val want = Decontaminate.contaminationPairs(trainDf, "doc_id", "text",
+        testDf, "test_id", "text", n = 3, tauPpm = 800000L, maxDf = 100L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    val testSets = Dedup.shingleSets(testDf, "test_id", "text", 3)
+      .select($"doc_id".as("test_id"), $"shs")
+    val base = tmp("decont_state")
+    def feed(ids: Seq[Long], id: Long): Unit =
+      StreamingUpsert.decontaminationBatch(spark,
+        trainDf.filter($"doc_id".isin(ids: _*)), "doc_id", "text",
+        testSets, n = 3, tauPpm = 800000L, maxDf = 100L,
+        basePath = base, batchId = id)
+    feed(Seq(1L, 3L), 0L)
+    feed(Seq(2L, 4L, 1L), 1L) // re-delivers doc 1 — seen gate drops it
+    feed(Seq(5L), 2L)
+    feed(Seq(5L), 2L)         // replayed last batch
+    val got = StreamingUpsert.decontaminationPairsFromState(spark, base)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want, "maintained decontamination diverged from batch")
+    // the ONLY retained train-side state is the df chain + seen gate
+    // + found pairs — no sets/, no inv/
+    assert(!new java.io.File(s"$base/sets").exists())
+    assert(!new java.io.File(s"$base/inv").exists())
+    // df chain = train-side counts, re-delivery not double-counted
+    val hot = spark.read.parquet(
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/dfstats"))
+          .iterator().next().toString)
+      .filter($"sh" === "the quick brown").select($"df")
+      .as[Long].collect()
+    assert(hot.toSeq === Seq(2L), s"df chain wrong: ${hot.toSeq}")
+  }
+
   test("multimodalNearDupBatch: sliced mixed batches equal the batch capstone; unknown fails closed; replay absorbed") {
     import graft.ops.{CleanCorpus, Media}
     def pat(i: Int)(x: Int, y: Int): (Int, Int, Int) =
