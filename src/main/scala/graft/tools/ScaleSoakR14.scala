@@ -85,6 +85,32 @@ object ScaleSoakR14 {
     val hist = graft.streaming.StreamingUpsert
       .scd2FromState(spark, scd2Base).count()
     println(s"[soak-r14] scd2 history rows: $hist")
+
+    // ---- 3. decontaminationBatch per-batch cost in stream depth ----
+    // fixed 2k-doc eval set (10% of it quotes train docs via shared
+    // ids), 8 train batches of 20k docs — per-batch cost should be
+    // flat: the only growing state is the per-shingle df chain.
+    val evalSet = graft.ops.Dedup.shingleSets(
+      docs(0, 2000).select(col("doc_id").as("test_id"), col("text")),
+      "test_id", "text", 3)
+      .select(col("doc_id").as("test_id"), col("shs"))
+      .localCheckpoint()
+    val dBase = java.nio.file.Files
+      .createTempDirectory("soak_r14_decont").toString
+    println("[soak-r14] decontamination fold: 8 x 20000 train docs vs " +
+      "a fixed 2000-doc eval set")
+    (0 until 8).foreach { b =>
+      val batch = docs(b * batchRows, (b + 1) * batchRows).localCheckpoint()
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingUpsert.decontaminationBatch(spark, batch,
+        "doc_id", "text", evalSet, n = 3, tauPpm = 500000L,
+        maxDf = 100L, basePath = dBase, batchId = b.toLong)
+      val s3 = (System.nanoTime() - t0) / 1e9
+      println(f"[soak-r14] decont batch $b%2d (df chain after ${b * batchRows}%7d docs) $s3%8.3f s")
+    }
+    val np = graft.streaming.StreamingUpsert
+      .decontaminationPairsFromState(spark, dBase).count()
+    println(s"[soak-r14] contamination pairs found: $np")
     spark.stop()
   }
 }
