@@ -484,7 +484,16 @@ object PlanAudit {
         "anywhere, so the plan's depth is independent of the query " +
         "batch size (ProfileBatchHybrid measured flat 1.7 s for " +
         "N=1..16 vs linear per-call growth)") ->
-        fmt(OpsQueries.q245(spark, dir)))
+        fmt(OpsQueries.q245(spark, dir)),
+
+      ("q250 decontamination (round 14) — the bipartite candidate " +
+        "chain: two map-only shingle passes, one union-df aggregate, " +
+        "the train×test candidates meet in ONE hash equi-join on the " +
+        "rare shingle with the eval side BROADCAST, one exact " +
+        "array_intersect per candidate; the train corpus is never " +
+        "reshuffled and nothing is all-pairs (PlanSpec pins no " +
+        "cartesian / no BNLJ)") ->
+        fmt(OpsQueries.q250(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

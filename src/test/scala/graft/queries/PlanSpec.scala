@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpec {
       s"vector leg must scan the persisted IVF-PQ index table:\n$p")
   }
 
+  test("q250 decontamination: bipartite candidate join is an equi-join; eval side broadcasts") {
+    // the train×test candidate join must meet on the rare shingle
+    // (hash equi-join, never a cartesian), and the eval-side index —
+    // small by nature — must come in as a broadcast, so the train
+    // corpus is never reshuffled for the check
+    val p = plan(OpsQueries.q250(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must never plan a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval side must broadcast into the candidate join:\n$p")
+  }
+
   test("q87 shuffle rank: no single-partition window over the corpus") {
     // the corpus-sized window must be partitioned by the hash bucket;
     // the only global (empty-partition-spec) window allowed is the
