@@ -109,15 +109,8 @@ object CleanCorpus {
     val c = mat(corpus.select(col("doc_id"), col("bin"),
       Multimodal.sniffFormat(col("bin")).as("_fmt")))
     def pairsOf(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
-    // binary->string cast is zero-copy in Spark (no validation), so
-    // is_valid_utf8 genuinely detects corrupt bytes; invalid blobs
-    // fail closed out of every chain
     val text = pairsOf(Dedup.hammingPairs(
-      Dedup.simhashFingerprints(
-        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
-            is_valid_utf8(col("bin").cast("string")))
-          .select(col("doc_id"), col("bin").cast("string").as("text")),
-        "doc_id", "text"),
+      Dedup.simhashFingerprints(textRoute(c), "doc_id", "text"),
       textMaxDist, mat = mat))
     val image = pairsOf(Dedup.hammingPairs(
       Media.dhashImages(c.filter(col("_fmt").isin("png", "jpeg")),
@@ -140,4 +133,22 @@ object CleanCorpus {
     Dedup.duplicateClusters(
       text.unionByName(image).unionByName(audio).unionByName(video), mat)
   }
+
+  /** THE text route of the cross-modality routing contract — shared
+    * by the batch capstone, the maintained fold
+    * ([[graft.streaming.StreamingUpsert.multimodalNearDupBatch]]) and
+    * the profiler, so the rule can never drift between them (round-14
+    * review finding: this round's fail-closed change had to land in
+    * three copies in lockstep). Input: a sniffed (doc_id, bin, _fmt)
+    * frame; output: (doc_id, text) for exactly the blobs that belong
+    * to the text chain — no recognized media magic AND valid UTF-8
+    * (the binary→string cast is zero-copy in Spark, no validation, so
+    * is_valid_utf8 genuinely detects corrupt bytes; invalid blobs
+    * fail closed out of every chain).
+    */
+  private[graft] def textRoute(sniffed: DataFrame): DataFrame =
+    sniffed
+      .filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
+        is_valid_utf8(col("bin").cast("string")))
+      .select(col("doc_id"), col("bin").cast("string").as("text"))
 }

@@ -354,6 +354,12 @@ object Validate {
     require(lhs.nonEmpty && rhs.nonEmpty, "lhs and rhs must be non-empty")
     require(lhs.intersect(rhs).isEmpty,
       s"lhs and rhs overlap: ${lhs.intersect(rhs).mkString(", ")}")
+    // a segmentCol inside rhs would split partials per rhs value and
+    // make serveFd count (rhs, segment) combinations — n_rhs silently
+    // over-reported (round-14 review finding); inside lhs it would
+    // fail later with an ambiguous reference. Fail here instead.
+    require(!(lhs ++ rhs).contains(segmentCol),
+      s"segmentCol '$segmentCol' must be disjoint from lhs and rhs")
     df.groupBy(col(segmentCol) +: lhs.map(col) :+
         struct(rhs.map(col): _*).as("_rhs"): _*)
       .agg(count(lit(1)).as("_n"))

@@ -712,12 +712,18 @@ object Search {
   /** RRF fuses the two systems' ranks into ONE ranking, so a
     * multi-row queryVec would silently SUM per-query rank
     * contributions across unrelated queries (ADVICE r13). queryVec is
-    * the user's single query vector — a limit-2 count on that frame
-    * short-circuits after two rows, so the guard stays cheap even
-    * when the caller passes a filtered corpus scan.
+    * the user's single query vector — the guard projects to a
+    * constant and limit-2 short-circuits after two rows, so it stays
+    * cheap even when the caller passes a filtered corpus scan.
+    * DELIBERATE trade (round-14 review): this runs one tiny Spark job
+    * at CONSTRUCTION time inside otherwise-lazy builders — these are
+    * single-query serve entry points where construction is followed
+    * by execution, and a lazy in-plan assertion would cost a full
+    * count plus a cross join in EVERY execution instead. Batch
+    * callers use [[hybridRrfBatchFromIndex]], which needs no guard.
     */
   private def requireSingleQuery(queryVec: DataFrame): Unit = {
-    val nq = queryVec.limit(2).count()
+    val nq = queryVec.select(lit(1)).limit(2).count()
     require(nq == 1L,
       s"hybrid RRF fuses ranks for exactly ONE query vector; got " +
         s"${if (nq == 0) "an empty frame" else ">= 2 rows"} — fuse " +

@@ -656,25 +656,22 @@ object StreamingUpsert {
     val testInv = tb.select(col("test_id"), explode(col("shs")).as("sh"))
     // additive TRAIN-side df — version N = N−1 + the fresh batch's
     // counts (the q243 chain); the eval side's static df adds at read
-    val versions = statsVersions(spark, s"$basePath/dfstats")
-      .filter(_._1 < batchId)
     val newCnt = newInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prevCnt = versions.sortBy(_._1).lastOption match {
-      case Some((_, p)) => spark.read.schema(newCnt.schema).parquet(p)
-      case None         => newCnt.limit(0)
-    }
-    prevCnt.unionByName(newCnt)
-      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$basePath/dfstats/v=$batchId")
-    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
-    statsVersions(spark, s"$basePath/dfstats")
-      .filterNot { case (v, _) => keep.contains(v) }
-      .foreach { case (_, p) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hfs(spark, hp).delete(hp, true)
-      }
-    val testDf = testInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prevCnt = readVersionBelow(spark, s"$basePath/dfstats", batchId)
+      .map(_.select(col("sh"), col("df"))).getOrElse(newCnt.limit(0))
+    writeVersionPruned(spark, s"$basePath/dfstats", batchId,
+      prevCnt.unionByName(newCnt)
+        .groupBy(col("sh")).agg(sum(col("df")).as("df")))
+    // cap check for the BATCH's shingles only (a shingle absent from
+    // the batch forms no candidate) — the df chain is read through a
+    // semi-join on the delta-sized batch shingle set, never
+    // aggregated over its whole domain (round-14 review finding; the
+    // setStateBatch discipline)
+    val batchShs = newInv.select(col("sh")).distinct()
+    val testDf = testInv.join(batchShs, Seq("sh"), "left_semi")
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val rare = spark.read.parquet(s"$basePath/dfstats/v=$batchId")
+      .join(batchShs, Seq("sh"), "left_semi")
       .unionByName(testDf)
       .groupBy(col("sh")).agg(sum(col("df")).as("df"))
       .filter(col("df") <= maxDf).select(col("sh"))
@@ -780,24 +777,17 @@ object StreamingUpsert {
     val newSets = mat(freshRows.filter(size(col("shs")) > 0))
     val newInv = newSets.select(col("doc_id"), explode(col("shs")).as("sh"))
     // additive df stats — version N = N−1 + the fresh batch's counts
-    val versions = statsVersions(spark, s"$basePath/dfstats")
-      .filter(_._1 < batchId)
     val newCnt = newInv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prevCnt = versions.sortBy(_._1).lastOption match {
-      case Some((_, p)) => spark.read.schema(newCnt.schema).parquet(p)
-      case None         => newCnt.limit(0)
-    }
-    prevCnt.unionByName(newCnt)
-      .groupBy(col("sh")).agg(sum(col("df")).as("df"))
-      .write.mode("overwrite").parquet(s"$basePath/dfstats/v=$batchId")
-    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
-    statsVersions(spark, s"$basePath/dfstats")
-      .filterNot { case (v, _) => keep.contains(v) }
-      .foreach { case (_, p) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hfs(spark, hp).delete(hp, true)
-      }
+    val prevCnt = readVersionBelow(spark, s"$basePath/dfstats", batchId)
+      .map(_.select(col("sh"), col("df"))).getOrElse(newCnt.limit(0))
+    writeVersionPruned(spark, s"$basePath/dfstats", batchId,
+      prevCnt.unionByName(newCnt)
+        .groupBy(col("sh")).agg(sum(col("df")).as("df")))
+    // admitted = the BATCH's shingles under cap — semi-joined before
+    // the filter so the check never scans the chain's whole domain
+    // (round-14 review finding; the setStateBatch discipline)
     val admitted = spark.read.parquet(s"$basePath/dfstats/v=$batchId")
+      .join(newInv.select(col("sh")).distinct(), Seq("sh"), "left_semi")
       .filter(col("df") <= maxDf).select(col("sh"))
     // state readers: compacted table + completed delta dirs from
     // OTHER batches (a replay must not join its own prior attempt)
@@ -920,6 +910,36 @@ object StreamingUpsert {
           .map(_ -> st.getPath.toString)
       else None
     }
+  }
+
+  /** The latest COMPLETE version below `batchId` under a
+    * [[statsVersions]] directory — the read half every versioned
+    * asset shares. The `< batchId` filter IS the replay contract: a
+    * replayed batch reads its predecessor, never its own earlier
+    * attempt. None when no prior version exists.
+    */
+  private def readVersionBelow(spark: SparkSession, dir: String,
+                               batchId: Long): Option[DataFrame] =
+    statsVersions(spark, dir).filter(_._1 < batchId)
+      .sortBy(_._1).lastOption
+      .map { case (_, p) => spark.read.parquet(p) }
+
+  /** Write `df` as version `batchId` and prune versions older than
+    * the predecessor — the write half every versioned asset shares
+    * (factored per the round-14 review: each hand-rolled copy was a
+    * place for the replay semantics to drift).
+    */
+  private def writeVersionPruned(spark: SparkSession, dir: String,
+                                 batchId: Long, df: DataFrame): Unit = {
+    val versions = statsVersions(spark, dir).filter(_._1 < batchId)
+    df.write.mode("overwrite").parquet(s"$dir/v=$batchId")
+    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
+    statsVersions(spark, dir)
+      .filterNot { case (v, _) => keep.contains(v) }
+      .foreach { case (_, p) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hfs(spark, hp).delete(hp, true)
+      }
   }
 
   /** The batch rows whose id has NOT appeared in any EARLIER batch —
@@ -1489,10 +1509,7 @@ object StreamingUpsert {
     val c = mat(batch.select(col("doc_id"), col("bin"),
       graft.ops.Multimodal.sniffFormat(col("bin")).as("_fmt")))
     hammingNearDupBatch(spark,
-      Dedup.simhashFingerprints(
-        c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
-            is_valid_utf8(col("bin").cast("string")))
-          .select(col("doc_id"), col("bin").cast("string").as("text")),
+      Dedup.simhashFingerprints(graft.ops.CleanCorpus.textRoute(c),
         "doc_id", "text"),
       textMaxDist, s"$basePath/text", maxBucket, mat)
     dhashNearDupBatch(spark, c.filter(col("_fmt").isin("png", "jpeg")),
@@ -1593,13 +1610,10 @@ object StreamingUpsert {
       unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
       col(idCol).as("id"), col(valueCol).as("state"))
     val openDir = s"$basePath/open"
-    val versions = statsVersions(spark, openDir).filter(_._1 < batchId)
-    val prevOpen = versions.sortBy(_._1).lastOption match {
-      case Some((_, p)) => spark.read.parquet(p)
-      case None => ev.select(col("key"), col("state"),
+    val prevOpen = readVersionBelow(spark, openDir, batchId)
+      .getOrElse(ev.select(col("key"), col("state"),
         col("ts_us").as("valid_from_us"), col("ts_us").as("last_ts_us"),
-        col("id").as("last_id")).limit(0)
-    }
+        col("id").as("last_id")).limit(0))
     // ordering contract: the batch's FIRST event per key must be
     // strictly later than the folded run's cursor
     val firstPerKey = ev.groupBy(col("key"))
@@ -1663,14 +1677,7 @@ object StreamingUpsert {
     // read), then the open version, then prune to predecessor+self
     closedPrior.unionByName(closedBatch)
       .write.mode("append").parquet(s"$basePath/closed")
-    newOpen.write.mode("overwrite").parquet(s"$openDir/v=$batchId")
-    val keep = versions.sortBy(_._1).lastOption.map(_._1).toSet + batchId
-    statsVersions(spark, openDir)
-      .filterNot { case (v, _) => keep.contains(v) }
-      .foreach { case (_, p) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hfs(spark, hp).delete(hp, true)
-      }
+    writeVersionPruned(spark, openDir, batchId, newOpen)
   }
 
   /** The SCD2 history from [[scd2StateBatch]] state —
@@ -1746,7 +1753,12 @@ object StreamingUpsert {
         spark.table(closedTable)
           .select(like.columns.toIndexedSeq.map(col): _*)
       else like
-    table.unionByName(delta).unionByName(open)
+    // distinct ACROSS table ∪ delta, not just within the delta: a
+    // crash between compactScd2State's table write and its delete of
+    // closed/ leaves every compacted row in BOTH places (round-14
+    // review finding) — closed rows are value-distinct otherwise, so
+    // the distinct is exactly the crash-window guard
+    table.unionByName(delta).distinct().unionByName(open)
   }
 
   /** [[scd2StateBatch]] wired as the foreachBatch sink of a change

@@ -27,10 +27,8 @@ object ProfileMultimodal {
     time("text chain (sniff+utf8 -> simhash -> pairs)") {
       graft.ops.Dedup.hammingPairs(
         graft.ops.Dedup.simhashFingerprints(
-          c.filter(!col("_fmt").isin("gif", "png", "jpeg", "riff") &&
-              is_valid_utf8(col("bin").cast("string")))
-            .select(col("doc_id"), col("bin").cast("string").as("text")),
-          "doc_id", "text"), 3).count()
+          graft.ops.CleanCorpus.textRoute(c), "doc_id", "text"),
+        3).count()
     }
     time("full capstone (4 chains + union + CC)") {
       graft.ops.CleanCorpus.multimodalNearDupClusters(c.drop("_fmt")).count()

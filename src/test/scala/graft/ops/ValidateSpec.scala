@@ -251,6 +251,12 @@ class ValidateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Validate.fdViolations(dirty, Seq.empty, Seq("v"))
     }
+    // partials: segmentCol must be disjoint from lhs and rhs (a
+    // segment inside rhs would over-report n_rhs at serve)
+    intercept[IllegalArgumentException] {
+      Validate.fdPartials(dirty.withColumn("_seg",
+        org.apache.spark.sql.functions.lit(0L)), "v", Seq("k"), Seq("v"))
+    }
   }
 
 
