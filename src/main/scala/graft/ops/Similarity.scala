@@ -1399,15 +1399,65 @@ object Similarity {
     * equi-join), shared by the PQ and IVF-PQ refine paths.
     */
   private[graft] def rerankExact(cand: DataFrame, corpus: DataFrame,
-                                 queries: DataFrame, k: Int): DataFrame = {
+                                 queries: DataFrame, k: Int): DataFrame =
+    topKByCos(exactScores(cand, corpus, queries), k)
+
+  /** Exact cosine of every (query_id, neighbor_id) candidate — the
+    * selective full-vector fetch shared by the top-k re-rank
+    * ([[rerankExact]]) and the THRESHOLD verify
+    * ([[thresholdNeighborsOnIndex]]).
+    */
+  private def exactScores(cand: DataFrame, corpus: DataFrame,
+                          queries: DataFrame): DataFrame = {
     val q = broadcast(queries.select($"vec_id".as("query_id"),
       $"qv".as("q_qv"), $"n2".as("q_n2")))
-    val scored = broadcast(cand)
+    broadcast(cand)
       .join(corpus, $"neighbor_id" === $"vec_id")
       .join(q, Seq("query_id"))
       .select($"query_id", $"neighbor_id",
         cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
-    topKByCos(scored, k)
+  }
+
+  /** ALL neighbors above a similarity THRESHOLD — the radius-query
+    * face of the vector tier (every store's `range_search`), and the
+    * semantic half of decontamination: a training vector within
+    * cosine `tau` of an eval vector leaks that eval item even when no
+    * n-gram survives paraphrase. Exact brute form: one broadcast-query
+    * corpus scan, no shuffle, no cap on matches per query. Output:
+    * (query_id, neighbor_id, cos_sim), cos_sim >= tau; a query's own
+    * vec_id is excluded (callers with disjoint id spaces are
+    * unaffected).
+    */
+  def thresholdNeighbors(corpus: DataFrame, queries: DataFrame,
+                         tau: Double): DataFrame = {
+    val q = broadcast(queries.select($"vec_id".as("query_id"),
+      $"qv".as("q_qv"), $"n2".as("q_n2")))
+    corpus.join(q, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine(qdot($"qv", $"q_qv"), $"n2", $"q_n2").as("cos_sim"))
+      .filter($"cos_sim" >= tau)
+  }
+
+  /** [[thresholdNeighbors]] served from the persisted IVF-PQ index:
+    * ADC shortlist per query from the codes (probes → bucketed
+    * equi-join — no corpus scan), then the exact cosine THRESHOLD
+    * over only the shortlist rows. Approximation is the shortlist
+    * bound, stated honestly: a true above-tau neighbor outside the
+    * query's ADC top-`shortlist` is missed (raise `shortlist` /
+    * `nProbe` with expected match counts — identical-content leaks
+    * rank at the top of ADC by construction, so the decontamination
+    * use survives small shortlists).
+    */
+  def thresholdNeighborsOnIndex(spark: org.apache.spark.sql.SparkSession,
+                                indexTable: String, corpus: DataFrame,
+                                queries: DataFrame, coarse: DataFrame,
+                                codebooks: DataFrame, m: Int, dims: Int,
+                                nProbe: Int, shortlist: Int,
+                                tau: Double): DataFrame = {
+    val cand = knnIvfPqOnIndex(spark, indexTable, queries, coarse,
+        codebooks, m, dims, shortlist, nProbe)
+      .select($"query_id", $"neighbor_id")
+    exactScores(cand, corpus, queries).filter($"cos_sim" >= tau)
   }
 
   /** PQ shortlist + exact re-rank — the production PQ serving shape

@@ -948,4 +948,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(dropped.nonEmpty) // the fixture must actually exercise drops
   }
+
+  test("thresholdNeighbors: exact radius semantics; index-served subset honest under a tight shortlist") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(dims)(d => (c * 10 + d + 1).toFloat))
+    val rows = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val noise = Seq.fill(dims)((rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      ((c * 10 + j).toLong,
+        centers(c).zip(noise).map { case (a, b) => a + b })
+    }
+    val p = Similarity.prepared(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // eval copies of two vectors under offset ids (the q253 shape)
+    val test = p.filter($"vec_id".isin(0L, 11L))
+      .select(($"vec_id" + 1000L).as("vec_id"), $"qv", $"n2")
+    val brute = Similarity.thresholdNeighbors(p, test, tau = 0.9999)
+      .as[(Long, Long, Double)].collect()
+    // the verbatim copies surface at (numerically) cos 1 — the double
+    // sqrt(n2)*sqrt(n2) denominator can land an ulp off exact 1.0
+    assert(brute.exists(r => r._1 == 1000L && r._2 == 0L && r._3 > 0.99999))
+    assert(brute.exists(r => r._1 == 1011L && r._2 == 11L && r._3 > 0.99999))
+    // and every match stays within the copy's own cluster
+    assert(brute.forall(r => (r._2 / 10) == ((r._1 - 1000L) / 10)),
+      "a radius match crossed clusters")
+    val cb = Similarity.pqCodebooks(p, m = 4, dims = dims, stride = 10L)
+    val coarse = Similarity.strideCentroids(p, 10L)
+    Similarity.writePqIndex(p, coarse, cb, m = 4, dims = dims,
+      "thr_index_spec", numBuckets = 4)
+    try {
+      // a generous shortlist recovers the exact radius set
+      val served = Similarity.thresholdNeighborsOnIndex(spark,
+          "thr_index_spec", p, test, coarse, cb, m = 4, dims = dims,
+          nProbe = 2, shortlist = 40, tau = 0.9999)
+        .as[(Long, Long, Double)].collect()
+      assert(served.sorted.toSeq === brute.sorted.toSeq)
+      // a 1-row shortlist is a SUBSET that still finds the exact copy
+      // (identical codes rank first in ADC) — the documented trade
+      val tight = Similarity.thresholdNeighborsOnIndex(spark,
+          "thr_index_spec", p, test, coarse, cb, m = 4, dims = dims,
+          nProbe = 2, shortlist = 1, tau = 0.9999)
+        .as[(Long, Long, Double)].collect()
+      assert(tight.toSet.subsetOf(brute.toSet))
+      assert(tight.exists(r => r._1 == 1000L && r._2 == 0L))
+    } finally spark.sql("DROP TABLE IF EXISTS thr_index_spec")
+  }
+
 }
