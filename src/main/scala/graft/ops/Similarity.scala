@@ -1446,7 +1446,11 @@ object Similarity {
     * query's ADC top-`shortlist` is missed (raise `shortlist` /
     * `nProbe` with expected match counts — identical-content leaks
     * rank at the top of ADC by construction, so the decontamination
-    * use survives small shortlists).
+    * use survives small shortlists). Self-exclusion matches the
+    * exact form (round-14 ADVICE): a query whose `vec_id` also lives
+    * in the corpus never reports itself at cos ~1.0, so swapping the
+    * exact radius query for this served form never introduces
+    * spurious self-pairs.
     */
   def thresholdNeighborsOnIndex(spark: org.apache.spark.sql.SparkSession,
                                 indexTable: String, corpus: DataFrame,
@@ -1457,6 +1461,7 @@ object Similarity {
     val cand = knnIvfPqOnIndex(spark, indexTable, queries, coarse,
         codebooks, m, dims, shortlist, nProbe)
       .select($"query_id", $"neighbor_id")
+      .filter($"neighbor_id" =!= $"query_id")
     exactScores(cand, corpus, queries).filter($"cos_sim" >= tau)
   }
 

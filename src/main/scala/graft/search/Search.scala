@@ -545,6 +545,13 @@ object Search {
     * corpus-bounded); the vector side is [[graft.ops.Similarity
     * .knnBrute]]'s broadcast-query scan with its k-bounded window;
     * the fusion itself is an n-bounded union + aggregate.
+    *
+    * Single-query contract (shared by the FromIndex / AnnFromIndex
+    * forms): construction runs a limit-2 guard job and THROWS
+    * `IllegalArgumentException` when `queryVec` is empty or has ≥ 2
+    * rows — an empty frame no longer yields a lexical-only fused
+    * ranking (round-14 change, noted per round-14 ADVICE). Batch
+    * callers use [[hybridRrfBatchFromIndex]].
     */
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
                 queryToks: Seq[String], corpus: DataFrame,
@@ -560,6 +567,8 @@ object Search {
     * [[bm25MultiFieldFromIndex]] is result-identical to the inline
     * form (q95's proof), the fused ranking is identical too — the
     * gate runs it under the inline composition's oracle verbatim.
+    * Same single-query contract as [[hybridRrf]]: empty / multi-row
+    * `queryVec` throws at construction.
     */
   def hybridRrfFromIndex(spark: org.apache.spark.sql.SparkSession,
                          postingsTable: String, dfTable: String,
@@ -590,7 +599,9 @@ object Search {
     * the IVF-PQ arithmetic (every step exact int64 / single double
     * divisions), so the gate replays probe selection, ADC, re-rank
     * and fusion end-to-end rather than gating under the brute form's
-    * oracle (q104/q228's discipline).
+    * oracle (q104/q228's discipline). Same single-query contract as
+    * [[hybridRrf]]: empty / multi-row `queryVec` throws at
+    * construction.
     */
   def hybridRrfAnnFromIndex(spark: org.apache.spark.sql.SparkSession,
                             postingsTable: String, dfTable: String,

@@ -992,6 +992,22 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Double)].collect()
       assert(tight.toSet.subsetOf(brute.toSet))
       assert(tight.exists(r => r._1 == 1000L && r._2 == 0L))
+
+      // round-15 ADVICE pin: with query ids OVERLAPPING the corpus id
+      // space (no offset), the served form excludes the self pair at
+      // cos ~1.0 exactly like the exact form — the two radius faces
+      // share self-exclusion semantics.
+      val overlap = p.filter($"vec_id".isin(0L, 11L))
+        .select($"vec_id", $"qv", $"n2")
+      val bruteO = Similarity.thresholdNeighbors(p, overlap, tau = 0.9999)
+        .as[(Long, Long, Double)].collect()
+      val servedO = Similarity.thresholdNeighborsOnIndex(spark,
+          "thr_index_spec", p, overlap, coarse, cb, m = 4, dims = dims,
+          nProbe = 2, shortlist = 40, tau = 0.9999)
+        .as[(Long, Long, Double)].collect()
+      assert(bruteO.forall(r => r._1 != r._2), "exact form self-paired")
+      assert(servedO.forall(r => r._1 != r._2), "served form self-paired")
+      assert(servedO.sorted.toSeq === bruteO.sorted.toSeq)
     } finally spark.sql("DROP TABLE IF EXISTS thr_index_spec")
   }
 
