@@ -1,0 +1,188 @@
+package graft
+package ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality filtering — the CCNet/RedPajama/
+  * FineWeb curation step this tier was still missing: train a bigram
+  * LM on a trusted reference slice, score every candidate document's
+  * fluency under it, and keep the fluent tail. Production pipelines do
+  * this with a KenLM perplexity (Wenzek et al., "CCNet: Extracting
+  * high quality monolingual datasets from web crawl data", LREC 2020);
+  * the scoring discipline here is the repo-wide fixed-point rule: the
+  * model is exact integer counts and every per-token score is an exact
+  * integer ppm (stupid backoff — Brants et al., "Large Language Models
+  * in Machine Translation", EMNLP 2007 — whose scores are count ratios,
+  * no discounting arithmetic), so two independent engines replay the
+  * decision bit-for-bit. The document score is the arithmetic-mean
+  * transition likelihood in ppm rather than the geometric mean
+  * (perplexity): log's last-ulp behavior is libm-specific (the q61/q194
+  * lesson), and for the FILTERING regime the two agree where it
+  * matters — gibberish scores near 0 on both, fluent text scores high
+  * on both.
+  *
+  * Scale shape (100 TB): training is two explode+count aggregations
+  * with map-side combine (the q61 shape) plus one vocabulary-keyed join
+  * to denormalize the conditional's denominator INTO the model — so
+  * scoring, the corpus-sized pass, pays exactly two token-keyed
+  * equi-joins (bigram model on (w1,w2), unigram backoff on w2) and one
+  * doc-keyed aggregate. Nothing is all-pairs, nothing is driver-side;
+  * hot-token skew on the backoff key is AQE skew-join territory and the
+  * (w1,w2) model key is already fine-grained. A real-vocabulary model
+  * (1e6–1e8 rows) broadcasts or shuffles by size — Spark's join
+  * selection decides, both plans are linear in the corpus.
+  */
+object LangModel {
+  import TextAnalysis.toks
+
+  /** Exact integer num DIV den (the TextAnalysis discipline: subtract
+    * the remainder so the double division is of an exact multiple —
+    * correctly-rounded IEEE division of exact operands ≤ 2^53 yields
+    * the exact integer quotient; all gate-scale operands sit far under
+    * that bound, and at 100 TB the counts that could approach it are
+    * the ppm-scaled numerators, bounded by 10⁶ × corpus tokens — swap
+    * to DECIMAL(38,0) division past ~9e15 tokens).
+    */
+  private def exactDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  /** Exact integer ppm: num·10⁶ DIV den. */
+  private def ppmOf(num: Column, den: Column): Column =
+    exactDiv(num * lit(1000000L), den)
+
+  /** Adjacent-token (w1, w2) pairs as a struct array — the linear
+    * zip-against-the-tail from [[TextAnalysis.collocations]] (the
+    * generic shingles HOF re-slices per element); zip_with pads the
+    * shorter tail with null, the filter drops the padded cell.
+    */
+  private def adjacentPairs(t: Column): Column =
+    filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+
+  /** Unigram counts (tok, cnt) of the reference corpus — one
+    * explode+count with map-side combine; output is vocabulary-sized.
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** The bigram conditional model: (w1, w2, cnt_ab, cnt_a) with the
+    * conditioning unigram count DENORMALIZED in at train time, so the
+    * corpus-sized scoring pass attaches the whole conditional in ONE
+    * (w1,w2)-keyed join instead of a second w1 join per transition.
+    * Train-time cost: one bigram explode+count plus one
+    * vocabulary-keyed equi-join (model-sized, not corpus-sized).
+    */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+    docs.select(explode(adjacentPairs(toks(col(textCol)))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")),
+        Seq("w1"))
+  }
+
+  /** Per-document fluency under stupid backoff, exact integer ppm.
+    * Transition score for (w1 → w2):
+    *   - bigram in model:            cnt_ab·10⁶ DIV cnt_a
+    *   - else w2 in vocabulary:      alphaPpm·cnt_b DIV n_tok
+    *   - else (OOV continuation):    0
+    * Document fluency = sum(score) DIV n_trans (0 when the document
+    * has < 2 tokens); oov_ppm = unseen-token rate over ALL tokens.
+    * Output: (idCol, n_tokens, n_trans, oov_ppm, fluency_ppm).
+    *
+    * Two corpus passes, both linear: the transition pass (explode →
+    * model join → backoff join → doc aggregate) and the token pass
+    * (explode → vocabulary join → doc aggregate), merged on the doc
+    * key. alphaPpm is Brants' 0.4 backoff weight in ppm.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame, uni: DataFrame,
+                alphaPpm: Long = 400000L): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm <= 1000000L,
+      s"alphaPpm must be in (0, 1e6], got $alphaPpm")
+    // n_tok: total reference token count — a 1-row aggregate of the
+    // vocabulary-sized unigram table, broadcast into the scorers.
+    val totals = broadcast(uni.agg(sum(col("cnt")).as("n_tok")))
+    val trans = docs
+      .select(col(idCol), explode(adjacentPairs(toks(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(model, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("cnt_b")),
+        Seq("w2"), "left")
+      .crossJoin(totals)
+      .select(col(idCol),
+        when(col("cnt_ab").isNotNull, ppmOf(col("cnt_ab"), col("cnt_a")))
+          .when(col("cnt_b").isNotNull,
+            exactDiv(lit(alphaPpm) * col("cnt_b"), col("n_tok")))
+          .otherwise(lit(0L)).as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"), sum(col("s")).as("s_sum"))
+    val tokens = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .join(uni.withColumnRenamed("cnt", "u_cnt"), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("u_cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol))
+      .join(tokens, Seq(idCol), "left")
+      .join(trans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0L))
+          .otherwise(ppmOf(col("n_oov"), col("n_tokens"))).as("oov_ppm"),
+        when(coalesce(col("n_trans"), lit(0L)) === 0L, lit(0L))
+          .otherwise(exactDiv(col("s_sum"), col("n_trans")))
+          .as("fluency_ppm"))
+  }
+
+  /** The keep decision of the CCNet-shaped filter: fluent enough under
+    * the reference LM and not dominated by unseen tokens. Pure filter
+    * over [[scoreDocs]] output.
+    */
+  def filterFluent(scored: DataFrame, minFluencyPpm: Long,
+                   maxOovPpm: Long): DataFrame =
+    scored.filter(col("fluency_ppm") >= minFluencyPpm &&
+      col("oov_ppm") <= maxOovPpm)
+
+  // ------------------------------------------------------ maintained
+  /** Per-segment unigram count partials (segment, tok, cnt) — the
+    * stored face of [[unigramCounts]] under the q210 sum-merge law:
+    * counts are plain sums, so ANY segmentation of the reference
+    * corpus serves the exact model. One corpus pass per ingest
+    * segment; output bounded by segments × vocabulary.
+    */
+  def unigramPartials(docs: DataFrame, segmentCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(segmentCol), explode(toks(col(textCol))).as("tok"))
+      .groupBy(segmentCol, "tok").agg(count(lit(1)).as("cnt"))
+
+  /** Per-segment bigram count partials (segment, w1, w2, cnt_ab). */
+  def bigramPartials(docs: DataFrame, segmentCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col(segmentCol),
+        explode(adjacentPairs(toks(col(textCol)))).as("p"))
+      .select(col(segmentCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(segmentCol, "w1", "w2").agg(count(lit(1)).as("cnt_ab"))
+
+  /** Merge unigram partials to the exact [[unigramCounts]] table —
+    * sum associativity, vocabulary-sized work, the corpus is never
+    * re-read.
+    */
+  def mergeUnigrams(partials: DataFrame): DataFrame =
+    partials.groupBy("tok").agg(sum(col("cnt")).as("cnt"))
+
+  /** Merge bigram partials and attach the merged unigram denominator —
+    * equal to [[bigramModel]] over the union by sum associativity
+    * (LangModelSpec property; q257 runs it under q256's oracle
+    * verbatim). Model-sized work only.
+    */
+  def mergeBigramModel(biPartials: DataFrame, uni: DataFrame): DataFrame =
+    biPartials.groupBy("w1", "w2").agg(sum(col("cnt_ab")).as("cnt_ab"))
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")),
+        Seq("w1"))
+}
