@@ -1,0 +1,129 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Learned text classification over token counts — the fastText-shaped
+  * classifier every production curation stack runs (quality/spam/domain
+  * gating: Joulin et al., "Bag of tricks for efficient text
+  * classification", EACL 2017; FineWeb's edu-quality gate is this
+  * architecture distilled from a larger judge). Training is multinomial
+  * Naive Bayes counts; scoring is the repo's fixed-point discipline:
+  * per-token class weights in exact parts-per-BILLION (ppb — the count
+  * ratios here are a vocabulary-smoothed 1/(n_c+V) scale finer than
+  * ppm), summed linearly per document, argmax with a deterministic
+  * (score desc, label asc) tie. The linear-domain sum is the log-free
+  * form: per token, sign(p(tok|c) − p(tok|c')) = sign of the log-odds,
+  * and ln's last-ulp behavior is libm-specific (the q61/q194 lesson) —
+  * the decision is a deterministic pure function of integer counts that
+  * two engines replay bit-for-bit.
+  *
+  * Scale shape (100 TB): training is one explode+count with map-side
+  * combine (output bounded by classes × vocabulary, never the corpus);
+  * prediction — the corpus-sized pass — is ONE token-keyed equi-join
+  * against the weight table (inner: absent tokens contribute only the
+  * per-class base rate, folded in as n_tokens × rate0), one
+  * (doc, class) aggregate, and a classes-bounded per-doc window.
+  * The base-rate table is classes-sized and broadcast. Nothing is
+  * driver-side; hot-token skew on the join key is AQE skew territory.
+  */
+object Classify {
+  import TextAnalysis.toks
+
+  /** Exact integer num DIV den (the LangModel/TextAnalysis remainder-
+    * subtraction discipline; exact for operands ≤ 2^53).
+    */
+  private def exactDiv(num: org.apache.spark.sql.Column,
+                       den: org.apache.spark.sql.Column) = {
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  private val PPB = 1000000000L
+
+  /** Per-class token counts (label, tok, cnt) over the labeled
+    * training slice — the whole trainable state of the classifier,
+    * and (deliberately) a plain additive count table: the maintained
+    * face is the q210 sum-merge law.
+    */
+  def classTokenCounts(docs: DataFrame, labelCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(labelCol).as("label"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy("label", "tok").agg(count(lit(1)).as("cnt"))
+
+  /** Add-1-smoothed per-token class weights (label, tok, delta_ppb):
+    * delta = rate(tok|label) − rate0(label), both exact integer ppb
+    * with denominator n_label + V (V = training vocabulary size across
+    * classes). Storing the DELTA against the absent-token base rate is
+    * what lets prediction use an INNER join: a token missing from a
+    * class's rows contributes exactly rate0, which [[predict]] folds
+    * in as n_tokens × rate0 — no outer join over classes × vocabulary.
+    */
+  def tokenWeights(counts: DataFrame): DataFrame = {
+    val ctot = counts.groupBy("label").agg(sum(col("cnt")).as("n_c"))
+    val voc = broadcast(counts.agg(countDistinct(col("tok")).as("v")))
+    counts.join(ctot, Seq("label")).crossJoin(voc)
+      .select(col("label"), col("tok"),
+        (exactDiv((col("cnt") + 1L) * lit(PPB), col("n_c") + col("v")) -
+          exactDiv(lit(PPB), col("n_c") + col("v"))).as("delta_ppb"))
+  }
+
+  /** Per-class absent-token base rate (label, rate0_ppb) =
+    * 1·10⁹ DIV (n_label + V) — classes-sized, broadcast at predict.
+    */
+  def baseRates(counts: DataFrame): DataFrame = {
+    val ctot = counts.groupBy("label").agg(sum(col("cnt")).as("n_c"))
+    val voc = broadcast(counts.agg(countDistinct(col("tok")).as("v")))
+    ctot.crossJoin(voc)
+      .select(col("label"),
+        exactDiv(lit(PPB), col("n_c") + col("v")).as("rate0_ppb"))
+  }
+
+  /** Classify every document: score(doc, c) = Σ_present delta_ppb +
+    * n_tokens × rate0_ppb(c), predicted = argmax with (score desc,
+    * label asc) ties. A document with NO trained token (or no tokens
+    * at all) scores n_tokens × rate0 for every class and resolves to
+    * the first label — deterministic, stated. Output:
+    * (idCol, predicted, score_ppb).
+    */
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+              weights: DataFrame, rates: DataFrame): DataFrame = {
+    val dsum = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .join(weights, Seq("tok"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("delta_ppb")).as("dsum"))
+    val docn = docs.select(col(idCol),
+      size(toks(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_ppb").desc, col("label").asc)
+    docn.crossJoin(broadcast(rates))
+      .join(dsum, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (coalesce(col("dsum"), lit(0L)) +
+          col("n_tokens") * col("rate0_ppb")).as("score_ppb"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("label").as("predicted"), col("score_ppb"))
+  }
+
+  // ------------------------------------------------------ maintained
+  /** Per-segment class-token count partials (segment, label, tok,
+    * cnt) — counts are plain sums, so any segmentation of the labeled
+    * corpus serves the exact [[classTokenCounts]] table (q210's law;
+    * ClassifySpec property; q259 runs under q258's oracle verbatim).
+    */
+  def classTokenPartials(docs: DataFrame, segmentCol: String,
+                         labelCol: String, textCol: String): DataFrame =
+    docs.select(col(segmentCol), col(labelCol).as("label"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy(segmentCol, "label", "tok").agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge stored partials back to the exact count table —
+    * vocabulary-sized work, the corpus is never re-read.
+    */
+  def mergeClassTokenCounts(partials: DataFrame): DataFrame =
+    partials.groupBy("label", "tok").agg(sum(col("cnt")).as("cnt"))
+}
