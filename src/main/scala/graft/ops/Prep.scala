@@ -129,6 +129,95 @@ object Prep {
     *
     * Output: (idCol, cluster_id, split 'train'|'test').
     */
+  /** Greedy quality-first selection under a token budget — "take the
+    * best documents until the budget is spent", the final cut every
+    * curation pipeline makes after scoring (FineWeb/DCLM keep the
+    * classifier-top slice of the crawl; this is that cut with an
+    * exact budget instead of a percentile). Documents sort by
+    * (`scoreCol` desc, `idCol` asc — deterministic ties) and the
+    * running `costCol` sum keeps rows while cum_cost <= budget.
+    *
+    * CONTRACT: costs must be >= 1 (a zero-cost row that lands exactly
+    * on the budget boundary would make the pruned form diverge; clamp
+    * with greatest(cost, 1) at the call site). This EXACT form is the
+    * executable specification: ONE global window — a single-partition
+    * sort of the whole corpus, correct at any scale but serial at the
+    * end; [[selectUnderBudgetPruned]] is the production form that
+    * sorts only the candidate stratum. Output: input columns +
+    * cum_cost.
+    */
+  def selectUnderBudget(docs: DataFrame, idCol: String, scoreCol: String,
+                        costCol: String, budget: Long): DataFrame = {
+    require(budget > 0L, s"budget must be > 0, got $budget")
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /** [[selectUnderBudget]] with the global sort PRUNED to the
+    * candidate stratum — the 100 TB form. A bottom-k-by-hash rank
+    * sketch ([[Sketches.quantilePartials]] — deterministic pure
+    * function of the row multiset, so this whole operator is) over
+    * the scores estimates the cutoff: keep the sketch's top
+    * keep_rows = min(m, 1 + (2·budget·m) DIV total_cost) values
+    * (safety factor 2 absorbs both the DKW rank error and
+    * score-cost correlation) and take tau = the smallest kept value;
+    * candidates = score >= tau. Because every candidate outranks
+    * every non-candidate in the (score desc, id) order, the exact
+    * window over candidates alone computes the same prefix — PROVIDED
+    * the candidates' total cost covers the budget, which is enforced
+    * IN-PLAN (raise_error with both numbers; raise `k` or the safety
+    * factor if it ever fires) rather than silently under-selecting.
+    * A budget the whole corpus cannot spend is rejected the same way
+    * (the exact form would select everything; this form must not
+    * guess). Result-identical to the exact form (PrepSpec property;
+    * q261 gates under q260's oracle verbatim) while the sort shrinks
+    * from the corpus to ~2·budget/avg_cost rows.
+    */
+  def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
+                              scoreCol: String, costCol: String,
+                              budget: Long, k: Int = 512): DataFrame = {
+    require(budget > 0L, s"budget must be > 0, got $budget")
+    val stats = broadcast(docs.agg(
+      sum(col(costCol)).as("_total_cost"), count(lit(1)).as("_n_rows"))
+      .select(
+        when(col("_total_cost") <= budget, raise_error(concat(
+            lit(s"selectUnderBudgetPruned: budget $budget does not bind"),
+            lit(" (total cost "), col("_total_cost").cast("string"),
+            lit(") — use the exact form / no selection needed"))))
+          .otherwise(col("_total_cost")).as("_total_cost")))
+    // sketch of the score distribution; tau = smallest kept value at
+    // rank m - keep_rows + 1 of the ASC-sorted sample (ties on v
+    // ordered by h — any total order works, the sample is a set)
+    val sk = Sketches.quantilePartials(docs, Nil, col(idCol),
+      col(scoreCol), k)
+    val wv = Window.orderBy(col("v").asc, col("h").asc)
+    val m = broadcast(sk.agg(count(lit(1)).as("_m")))
+    val tau = broadcast(sk
+      .withColumn("_rn", row_number().over(wv))
+      .crossJoin(m).crossJoin(stats)
+      .withColumn("_keep", least(col("_m"),
+        lit(1L) + ((lit(2L) * budget * col("_m") -
+          pmod(lit(2L) * budget * col("_m"), col("_total_cost"))) /
+          col("_total_cost")).cast("long")))
+      .filter(col("_rn") === greatest(lit(1L), col("_m") - col("_keep") + 1L))
+      .select(col("v").as("_tau")))
+    val cands = docs.crossJoin(tau)
+      .filter(col(scoreCol) >= col("_tau")).drop("_tau")
+    // in-plan coverage gate: the candidate stratum must be able to
+    // spend the budget, or the prefix could extend past it
+    val gate = broadcast(cands.agg(sum(col(costCol)).as("_cand_cost"))
+      .select(
+        when(col("_cand_cost") < budget, raise_error(concat(
+            lit("selectUnderBudgetPruned: candidate stratum cost "),
+            col("_cand_cost").cast("string"),
+            lit(s" cannot spend budget $budget — raise k or the" +
+              " safety factor"))))
+          .otherwise(lit(1L)).as("_ok")))
+    selectUnderBudget(cands.crossJoin(gate).drop("_ok"),
+      idCol, scoreCol, costCol, budget)
+  }
+
   def clusterSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
                    testPpm: Long): DataFrame = {
     require(testPpm >= 0 && testPpm <= 1000000,

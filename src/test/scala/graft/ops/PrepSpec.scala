@@ -109,4 +109,42 @@ class PrepSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 1L, 16L), (0L, 0L, 3L)))
   }
+
+  test("selectUnderBudget: greedy prefix, inclusive boundary, id tie-break") {
+    val docs = Seq(
+      (1L, 900L, 4L), (2L, 800L, 5L), (3L, 800L, 3L),
+      (4L, 700L, 2L), (5L, 600L, 10L)
+    ).toDF("doc_id", "score_ppm", "cost")
+    // order: 1(4) -> 2(9) -> 3(12, tie 800 resolves 2 before 3)
+    //   -> 4(14 == budget, kept inclusively) -> 5(24, over)
+    val got = Prep.selectUnderBudget(docs, "doc_id", "score_ppm",
+        "cost", budget = 14L)
+      .select("doc_id", "cum_cost").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L), (2L, 9L), (3L, 12L), (4L, 14L)))
+  }
+
+  test("selectUnderBudgetPruned equals the exact form on a large frame") {
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 3000L).map(i =>
+      (i, rnd.nextInt(1000000).toLong, 1L + rnd.nextInt(50).toLong))
+      .toDF("doc_id", "score_ppm", "cost")
+    for (budget <- Seq(500L, 5000L, 40000L)) {
+      val exact = Prep.selectUnderBudget(docs, "doc_id", "score_ppm",
+        "cost", budget).collect().map(_.toSeq).toSet
+      val pruned = Prep.selectUnderBudgetPruned(docs, "doc_id",
+        "score_ppm", "cost", budget, k = 256).collect()
+        .map(_.toSeq).toSet
+      assert(pruned === exact, s"diverged at budget $budget")
+    }
+  }
+
+  test("selectUnderBudgetPruned rejects a budget the corpus cannot spend") {
+    val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
+      .toDF("doc_id", "score_ppm", "cost")
+    val e = intercept[Exception] {
+      Prep.selectUnderBudgetPruned(docs, "doc_id", "score_ppm", "cost",
+        budget = 100L).collect()
+    }
+    assert(e.getMessage.contains("does not bind"))
+  }
 }
