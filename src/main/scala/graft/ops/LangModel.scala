@@ -76,14 +76,19 @@ object LangModel {
     * Train-time cost: one bigram explode+count plus one
     * vocabulary-keyed equi-join (model-sized, not corpus-sized).
     */
-  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
-    val uni = unigramCounts(docs, textCol)
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame =
+    bigramCounts(docs, textCol)
+      .join(unigramCounts(docs, textCol)
+        .select(col("tok").as("w1"), col("cnt").as("cnt_a")), Seq("w1"))
+
+  /** Raw adjacent-bigram counts (w1, w2, cnt_ab) — the additive half
+    * of [[bigramModel]], exposed for the maintained/streaming count
+    * states (the denominator attaches at serve time there).
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(adjacentPairs(toks(col(textCol)))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_ab"))
-      .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")),
-        Seq("w1"))
-  }
 
   /** Per-document fluency under stupid backoff, exact integer ppm.
     * Transition score for (w1 → w2):

@@ -2827,6 +2827,71 @@ object StreamingUpsert {
       }
       .start()
 
+  /** One micro-batch of MAINTAINED bigram-LM counts — the streaming
+    * state face of [[graft.ops.LangModel]] (q257 proves the sum-merge
+    * law over stored partials; this runs the same law through the
+    * versioned-asset protocol so the reference corpus can stream in).
+    * Assets under `basePath`, all in the [[statsVersions]] layout:
+    *
+    *   - `seen/v=<id>` — first-occurrence doc-id gate
+    *     ([[freshAgainstSeen]]/[[recordSeen]]): an at-least-once
+    *     re-delivery of a document must not double-count its tokens.
+    *   - `uni/v=<id>` — (tok, cnt) running totals: version N =
+    *     version N−1 sum-merged with the FRESH batch's unigram counts
+    *     (vocabulary-sized, never the corpus).
+    *   - `bi/v=<id>` — (w1, w2, cnt_ab) running totals, same law.
+    *
+    * Replay: a re-run of batch N reads version N−1 of every asset
+    * (the `< batchId` contract) and overwrites v=N — idempotent. The
+    * per-batch cost is batch tokenization plus one vocabulary-sized
+    * merge per asset; history depth never enters the plan.
+    */
+  def lmCountsBatch(spark: SparkSession, batch: DataFrame,
+                    idCol: String, textCol: String, basePath: String,
+                    batchId: Long,
+                    mat: graft.ops.Materializer =
+                      graft.ops.Materialize.Local): Unit = {
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val uniB = graft.ops.LangModel.unigramCounts(fresh, textCol)
+    val prevUni = readVersionBelow(spark, s"$basePath/uni", batchId)
+      .getOrElse(uniB.limit(0))
+    writeVersionPruned(spark, s"$basePath/uni", batchId,
+      prevUni.unionByName(uniB)
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")))
+    val biB = graft.ops.LangModel.bigramCounts(fresh, textCol)
+    val prevBi = readVersionBelow(spark, s"$basePath/bi", batchId)
+      .getOrElse(biB.limit(0))
+    writeVersionPruned(spark, s"$basePath/bi", batchId,
+      prevBi.unionByName(biB)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("cnt_ab")).as("cnt_ab")))
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Serve the (unigram table, bigram model) pair from
+    * [[lmCountsBatch]] state — CRASH-CONSISTENT: both assets are read
+    * at the same version v* = min(latest uni, latest bi), so a crash
+    * between the two writes (which leaves them one version apart;
+    * pruning always retains the predecessor) serves the last version
+    * BOTH completed rather than a mixed model. The conditional
+    * denominator attaches here exactly as
+    * [[graft.ops.LangModel.mergeBigramModel]] does, so scoring from
+    * state equals the one-shot model (q262 runs under q256's oracle
+    * verbatim).
+    */
+  def lmModelFromState(spark: SparkSession,
+                       basePath: String): (DataFrame, DataFrame) = {
+    val uniV = statsVersions(spark, s"$basePath/uni").map(_._1)
+    val biV = statsVersions(spark, s"$basePath/bi").map(_._1)
+    require(uniV.nonEmpty && biV.nonEmpty,
+      s"lmModelFromState: no completed state under $basePath")
+    val v = math.min(uniV.max, biV.max)
+    val uni = spark.read.parquet(s"$basePath/uni/v=$v")
+    val bi = spark.read.parquet(s"$basePath/bi/v=$v")
+    (uni, graft.ops.LangModel.mergeBigramModel(bi, uni))
+  }
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

@@ -1506,4 +1506,51 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(after === before)
     assert(after === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
+
+  test("lmCountsBatch: streamed counts equal one-shot; re-delivery + replay absorbed") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "a dog sat"), (4L, "the cat sat again"),
+      (5L, "a cat and a dog"), (6L, "dog ran far")).toDF("doc_id", "text")
+    val base = tmp("lm_state") + "/s"
+    def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.lmCountsBatch(spark, df, "doc_id", "text", base, id)
+    feed(docs.filter($"doc_id" <= 2L), 0L)
+    // batch 1 re-delivers doc 1 — the seen gate must not double-count
+    feed(docs.filter($"doc_id".between(3L, 4L))
+      .unionByName(docs.filter($"doc_id" === 1L)), 1L)
+    feed(docs.filter($"doc_id" >= 5L), 2L)
+    feed(docs.filter($"doc_id" >= 5L), 2L) // replayed last batch
+    val (uni, model) = StreamingUpsert.lmModelFromState(spark, base)
+    assert(uni.as[(String, Long)].collect().toSet ===
+      graft.ops.LangModel.unigramCounts(docs, "text")
+        .as[(String, Long)].collect().toSet)
+    assert(model.as[(String, String, Long, Long)].collect().toSet ===
+      graft.ops.LangModel.bigramModel(docs, "text")
+        .as[(String, String, Long, Long)].collect().toSet)
+  }
+
+  test("lmModelFromState serves the min COMMON version after a torn write") {
+    val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    val base = tmp("lm_state_torn") + "/s"
+    StreamingUpsert.lmCountsBatch(spark, docs.filter($"doc_id" === 1L),
+      "doc_id", "text", base, 0L)
+    StreamingUpsert.lmCountsBatch(spark, docs.filter($"doc_id" === 2L),
+      "doc_id", "text", base, 1L)
+    // simulate a crash between the uni and bi writes of batch 1: bi's
+    // v=1 is lost; pruning kept v=0 as the predecessor of both
+    val p = new org.apache.hadoop.fs.Path(s"$base/bi/v=1")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    val (uni, model) = StreamingUpsert.lmModelFromState(spark, base)
+    // both faces come from v=0 — the single-doc model, not a mix
+    assert(uni.as[(String, Long)].collect().toSet ===
+      graft.ops.LangModel.unigramCounts(
+        docs.filter($"doc_id" === 1L), "text")
+        .as[(String, Long)].collect().toSet)
+    assert(model.as[(String, String, Long, Long)].collect().toSet ===
+      graft.ops.LangModel.bigramModel(
+        docs.filter($"doc_id" === 1L), "text")
+        .as[(String, String, Long, Long)].collect().toSet)
+  }
 }
