@@ -139,5 +139,16 @@ object SparkEntry {
     // fixpoint. Gate-only until now; benched so the cross-modality
     // decision cost is trended per round (PROFILE notes which chain
     // dominates).
-    "q237_multimodal_neardup")
+    "q237_multimodal_neardup",
+    // LM-curation face (round 15): train the reference bigram model +
+    // score/filter the whole corpus — the corpus-sized pass is two
+    // token-keyed joins and a doc aggregate; a regression toward
+    // per-doc model scans (or a lost map-side combine on the train
+    // counts) surfaces here.
+    "q256_lm_fluency_filter",
+    // budget-selection scale face (round 15): sketch cutoff + window
+    // over the candidate stratum only; a regression toward the exact
+    // form's corpus-wide single-partition sort surfaces here as a
+    // cliff toward q260's cost shape.
+    "q261_budget_select_pruned")
 }

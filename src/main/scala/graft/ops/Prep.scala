@@ -166,56 +166,72 @@ object Prep {
     * every non-candidate in the (score desc, id) order, the exact
     * window over candidates alone computes the same prefix — PROVIDED
     * the candidates' total cost covers the budget, which is enforced
-    * IN-PLAN (raise_error with both numbers; raise `k` or the safety
-    * factor if it ever fires) rather than silently under-selecting.
-    * A budget the whole corpus cannot spend is rejected the same way
-    * (the exact form would select everything; this form must not
-    * guess). Result-identical to the exact form (PrepSpec property;
+    * with a loud failure (both numbers in the message; raise `k` or
+    * the safety factor if it ever fires) rather than silently
+    * under-selecting. A budget the whole corpus cannot spend is
+    * rejected the same way (the exact form would select everything;
+    * this form must not guess). CONTRACT: `scoreCol` is integral (the
+    * fixed-point score discipline — the sketch sample is fetched as
+    * longs), and must be statistically INDEPENDENT of
+    * md5(`idCol`)'s leading hex digits — the sketch samples the rows
+    * with the smallest md5(id), so a score that is itself a function
+    * of that hash (e.g. an md5-bucket pseudo-score keyed by the same
+    * id) yields a score-biased sample and a uselessly low tau (found
+    * the hard way in ProfileBudget's first synthetic scores; real
+    * quality/fluency scores are content-derived and unaffected).
+    * Result-identical to the exact form (PrepSpec property;
     * q261 gates under q260's oracle verbatim) while the sort shrinks
     * from the corpus to ~2·budget/avg_cost rows.
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
-                              budget: Long, k: Int = 512): DataFrame = {
+                              budget: Long, k: Int = 512,
+                              mat: Materializer = Materialize.Local)
+      : DataFrame = {
     require(budget > 0L, s"budget must be > 0, got $budget")
-    val stats = broadcast(docs.agg(
-      sum(col(costCol)).as("_total_cost"), count(lit(1)).as("_n_rows"))
-      .select(
-        when(col("_total_cost") <= budget, raise_error(concat(
-            lit(s"selectUnderBudgetPruned: budget $budget does not bind"),
-            lit(" (total cost "), col("_total_cost").cast("string"),
-            lit(") — use the exact form / no selection needed"))))
-          .otherwise(col("_total_cost")).as("_total_cost")))
-    // sketch of the score distribution; tau = smallest kept value at
-    // rank m - keep_rows + 1 of the ASC-sorted sample (ties on v
-    // ordered by h — any total order works, the sample is a set)
-    val sk = Sketches.quantilePartials(docs, Nil, col(idCol),
-      col(scoreCol), k)
-    val wv = Window.orderBy(col("v").asc, col("h").asc)
-    val m = broadcast(sk.agg(count(lit(1)).as("_m")))
-    val tau = broadcast(sk
-      .withColumn("_rn", row_number().over(wv))
-      .crossJoin(m).crossJoin(stats)
-      .withColumn("_keep", least(col("_m"),
-        lit(1L) + ((lit(2L) * budget * col("_m") -
-          pmod(lit(2L) * budget * col("_m"), col("_total_cost"))) /
-          col("_total_cost")).cast("long")))
-      .filter(col("_rn") === greatest(lit(1L), col("_m") - col("_keep") + 1L))
-      .select(col("v").as("_tau")))
-    val cands = docs.crossJoin(tau)
-      .filter(col(scoreCol) >= col("_tau")).drop("_tau")
-    // in-plan coverage gate: the candidate stratum must be able to
-    // spend the budget, or the prefix could extend past it
-    val gate = broadcast(cands.agg(sum(col(costCol)).as("_cand_cost"))
-      .select(
-        when(col("_cand_cost") < budget, raise_error(concat(
-            lit("selectUnderBudgetPruned: candidate stratum cost "),
-            col("_cand_cost").cast("string"),
-            lit(s" cannot spend budget $budget — raise k or the" +
-              " safety factor"))))
-          .otherwise(lit(1L)).as("_ok")))
-    selectUnderBudget(cands.crossJoin(gate).drop("_ok"),
-      idCol, scoreCol, costCol, budget)
+    // Driver-side fetches here are all BOUNDED (1 aggregate row / the
+    // ≤ k-row sketch sample — the Stats.driftEdgesFromSketch
+    // discipline), never the corpus; fetching tau as a literal keeps
+    // the candidate filter a codegen'd comparison instead of a
+    // BroadcastNestedLoopJoin against a 1-row frame (the first cut
+    // rode two such crossJoins and benched SLOWER than the exact
+    // form's global sort at 30M rows — ProfileBudget has the curve).
+    val statsRow = docs.agg(
+      sum(col(costCol)).as("tc"), count(lit(1)).as("n")).head()
+    require(!statsRow.isNullAt(0) && statsRow.getLong(1) > 0L,
+      "selectUnderBudgetPruned: empty input")
+    val totalCost = statsRow.getLong(0)
+    require(totalCost > budget,
+      s"selectUnderBudgetPruned: budget $budget does not bind (total " +
+        s"cost $totalCost) — use the exact form / no selection needed")
+    // the score sketch: a deterministic ≤ k-row sample (pure function
+    // of the row multiset); tau = the smallest of the top keep_rows
+    // sample values, keep_rows = min(m, 1 + (2·budget·m) DIV total) —
+    // safety factor 2 absorbs the DKW rank error and score-cost
+    // correlation
+    val sample = Sketches.quantilePartials(docs, Nil, col(idCol),
+        col(scoreCol), k)
+      .select(col("v")).collect()
+      .map(_.getAs[Number](0).longValue()).sorted
+    val m = sample.length.toLong
+    require(m > 0L,
+      "selectUnderBudgetPruned: score sketch is empty (all scores NULL?)")
+    // floor of 8: keep = 1 would put tau at the sample MAX, whose
+    // above-max stratum mass has ~100% relative standard deviation
+    // (the gate fired on exactly this in ProfileBudget); keep >= 8
+    // caps the stratum's relative std near 1/sqrt(8) ~ 35%, inside
+    // the factor-2 margin
+    val keep = math.min(m, math.max(8L, 1L + 2L * budget * m / totalCost))
+    val tau = sample((m - keep).toInt)
+    val cands = mat(docs.filter(col(scoreCol) >= lit(tau)))
+    // coverage gate: the candidate stratum must be able to spend the
+    // budget, or the exact prefix could extend past it — fail loudly
+    // instead of silently under-selecting
+    val candCost = cands.agg(sum(col(costCol))).head().getLong(0)
+    require(candCost >= budget,
+      s"selectUnderBudgetPruned: candidate stratum cost $candCost " +
+        s"cannot spend budget $budget — raise k or the safety factor")
+    selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
   }
 
   def clusterSplit(docs: DataFrame, idCol: String, clusters: DataFrame,

@@ -493,7 +493,37 @@ object PlanAudit {
         "array_intersect per candidate; the train corpus is never " +
         "reshuffled and nothing is all-pairs (PlanSpec pins no " +
         "cartesian / no BNLJ)") ->
-        fmt(OpsQueries.q250(spark, dir)))
+        fmt(OpsQueries.q250(spark, dir)),
+
+      ("q256 LM fluency scoring (round 15) — the corpus-sized pass is " +
+        "two token-keyed equi-joins (bigram model on (w1,w2), unigram " +
+        "backoff on w2) plus ONE doc-key aggregate per pass; the " +
+        "reference-side train counts reduce to vocabulary-sized " +
+        "tables with map-side combine before any corpus join, and " +
+        "the 1-row token total broadcasts — the corpus is never " +
+        "joined against itself and nothing is driver-side") ->
+        fmt(OpsQueries.q256(spark, dir)),
+
+      ("q258 token-classifier predict (round 15) — ONE inner " +
+        "token-keyed join against the delta-weight table (absent " +
+        "tokens fold in as n_tokens x broadcast base rate), one " +
+        "(doc, class) aggregate, and a classes-bounded per-doc rank " +
+        "window (partitioned by doc_id — parallel, never a global " +
+        "sort); train counts are classes x vocabulary with map-side " +
+        "combine") ->
+        fmt(OpsQueries.q258(spark, dir)),
+
+      ("q261 budget selection, sketch-pruned (round 15) — the " +
+        "corpus-wide work is the cost aggregate, the bottom-k score " +
+        "sketch (salted two-phase rank with map-side WindowGroupLimit " +
+        "partial limits), and a codegen'd score >= tau LITERAL filter " +
+        "(tau is a bounded <= k-row driver fetch — the first cut rode " +
+        "1-row BroadcastNestedLoopJoins and benched SLOWER than the " +
+        "exact sort; ProfileBudget has the curve); the " +
+        "single-partition cumulative window — the exact form's " +
+        "whole-corpus sort — receives ONLY the candidate stratum " +
+        "(~2*budget/avg_cost rows)") ->
+        fmt(OpsQueries.q261(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"
