@@ -97,6 +97,36 @@ object CleanCorpus {
     * entry pins (map-only fingerprints, banded/capped candidate
     * joins, CC over pairs only).
     */
+  /** Quality-argmax duplicate resolution: keep the BEST document of
+    * every near-dup cluster instead of the smallest-id one — what
+    * production dedup actually does (RefinedWeb/Dolma keep the
+    * longest / highest-quality duplicate, not an arrival-order
+    * accident). `scored` carries one row per corpus document with a
+    * deterministic `scoreCol`; `clusters` is a
+    * [[Dedup.duplicateClusters]]-shaped (doc_id, cluster_id) table
+    * covering only dup-involved docs — singletons resolve to their
+    * own id. Keeper = (score desc, id asc) argmax within the cluster.
+    *
+    * Scale shape: the cluster table is pair-derived (a sliver of the
+    * corpus), so the left join broadcasts it or shuffles the sliver
+    * under AQE; the rank window partitions by cluster_id — parallel,
+    * cluster-sized sorts (almost all singletons), never a global
+    * sort. Output: `scored`'s columns + cluster_id, keepers only.
+    */
+  def keepBestInCluster(scored: DataFrame, idCol: String,
+                        scoreCol: String,
+                        clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored
+      .join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   def multimodalNearDupClusters(corpus: DataFrame,
                                 textMaxDist: Int = 3,
                                 imageMaxDist: Int = 6,

@@ -154,6 +154,36 @@ object Prep {
       .filter(col("cum_cost") <= budget)
   }
 
+  /** Per-group greedy selection under a PER-GROUP token budget — the
+    * data-mixing form of [[selectUnderBudget]]: every domain/source
+    * contributes its own quality-first prefix (the LLaMA-style
+    * mixture recipe of "cap each source at N tokens, best documents
+    * first"). Same (score desc, id asc) order and inclusive
+    * cum <= budget rule WITHIN each group.
+    *
+    * Scale shape: the window partitions by `groupCol`, so unlike the
+    * global form there is NO single-partition sort — groups rank in
+    * parallel and the shuffle is one hash exchange on the group key.
+    * When budgets are per-domain (the common production case), THIS
+    * is the form to run at 100 TB; the sketch-pruned global form
+    * exists for the one-global-budget cut. Skewed domains are the
+    * caveat: a single domain holding most of the corpus serializes
+    * its own sort (salt-and-restitch or pre-filter that domain with
+    * [[selectUnderBudgetPruned]]'s sketch cutoff). Output: input
+    * columns + cum_cost.
+    */
+  def selectUnderBudgetByGroup(docs: DataFrame, groupCol: String,
+                               idCol: String, scoreCol: String,
+                               costCol: String,
+                               budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup > 0L,
+      s"budgetPerGroup must be > 0, got $budgetPerGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budgetPerGroup)
+  }
+
   /** [[selectUnderBudget]] with the global sort PRUNED to the
     * candidate stratum — the 100 TB form. A bottom-k-by-hash rank
     * sketch ([[Sketches.quantilePartials]] — deterministic pure

@@ -5,6 +5,43 @@ import graft.SparkSpec
 class CleanCorpusSpec extends SparkSpec {
   import spark.implicits._
 
+  test("keepBestInCluster: score argmax per cluster, id tie, singletons kept") {
+    val scored = Seq(
+      (1L, 500L), (2L, 900L), (3L, 900L), // cluster A: 2 wins the 900
+                                          // tie over 3 by id; 1 loses
+      (4L, 100L),                         // cluster B alone in table
+      (5L, 0L)                            // singleton (no cluster row)
+    ).toDF("doc_id", "score_ppm")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = CleanCorpus.keepBestInCluster(scored, "doc_id",
+        "score_ppm", clusters)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L), (4L, 4L), (5L, 5L)))
+  }
+
+  test("keepBestInCluster: keeps exactly one doc per cluster under shuffles") {
+    val rnd = new scala.util.Random(7)
+    val scored = (1L to 500L).map(i => (i, rnd.nextInt(100).toLong))
+      .toDF("doc_id", "score_ppm").repartition(7)
+    // clusters of 5 consecutive ids
+    val clusters = (1L to 500L).map(i => (i, (i - 1) / 5 * 5 + 1))
+      .toDF("doc_id", "cluster_id").repartition(3)
+    val kept = CleanCorpus.keepBestInCluster(scored, "doc_id",
+      "score_ppm", clusters).collect()
+    assert(kept.length === 100)
+    // every keeper is its cluster's (score desc, id asc) argmax
+    val scoreOf = (1L to 500L).zip(scored.orderBy("doc_id")
+      .select("score_ppm").as[Long].collect()).toMap
+    kept.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val c = r.getAs[Long]("cluster_id")
+      val members = (c until c + 5)
+      val best = members.maxBy(m => (scoreOf(m), -m))
+      assert(id === best, s"cluster $c kept $id, expected $best")
+    }
+  }
+
   test("multimodalNearDupClusters: routes by magic, clusters within modality, never across") {
     import org.apache.spark.sql.functions._
     def wavSamples(seed: Int): Seq[Int] =

@@ -123,6 +123,20 @@ class PrepSpec extends SparkSpec {
     assert(got === Set((1L, 4L), (2L, 9L), (3L, 12L), (4L, 14L)))
   }
 
+  test("selectUnderBudgetByGroup: independent per-group prefixes") {
+    val docs = Seq(
+      ("a", 1L, 900L, 4L), ("a", 2L, 800L, 5L), ("a", 3L, 700L, 4L),
+      ("b", 4L, 100L, 6L), ("b", 5L, 950L, 6L)
+    ).toDF("src", "doc_id", "score_ppm", "cost")
+    // group a: 1(4) -> 2(9 == budget, inclusive) -> 3(13, over)
+    // group b: 5(6) -> 4(12, over) — b's low scorer never rides a's
+    // leftover budget
+    val got = Prep.selectUnderBudgetByGroup(docs, "src", "doc_id",
+        "score_ppm", "cost", budgetPerGroup = 9L)
+      .select("doc_id", "cum_cost").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L), (2L, 9L), (5L, 6L)))
+  }
+
   test("selectUnderBudgetPruned equals the exact form on a large frame") {
     val rnd = new scala.util.Random(41)
     val docs = (1L to 3000L).map(i =>
