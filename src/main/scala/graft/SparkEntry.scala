@@ -150,5 +150,10 @@ object SparkEntry {
     // over the candidate stratum only; a regression toward the exact
     // form's corpus-wide single-partition sort surfaces here as a
     // cliff toward q260's cost shape.
-    "q261_budget_select_pruned")
+    "q261_budget_select_pruned",
+    // classifier serve face (round 15): weight tables prebuilt in the
+    // untimed warmup (catalog-existence guard), timed runs pay one
+    // token join + the classes-bounded per-doc window; a regression
+    // toward retraining per call surfaces here as a trend.
+    "q265_classifier_serve")
 }

@@ -623,4 +623,27 @@ class PlanSpec extends SparkSpec {
     // and the token-ranking window IS partitioned
     assert(windows.exists(_.partitionSpec.nonEmpty))
   }
+
+  test("q256 LM scoring: token joins are equi-joins, never cartesian") {
+    val p = plan(OpsQueries.q256(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row token-total attach is the only nested-loop site
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    // model/backoff attach as hash joins on the token keys
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q258 classifier predict: per-doc argmax rides WindowGroupLimit; no cartesian") {
+    val p = plan(OpsQueries.q258(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the row_number rank-1 filter must truncate map-side (the q07
+    // machinery) — a refactor to a plain Window would sort every
+    // (doc x class) group without the limit pushdown
+    assert(p.contains("WindowGroupLimit"), p)
+    // nested-loop sites are all bounded builds: the 1-row vocabulary
+    // total attaches inside tokenWeights and baseRates, and the
+    // classes-row rates table crosses the doc counts — never a
+    // corpus x corpus product
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
+  }
 }
