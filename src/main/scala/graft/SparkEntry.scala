@@ -155,5 +155,10 @@ object SparkEntry {
     // untimed warmup (catalog-existence guard), timed runs pay one
     // token join + the classes-bounded per-doc window; a regression
     // toward retraining per call surfaces here as a trend.
-    "q265_classifier_serve")
+    "q265_classifier_serve",
+    // curation capstone (round 15): classifier gate -> LM filter ->
+    // keep-best dedup -> per-domain budget, one composed pipeline —
+    // benched so the end-to-end curation cost is trended per round
+    // (each stage's own face isolates which one moved).
+    "q267_curation_capstone")
 }

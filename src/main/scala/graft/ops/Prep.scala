@@ -196,11 +196,13 @@ object Prep {
     * every non-candidate in the (score desc, id) order, the exact
     * window over candidates alone computes the same prefix — PROVIDED
     * the candidates' total cost covers the budget, which is enforced
-    * with a loud failure (both numbers in the message; raise `k` or
-    * the safety factor if it ever fires) rather than silently
-    * under-selecting. A budget the whole corpus cannot spend is
-    * rejected the same way (the exact form would select everything;
-    * this form must not guess). CONTRACT: `scoreCol` is integral (the
+    * by a deterministic keep-DOUBLING coverage loop (score-cost
+    * anti-correlation — cheap high scorers — can defeat any fixed
+    * safety factor; the loop widens the stratum until it covers,
+    * degrading to the exact form in the worst case rather than
+    * under-selecting). A budget the whole corpus cannot spend is
+    * rejected loudly (the exact form would select everything; this
+    * form must not guess). CONTRACT: `scoreCol` is integral (the
     * fixed-point score discipline — the sketch sample is fetched as
     * longs), and must be statistically INDEPENDENT of
     * md5(`idCol`)'s leading hex digits — the sketch samples the rows
@@ -249,18 +251,32 @@ object Prep {
     // floor of 8: keep = 1 would put tau at the sample MAX, whose
     // above-max stratum mass has ~100% relative standard deviation
     // (the gate fired on exactly this in ProfileBudget); keep >= 8
-    // caps the stratum's relative std near 1/sqrt(8) ~ 35%, inside
-    // the factor-2 margin
-    val keep = math.min(m, math.max(8L, 1L + 2L * budget * m / totalCost))
-    val tau = sample((m - keep).toInt)
-    val cands = mat(docs.filter(col(scoreCol) >= lit(tau)))
-    // coverage gate: the candidate stratum must be able to spend the
-    // budget, or the exact prefix could extend past it — fail loudly
-    // instead of silently under-selecting
-    val candCost = cands.agg(sum(col(costCol))).head().getLong(0)
-    require(candCost >= budget,
-      s"selectUnderBudgetPruned: candidate stratum cost $candCost " +
-        s"cannot spend budget $budget — raise k or the safety factor")
+    // caps the stratum's relative std near 1/sqrt(8) ~ 35%
+    var keep = math.min(m, math.max(8L, 1L + 2L * budget * m / totalCost))
+    // coverage loop: the candidate stratum must be able to spend the
+    // budget or the exact prefix could extend past it. The factor-2
+    // margin absorbs sampling error but NOT score-cost correlation —
+    // when high scorers are cheap (short high-diversity docs: the
+    // sf0.1 gate corpus holds only 1.5% of its tokens in the top 5%
+    // of rows), the stratum under-covers, so keep DOUBLES until it
+    // covers (deterministic: a pure function of sample + totals;
+    // <= log2(m/8) retries, each one corpus filter+agg — the sketch
+    // is never recomputed). keep = m exhausted means even
+    // everything >= the sample MIN under-covers (only sub-sample-min
+    // rows remain): fall back to the whole corpus, which by the
+    // budget-binds require above still exceeds the budget — the
+    // selection degrades to the exact form rather than under-select.
+    var cands = docs
+    var covered = false
+    while (!covered && keep <= m) {
+      val tau = sample((m - keep).toInt)
+      val c = mat(docs.filter(col(scoreCol) >= lit(tau)))
+      val cost = c.agg(sum(col(costCol))).head().getLong(0)
+      if (cost >= budget) { cands = c; covered = true }
+      else if (keep == m) { keep = m + 1 }
+      else keep = math.min(m, keep * 2L)
+    }
+    if (!covered) cands = docs
     selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
   }
 

@@ -152,6 +152,23 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("selectUnderBudgetPruned: cheap high scorers (anti-correlated cost) still select exactly") {
+    // high scores on 1-token docs, low scores on 100-token docs — a
+    // fixed-fraction stratum holds almost no cost; the coverage loop
+    // must widen until the prefix fits (and stay equal to exact)
+    val docs = (1L to 2000L).map { i =>
+      if (i <= 1000L) (i, 900000L + i, 1L)      // cheap, high score
+      else (i, i, 100L)                          // expensive, low score
+    }.toDF("doc_id", "score_ppm", "cost")
+    val budget = 5000L // needs all 1000 cheap docs + ~40 expensive ones
+    val exact = Prep.selectUnderBudget(docs, "doc_id", "score_ppm",
+      "cost", budget).collect().map(_.toSeq).toSet
+    val pruned = Prep.selectUnderBudgetPruned(docs, "doc_id",
+      "score_ppm", "cost", budget, k = 128).collect().map(_.toSeq).toSet
+    assert(pruned === exact)
+    assert(exact.size > 1000, "the prefix must cross into the expensive tail")
+  }
+
   test("selectUnderBudgetPruned rejects a budget the corpus cannot spend") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")
