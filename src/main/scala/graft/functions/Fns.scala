@@ -85,4 +85,19 @@ object Fns {
   val wsClass = " \\t\\n\\x0B\\f\\r"
   def wsTokens(c: Column): Column =
     filter(split(trim(c), s"[$wsClass]+"), t => t =!= "")
+
+  /** Exact integer num DIV den over Columns: subtract the remainder so
+    * the double division is of an exact multiple — correctly-rounded
+    * IEEE division of exact operands ≤ 2^53 yields the exact integer
+    * quotient, never the float-floor off-by-one. THE shared helper for
+    * the fixed-point ppm/ppb discipline (round-15 review: five
+    * independent copies were drifting); callers whose numerators can
+    * exceed 2^53 must guard or rescale (see Classify's in-plan guard).
+    */
+  def exactDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  /** Exact integer parts-per-million: num·10⁶ DIV den. */
+  def exactPpm(num: Column, den: Column): Column =
+    exactDiv(num * lit(1000000L), den)
 }

@@ -32,15 +32,25 @@ import org.apache.spark.sql.functions._
 object Classify {
   import TextAnalysis.toks
 
-  /** Exact integer num DIV den (the LangModel/TextAnalysis remainder-
-    * subtraction discipline; exact for operands ≤ 2^53).
+  /** Exact integer division ([[graft.functions.Fns.exactDiv]] — the
+    * shared fixed-point helper; exact for operands ≤ 2^53).
     */
   private def exactDiv(num: org.apache.spark.sql.Column,
-                       den: org.apache.spark.sql.Column) = {
-    ((num - pmod(num, den)) / den).cast("long")
-  }
+                       den: org.apache.spark.sql.Column) =
+    graft.functions.Fns.exactDiv(num, den)
 
   private val PPB = 1000000000L
+
+  /** The largest (label, token) training count whose ppb-scaled
+    * numerator (cnt+1)·10⁹ stays ≤ 2^53 and therefore divides exactly
+    * — ~9.0e6. Past it the double division rounds and the claimed
+    * bit-for-bit cross-engine replay silently breaks (the ppb scale
+    * hits the bound 1000× earlier than LangModel's ppm), so
+    * [[tokenWeights]] fails CLOSED in-plan instead: shard the
+    * training slice (the maintained-partials path keeps per-segment
+    * counts under the bound) or rescale to ppm past it.
+    */
+  private val MaxExactCnt = (1L << 53) / PPB - 1L
 
   /** Per-class token counts (label, tok, cnt) over the labeled
     * training slice — the whole trainable state of the classifier,
@@ -64,9 +74,20 @@ object Classify {
   def tokenWeights(counts: DataFrame): DataFrame = {
     val ctot = counts.groupBy("label").agg(sum(col("cnt")).as("n_c"))
     val voc = broadcast(counts.agg(countDistinct(col("tok")).as("v")))
+    // fail-closed exactness guard (round-15 review): a count past
+    // MaxExactCnt would make the ppb division round instead of divide
+    // exactly — raise in-plan rather than silently drift off the
+    // oracle-replayable arithmetic
+    val cnt = when(col("cnt") > MaxExactCnt,
+      raise_error(concat(
+        lit("Classify.tokenWeights: training count "),
+        col("cnt").cast("string"),
+        lit(s" exceeds the ppb exactness bound $MaxExactCnt — shard " +
+          "the training slice or rescale to ppm"))))
+      .otherwise(col("cnt"))
     counts.join(ctot, Seq("label")).crossJoin(voc)
       .select(col("label"), col("tok"),
-        (exactDiv((col("cnt") + 1L) * lit(PPB), col("n_c") + col("v")) -
+        (exactDiv((cnt + 1L) * lit(PPB), col("n_c") + col("v")) -
           exactDiv(lit(PPB), col("n_c") + col("v"))).as("delta_ppb"))
   }
 

@@ -3,6 +3,7 @@ package ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** N-gram language-model quality filtering — the CCNet/RedPajama/
   * FineWeb curation step this tier was still missing: train a bigram
@@ -36,20 +37,19 @@ import org.apache.spark.sql.functions._
 object LangModel {
   import TextAnalysis.toks
 
-  /** Exact integer num DIV den (the TextAnalysis discipline: subtract
-    * the remainder so the double division is of an exact multiple —
-    * correctly-rounded IEEE division of exact operands ≤ 2^53 yields
-    * the exact integer quotient; all gate-scale operands sit far under
-    * that bound, and at 100 TB the counts that could approach it are
-    * the ppm-scaled numerators, bounded by 10⁶ × corpus tokens — swap
-    * to DECIMAL(38,0) division past ~9e15 tokens).
+  /** Exact integer division ([[graft.functions.Fns.exactDiv]] — the
+    * shared fixed-point helper): all gate-scale operands sit far
+    * under the 2^53 exactness bound, and at 100 TB the counts that
+    * could approach it are the ppm-scaled numerators, bounded by
+    * 10⁶ × corpus tokens — swap to DECIMAL(38,0) division past
+    * ~9e15 tokens.
     */
   private def exactDiv(num: Column, den: Column): Column =
-    ((num - pmod(num, den)) / den).cast("long")
+    Fns.exactDiv(num, den)
 
   /** Exact integer ppm: num·10⁶ DIV den. */
   private def ppmOf(num: Column, den: Column): Column =
-    exactDiv(num * lit(1000000L), den)
+    Fns.exactPpm(num, den)
 
   /** Adjacent-token (w1, w2) pairs as a struct array — the linear
     * zip-against-the-tail from [[TextAnalysis.collocations]] (the
@@ -181,13 +181,21 @@ object LangModel {
   def mergeUnigrams(partials: DataFrame): DataFrame =
     partials.groupBy("tok").agg(sum(col("cnt")).as("cnt"))
 
+  /** Sum-merge bigram count partials (the count half of
+    * [[mergeBigramModel]], exposed so the streaming fold and the
+    * partials serve share ONE spelling of the q210 merge law —
+    * round-15 review).
+    */
+  def mergeBigramCounts(biPartials: DataFrame): DataFrame =
+    biPartials.groupBy("w1", "w2").agg(sum(col("cnt_ab")).as("cnt_ab"))
+
   /** Merge bigram partials and attach the merged unigram denominator —
     * equal to [[bigramModel]] over the union by sum associativity
     * (LangModelSpec property; q257 runs it under q256's oracle
     * verbatim). Model-sized work only.
     */
   def mergeBigramModel(biPartials: DataFrame, uni: DataFrame): DataFrame =
-    biPartials.groupBy("w1", "w2").agg(sum(col("cnt_ab")).as("cnt_ab"))
+    mergeBigramCounts(biPartials)
       .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")),
         Seq("w1"))
 }

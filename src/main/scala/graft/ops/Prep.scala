@@ -199,10 +199,11 @@ object Prep {
     * by a deterministic keep-DOUBLING coverage loop (score-cost
     * anti-correlation — cheap high scorers — can defeat any fixed
     * safety factor; the loop widens the stratum until it covers,
-    * degrading to the exact form in the worst case rather than
-    * under-selecting). A budget the whole corpus cannot spend is
-    * rejected loudly (the exact form would select everything; this
-    * form must not guess). CONTRACT: `scoreCol` is integral (the
+    * degrading to the exact whole-corpus window in the worst case —
+    * including a budget the corpus cannot spend, where both forms
+    * keep every row — rather than ever under-selecting: the operator
+    * is TOTAL and result-identical to [[selectUnderBudget]] on every
+    * input). CONTRACT: `scoreCol` is integral (the
     * fixed-point score discipline — the sketch sample is fetched as
     * longs), and must be statistically INDEPENDENT of
     * md5(`idCol`)'s leading hex digits — the sketch samples the rows
@@ -217,9 +218,7 @@ object Prep {
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
-                              budget: Long, k: Int = 512,
-                              mat: Materializer = Materialize.Local)
-      : DataFrame = {
+                              budget: Long, k: Int = 512): DataFrame = {
     require(budget > 0L, s"budget must be > 0, got $budget")
     // Driver-side fetches here are all BOUNDED (1 aggregate row / the
     // ≤ k-row sketch sample — the Stats.driftEdgesFromSketch
@@ -233,14 +232,12 @@ object Prep {
     require(!statsRow.isNullAt(0) && statsRow.getLong(1) > 0L,
       "selectUnderBudgetPruned: empty input")
     val totalCost = statsRow.getLong(0)
-    require(totalCost > budget,
-      s"selectUnderBudgetPruned: budget $budget does not bind (total " +
-        s"cost $totalCost) — use the exact form / no selection needed")
-    // the score sketch: a deterministic ≤ k-row sample (pure function
-    // of the row multiset); tau = the smallest of the top keep_rows
-    // sample values, keep_rows = min(m, 1 + (2·budget·m) DIV total) —
-    // safety factor 2 absorbs the DKW rank error and score-cost
-    // correlation
+    // a budget the whole corpus can spend (total <= budget): the
+    // exact form keeps every row and so does this one — the coverage
+    // loop below can never cover, falls through to cands = docs, and
+    // the window degrades to the exact form (round-15 review: the
+    // earlier hard reject diverged from the exact form on the
+    // total == budget boundary)
     val sample = Sketches.quantilePartials(docs, Nil, col(idCol),
         col(scoreCol), k)
       .select(col("v")).collect()
@@ -252,7 +249,8 @@ object Prep {
     // above-max stratum mass has ~100% relative standard deviation
     // (the gate fired on exactly this in ProfileBudget); keep >= 8
     // caps the stratum's relative std near 1/sqrt(8) ~ 35%
-    var keep = math.min(m, math.max(8L, 1L + 2L * budget * m / totalCost))
+    var keep = math.min(m,
+      math.max(8L, 1L + 2L * budget * m / math.max(totalCost, 1L)))
     // coverage loop: the candidate stratum must be able to spend the
     // budget or the exact prefix could extend past it. The factor-2
     // margin absorbs sampling error but NOT score-cost correlation —
@@ -260,23 +258,23 @@ object Prep {
     // sf0.1 gate corpus holds only 1.5% of its tokens in the top 5%
     // of rows), the stratum under-covers, so keep DOUBLES until it
     // covers (deterministic: a pure function of sample + totals;
-    // <= log2(m/8) retries, each one corpus filter+agg — the sketch
-    // is never recomputed). keep = m exhausted means even
-    // everything >= the sample MIN under-covers (only sub-sample-min
-    // rows remain): fall back to the whole corpus, which by the
-    // budget-binds require above still exceeds the budget — the
-    // selection degrades to the exact form rather than under-select.
+    // <= log2(m/8) retries, each one corpus filter+agg scan — the
+    // sketch is never recomputed, and trial strata are plain lazy
+    // plans, never checkpointed: each feeds exactly one aggregate,
+    // and the covered stratum feeds exactly one window). keep = m
+    // exhausted means even everything >= the sample MIN under-covers:
+    // fall back to the whole corpus — the selection degrades to the
+    // exact form rather than under-select.
     var cands = docs
     var covered = false
     while (!covered && keep <= m) {
       val tau = sample((m - keep).toInt)
-      val c = mat(docs.filter(col(scoreCol) >= lit(tau)))
+      val c = docs.filter(col(scoreCol) >= lit(tau))
       val cost = c.agg(sum(col(costCol))).head().getLong(0)
       if (cost >= budget) { cands = c; covered = true }
       else if (keep == m) { keep = m + 1 }
       else keep = math.min(m, keep * 2L)
     }
-    if (!covered) cands = docs
     selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
   }
 

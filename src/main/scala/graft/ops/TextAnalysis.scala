@@ -303,16 +303,11 @@ object TextAnalysis {
         .as("dup_para_char_ppm"))
   }
 
-  /** Exact integer ppm: num·10⁶ DIV den over Column objects (no SQL
-    * name to feed `expr("... DIV ...")`): subtract the remainder, then
-    * the double division is of an exact multiple — correctly-rounded
-    * IEEE division of exact operands ≤ 2^53 yields the exact integer
-    * quotient, never the float-floor off-by-one.
+  /** Exact integer ppm ([[graft.functions.Fns.exactPpm]] — the shared
+    * remainder-subtraction fixed-point helper, exact ≤ 2^53).
     */
-  private def expr_ppm(num: Column, den: Column): Column = {
-    val scaled = num * lit(1000000L)
-    ((scaled - pmod(scaled, den)) / den).cast("long")
-  }
+  private def expr_ppm(num: Column, den: Column): Column =
+    Fns.exactPpm(num, den)
 
   // -------------------------------------------------------- collocations
   /** Collocation extraction: adjacent-token bigrams ranked by the

@@ -2853,18 +2853,20 @@ object StreamingUpsert {
                       graft.ops.Materialize.Local): Unit = {
     val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
       s"$basePath/seen"))
+    // version N = mergeUnigrams/mergeBigramCounts over (version N−1 ∪
+    // batch) — the SAME merge spellings the partials serve uses
+    // (round-15 review: the inlined groupBys were a second place for
+    // the q210 law to drift)
     val uniB = graft.ops.LangModel.unigramCounts(fresh, textCol)
     val prevUni = readVersionBelow(spark, s"$basePath/uni", batchId)
       .getOrElse(uniB.limit(0))
     writeVersionPruned(spark, s"$basePath/uni", batchId,
-      prevUni.unionByName(uniB)
-        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")))
+      graft.ops.LangModel.mergeUnigrams(prevUni.unionByName(uniB)))
     val biB = graft.ops.LangModel.bigramCounts(fresh, textCol)
     val prevBi = readVersionBelow(spark, s"$basePath/bi", batchId)
       .getOrElse(biB.limit(0))
     writeVersionPruned(spark, s"$basePath/bi", batchId,
-      prevBi.unionByName(biB)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("cnt_ab")).as("cnt_ab")))
+      graft.ops.LangModel.mergeBigramCounts(prevBi.unionByName(biB)))
     recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
       s"$basePath/seen")
   }

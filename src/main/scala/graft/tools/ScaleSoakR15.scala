@@ -77,6 +77,7 @@ object ScaleSoakR15 {
         graft.ops.Prep.selectUnderBudgetPruned(scored, "doc_id",
           "score_ppm", "cost", budget = 120000L).count()
       }
+      scored.unpersist()
       d.unpersist()
     }
 
@@ -98,6 +99,7 @@ object ScaleSoakR15 {
         "doc_id", "text", base, b.toLong)
       println(f"[soak-r15] batch $b%2d (state ${b * batchRows}%7d docs) " +
         f"${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      batch.unpersist()
     }
     val (uni, model) = graft.streaming.StreamingUpsert
       .lmModelFromState(spark, base)

@@ -169,13 +169,18 @@ class PrepSpec extends SparkSpec {
     assert(exact.size > 1000, "the prefix must cross into the expensive tail")
   }
 
-  test("selectUnderBudgetPruned rejects a budget the corpus cannot spend") {
+  test("selectUnderBudgetPruned equals exact on the non-binding boundaries") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")
-    val e = intercept[Exception] {
-      Prep.selectUnderBudgetPruned(docs, "doc_id", "score_ppm", "cost",
-        budget = 100L).collect()
+    // budget > total and budget == total: both forms keep every row
+    // (round-15 review: the earlier hard reject diverged on these)
+    for (budget <- Seq(100L, 7L)) {
+      val exact = Prep.selectUnderBudget(docs, "doc_id", "score_ppm",
+        "cost", budget).collect().map(_.toSeq).toSet
+      val pruned = Prep.selectUnderBudgetPruned(docs, "doc_id",
+        "score_ppm", "cost", budget).collect().map(_.toSeq).toSet
+      assert(pruned === exact, s"diverged at budget $budget")
+      assert(exact.size === 2)
     }
-    assert(e.getMessage.contains("does not bind"))
   }
 }
