@@ -160,5 +160,11 @@ object SparkEntry {
     // keep-best dedup -> per-domain budget, one composed pipeline —
     // benched so the end-to-end curation cost is trended per round
     // (each stage's own face isolates which one moved).
-    "q267_curation_capstone")
+    "q267_curation_capstone",
+    // served capstone (round 15): both models read from persisted
+    // warehouse assets (built in the untimed warmup) — benched next
+    // to q267 so retrain-vs-serve economics trend together; a
+    // regression toward in-composition retraining shows as q268
+    // converging to q267's cost.
+    "q268_curation_serve")
 }
