@@ -100,4 +100,27 @@ object Fns {
   /** Exact integer parts-per-million: num·10⁶ DIV den. */
   def exactPpm(num: Column, den: Column): Column =
     exactDiv(num * lit(1000000L), den)
+
+  /** Largest count whose `scale`-multiplied numerator stays ≤ 2^53 and
+    * therefore divides EXACTLY under [[exactDiv]]'s double division —
+    * (2^53 DIV scale) − 1: ~9.0e9 at ppm scale, ~9.0e6 at ppb scale
+    * (the ppb bound bites 1000× earlier — the round-15 lesson).
+    * Denominators need no bound: when num < den the quotient is an
+    * exact 0, and otherwise den ≤ num ≤ 2^53 is already exact.
+    */
+  def maxExactCnt(scale: Long): Long = (1L << 53) / scale - 1L
+
+  /** Fail-closed exactness guard for the fixed-point discipline: pass
+    * `c` through unchanged while ≤ `bound`, raise in-plan past it
+    * (shard the input or rescale the fixed point). MUST wrap the value
+    * INSIDE the consumed arithmetic — a standalone gate column gets
+    * column-pruned and the guard silently vanishes (the round-15
+    * 1-row-crossJoin lesson).
+    */
+  def guardExact(c: Column, bound: Long, ctx: String): Column =
+    when(c > bound, raise_error(concat(
+      lit(s"$ctx: count "), c.cast("string"),
+      lit(s" exceeds the exactness bound $bound — shard the input " +
+        "or rescale"))))
+      .otherwise(c)
 }

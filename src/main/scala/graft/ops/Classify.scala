@@ -43,14 +43,15 @@ object Classify {
 
   /** The largest (label, token) training count whose ppb-scaled
     * numerator (cnt+1)·10⁹ stays ≤ 2^53 and therefore divides exactly
-    * — ~9.0e6. Past it the double division rounds and the claimed
-    * bit-for-bit cross-engine replay silently breaks (the ppb scale
-    * hits the bound 1000× earlier than LangModel's ppm), so
-    * [[tokenWeights]] fails CLOSED in-plan instead: shard the
-    * training slice (the maintained-partials path keeps per-segment
-    * counts under the bound) or rescale to ppm past it.
+    * ([[graft.functions.Fns.maxExactCnt]]) — ~9.0e6. Past it the
+    * double division rounds and the claimed bit-for-bit cross-engine
+    * replay silently breaks (the ppb scale hits the bound 1000×
+    * earlier than LangModel's ppm), so [[tokenWeights]] fails CLOSED
+    * in-plan instead: shard the training slice (the
+    * maintained-partials path keeps per-segment counts under the
+    * bound) or rescale to ppm past it.
     */
-  private val MaxExactCnt = (1L << 53) / PPB - 1L
+  private val MaxExactCnt = graft.functions.Fns.maxExactCnt(PPB)
 
   /** Per-class token counts (label, tok, cnt) over the labeled
     * training slice — the whole trainable state of the classifier,
@@ -76,15 +77,11 @@ object Classify {
     val voc = broadcast(counts.agg(countDistinct(col("tok")).as("v")))
     // fail-closed exactness guard (round-15 review): a count past
     // MaxExactCnt would make the ppb division round instead of divide
-    // exactly — raise in-plan rather than silently drift off the
+    // exactly — raise in-plan ([[graft.functions.Fns.guardExact]], the
+    // shared spelling) rather than silently drift off the
     // oracle-replayable arithmetic
-    val cnt = when(col("cnt") > MaxExactCnt,
-      raise_error(concat(
-        lit("Classify.tokenWeights: training count "),
-        col("cnt").cast("string"),
-        lit(s" exceeds the ppb exactness bound $MaxExactCnt — shard " +
-          "the training slice or rescale to ppm"))))
-      .otherwise(col("cnt"))
+    val cnt = graft.functions.Fns.guardExact(col("cnt"), MaxExactCnt,
+      "Classify.tokenWeights")
     counts.join(ctot, Seq("label")).crossJoin(voc)
       .select(col("label"), col("tok"),
         (exactDiv((cnt + 1L) * lit(PPB), col("n_c") + col("v")) -

@@ -38,14 +38,26 @@ object LangModel {
   import TextAnalysis.toks
 
   /** Exact integer division ([[graft.functions.Fns.exactDiv]] — the
-    * shared fixed-point helper): all gate-scale operands sit far
-    * under the 2^53 exactness bound, and at 100 TB the counts that
-    * could approach it are the ppm-scaled numerators, bounded by
-    * 10⁶ × corpus tokens — swap to DECIMAL(38,0) division past
-    * ~9e15 tokens.
+    * shared fixed-point helper): exactness holds while the NUMERATOR
+    * stays ≤ 2^53, and the ppm-scaled numerators here are cnt·10⁶ —
+    * so the real bound is ~9.0e9 on any single model count
+    * ([[graft.functions.Fns.maxExactCnt]]; counts are bounded by
+    * reference tokens, so a reference slice past ~9e9 tokens can
+    * breach it — NOT the ~9e15 an earlier draft claimed, which is
+    * the raw-long bound before scaling). [[scoreDocs]] guards the
+    * model counts fail-closed at the point of division (the same
+    * in-plan raise_error discipline as Classify.tokenWeights);
+    * denominators need no guard (exact 0 below, ≤ numerator above).
+    * Past the bound: shard the reference (the maintained-partials
+    * path keeps per-segment counts small) or swap to DECIMAL(38,0).
     */
   private def exactDiv(num: Column, den: Column): Column =
     Fns.exactDiv(num, den)
+
+  /** The largest model count whose ppm-scaled numerator divides
+    * exactly — (2^53 DIV 10⁶) − 1 ≈ 9.0e9.
+    */
+  private val MaxExactCnt = Fns.maxExactCnt(1000000L)
 
   /** Exact integer ppm: num·10⁶ DIV den. */
   private def ppmOf(num: Column, den: Column): Column =
@@ -120,9 +132,17 @@ object LangModel {
         Seq("w2"), "left")
       .crossJoin(totals)
       .select(col(idCol),
-        when(col("cnt_ab").isNotNull, ppmOf(col("cnt_ab"), col("cnt_a")))
+        // fail-closed exactness guards (ADVICE r15): the ppm-scaled
+        // numerators cnt_ab·10⁶ and alphaPpm·cnt_b (alphaPpm ≤ 10⁶ by
+        // the require above) lose double exactness past MaxExactCnt —
+        // guard INSIDE the consumed branch so the raise fires exactly
+        // when the unsound division would happen
+        when(col("cnt_ab").isNotNull,
+          ppmOf(Fns.guardExact(col("cnt_ab"), MaxExactCnt,
+            "LangModel.scoreDocs"), col("cnt_a")))
           .when(col("cnt_b").isNotNull,
-            exactDiv(lit(alphaPpm) * col("cnt_b"), col("n_tok")))
+            exactDiv(lit(alphaPpm) * Fns.guardExact(col("cnt_b"),
+              MaxExactCnt, "LangModel.scoreDocs"), col("n_tok")))
           .otherwise(lit(0L)).as("s"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_trans"), sum(col("s")).as("s_sum"))

@@ -188,22 +188,25 @@ object Prep {
     * candidate stratum — the 100 TB form. A bottom-k-by-hash rank
     * sketch ([[Sketches.quantilePartials]] — deterministic pure
     * function of the row multiset, so this whole operator is) over
-    * the scores estimates the cutoff: keep the sketch's top
-    * keep_rows = min(m, 1 + (2·budget·m) DIV total_cost) values
-    * (safety factor 2 absorbs both the DKW rank error and
-    * score-cost correlation) and take tau = the smallest kept value;
-    * candidates = score >= tau. Because every candidate outranks
-    * every non-candidate in the (score desc, id) order, the exact
-    * window over candidates alone computes the same prefix — PROVIDED
-    * the candidates' total cost covers the budget, which is enforced
-    * by a deterministic keep-DOUBLING coverage loop (score-cost
-    * anti-correlation — cheap high scorers — can defeat any fixed
-    * safety factor; the loop widens the stratum until it covers,
-    * degrading to the exact whole-corpus window in the worst case —
-    * including a budget the corpus cannot spend, where both forms
-    * keep every row — rather than ever under-selecting: the operator
-    * is TOTAL and result-identical to [[selectUnderBudget]] on every
-    * input). CONTRACT: `scoreCol` is integral (the
+    * the scores supplies the candidate cutoffs, and ONE bucket-cost
+    * corpus pass prices all of them at once: each row is bucketed by
+    * how many sampled values its score clears (a codegen'd fold over
+    * the sorted ≤ k-element sample literal), and the suffix sums of
+    * the resulting ≤ k+1-row aggregate are the EXACT total cost of
+    * every stratum {score >= sample(i)} — so the smallest covering
+    * tau is picked directly (round-16, VERDICT r15 Next #5; the old
+    * keep-doubling coverage loop — one corpus scan per retry, plus a
+    * 2·budget·m/total_cost keep estimate whose product could
+    * overflow, ADVICE r15 — is gone: nothing is estimated). Because
+    * every candidate (score >= tau) outranks every non-candidate in
+    * the (score desc, id) order and the stratum provably covers the
+    * budget, the exact window over candidates alone computes the
+    * same prefix; when even the whole sampled range under-covers
+    * (including a budget the corpus cannot spend, where both forms
+    * keep every row) the selection degrades to the exact
+    * whole-corpus window rather than ever under-selecting: the
+    * operator is TOTAL and result-identical to [[selectUnderBudget]]
+    * on every input. CONTRACT: `scoreCol` is integral (the
     * fixed-point score discipline — the sketch sample is fetched as
     * longs), and must be statistically INDEPENDENT of
     * md5(`idCol`)'s leading hex digits — the sketch samples the rows
@@ -214,67 +217,57 @@ object Prep {
     * quality/fluency scores are content-derived and unaffected).
     * Result-identical to the exact form (PrepSpec property;
     * q261 gates under q260's oracle verbatim) while the sort shrinks
-    * from the corpus to ~2·budget/avg_cost rows.
+    * from the corpus to ~budget/avg_cost rows — the exact-coverage
+    * pick also retires the old keep-floor of 8, which capped the
+    * relative std of an ESTIMATED stratum mass; the mass is now
+    * exact, so the smallest covering stratum is always safe.
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
                               budget: Long, k: Int = 512): DataFrame = {
     require(budget > 0L, s"budget must be > 0, got $budget")
-    // Driver-side fetches here are all BOUNDED (1 aggregate row / the
-    // ≤ k-row sketch sample — the Stats.driftEdgesFromSketch
-    // discipline), never the corpus; fetching tau as a literal keeps
-    // the candidate filter a codegen'd comparison instead of a
-    // BroadcastNestedLoopJoin against a 1-row frame (the first cut
-    // rode two such crossJoins and benched SLOWER than the exact
-    // form's global sort at 30M rows — ProfileBudget has the curve).
-    val statsRow = docs.agg(
-      sum(col(costCol)).as("tc"), count(lit(1)).as("n")).head()
-    require(!statsRow.isNullAt(0) && statsRow.getLong(1) > 0L,
-      "selectUnderBudgetPruned: empty input")
-    val totalCost = statsRow.getLong(0)
-    // a budget the whole corpus can spend (total <= budget): the
-    // exact form keeps every row and so does this one — the coverage
-    // loop below can never cover, falls through to cands = docs, and
-    // the window degrades to the exact form (round-15 review: the
-    // earlier hard reject diverged from the exact form on the
-    // total == budget boundary)
+    // Driver-side fetches here are all BOUNDED (the ≤ k-row sketch
+    // sample and the ≤ k+1-row bucket-cost aggregate — the
+    // Stats.driftEdgesFromSketch discipline), never the corpus;
+    // fetching tau as a literal keeps the candidate filter a
+    // codegen'd comparison instead of a BroadcastNestedLoopJoin
+    // against a 1-row frame (the first cut rode two such crossJoins
+    // and benched SLOWER than the exact form's global sort at 30M
+    // rows — ProfileBudget has the curve).
     val sample = Sketches.quantilePartials(docs, Nil, col(idCol),
         col(scoreCol), k)
       .select(col("v")).collect()
       .map(_.getAs[Number](0).longValue()).sorted
-    val m = sample.length.toLong
-    require(m > 0L,
-      "selectUnderBudgetPruned: score sketch is empty (all scores NULL?)")
-    // floor of 8: keep = 1 would put tau at the sample MAX, whose
-    // above-max stratum mass has ~100% relative standard deviation
-    // (the gate fired on exactly this in ProfileBudget); keep >= 8
-    // caps the stratum's relative std near 1/sqrt(8) ~ 35%
-    var keep = math.min(m,
-      math.max(8L, 1L + 2L * budget * m / math.max(totalCost, 1L)))
-    // coverage loop: the candidate stratum must be able to spend the
-    // budget or the exact prefix could extend past it. The factor-2
-    // margin absorbs sampling error but NOT score-cost correlation —
-    // when high scorers are cheap (short high-diversity docs: the
-    // sf0.1 gate corpus holds only 1.5% of its tokens in the top 5%
-    // of rows), the stratum under-covers, so keep DOUBLES until it
-    // covers (deterministic: a pure function of sample + totals;
-    // <= log2(m/8) retries, each one corpus filter+agg scan — the
-    // sketch is never recomputed, and trial strata are plain lazy
-    // plans, never checkpointed: each feeds exactly one aggregate,
-    // and the covered stratum feeds exactly one window). keep = m
-    // exhausted means even everything >= the sample MIN under-covers:
-    // fall back to the whole corpus — the selection degrades to the
-    // exact form rather than under-select.
-    var cands = docs
-    var covered = false
-    while (!covered && keep <= m) {
-      val tau = sample((m - keep).toInt)
-      val c = docs.filter(col(scoreCol) >= lit(tau))
-      val cost = c.agg(sum(col(costCol))).head().getLong(0)
-      if (cost >= budget) { cands = c; covered = true }
-      else if (keep == m) { keep = m + 1 }
-      else keep = math.min(m, keep * 2L)
+    val m = sample.length
+    require(m > 0,
+      "selectUnderBudgetPruned: score sketch is empty (empty input " +
+        "or all scores NULL?)")
+    // b = #{i : sample(i) <= score} ∈ [0, m]; rows with b >= m-keep+1
+    // are EXACTLY the rows with score >= sample(m-keep) (the sample is
+    // sorted ascending, ties included on both sides), so bucket costs
+    // accumulated from the top price every candidate stratum in one
+    // pass. NULL scores land in b = 0 — outside every stratum, kept
+    // only by the whole-corpus fallback, exactly like the exact form's
+    // degenerate path.
+    val vs = typedLit(sample.toSeq)
+    val bucketCost = docs.select(
+        size(filter(vs, x => col(scoreCol) >= x)).as("b"),
+        col(costCol).as("c"))
+      .groupBy("b").agg(sum(col("c")).as("tc"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var keep = 0
+    var acc = 0L
+    while (acc < budget && keep < m) {
+      keep += 1
+      acc += bucketCost.getOrElse(m - keep + 1, 0L)
     }
+    // acc still short after keep = m: even everything >= the sample
+    // MIN under-covers — degrade to the exact whole-corpus window
+    // (also the budget >= total-cost boundary, where both forms keep
+    // every row — round-15 review)
+    val cands =
+      if (acc >= budget) docs.filter(col(scoreCol) >= lit(sample(m - keep)))
+      else docs
     selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
   }
 

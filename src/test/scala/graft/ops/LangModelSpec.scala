@@ -94,6 +94,24 @@ class LangModelSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scoreDocs fails closed past the ppm exactness bound") {
+    // a model count whose ppm-scaled numerator exceeds 2^53 must raise
+    // in-plan at the point of division (ADVICE r16), never silently
+    // round: plant cnt_ab past the ~9.0e9 bound on a bigram the doc
+    // actually scores
+    val uni = Seq(("the", 10000000000L), ("cat", 3L))
+      .toDF("tok", "cnt")
+    val model = Seq(("the", "cat", 10000000000L, 10000000000L))
+      .toDF("w1", "w2", "cnt_ab", "cnt_a")
+    val docs = Seq((1L, "the cat")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LangModel.scoreDocs(docs, "doc_id", "text", model, uni).collect()
+    }
+    assert(e.getMessage.contains("exceeds the exactness bound") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("exceeds the exactness bound")))
+  }
+
   test("scoreDocs is partitioning-invariant") {
     val uni = LangModel.unigramCounts(ref, "text")
     val model = LangModel.bigramModel(ref, "text")
