@@ -166,5 +166,14 @@ object SparkEntry {
     // to q267 so retrain-vs-serve economics trend together; a
     // regression toward in-composition retraining shows as q268
     // converging to q267's cost.
-    "q268_curation_serve")
+    "q268_curation_serve",
+    // MAINTAINED capstone (round 16, VERDICT r15 Next #1/#7): all
+    // four stages from per-stage states — classifier counts, LM
+    // counts, LSH pairs + cluster labels — so batch (q267) vs served
+    // (q268) vs maintained (q269) economics trend as a TRIPLE. The
+    // entry rebuilds its states per call (the full maintenance
+    // choreography is the thing being priced); a regression in any
+    // state fold's per-batch cost surfaces here as q269 drifting
+    // away from q267 faster than the state count explains.
+    "q269_curation_maintained")
 }

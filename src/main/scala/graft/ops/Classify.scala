@@ -99,15 +99,16 @@ object Classify {
         exactDiv(lit(PPB), col("n_c") + col("v")).as("rate0_ppb"))
   }
 
-  /** Classify every document: score(doc, c) = Σ_present delta_ppb +
-    * n_tokens × rate0_ppb(c), predicted = argmax with (score desc,
-    * label asc) ties. A document with NO trained token (or no tokens
-    * at all) scores n_tokens × rate0 for every class and resolves to
-    * the first label — deterministic, stated. Output:
-    * (idCol, predicted, score_ppb).
+  /** The full (doc, class) score frame BEFORE the argmax:
+    * score(doc, c) = Σ_present delta_ppb + n_tokens × rate0_ppb(c) —
+    * one token-keyed inner join, one (doc, class) aggregate, one
+    * broadcast of the classes-sized rate table. Exposed so the
+    * argmax ([[predict]]) and the binary margin ([[marginScores]])
+    * share ONE spelling of the scoring arithmetic. Output:
+    * (idCol, label, score_ppb) — exactly classes rows per document.
     */
-  def predict(docs: DataFrame, idCol: String, textCol: String,
-              weights: DataFrame, rates: DataFrame): DataFrame = {
+  def scoreAll(docs: DataFrame, idCol: String, textCol: String,
+               weights: DataFrame, rates: DataFrame): DataFrame = {
     val dsum = docs
       .select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .join(weights, Seq("tok"))
@@ -115,16 +116,89 @@ object Classify {
       .agg(sum(col("delta_ppb")).as("dsum"))
     val docn = docs.select(col(idCol),
       size(toks(col(textCol))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score_ppb").desc, col("label").asc)
     docn.crossJoin(broadcast(rates))
       .join(dsum, Seq(idCol, "label"), "left")
       .select(col(idCol), col("label"),
         (coalesce(col("dsum"), lit(0L)) +
           col("n_tokens") * col("rate0_ppb")).as("score_ppb"))
+  }
+
+  /** Classify every document: [[scoreAll]] + argmax with (score desc,
+    * label asc) ties. A document with NO trained token (or no tokens
+    * at all) scores n_tokens × rate0 for every class and resolves to
+    * the first label — deterministic, stated. Output:
+    * (idCol, predicted, score_ppb).
+    */
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+              weights: DataFrame, rates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_ppb").desc, col("label").asc)
+    scoreAll(docs, idCol, textCol, weights, rates)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col(idCol), col("label").as("predicted"), col("score_ppb"))
+  }
+
+  /** Binary decision margin: score(posLabel) − score(negLabel) in
+    * exact ppb — the two-class gate shape every production
+    * quality/spam filter actually thresholds on (FineWeb-edu keeps
+    * `score >= threshold` rather than the argmax). One row per
+    * document; REQUIREs both labels present in the rate table (a
+    * missing class would silently zero its half of the margin).
+    * Output: (idCol, margin_ppb).
+    */
+  def marginScores(docs: DataFrame, idCol: String, textCol: String,
+                   weights: DataFrame, rates: DataFrame,
+                   posLabel: String, negLabel: String): DataFrame = {
+    require(posLabel != negLabel, "posLabel must differ from negLabel")
+    // classes-sized driver fetch — bounded
+    val labels = rates.select(col("label")).collect()
+      .map(_.getString(0)).toSet
+    require(labels.contains(posLabel) && labels.contains(negLabel),
+      s"marginScores: rate table lacks one of ($posLabel, $negLabel)")
+    scoreAll(docs, idCol, textCol, weights, rates)
+      .filter(col("label").isin(posLabel, negLabel))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("label") === posLabel, col("score_ppb"))
+        .otherwise(-col("score_ppb"))).as("margin_ppb"))
+  }
+
+  /** Precision-targeted threshold calibration over a held-out
+    * labeled slice — how production gates pick their cutoff
+    * (FineWeb-edu: keep `score >= t` with t calibrated to a target
+    * precision, rather than trusting the argmax). Candidate
+    * thresholds are the DISTINCT held-out margins; for each,
+    * keep(t) = {margin >= t} and precision(t) = kept-positives /
+    * kept. Returns the SMALLEST t meeting `targetPpm` — the
+    * keep-most-data point satisfying the bound — computed as one
+    * cumulative window over the distinct margins (held-out-sized by
+    * design: the calibration slice is small, never the corpus — the
+    * single-partition sort is over distinct margin VALUES) and a
+    * 1-row driver fetch (bounded). Exact integer throughout: the
+    * precision test cross-multiplies (cum_pos·10⁶ >= target·cum_n —
+    * no division, and ANSI mode faults on long overflow rather than
+    * wrapping), so two engines replay the chosen threshold
+    * bit-for-bit. THROWS when no threshold meets the target: a gate
+    * that cannot reach its contracted precision must fail loudly,
+    * not silently ship a best-effort cutoff.
+    */
+  def calibrateThreshold(held: DataFrame, marginCol: String,
+                         isPosCol: String, targetPpm: Long): Long = {
+    require(targetPpm >= 0L && targetPpm <= 1000000L,
+      s"targetPpm must be in [0, 1e6], got $targetPpm")
+    val byM = held.groupBy(col(marginCol).as("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(isPosCol), 1L).otherwise(0L)).as("np"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = byM
+      .select(col("t"), sum(col("n")).over(w).as("cn"),
+        sum(col("np")).over(w).as("cnp"))
+      .filter(col("cnp") * lit(1000000L) >= lit(targetPpm) * col("cn"))
+      .agg(min(col("t"))).head()
+    require(!r.isNullAt(0),
+      s"calibrateThreshold: no threshold achieves precision $targetPpm ppm")
+    r.getLong(0)
   }
 
   // ------------------------------------------------------ maintained

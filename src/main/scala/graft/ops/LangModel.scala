@@ -174,6 +174,119 @@ object LangModel {
     scored.filter(col("fluency_ppm") >= minFluencyPpm &&
       col("oov_ppm") <= maxOovPpm)
 
+  // -------------------------------------------------------- trigram
+  /** Adjacent (w1, w2, w3) triples as a struct array — one more
+    * zip-against-the-tail than [[adjacentPairs]]; zip_with pads the
+    * short tails with null, the filter drops padded cells, so < 3
+    * tokens yields no triples.
+    */
+  private def adjacentTriples(t: Column): Column =
+    filter(
+      zip_with(
+        zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), greatest(size(t) - 2, lit(0))),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3"))),
+      x => x.getField("w2").isNotNull && x.getField("w3").isNotNull)
+
+  /** Raw adjacent-trigram counts (w1, w2, w3, cnt_abc). */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(adjacentTriples(toks(col(textCol)))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt_abc"))
+
+  /** The trigram conditional model: (w1, w2, w3, cnt_abc, cnt_ab) —
+    * the context-bigram denominator denormalized in at train time
+    * (the [[bigramModel]] move one order up), so scoring attaches the
+    * whole trigram conditional in ONE (w1,w2,w3)-keyed join. The
+    * model head grows with distinct trigrams (vocab³-bounded, in
+    * practice corpus-transition-bounded: 31 → 908 → 7366 rows at the
+    * sf0.01 reference — PROFILE round 16 has the honest growth).
+    */
+  def trigramModel(docs: DataFrame, textCol: String): DataFrame =
+    trigramCounts(docs, textCol)
+      .join(bigramCounts(docs, textCol), Seq("w1", "w2"))
+
+  /** Per-document fluency under TRIGRAM stupid backoff — the rung
+    * above [[scoreDocs]] that completes the CCNet shape (Brants'
+    * backoff chain at order 3), same exact-integer-ppm discipline.
+    * Transition score for (w1, w2 → w3):
+    *   - trigram in model:           cnt_abc·10⁶ DIV cnt_ab
+    *   - else bigram (w2,w3) known:  alphaPpm·cnt_bc DIV cnt_b
+    *   - else w3 in vocabulary:      alphaSqPpm·cnt_c DIV n_tok
+    *     (alphaSqPpm = alphaPpm² DIV 10⁶ — REQUIREd exact, which the
+    *     default 0.4 satisfies: keeping α² at ppm scale bounds the
+    *     numerator like every other branch instead of the naive
+    *     alphaPpm²·cnt_c blowing the 2^53 envelope at cnt_c ≈ 5.6e4)
+    *   - else (OOV continuation):    0
+    * Document fluency = sum DIV n_tri (0 when < 3 tokens); oov_ppm
+    * over all tokens as in [[scoreDocs]]. `bi` is a [[bigramModel]]
+    * frame (probed at (w2, w3)), `uni`/`tri` as trained above. Model
+    * counts guarded fail-closed exactly like [[scoreDocs]].
+    * Output: (idCol, n_tokens, n_tri, oov_ppm, fluency_ppm).
+    *
+    * Scale shape: the corpus pass is now THREE token-keyed equi-joins
+    * (trigram, bigram-backoff, unigram-backoff) and one doc
+    * aggregate — still nothing all-pairs, still linear; the trigram
+    * join key is finer-grained than the bigram one, so skew only
+    * improves with order.
+    */
+  def scoreDocsTrigram(docs: DataFrame, idCol: String, textCol: String,
+                       tri: DataFrame, bi: DataFrame, uni: DataFrame,
+                       alphaPpm: Long = 400000L): DataFrame = {
+    require(alphaPpm > 0L && alphaPpm <= 1000000L,
+      s"alphaPpm must be in (0, 1e6], got $alphaPpm")
+    require(alphaPpm * alphaPpm % 1000000L == 0L,
+      s"alphaPpm² must be an exact ppm (alphaPpm $alphaPpm is not — " +
+        "pick a backoff weight whose square is a whole ppm)")
+    val alphaSqPpm = alphaPpm * alphaPpm / 1000000L
+    val totals = broadcast(uni.agg(sum(col("cnt")).as("n_tok")))
+    val trans = docs
+      .select(col(idCol),
+        explode(adjacentTriples(toks(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cnt_ab").as("cnt_bc"), col("cnt_a").as("cnt_b")),
+        Seq("w2", "w3"), "left")
+      .join(uni.select(col("tok").as("w3"), col("cnt").as("cnt_c")),
+        Seq("w3"), "left")
+      .crossJoin(totals)
+      .select(col(idCol),
+        when(col("cnt_abc").isNotNull,
+          ppmOf(Fns.guardExact(col("cnt_abc"), MaxExactCnt,
+            "LangModel.scoreDocsTrigram"), col("cnt_ab")))
+          .when(col("cnt_bc").isNotNull,
+            exactDiv(lit(alphaPpm) * Fns.guardExact(col("cnt_bc"),
+              MaxExactCnt, "LangModel.scoreDocsTrigram"), col("cnt_b")))
+          .when(col("cnt_c").isNotNull,
+            exactDiv(lit(alphaSqPpm) * Fns.guardExact(col("cnt_c"),
+              MaxExactCnt, "LangModel.scoreDocsTrigram"), col("n_tok")))
+          .otherwise(lit(0L)).as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"), sum(col("s")).as("s_sum"))
+    val tokens = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .join(uni.withColumnRenamed("cnt", "u_cnt"), Seq("tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("u_cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol))
+      .join(tokens, Seq(idCol), "left")
+      .join(trans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0L))
+          .otherwise(ppmOf(col("n_oov"), col("n_tokens"))).as("oov_ppm"),
+        when(coalesce(col("n_tri"), lit(0L)) === 0L, lit(0L))
+          .otherwise(exactDiv(col("s_sum"), col("n_tri")))
+          .as("fluency_ppm"))
+  }
+
   // ------------------------------------------------------ maintained
   /** Per-segment unigram count partials (segment, tok, cnt) — the
     * stored face of [[unigramCounts]] under the q210 sum-merge law:

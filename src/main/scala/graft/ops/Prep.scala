@@ -189,12 +189,18 @@ object Prep {
     * sketch ([[Sketches.quantilePartials]] — deterministic pure
     * function of the row multiset, so this whole operator is) over
     * the scores supplies the candidate cutoffs, and ONE bucket-cost
-    * corpus pass prices all of them at once: each row is bucketed by
-    * how many sampled values its score clears (a codegen'd fold over
-    * the sorted ≤ k-element sample literal), and the suffix sums of
-    * the resulting ≤ k+1-row aggregate are the EXACT total cost of
-    * every stratum {score >= sample(i)} — so the smallest covering
-    * tau is picked directly (round-16, VERDICT r15 Next #5; the old
+    * corpus pass prices the whole DOUBLING LADDER of them at once:
+    * the candidate taus are the sampled values at keep ∈
+    * {8, 16, …, m} (≤ log₂(m/8)+1 ≈ 8 distinct cutoffs — exactly
+    * the strata the old retry loop would have probed), each row is
+    * bucketed by how many ladder taus its score clears (a codegen'd
+    * fold over the ≤ 8-element tau literal — the first one-shot cut
+    * folded over ALL k sample values and its O(k)-per-row bucket
+    * pass cost MORE than the retries it saved: 26 s vs 4 s at 30M,
+    * ProfileBudget r16), and the suffix sums of the ≤ 9-row bucket
+    * aggregate are the EXACT total cost of every ladder stratum —
+    * so the smallest covering rung is picked directly with ZERO
+    * retry scans (round-16, VERDICT r15 Next #5; the old
     * keep-doubling coverage loop — one corpus scan per retry, plus a
     * 2·budget·m/total_cost keep estimate whose product could
     * overflow, ADVICE r15 — is gone: nothing is estimated). Because
@@ -217,10 +223,11 @@ object Prep {
     * quality/fluency scores are content-derived and unaffected).
     * Result-identical to the exact form (PrepSpec property;
     * q261 gates under q260's oracle verbatim) while the sort shrinks
-    * from the corpus to ~budget/avg_cost rows — the exact-coverage
-    * pick also retires the old keep-floor of 8, which capped the
-    * relative std of an ESTIMATED stratum mass; the mass is now
-    * exact, so the smallest covering stratum is always safe.
+    * from the corpus to ~2·budget/avg_cost rows (the covering rung
+    * over-shoots the minimal stratum by at most one doubling). The
+    * ladder's base of 8 is the old keep-floor's slot, but the
+    * rationale changed: coverage is now EXACT, so the base is just
+    * the finest rung worth pricing, not a variance guard.
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
@@ -242,33 +249,259 @@ object Prep {
     require(m > 0,
       "selectUnderBudgetPruned: score sketch is empty (empty input " +
         "or all scores NULL?)")
-    // b = #{i : sample(i) <= score} ∈ [0, m]; rows with b >= m-keep+1
-    // are EXACTLY the rows with score >= sample(m-keep) (the sample is
-    // sorted ascending, ties included on both sides), so bucket costs
-    // accumulated from the top price every candidate stratum in one
-    // pass. NULL scores land in b = 0 — outside every stratum, kept
-    // only by the whole-corpus fallback, exactly like the exact form's
+    val taus = ladderTaus(sample)
+    val L = taus.length
+    // b = #{j : taus(j) <= score} ∈ [0, L]; rows with b >= j are
+    // EXACTLY the rows with score >= taus(j-1) (taus sorted
+    // ascending, ties on both sides), so bucket costs accumulated
+    // from the top price every ladder stratum in one pass. NULL
+    // scores land in b = 0 — outside every stratum, kept only by the
+    // whole-corpus fallback, exactly like the exact form's
     // degenerate path.
-    val vs = typedLit(sample.toSeq)
+    val vs = typedLit(taus.toSeq)
     val bucketCost = docs.select(
         size(filter(vs, x => col(scoreCol) >= x)).as("b"),
         col(costCol).as("c"))
       .groupBy("b").agg(sum(col("c")).as("tc"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var keep = 0
+    // walk the ladder from the tightest stratum down: after step j,
+    // acc = coverage(taus(j-1)); the FIRST covering rung is the
+    // smallest covering stratum on the ladder
+    var j = L
     var acc = 0L
-    while (acc < budget && keep < m) {
-      keep += 1
-      acc += bucketCost.getOrElse(m - keep + 1, 0L)
+    while (acc < budget && j >= 1) {
+      acc += bucketCost.getOrElse(j, 0L)
+      if (acc < budget) j -= 1
     }
-    // acc still short after keep = m: even everything >= the sample
-    // MIN under-covers — degrade to the exact whole-corpus window
-    // (also the budget >= total-cost boundary, where both forms keep
-    // every row — round-15 review)
+    // acc still short below the bottom rung: even everything >= the
+    // sample MIN under-covers — degrade to the exact whole-corpus
+    // window (also the budget >= total-cost boundary, where both
+    // forms keep every row — round-15 review)
     val cands =
-      if (acc >= budget) docs.filter(col(scoreCol) >= lit(sample(m - keep)))
+      if (acc >= budget) docs.filter(col(scoreCol) >= lit(taus(j - 1)))
       else docs
     selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
+  }
+
+  /** The doubling-ladder candidate cutoffs of a SORTED-ascending
+    * score sample: the values at keep ∈ {8, 16, …, m} from the top,
+    * distinct and ascending — ≤ log₂(m/8)+1 taus, so the per-row
+    * bucket fold stays O(log k) (see [[selectUnderBudgetPruned]]).
+    */
+  private def ladderTaus(sample: Array[Long]): Array[Long] = {
+    val m = sample.length
+    val keeps = (Iterator.iterate(8)(_ * 2).takeWhile(_ < m).toList :+ m)
+      .map(math.min(_, m)).distinct
+    keeps.map(kp => sample(m - kp)).distinct.sorted.toArray
+  }
+
+  /** Validate a (groupCol, budget) recipe frame and pin it to a
+    * LocalRelation: budgets must be positive and group keys distinct
+    * (a duplicate key would duplicate corpus rows through the join).
+    * The recipe is tens-of-sources-sized by nature, so the driver
+    * fetch is bounded; re-emitting it as a LocalRelation also stops
+    * a recipe DERIVED from the corpus (e.g. a distinct-sources
+    * aggregate) from re-deriving its subtree once per consumer (the
+    * round-15 multi-consumer lesson).
+    */
+  private def validatedBudgets(budgets: DataFrame,
+                               groupCol: String): DataFrame = {
+    val shaped = budgets.select(col(groupCol),
+      col("budget").cast("long").as("budget"))
+    val rows = shaped.collect()
+    require(rows.nonEmpty, "budgets recipe is empty")
+    require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0L),
+      "every budget in the recipe must be > 0 (filter zero-weight " +
+        "sources out of the recipe — they contribute nothing)")
+    val keys = rows.map(_.get(0))
+    require(keys.distinct.length == keys.length,
+      "duplicate group keys in the budgets recipe")
+    shaped.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), shaped.schema)
+  }
+
+  /** Per-group greedy selection under HETEROGENEOUS per-group budgets
+    * — the real mixture-recipe form of [[selectUnderBudgetByGroup]]
+    * (VERDICT r15 Next #2): each source is capped at its OWN budget
+    * (the LLaMA-style mixture table the q263 scaladoc cites caps each
+    * source differently), supplied as a `budgets` frame
+    * (groupCol, budget). The recipe joins BROADCAST; groups absent
+    * from the recipe contribute NOTHING (inner join — a source not in
+    * the recipe is not sampled), recipe rows without documents
+    * produce nothing. Same (score desc, id asc) order and inclusive
+    * cum <= budget rule WITHIN each group as every other form; the
+    * window partitions by group, so groups rank in parallel and the
+    * homogeneous [[selectUnderBudgetByGroup]] is exactly this with a
+    * constant recipe. Output: input columns + cum_cost.
+    */
+  def selectUnderBudgetByGroupBudgets(docs: DataFrame, groupCol: String,
+                                      idCol: String, scoreCol: String,
+                                      costCol: String,
+                                      budgets: DataFrame): DataFrame = {
+    val b = validatedBudgets(budgets, groupCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.join(broadcast(b), Seq(groupCol))
+      .withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= col("budget"))
+      .drop("budget")
+  }
+
+  /** [[selectUnderBudgetByGroupBudgets]] with each group's window
+    * PRUNED to its own covering stratum — the skewed-domain form the
+    * [[selectUnderBudgetByGroup]] scaladoc warns about: one domain
+    * holding most of the corpus serializes its partitioned sort,
+    * while here that domain sorts only ~budget/avg_cost rows. Per
+    * group this is [[selectUnderBudgetPruned]]'s one-shot
+    * covering-tau machinery, kept type-generic over the group key:
+    *   1. a per-group bottom-k-by-hash score sketch
+    *      ([[Sketches.quantilePartials]] with the group as a dim)
+    *      folds to each group's DOUBLING-LADDER cutoffs (the values
+    *      at keep ∈ {8, 16, …, m_g} — ≤ 8 taus per group, the same
+    *      O(log k)-per-row discipline as the global form), fetched
+    *      to a LocalRelation (bounded) and broadcast;
+    *   2. ONE bucket-cost corpus pass prices every per-group ladder
+    *      stratum exactly (b = #{j : taus[j] <= score} against the
+    *      group's OWN ladder; ≤ 9 buckets per group);
+    *   3. a cumulative window over the tiny bucket aggregate picks
+    *      each group's smallest covering rung, fetched as a
+    *      recipe-sized tau table and broadcast back as the candidate
+    *      filter. A group whose sampled range cannot cover its
+    *      budget degrades to its whole partition — never
+    *      under-selects.
+    * Result-identical to [[selectUnderBudgetByGroupBudgets]] by the
+    * per-group stratum-dominance argument (every candidate outranks
+    * every non-candidate within its group and the stratum provably
+    * covers that group's budget — PrepSpec property; q271 gates
+    * under q270's oracle verbatim). Same CONTRACTs as the global
+    * pruned form: integral scores, independent of md5(idCol).
+    */
+  def selectUnderBudgetByGroupPruned(docs: DataFrame, groupCol: String,
+                                     idCol: String, scoreCol: String,
+                                     costCol: String, budgets: DataFrame,
+                                     k: Int = 512): DataFrame = {
+    val b = validatedBudgets(budgets, groupCol)
+    val spark = docs.sparkSession
+    val inRecipe = docs.join(broadcast(b.select(col(groupCol))),
+      Seq(groupCol))
+    val svsAgg = Sketches.quantilePartials(inRecipe, Seq(groupCol),
+        col(idCol), col(scoreCol), k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+    // LocalRelation pin (recipe-size × ladder longs — bounded): the
+    // tau table feeds both the bucket pass and the tau lookup; left
+    // lazy it would re-run the sketch windows once per consumer. The
+    // full per-group sample folds to its doubling-ladder cutoffs
+    // HERE, driver-side — the bucket fold below must stay O(log k)
+    // per row, not O(k) (the global form's r16 lesson).
+    val svs = {
+      val rows = svsAgg.collect().map { r =>
+        org.apache.spark.sql.Row(r.get(0),
+          ladderTaus(r.getSeq[Number](1).map(_.longValue()).toArray)
+            .toSeq)
+      }
+      // the ladder is fetched as longs whatever the integral score
+      // type (the global form's getAs[Number] leniency) — pin the
+      // LocalRelation schema to array<long> to match
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          svsAgg.schema.fields(0),
+          org.apache.spark.sql.types.StructField("vs",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    }
+    // bucket-cost pass (the selectUnderBudgetPruned pricing, per
+    // group): coverage(t) = Σ_{b >= t} cost is the EXACT cost of the
+    // stratum {score >= vs[t]}; the cumulative window runs over
+    // ≤ k+1 rows per group. Thresholds only exist for non-empty
+    // buckets, which is lossless: an absent threshold's stratum
+    // equals the next present one's.
+    val wcum = Window.partitionBy(col(groupCol))
+      .orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tausAgg = inRecipe.join(broadcast(svs), Seq(groupCol))
+      .select(col(groupCol),
+        size(filter(col("vs"), x => col(scoreCol) >= x)).as("bk"),
+        col(costCol).as("c"))
+      .groupBy(col(groupCol), col("bk"))
+      .agg(sum(col("c")).as("tc"))
+      .join(broadcast(b), Seq(groupCol))
+      .withColumn("cum", sum(col("tc")).over(wcum))
+      .filter(col("cum") >= col("budget") && col("bk") >= 1)
+      .groupBy(col(groupCol)).agg(max(col("bk")).as("t"))
+      .join(broadcast(svs), Seq(groupCol))
+      .select(col(groupCol), element_at(col("vs"), col("t")).as("tau"))
+    // recipe-sized tau table — LocalRelation pin for the same reason
+    val tauF = {
+      val rows = tausAgg.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        tausAgg.schema)
+    }
+    // groups with no covering sampled threshold (or an empty sketch)
+    // miss tauF and keep their whole partition — the degrade path
+    val cands = inRecipe.join(broadcast(tauF), Seq(groupCol), "left")
+      .filter(col("tau").isNull || col(scoreCol) >= col("tau"))
+      .drop("tau")
+    selectUnderBudgetByGroupBudgets(cands, groupCol, idCol, scoreCol,
+      costCol, b)
+  }
+
+  /** Temperature-scaled per-source token budgets — the WEIGHTS half
+    * of the full data-mixing recipe ([[Sessions.sqrtTemperatureMix]]'s
+    * T=2 arithmetic lifted from row-sampling rates to token budgets,
+    * VERDICT r15 Next #3): source s with token mass c_s = Σ cost gets
+    * weight w_s = floor(sqrt(c_min/c_s)·10⁶) ppm (exact cross-engine:
+    * IEEE-correctly-rounded sqrt of an exact-int ratio — the q76
+    * determinism argument, and why the temperature is FIXED at
+    * alpha = 0.5: general pow() is libm-specific), and the total
+    * budget T splits proportionally: budget_s = T·w_s DIV Σw — exact
+    * integer arithmetic end to end, so the allocation replays
+    * bit-for-bit in any engine. The floor under-allocates at most
+    * (#sources − 1) tokens total, never over-allocates. A source so
+    * large its weight floors to 0 ppm gets budget 0 — filter those
+    * out before feeding a selection (the recipe contract rejects
+    * zero budgets loudly).
+    *
+    * The per-source masses are ONE corpus aggregate fetched to the
+    * driver (sources-sized — bounded, the recipe discipline) and the
+    * weight/budget arithmetic runs in Scala doubles/longs (IEEE sqrt
+    * is engine-identical; the split itself is pure exact long
+    * arithmetic, no doubles). REQUIREs totalBudget ≤ ~9.2e12
+    * (Long.MaxValue DIV 10⁶) so the T·w_s product cannot overflow —
+    * rescale the ppm weights past it.
+    * Output: (groupCol, c_s, w_ppm, budget).
+    */
+  def temperatureBudgets(docs: DataFrame, groupCol: String,
+                         costCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0L, s"totalBudget must be > 0, got $totalBudget")
+    require(totalBudget <= Long.MaxValue / 1000000L,
+      s"totalBudget $totalBudget exceeds the overflow-safe split " +
+        "bound ~9.2e12 — rescale the weights")
+    val spark = docs.sparkSession
+    val massesDf = docs.groupBy(col(groupCol))
+      .agg(sum(col(costCol)).as("c_s"))
+    val masses = massesDf.collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    require(masses.nonEmpty, "temperatureBudgets: empty input")
+    require(masses.forall(_._2 > 0L),
+      "temperatureBudgets: every group mass must be > 0")
+    val cMin = masses.map(_._2).min
+    val weighted = masses.map { case (g, cs) =>
+      (g, cs,
+        math.floor(math.sqrt(cMin.toDouble / cs.toDouble) * 1e6).toLong)
+    }
+    val wSum = weighted.map(_._3).sum
+    val rows: Seq[org.apache.spark.sql.Row] = weighted.toSeq.map {
+      case (g, cs, w) =>
+        org.apache.spark.sql.Row(g, cs, w, totalBudget * w / wSum)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(
+        massesDf.schema.fields(0) +:
+          Seq("c_s", "w_ppm", "budget").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   def clusterSplit(docs: DataFrame, idCol: String, clusters: DataFrame,

@@ -2894,6 +2894,63 @@ object StreamingUpsert {
     (uni, graft.ops.LangModel.mergeBigramModel(bi, uni))
   }
 
+  /** One micro-batch of MAINTAINED classifier class-token counts —
+    * the streaming state face of [[graft.ops.Classify]] (q259 proves
+    * the sum-merge law over stored partials; this runs the same law
+    * through the versioned-asset protocol so the labeled training
+    * slice can stream in — the missing state leg of the curation
+    * capstone, VERDICT r15 Next #1). Assets under `basePath`, both in
+    * the [[statsVersions]] layout:
+    *
+    *   - `seen/v=<id>` — first-occurrence doc-id gate
+    *     ([[freshAgainstSeen]]/[[recordSeen]]): a re-delivered labeled
+    *     document must not double-count its tokens.
+    *   - `cnts/v=<id>` — (label, tok, cnt) running totals,
+    *     classes × vocabulary-sized (never the corpus), version N =
+    *     version N−1 sum-merged with the FRESH batch's counts through
+    *     the SAME [[graft.ops.Classify.mergeClassTokenCounts]]
+    *     spelling as the partials serve (the q210 law, one spelling).
+    *
+    * Replay: a re-run of batch N reads version N−1 of every asset
+    * (the `< batchId` contract) and overwrites v=N — idempotent. The
+    * per-batch cost is batch tokenization plus one vocabulary-sized
+    * merge; state depth never enters the plan.
+    */
+  def clfCountsBatch(spark: SparkSession, batch: DataFrame,
+                     idCol: String, labelCol: String, textCol: String,
+                     basePath: String, batchId: Long,
+                     mat: graft.ops.Materializer =
+                       graft.ops.Materialize.Local): Unit = {
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val cB = graft.ops.Classify.classTokenCounts(fresh, labelCol, textCol)
+    val prev = readVersionBelow(spark, s"$basePath/cnts", batchId)
+      .getOrElse(cB.limit(0))
+    writeVersionPruned(spark, s"$basePath/cnts", batchId,
+      graft.ops.Classify.mergeClassTokenCounts(prev.unionByName(cB)))
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Serve the (tokenWeights, baseRates) pair from [[clfCountsBatch]]
+    * state: the count table is the classifier's WHOLE trainable
+    * state and lives in one asset, so the serve is trivially
+    * consistent — read the latest complete `cnts` version and derive
+    * both tables from it through [[graft.ops.Classify]]'s own train
+    * functions. By the sum-merge law the served decision equals the
+    * batch classifier on the union of all delivered documents (q269
+    * gates it inside the capstone under q267's oracle verbatim).
+    */
+  def clfModelFromState(spark: SparkSession,
+                        basePath: String): (DataFrame, DataFrame) = {
+    val vs = statsVersions(spark, s"$basePath/cnts")
+    require(vs.nonEmpty,
+      s"clfModelFromState: no completed count state under $basePath/cnts")
+    val counts = spark.read.parquet(vs.sortBy(_._1).last._2)
+    (graft.ops.Classify.tokenWeights(counts),
+      graft.ops.Classify.baseRates(counts))
+  }
+
   case class KV(k: String, v: Long, payload: String)
 
   /** Custom keyed state via mapGroupsWithState: the running LWW row per

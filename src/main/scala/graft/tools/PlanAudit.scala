@@ -523,7 +523,26 @@ object PlanAudit {
         "single-partition cumulative window — the exact form's " +
         "whole-corpus sort — receives ONLY the candidate stratum " +
         "(~2*budget/avg_cost rows)") ->
-        fmt(OpsQueries.q261(spark, dir)))
+        fmt(OpsQueries.q261(spark, dir)),
+
+      ("q271 per-source budget selection, sketch-pruned (round 16) — " +
+        "every window PARTITIONS by source (PlanSpec pins " +
+        "partitionSpec nonempty on all of q270/q271/q272), the " +
+        "recipe / sample / tau tables are LocalRelations broadcast " +
+        "back as hash joins on the group key (never a corpus " +
+        "shuffle for a recipe-sized side, never a BNLJ), and the " +
+        "bucket-cost pass prices every per-group stratum in ONE " +
+        "corpus scan — the 90%-mass domain sorts only its covering " +
+        "stratum (ProfileBudget BYGROUP leg)") ->
+        fmt(OpsQueries.q271(spark, dir)),
+
+      ("q274 trigram LM scoring (round 16) — q256's shape one order " +
+        "up: THREE token-keyed equi-joins (trigram model on " +
+        "(w1,w2,w3), bigram backoff on (w2,w3), unigram backoff on " +
+        "w3) plus the doc aggregates; the trigram join key is finer " +
+        "than the bigram one, so key skew only improves with order; " +
+        "train counts stay transition-bounded with map-side combine") ->
+        fmt(OpsQueries.q274(spark, dir)))
 
     val body = sections.map { case (title, plan) =>
       s"## $title\n\n```\n${plan.trim}\n```\n"

@@ -73,6 +73,55 @@ class ClassifySpec extends SparkSpec {
     assert(pred(merged) === pred(oneShot))
   }
 
+  test("marginScores equals the scoreAll difference; missing labels rejected") {
+    val counts = Classify.classTokenCounts(labeled, "label", "text")
+    val w = Classify.tokenWeights(counts)
+    val r = Classify.baseRates(counts)
+    val docs = Seq((1L, "buy free stuff"), (2L, "meeting agenda"),
+      (3L, ""), (4L, "zz yy")).toDF("doc_id", "text")
+    val scores = Classify.scoreAll(docs, "doc_id", "text", w, r)
+      .as[(Long, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val got = Classify.marginScores(docs, "doc_id", "text", w, r,
+        "spam", "ham")
+      .as[(Long, Long)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(got(id) === scores((id, "spam")) - scores((id, "ham")))
+    intercept[IllegalArgumentException] {
+      Classify.marginScores(docs, "doc_id", "text", w, r,
+        "spam", "nosuch").collect()
+    }
+  }
+
+  test("calibrateThreshold picks the ARGMIN threshold meeting the precision bound") {
+    // margins with interleaved positives/negatives so precision is
+    // non-monotonic in the threshold
+    val held = Seq(
+      (100L, true), (90L, true), (80L, false), (70L, true),
+      (60L, true), (50L, true), (40L, false), (30L, false),
+      (20L, true), (10L, false)).toDF("margin_ppb", "is_pos")
+    for (target <- Seq(1000000L, 800000L, 700000L, 600000L, 0L)) {
+      val got = Classify.calibrateThreshold(held, "margin_ppb",
+        "is_pos", target)
+      // brute force over every candidate threshold
+      val rows = Seq(
+        (100L, true), (90L, true), (80L, false), (70L, true),
+        (60L, true), (50L, true), (40L, false), (30L, false),
+        (20L, true), (10L, false))
+      val want = rows.map(_._1).distinct.filter { t =>
+        val kept = rows.filter(_._1 >= t)
+        kept.count(_._2).toLong * 1000000L >= target * kept.size.toLong
+      }.min
+      assert(got === want, s"target $target")
+    }
+    // an unachievable bound (all-negative slice, target 100%) throws
+    intercept[IllegalArgumentException] {
+      Classify.calibrateThreshold(
+        Seq((5L, false)).toDF("margin_ppb", "is_pos"),
+        "margin_ppb", "is_pos", 1000000L)
+    }
+  }
+
   test("predict is partitioning-invariant") {
     val counts = Classify.classTokenCounts(labeled, "label", "text")
     val docs = Seq((1L, "buy meeting"), (2L, "click click notes"),

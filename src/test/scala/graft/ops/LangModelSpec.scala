@@ -94,6 +94,41 @@ class LangModelSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scoreDocsTrigram: hit, bigram backoff, unigram backoff, OOV — exact at every level") {
+    val uni = LangModel.unigramCounts(ref, "text")
+    val bi = LangModel.bigramModel(ref, "text")
+    val tri = LangModel.trigramModel(ref, "text")
+    // "the cat sat" occurs in docs 1 and 4; context "the cat" count 3
+    assert(tri.filter($"w1" === "the" && $"w2" === "cat" && $"w3" === "sat")
+      .select($"cnt_abc", $"cnt_ab").as[(Long, Long)].head() === ((2L, 3L)))
+    val docs = Seq(
+      (10L, "the cat sat"), // trigram hit: 2*1e6 DIV 3 = 666666
+      (11L, "ran the cat"), // bigram backoff (the,cat): 400000*3 DIV 4
+      (12L, "zz yy sat"),   // unigram backoff sat(3): 160000*3 DIV 16
+      (13L, "zz yy qq"),    // OOV continuation: 0
+      (14L, "the cat")      // < 3 tokens: no trigram transitions
+    ).toDF("doc_id", "text")
+    val got = LangModel.scoreDocsTrigram(docs, "doc_id", "text",
+        tri, bi, uni)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(10L) === ((10L, 3L, 1L, 0L, 666666L)))
+    assert(got(11L)._5 === 300000L)
+    assert(got(12L)._5 === 30000L)
+    assert(got(13L)._5 === 0L)
+    assert(got(13L)._4 === 1000000L)
+    assert(got(14L) === ((14L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("scoreDocsTrigram rejects an alphaPpm whose square is not a whole ppm") {
+    val uni = LangModel.unigramCounts(ref, "text")
+    intercept[IllegalArgumentException] {
+      LangModel.scoreDocsTrigram(ref, "doc_id", "text",
+        LangModel.trigramModel(ref, "text"),
+        LangModel.bigramModel(ref, "text"), uni, alphaPpm = 333333L)
+    }
+  }
+
   test("scoreDocs fails closed past the ppm exactness bound") {
     // a model count whose ppm-scaled numerator exceeds 2^53 must raise
     // in-plan at the point of division (ADVICE r16), never silently

@@ -169,6 +169,77 @@ class PrepSpec extends SparkSpec {
     assert(exact.size > 1000, "the prefix must cross into the expensive tail")
   }
 
+  test("selectUnderBudgetByGroupBudgets: heterogeneous caps, recipe-absent groups excluded") {
+    val docs = Seq(
+      ("a", 1L, 900L, 4L), ("a", 2L, 800L, 5L), ("a", 3L, 700L, 4L),
+      ("b", 4L, 100L, 6L), ("b", 5L, 950L, 6L),
+      ("c", 6L, 999L, 1L) // not in the recipe: contributes nothing
+    ).toDF("src", "doc_id", "score_ppm", "cost")
+    val budgets = Seq(("a", 9L), ("b", 6L)).toDF("src", "budget")
+    // a: 1(4) -> 2(9 == budget) -> 3 over; b: 5(6 == budget) -> 4 over
+    val got = Prep.selectUnderBudgetByGroupBudgets(docs, "src",
+        "doc_id", "score_ppm", "cost", budgets)
+      .select("doc_id", "cum_cost").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L), (2L, 9L), (5L, 6L)))
+  }
+
+  test("selectUnderBudgetByGroupBudgets rejects bad recipes loudly") {
+    val docs = Seq(("a", 1L, 1L, 1L))
+      .toDF("src", "doc_id", "score_ppm", "cost")
+    intercept[IllegalArgumentException] {
+      Prep.selectUnderBudgetByGroupBudgets(docs, "src", "doc_id",
+        "score_ppm", "cost",
+        Seq(("a", 5L), ("a", 7L)).toDF("src", "budget"))
+    }
+    intercept[IllegalArgumentException] {
+      Prep.selectUnderBudgetByGroupBudgets(docs, "src", "doc_id",
+        "score_ppm", "cost", Seq(("a", 0L)).toDF("src", "budget"))
+    }
+  }
+
+  test("selectUnderBudgetByGroupPruned equals the exact map form, skew + anti-correlation included") {
+    val rnd = new scala.util.Random(43)
+    // group 'big' holds 90% of the rows (the skewed-domain case) and
+    // its high scorers are CHEAP (anti-correlated cost); 'sm' is tiny
+    val docs = ((1L to 2700L).map { i =>
+      if (i <= 1350L) ("big", i, 900000L + i, 1L)
+      else ("big", i, i, 100L)
+    } ++ (3000L to 3300L).map(i =>
+      ("sm", i, rnd.nextInt(1000000).toLong, 1L + rnd.nextInt(30).toLong)))
+      .toDF("src", "doc_id", "score_ppm", "cost")
+    for (budgets <- Seq(
+        Seq(("big", 4000L), ("sm", 300L)),
+        Seq(("big", 1000000L), ("sm", 2L)))) { // big cannot spend: degrade
+      val b = budgets.toDF("src", "budget")
+      val exact = Prep.selectUnderBudgetByGroupBudgets(docs, "src",
+        "doc_id", "score_ppm", "cost", b).collect().map(_.toSeq).toSet
+      val pruned = Prep.selectUnderBudgetByGroupPruned(docs, "src",
+        "doc_id", "score_ppm", "cost", b, k = 128).collect()
+        .map(_.toSeq).toSet
+      assert(pruned === exact, s"diverged at $budgets")
+    }
+  }
+
+  test("temperatureBudgets: exact sqrt-temperature split of the total") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 300L), // c_a = 400
+      ("b", 3L, 100L),                  // c_b = 100 = c_min
+      ("c", 4L, 1600L)                  // c_c = 1600
+    ).toDF("src", "doc_id", "cost")
+    val got = Prep.temperatureBudgets(docs, "src", "cost",
+        totalBudget = 1000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // weights: a = floor(sqrt(1/4)*1e6) = 500000, b = 1e6, c = 250000
+    // sum = 1750000; budgets = floor(1000*w/1750000)
+    assert(got("a") === ((400L, 500000L, 285L)))
+    assert(got("b") === ((100L, 1000000L, 571L)))
+    assert(got("c") === ((1600L, 250000L, 142L)))
+    // floor split never over-allocates, under-allocates < #groups
+    val tot = got.values.map(_._3).sum
+    assert(tot <= 1000L && tot > 1000L - 3L)
+  }
+
   test("selectUnderBudgetPruned equals exact on the non-binding boundaries") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")

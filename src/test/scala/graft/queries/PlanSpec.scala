@@ -646,4 +646,36 @@ class PlanSpec extends SparkSpec {
     // corpus x corpus product
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
   }
+
+  test("q270/q271/q272 per-source budgets: windows PARTITIONED, recipe broadcasts, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    for (df <- Seq(OpsQueries.q270(spark, dir),
+        OpsQueries.q271(spark, dir), OpsQueries.q272(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // the recipe/tau tables attach as broadcast hash joins on the
+      // group key — never a shuffle of the corpus for a recipe-sized
+      // side
+      assert(p.contains("BroadcastHashJoin"), p)
+      // every prefix window partitions by the group key: no
+      // single-partition corpus sort anywhere in the family (the
+      // whole point of the per-group forms)
+      val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "unpartitioned window in a per-group selection:\n" + p)
+    }
+  }
+
+  test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
+    // the calibration sweep runs driver-side during construction (a
+    // bounded 1-row fetch); the returned gate plan must compare the
+    // margin against a folded literal — no threshold-frame join
+    val p = plan(OpsQueries.q273(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

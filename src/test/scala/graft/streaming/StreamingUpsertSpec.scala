@@ -1530,6 +1530,32 @@ class StreamingUpsertSpec extends SparkSpec {
         .as[(String, String, Long, Long)].collect().toSet)
   }
 
+  test("clfCountsBatch: streamed counts equal one-shot; re-delivery + replay absorbed") {
+    val docs = Seq(
+      (1L, "clean", "the cat sat"), (2L, "spam", "buy cat buy"),
+      (3L, "clean", "a dog sat"), (4L, "spam", "free dog click"),
+      (5L, "clean", "the cat ran"), (6L, "spam", "click buy free"))
+      .toDF("doc_id", "label", "text")
+    val base = tmp("clf_state") + "/s"
+    def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.clfCountsBatch(spark, df, "doc_id", "label",
+        "text", base, id)
+    feed(docs.filter($"doc_id" <= 2L), 0L)
+    // batch 1 re-delivers doc 1 — the seen gate must not double-count
+    feed(docs.filter($"doc_id".between(3L, 4L))
+      .unionByName(docs.filter($"doc_id" === 1L)), 1L)
+    feed(docs.filter($"doc_id" >= 5L), 2L)
+    feed(docs.filter($"doc_id" >= 5L), 2L) // replayed last batch
+    val (w, r) = StreamingUpsert.clfModelFromState(spark, base)
+    val counts = graft.ops.Classify.classTokenCounts(docs, "label", "text")
+    assert(w.as[(String, String, Long)].collect().toSet ===
+      graft.ops.Classify.tokenWeights(counts)
+        .as[(String, String, Long)].collect().toSet)
+    assert(r.as[(String, Long)].collect().toSet ===
+      graft.ops.Classify.baseRates(counts)
+        .as[(String, Long)].collect().toSet)
+  }
+
   test("lmModelFromState serves the min COMMON version after a torn write") {
     val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
     val base = tmp("lm_state_torn") + "/s"
