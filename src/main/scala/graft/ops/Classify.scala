@@ -151,12 +151,19 @@ object Classify {
                    weights: DataFrame, rates: DataFrame,
                    posLabel: String, negLabel: String): DataFrame = {
     require(posLabel != negLabel, "posLabel must differ from negLabel")
-    // classes-sized driver fetch — bounded
-    val labels = rates.select(col("label")).collect()
-      .map(_.getString(0)).toSet
+    // classes-sized driver fetch — bounded; the fetched rows ALSO
+    // become the rate table scoreAll consumes (LocalRelation pin), so
+    // a lazily-derived rates plan is not recomputed once for the
+    // validation and again inside the scoring join (round-16 review —
+    // the validatedBudgets lesson)
+    val rateRows = rates.collect()
+    val labelIdx = rates.schema.fieldIndex("label")
+    val labels = rateRows.map(_.getString(labelIdx)).toSet
     require(labels.contains(posLabel) && labels.contains(negLabel),
       s"marginScores: rate table lacks one of ($posLabel, $negLabel)")
-    scoreAll(docs, idCol, textCol, weights, rates)
+    val ratesLocal = rates.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*), rates.schema)
+    scoreAll(docs, idCol, textCol, weights, ratesLocal)
       .filter(col("label").isin(posLabel, negLabel))
       .groupBy(col(idCol))
       .agg(sum(when(col("label") === posLabel, col("score_ppb"))
@@ -198,7 +205,10 @@ object Classify {
       .agg(min(col("t"))).head()
     require(!r.isNullAt(0),
       s"calibrateThreshold: no threshold achieves precision $targetPpm ppm")
-    r.getLong(0)
+    // integral-type-lenient fetch (the sketch/ladder getAs[Number]
+    // discipline — round-16 review): an IntegerType margin column
+    // must not ClassCastException after the whole sweep ran
+    r.getAs[Number](0).longValue()
   }
 
   // ------------------------------------------------------ maintained

@@ -212,7 +212,13 @@ object Prep {
     * keep every row) the selection degrades to the exact
     * whole-corpus window rather than ever under-selecting: the
     * operator is TOTAL and result-identical to [[selectUnderBudget]]
-    * on every input. CONTRACT: `scoreCol` is integral (the
+    * on every input SATISFYING the cost contract —
+    * [[selectUnderBudget]]'s costs >= 1 rule is load-bearing here
+    * too (a zero-cost row just past a stratum whose cost equals the
+    * budget exactly would be kept by the exact form's inclusive
+    * prefix but sits outside the covering stratum — round-16
+    * review; clamp with greatest(cost, 1) at the call site, as
+    * every repo caller does). CONTRACT: `scoreCol` is integral (the
     * fixed-point score discipline — the sketch sample is fetched as
     * longs), and must be statistically INDEPENDENT of
     * md5(`idCol`)'s leading hex digits — the sketch samples the rows
@@ -263,7 +269,14 @@ object Prep {
         size(filter(vs, x => col(scoreCol) >= x)).as("b"),
         col(costCol).as("c"))
       .groupBy("b").agg(sum(col("c")).as("tc"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        // fail closed on NULL costs (the pre-rewrite stats pass
+        // rejected these with a clean require — round-16 review)
+        require(!r.isNullAt(1),
+          "selectUnderBudgetPruned: NULL costs (the cost contract " +
+            "is cost >= 1 — clamp with greatest(cost, 1))")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
     // walk the ladder from the tightest stratum down: after step j,
     // acc = coverage(taus(j-1)); the FIRST covering rung is the
     // smallest covering stratum on the ladder
@@ -337,8 +350,19 @@ object Prep {
   def selectUnderBudgetByGroupBudgets(docs: DataFrame, groupCol: String,
                                       idCol: String, scoreCol: String,
                                       costCol: String,
-                                      budgets: DataFrame): DataFrame = {
-    val b = validatedBudgets(budgets, groupCol)
+                                      budgets: DataFrame): DataFrame =
+    byGroupBudgetsValidated(docs, groupCol, idCol, scoreCol, costCol,
+      validatedBudgets(budgets, groupCol))
+
+  /** [[selectUnderBudgetByGroupBudgets]] over an ALREADY-validated,
+    * LocalRelation-pinned recipe — the pruned form validates once and
+    * calls this, avoiding a redundant second collect + re-validation
+    * (round-16 review).
+    */
+  private def byGroupBudgetsValidated(docs: DataFrame, groupCol: String,
+                                      idCol: String, scoreCol: String,
+                                      costCol: String,
+                                      b: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     docs.join(broadcast(b), Seq(groupCol))
@@ -374,7 +398,9 @@ object Prep {
     * every non-candidate within its group and the stratum provably
     * covers that group's budget — PrepSpec property; q271 gates
     * under q270's oracle verbatim). Same CONTRACTs as the global
-    * pruned form: integral scores, independent of md5(idCol).
+    * pruned form: integral scores, independent of md5(idCol), and
+    * costs >= 1 (the zero-cost boundary caveat on
+    * [[selectUnderBudgetPruned]] applies per group here).
     */
   def selectUnderBudgetByGroupPruned(docs: DataFrame, groupCol: String,
                                      idCol: String, scoreCol: String,
@@ -442,7 +468,7 @@ object Prep {
     val cands = inRecipe.join(broadcast(tauF), Seq(groupCol), "left")
       .filter(col("tau").isNull || col(scoreCol) >= col("tau"))
       .drop("tau")
-    selectUnderBudgetByGroupBudgets(cands, groupCol, idCol, scoreCol,
+    byGroupBudgetsValidated(cands, groupCol, idCol, scoreCol,
       costCol, b)
   }
 
@@ -481,10 +507,14 @@ object Prep {
     val massesDf = docs.groupBy(col(groupCol))
       .agg(sum(col(costCol)).as("c_s"))
     val masses = massesDf.collect()
-      .map(r => (r.get(0), r.getLong(1)))
+      .map(r => (r.get(0),
+        // NULL-cost groups must hit the require below, not an NPE in
+        // this map (round-16 review)
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
     require(masses.nonEmpty, "temperatureBudgets: empty input")
     require(masses.forall(_._2 > 0L),
-      "temperatureBudgets: every group mass must be > 0")
+      "temperatureBudgets: every group mass must be > 0 (NULL or " +
+        "non-positive costs)")
     val cMin = masses.map(_._2).min
     val weighted = masses.map { case (g, cs) =>
       (g, cs,
