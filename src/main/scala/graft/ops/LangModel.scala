@@ -331,4 +331,21 @@ object LangModel {
     mergeBigramCounts(biPartials)
       .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_a")),
         Seq("w1"))
+
+  /** Sum-merge trigram count partials — the q210 law at order 3,
+    * shared by the streaming fold and any stored-partials serve.
+    */
+  def mergeTrigramCounts(triPartials: DataFrame): DataFrame =
+    triPartials.groupBy("w1", "w2", "w3")
+      .agg(sum(col("cnt_abc")).as("cnt_abc"))
+
+  /** Merge trigram partials and attach the merged context-bigram
+    * denominator — equal to [[trigramModel]] over the union by sum
+    * associativity (LangModelSpec property; q275 runs the streaming
+    * fold under q274's oracle verbatim). `biCounts` is a merged
+    * (w1, w2, cnt_ab) table ([[mergeBigramCounts]] output).
+    */
+  def mergeTrigramModel(triPartials: DataFrame,
+                        biCounts: DataFrame): DataFrame =
+    mergeTrigramCounts(triPartials).join(biCounts, Seq("w1", "w2"))
 }

@@ -2894,6 +2894,67 @@ object StreamingUpsert {
     (uni, graft.ops.LangModel.mergeBigramModel(bi, uni))
   }
 
+  /** [[lmCountsBatch]] extended to TRIGRAM order — the streaming
+    * state face of the q274 trigram LM: one more versioned running
+    * total (`tri/v=<id>`, (w1, w2, w3, cnt_abc)) next to `uni`/`bi`,
+    * all three merged through the SAME [[graft.ops.LangModel]] merge
+    * spellings and gated by the shared `seen` asset. Same replay
+    * contract (version N rebuilds from `< batchId`); per-batch cost
+    * is batch tokenization plus one transition-table-sized merge per
+    * asset.
+    */
+  def lmTrigramCountsBatch(spark: SparkSession, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           basePath: String, batchId: Long,
+                           mat: graft.ops.Materializer =
+                             graft.ops.Materialize.Local): Unit = {
+    val lm = graft.ops.LangModel
+    val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
+      s"$basePath/seen"))
+    val uniB = lm.unigramCounts(fresh, textCol)
+    val prevUni = readVersionBelow(spark, s"$basePath/uni", batchId)
+      .getOrElse(uniB.limit(0))
+    writeVersionPruned(spark, s"$basePath/uni", batchId,
+      lm.mergeUnigrams(prevUni.unionByName(uniB)))
+    val biB = lm.bigramCounts(fresh, textCol)
+    val prevBi = readVersionBelow(spark, s"$basePath/bi", batchId)
+      .getOrElse(biB.limit(0))
+    writeVersionPruned(spark, s"$basePath/bi", batchId,
+      lm.mergeBigramCounts(prevBi.unionByName(biB)))
+    val triB = lm.trigramCounts(fresh, textCol)
+    val prevTri = readVersionBelow(spark, s"$basePath/tri", batchId)
+      .getOrElse(triB.limit(0))
+    writeVersionPruned(spark, s"$basePath/tri", batchId,
+      lm.mergeTrigramCounts(prevTri.unionByName(triB)))
+    recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
+      s"$basePath/seen")
+  }
+
+  /** Serve the (unigram table, bigram model, trigram model) triple
+    * from [[lmTrigramCountsBatch]] state — CRASH-CONSISTENT at the
+    * min common version across all THREE assets (the
+    * [[lmModelFromState]] discipline: a crash between writes leaves
+    * assets at most one version apart and pruning retains the
+    * predecessor, so the triple serves the last version every asset
+    * completed). The conditional denominators attach here exactly as
+    * the one-shot trainers do, so trigram scoring from state equals
+    * the batch model (q275 runs under q274's oracle verbatim).
+    */
+  def lmTrigramModelFromState(spark: SparkSession,
+      basePath: String): (DataFrame, DataFrame, DataFrame) = {
+    val lm = graft.ops.LangModel
+    val uniV = statsVersions(spark, s"$basePath/uni").map(_._1)
+    val biV = statsVersions(spark, s"$basePath/bi").map(_._1)
+    val triV = statsVersions(spark, s"$basePath/tri").map(_._1)
+    require(uniV.nonEmpty && biV.nonEmpty && triV.nonEmpty,
+      s"lmTrigramModelFromState: no completed state under $basePath")
+    val v = math.min(uniV.max, math.min(biV.max, triV.max))
+    val uni = spark.read.parquet(s"$basePath/uni/v=$v")
+    val bi = spark.read.parquet(s"$basePath/bi/v=$v")
+    val tri = spark.read.parquet(s"$basePath/tri/v=$v")
+    (uni, lm.mergeBigramModel(bi, uni), lm.mergeTrigramModel(tri, bi))
+  }
+
   /** One micro-batch of MAINTAINED classifier class-token counts —
     * the streaming state face of [[graft.ops.Classify]] (q259 proves
     * the sum-merge law over stored partials; this runs the same law

@@ -120,6 +120,24 @@ class LangModelSpec extends SparkSpec {
     assert(got(14L) === ((14L, 2L, 0L, 0L, 0L)))
   }
 
+  test("trigram merge law: partials under ANY segmentation serve the exact model") {
+    val segged = ref.withColumn("seg", pmod(length($"text"), lit(3)))
+    // build per-segment partials through the public trainers and
+    // merge — must equal the one-shot model
+    val parts = (0 to 2).map(i =>
+      LangModel.trigramCounts(segged.filter($"seg" === i), "text"))
+      .reduce(_ unionByName _)
+    val biC = LangModel.mergeBigramCounts(
+      (0 to 2).map(i =>
+        LangModel.bigramCounts(segged.filter($"seg" === i), "text"))
+        .reduce(_ unionByName _))
+    val merged = LangModel.mergeTrigramModel(parts, biC)
+      .as[(String, String, String, Long, Long)].collect().toSet
+    val oneShot = LangModel.trigramModel(ref, "text")
+      .as[(String, String, String, Long, Long)].collect().toSet
+    assert(merged === oneShot)
+  }
+
   test("scoreDocsTrigram rejects an alphaPpm whose square is not a whole ppm") {
     val uni = LangModel.unigramCounts(ref, "text")
     intercept[IllegalArgumentException] {

@@ -1556,6 +1556,32 @@ class StreamingUpsertSpec extends SparkSpec {
         .as[(String, Long)].collect().toSet)
   }
 
+  test("lmTrigramCountsBatch: streamed counts equal one-shot; re-delivery + replay absorbed") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "a dog sat"), (4L, "the cat sat again"),
+      (5L, "a cat and a dog"), (6L, "dog ran far")).toDF("doc_id", "text")
+    val base = tmp("lm3_state") + "/s"
+    def feed(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingUpsert.lmTrigramCountsBatch(spark, df, "doc_id", "text",
+        base, id)
+    feed(docs.filter($"doc_id" <= 2L), 0L)
+    feed(docs.filter($"doc_id".between(3L, 4L))
+      .unionByName(docs.filter($"doc_id" === 1L)), 1L) // re-delivery
+    feed(docs.filter($"doc_id" >= 5L), 2L)
+    feed(docs.filter($"doc_id" >= 5L), 2L) // replayed last batch
+    val (uni, bi, tri) = StreamingUpsert.lmTrigramModelFromState(spark, base)
+    assert(uni.as[(String, Long)].collect().toSet ===
+      graft.ops.LangModel.unigramCounts(docs, "text")
+        .as[(String, Long)].collect().toSet)
+    assert(bi.as[(String, String, Long, Long)].collect().toSet ===
+      graft.ops.LangModel.bigramModel(docs, "text")
+        .as[(String, String, Long, Long)].collect().toSet)
+    assert(tri.as[(String, String, String, Long, Long)].collect().toSet ===
+      graft.ops.LangModel.trigramModel(docs, "text")
+        .as[(String, String, String, Long, Long)].collect().toSet)
+  }
+
   test("lmModelFromState serves the min COMMON version after a torn write") {
     val docs = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
     val base = tmp("lm_state_torn") + "/s"
