@@ -240,6 +240,71 @@ class PrepSpec extends SparkSpec {
     assert(tot <= 1000L && tot > 1000L - 3L)
   }
 
+  test("temperatureBudgetsEpochs: largest-remainder split is exact; epochs = ceil(budget/mass)") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 300L), // c_a = 400
+      ("b", 3L, 100L),                  // c_b = 100 = c_min
+      ("c", 4L, 1600L)                  // c_c = 1600
+    ).toDF("src", "doc_id", "cost")
+    val got = Prep.temperatureBudgetsEpochs(docs, "src", "cost",
+        totalBudget = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // bases 285/571/142 leave k = 2; remainders (T·w MOD Σw) are
+    // a = 1 250 000, b = 750 000, c = 1 500 000 -> +1 to c then a
+    assert(got("a") === ((400L, 500000L, 286L, 1L)))
+    assert(got("b") === ((100L, 1000000L, 571L, 6L))) // over-mass: 6 epochs
+    assert(got("c") === ((1600L, 250000L, 143L, 1L)))
+    // the floor slack is GONE: the split spends the total exactly
+    assert(got.values.map(_._3).sum === 1000L)
+    // epochs make every budget spendable
+    assert(got.values.forall { case (c, _, b, e) => c * e >= b })
+  }
+
+  test("selectUnderBudgetByGroupEpochs: repetition rows spend the total exactly on unit costs") {
+    // same weight geometry as above at 1/4 mass, unit costs: budgets
+    // 286/571/143 over masses 100/25/400 -> a and b are over-mass
+    val docs = ((1L to 100L).map(i => ("a", i)) ++
+      (200L to 224L).map(i => ("b", i)) ++
+      (300L to 699L).map(i => ("c", i)))
+      .map { case (g, i) => (g, i, (i * 37L) % 1000L, 1L) }
+      .toDF("src", "doc_id", "score_ppm", "cost")
+    val budgets = Prep.temperatureBudgetsEpochs(docs, "src", "cost",
+        totalBudget = 1000L)
+      .filter($"budget" > 0L)
+      .select($"src", $"budget", $"epochs")
+    val sel = Prep.selectUnderBudgetByGroupEpochs(docs, "src",
+      "doc_id", "score_ppm", "cost", budgets)
+    val spend = sel.groupBy($"src").agg(
+        org.apache.spark.sql.functions.sum($"cost").as("spent"),
+        org.apache.spark.sql.functions.max($"epoch").as("maxep"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(spend("a") === ((286L, 3L)))  // 2 full passes + 86
+    assert(spend("b") === ((571L, 23L))) // 22 full passes + 21
+    assert(spend("c") === ((143L, 1L)))  // under-mass: plain prefix
+    assert(spend.values.map(_._1).sum === 1000L) // Σ spend = T exactly
+    // epochs 1..e-1 take the WHOLE group: doc 200 appears 23 times
+    assert(sel.filter($"doc_id" === 200L).count() >= 22L)
+  }
+
+  test("selectUnderBudgetByGroupEpochs with epochs = 1 equals the plain heterogeneous form") {
+    val rnd = new scala.util.Random(47)
+    val docs = (1L to 400L).map(i =>
+      (s"g${i % 3}", i, rnd.nextInt(1000000).toLong,
+        1L + rnd.nextInt(20).toLong))
+      .toDF("src", "doc_id", "score_ppm", "cost")
+    val b = Seq(("g0", 50L), ("g1", 80L), ("g2", 30L))
+      .toDF("src", "budget")
+    val exact = Prep.selectUnderBudgetByGroupBudgets(docs, "src",
+      "doc_id", "score_ppm", "cost", b).collect().map(_.toSeq).toSet
+    val ep = Prep.selectUnderBudgetByGroupEpochs(docs, "src",
+        "doc_id", "score_ppm", "cost",
+        b.withColumn("epochs", org.apache.spark.sql.functions.lit(1L)))
+      .drop("epoch").collect().map(_.toSeq).toSet
+    assert(ep === exact)
+  }
+
   test("selectUnderBudgetPruned equals exact on the non-binding boundaries") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")
