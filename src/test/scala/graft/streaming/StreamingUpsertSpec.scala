@@ -1490,6 +1490,37 @@ class StreamingUpsertSpec extends SparkSpec {
     }
   }
 
+  test("deferred cluster fold equals the per-batch fold sequence (property)") {
+    val rnd = new scala.util.Random(20817L)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 60).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val base = tmp(s"fold_deferred_$trial")
+      val slices = rnd.shuffle(edges).grouped(edges.size / 3 + 1).toSeq
+      // per-batch mode: fold the CURRENT pair union every batch
+      // (q269's r16 choreography)
+      var union = Seq.empty[(Long, Long)]
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        union = union ++ sl
+        StreamingUpsert.clusterStateBatch(spark,
+          union.toDF("doc_a", "doc_b").distinct(), s"$base/per", i.toLong)
+      }
+      // deferred mode: accumulate deltas, fold ONCE before serve —
+      // here through the nearDupBatch-shaped pairs layout
+      union.toDF("doc_a", "doc_b").write.mode("overwrite")
+        .parquet(s"$base/acc/pairs")
+      StreamingUpsert.clusterFoldFromPairs(spark, s"$base/acc",
+        s"$base/def", 0L)
+      def snap(p: String) = StreamingUpsert.clustersFromState(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(snap(s"$base/def") === snap(s"$base/per"),
+        s"trial $trial: deferred fold diverged from per-batch folds")
+    }
+  }
+
   test("clusterStateBatch replay of the last batch rebuilds identical state") {
     val base = tmp("cluster_state_replay")
     StreamingUpsert.clusterStateBatch(spark,
