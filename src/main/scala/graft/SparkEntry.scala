@@ -175,5 +175,14 @@ object SparkEntry {
     // choreography is the thing being priced); a regression in any
     // state fold's per-batch cost surfaces here as q269 drifting
     // away from q267 faster than the state count explains.
-    "q269_curation_maintained")
+    "q269_curation_maintained",
+    // maintained SERVE face (round 17, VERDICT r16 Next #2): the
+    // states build ONCE in the untimed warmup (completion-marked);
+    // timed runs pay model reads + the two stateless gates + label
+    // reads + the budget window — the production read path. Benched
+    // next to the triple so the quadruple (inline / served-models /
+    // maintained-build / maintained-serve) trends together; a
+    // regression toward refolding state per serve shows as q280
+    // converging to q269's cost.
+    "q280_curation_maintained_serve")
 }

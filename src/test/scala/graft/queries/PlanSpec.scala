@@ -670,6 +670,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q276 pruned temperature tail: windows stay PARTITIONED and stratum-fed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    val df = OpsQueries.q276(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the recipe/tau tables attach as broadcast hash joins; a
+    // regression toward shuffling surv3 against a recipe-sized side
+    // (or a 1-row crossJoined tau) surfaces here
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every window in the composed plan is partitioned — the prefix
+    // windows by source (fed by the covering-stratum candidate
+    // filter, the r16 Next #4 switch), the funnel's argmax/keep-best
+    // windows by doc/cluster; no single-partition corpus sort
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the pruned capstone tail:\n" + p)
+  }
+
   test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
     // the calibration sweep runs driver-side during construction (a
     // bounded 1-row fetch); the returned gate plan must compare the
