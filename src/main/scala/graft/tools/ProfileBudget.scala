@@ -76,6 +76,52 @@ object ProfileBudget {
       }
       scored.unpersist()
     }
+    // GATE-SCALE leg (VERDICT r16 Next #6): sf0.1-sized corpora with
+    // a corpus-proportional budget — the regime where the pricing
+    // pass's fixed cost dominates (q261 ran ~1.5x its r15 loop-form
+    // time at sf0.1 while being 10.6x better at 30M). Neither skip
+    // path fires here (the budget far exceeds any sample mass), so
+    // the curve IS the honest fixed-cost story: exact wins below the
+    // crossover, use it there.
+    for (n <- Seq(30000L, 60000L, 120000L, 300000L)) {
+      val scored = spark.range(0L, n).select($"id".as("doc_id"),
+          pmod(conv(substring(md5(concat($"id".cast("string"), lit("#s"))),
+            1, 8), 16, 10).cast("long"), lit(1000000L)).as("score_ppm"),
+          lit(60L).as("cost"))
+        .localCheckpoint()
+      def timed(what: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[profile-budget] GATESCALE n=$n%7d $what%-7s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.3f s ($rows rows)")
+      }
+      timed("PRUNED") {
+        graft.ops.Prep.selectUnderBudgetPruned(scored, "doc_id",
+          "score_ppm", "cost", budget = n * 2L).count()
+      }
+      timed("EXACT") {
+        graft.ops.Prep.selectUnderBudget(scored, "doc_id", "score_ppm",
+          "cost", budget = n * 2L).count()
+      }
+      scored.unpersist()
+    }
+    // SKIP leg: a tiny budget the sample alone proves the finest rung
+    // covers — the pricing scan is skipped (one corpus scan total),
+    // result identical by the rung-identity argument in the scaladoc.
+    {
+      val n = 3000000L
+      val scored = spark.range(0L, n).select($"id".as("doc_id"),
+          pmod(conv(substring(md5(concat($"id".cast("string"), lit("#s"))),
+            1, 8), 16, 10).cast("long"), lit(1000000L)).as("score_ppm"),
+          lit(60L).as("cost"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Prep.selectUnderBudgetPruned(scored, "doc_id",
+        "score_ppm", "cost", budget = 400L).count()
+      println(f"[profile-budget] SKIP-FINEST n=$n PRUNED " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.3f s ($rows rows, pricing scan skipped)")
+      scored.unpersist()
+    }
     for (n <- Seq(300000L, 3000000L, 30000000L)) {
       val scored = spark.range(0L, n).select($"id".as("doc_id"),
           pmod(conv(substring(md5(concat($"id".cast("string"), lit("#s"))), 1, 8), 16, 10)

@@ -305,6 +305,31 @@ class PrepSpec extends SparkSpec {
     assert(ep === exact)
   }
 
+  test("selectUnderBudgetPruned skip paths equal exact (finest-rung sample proof; m < k)") {
+    val rnd = new scala.util.Random(53)
+    // m == k frame with a budget tiny enough that the top-8 sampled
+    // costs alone prove the finest rung covers — the pricing scan is
+    // skipped and the rung picked must be the pass's own
+    val big = (1L to 5000L).map(i =>
+      (i, rnd.nextInt(1000000).toLong, 1L + rnd.nextInt(40).toLong))
+      .toDF("doc_id", "score_ppm", "cost")
+    // m < k frame: the sample holds every scoring row, pricing runs
+    // exactly driver-side (both covering and degrade budgets)
+    val small = (1L to 60L).map(i =>
+      (i, rnd.nextInt(1000000).toLong, 1L + rnd.nextInt(10).toLong))
+      .toDF("doc_id", "score_ppm", "cost")
+    for ((docs, budget, kk) <- Seq(
+        (big, 30L, 128), (big, 200L, 128),
+        (small, 40L, 128), (small, 100000L, 128))) {
+      val exact = Prep.selectUnderBudget(docs, "doc_id", "score_ppm",
+        "cost", budget).collect().map(_.toSeq).toSet
+      val pruned = Prep.selectUnderBudgetPruned(docs, "doc_id",
+        "score_ppm", "cost", budget, k = kk).collect()
+        .map(_.toSeq).toSet
+      assert(pruned === exact, s"diverged at budget $budget")
+    }
+  }
+
   test("selectUnderBudgetPruned equals exact on the non-binding boundaries") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")
