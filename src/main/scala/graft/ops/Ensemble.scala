@@ -1,0 +1,90 @@
+package graft
+package ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ensemble quality scoring — the Nemotron-CC shape: several
+  * independent quality scorers (a learned classifier margin, an LM
+  * fluency score, a heuristic) live on INCOMPATIBLE scales, so each
+  * scorer's output is first bucketed into equi-depth rank buckets
+  * against its OWN score distribution, and the ensemble decision is
+  * the per-document MAX bucket ("any scorer ranking the document
+  * highly keeps it") gated at a bucket threshold. Everything here is
+  * exact-integer and a pure function of the row multiset:
+  *
+  *   - the per-scorer bucket EDGES come from the bottom-k-by-md5
+  *     rank sketch ([[Sketches.quantilePartials]] /
+  *     [[Sketches.quantileEstimates]] — the q180 discipline), so the
+  *     DuckDB oracle REBUILDS them bit-for-bit, and at 100 TB the
+  *     edges serve from the maintained sketch asset instead of a
+  *     fresh scan ([[Sketches.refreshQuantileSummary]]);
+  *   - bucketing is a fold over the ≤ (nBuckets−1)-element edge
+  *     literal — map-only, codegen'd, no window, no join (the
+  *     selectUnderBudgetPruned ladder discipline);
+  *   - the ensemble max + threshold is one join on the id and a
+  *     greatest() — no shuffle beyond the scorer join.
+  *
+  * CONTRACT (inherited from the sketch): scores are integral and
+  * statistically independent of md5(id)'s leading hex digits; id is
+  * row-unique. NULL scores bucket to 0 (no edge is cleared) —
+  * lowest quality, stated.
+  */
+object Ensemble {
+
+  /** Equi-depth bucket edges of `scoreCol`'s distribution from the
+    * bottom-k rank sketch: the sampled values at permille points
+    * i·1000/nBuckets (i ∈ [1, nBuckets)), fetched as longs. ONE
+    * bounded collect (nBuckets−1 values from a ≤ k-row sketch).
+    * Duplicate edges (heavily tied score distributions) are KEPT —
+    * bucket ids stay aligned to their permille points and a score
+    * clearing a twice-repeated edge advances two buckets, spelled
+    * identically in the oracle replay.
+    */
+  def bucketEdges(scored: DataFrame, idCol: String, scoreCol: String,
+                  nBuckets: Int, k: Int = 512): Array[Long] = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be 2..1000, got $nBuckets")
+    val pts = (1 until nBuckets).map(i => i * 1000 / nBuckets)
+    val est = Sketches.quantileEstimates(
+        Sketches.quantilePartials(scored, Nil, col(idCol),
+          col(scoreCol), k),
+        Nil, pts)
+      .collect().headOption.filter(_.getAs[Long]("n_sample") > 0L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Ensemble.bucketEdges: no non-NULL '$scoreCol' values — " +
+          "cannot derive bucket edges from an empty scorer"))
+    pts.map(p => est.getAs[Number](s"p$p").longValue()).toArray
+  }
+
+  /** bucket = #{edges : score >= edge} ∈ [0, nBuckets−1] — the
+    * equi-depth rank bucket of each row against PRECOMPUTED edges
+    * (a codegen'd fold over the edge literal; NULL scores clear no
+    * edge and land in bucket 0).
+    */
+  def bucketize(scored: DataFrame, scoreCol: String, edges: Array[Long],
+                outCol: String): DataFrame = {
+    require(edges.nonEmpty, "need at least one bucket edge")
+    scored.withColumn(outCol,
+      size(filter(typedLit(edges.toSeq),
+        e => col(scoreCol) >= e)).cast("long"))
+  }
+
+  /** The ensemble decision over ALREADY-bucketed scorer columns:
+    * ensemble bucket = greatest(buckets), kept = ensemble >= minBucket
+    * (the Nemotron-CC "max over the ensemble" rule — a document any
+    * scorer ranks in the top buckets survives). Pure column
+    * arithmetic — composition (which scorers, how they join) is the
+    * caller's.
+    */
+  def maxGate(bucketed: DataFrame, bucketCols: Seq[String],
+              minBucket: Long): DataFrame = {
+    require(bucketCols.nonEmpty, "need at least one scorer bucket")
+    val ens =
+      if (bucketCols.length == 1) col(bucketCols.head)
+      else greatest(bucketCols.map(col): _*)
+    bucketed
+      .withColumn("b_ens", ens)
+      .withColumn("kept", col("b_ens") >= lit(minBucket))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EnsembleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketize: inclusive edge boundary, NULL scores land in bucket 0") {
+    val scored = Seq((1L, Some(5L)), (2L, Some(10L)), (3L, Some(9L)),
+      (4L, Some(25L)), (5L, None))
+      .toDF("doc_id", "s")
+    val got = Ensemble.bucketize(scored, "s", Array(10L, 20L), "b")
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("b"))))
+      .toMap
+    // score >= edge clears it: 10 clears edge 10 (inclusive), 9 does
+    // not; 25 clears both; NULL clears none
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 2L, 5L -> 0L))
+  }
+
+  test("bucketEdges: exact rank rule on an m < k frame, order-invariant") {
+    // 20 rows, scores 1..20 — with k > m the sketch holds every row,
+    // so decile edge p (permille) is the sorted value at
+    // max(1, ceil(p*20/1000)): p=100 -> rank 2, p=500 -> rank 10, ...
+    val rows = (1L to 20L).map(i => (i, i))
+    val want = (1 until 10).map(p => (p * 100 * 20 + 999) / 1000)
+      .map(_.toLong.max(1L)).toArray
+    for (seed <- Seq(1, 7)) {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+        .toDF("doc_id", "s")
+      val got = Ensemble.bucketEdges(shuffled, "doc_id", "s",
+        nBuckets = 10, k = 512)
+      assert(got.toSeq === want.toSeq, s"seed $seed")
+    }
+  }
+
+  test("bucketEdges: empty / all-NULL scorer fails diagnosably") {
+    val empty = Seq.empty[(Long, Option[Long])].toDF("doc_id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Ensemble.bucketEdges(empty, "doc_id", "s", nBuckets = 10)
+    }
+    assert(e.getMessage.contains("no non-NULL"))
+  }
+
+  test("maxGate: ensemble max + threshold; single scorer degenerates") {
+    val b = Seq((1L, 2L, 7L), (2L, 5L, 5L), (3L, 4L, 1L))
+      .toDF("doc_id", "b1", "b2")
+    val got = Ensemble.maxGate(b, Seq("b1", "b2"), minBucket = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("b_ens")),
+          r.getBoolean(r.fieldIndex("kept"))))).toMap
+    assert(got === Map(1L -> ((7L, true)), 2L -> ((5L, true)),
+      3L -> ((4L, false))))
+    val one = Ensemble.maxGate(b, Seq("b1"), minBucket = 4L)
+      .collect().map(r => (r.getLong(0),
+        r.getBoolean(r.fieldIndex("kept")))).toMap
+    assert(one === Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("bucket distribution is equi-depth-ish on a uniform scorer (sketch-bounded)") {
+    // 5000 distinct scores, k = 512: every decile bucket must land
+    // within the DKW-ish rank error of 500 rows — a sanity check
+    // that the edges actually cut the distribution, not a tight bound
+    val scored = (1L to 5000L).map(i => (i, i * 13L % 5000L))
+      .toDF("doc_id", "s")
+    val edges = Ensemble.bucketEdges(scored, "doc_id", "s", nBuckets = 10)
+    val counts = Ensemble.bucketize(scored, "s", edges, "b")
+      .groupBy($"b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0L to 9L).toSet)
+    assert(counts.values.forall(c => c > 200L && c < 900L),
+      s"bucket far from equi-depth: $counts")
+  }
+}
