@@ -76,4 +76,48 @@ class CurationSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").collect()
     assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
   }
+
+  test("q284 over-mass capstone: epochs repeat, spend within budgets, inline == maintained") {
+    val a = OpsQueries.queries("q284_mixture_epochs_capstone")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    assert(a.forall(_.getAs[Long]("doc_id") < 60000000L),
+      "a spam variant survived the classifier gate")
+    // 40k over the tiny post-curation corpus: repetition must occur
+    assert(a.map(_.getAs[Long]("epoch")).max > 1L,
+      "the over-mass capstone never repeated a document")
+    assert(a.map(_.getAs[Long]("cost")).sum <= 40000L,
+      "selection exceeds the total mixture budget")
+    // every non-final epoch takes the WHOLE source: a doc present at
+    // epoch e > 1 must also be present at every epoch below it
+    val byDoc = a.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    byDoc.foreach { case ((src, id), rows) =>
+      val eps = rows.map(_.getAs[Long]("epoch")).sorted
+      assert(eps.toSeq === (1L to eps.max).toSeq,
+        s"doc $id of $src skips an epoch: $eps")
+    }
+    // the maintained composition decides identically
+    val b = OpsQueries.queries("q285_mixture_epochs_maintained")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+  }
+
+  test("q286 ensemble gate: a kept doc is top-half for SOME scorer; inline == served (q288)") {
+    val a = OpsQueries.queries("q286_ensemble_quality")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    // intent: kept <=> max bucket >= 5, and the max is the max
+    a.foreach { r =>
+      val bm = r.getAs[Long]("b_margin"); val bf = r.getAs[Long]("b_fluency")
+      assert(r.getAs[Long]("b_ens") === math.max(bm, bf))
+      assert(r.getAs[Boolean]("kept") === (math.max(bm, bf) >= 5L))
+    }
+    // the gate discriminates: both decisions occur
+    assert(a.exists(_.getAs[Boolean]("kept")) &&
+      a.exists(!_.getAs[Boolean]("kept")))
+    val b = OpsQueries.queries("q288_ensemble_serve")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+  }
 }
