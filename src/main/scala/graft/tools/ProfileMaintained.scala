@@ -83,15 +83,16 @@ object ProfileMaintained {
       mat(surv1.join(fluentIds, Seq("doc_id")))
     }
     def dslice(i: Int) = surv2.filter(pmod($"doc_id", lit(3)) === i)
-    timed("4. dedup state folds (4 batches)") {
-      Seq(0 -> 0L, 1 -> 1L, 2 -> 2L, 2 -> 2L).foreach { case (i, bid) =>
+    // round 17: the cluster fold is DEFERRED (VERDICT r16 Next #3) —
+    // batches only accumulate pair deltas; ONE fold runs before serve
+    timed("4a. near-dup pair state (4 batches)") {
+      Seq(0, 1, 2, 2).foreach { i =>
         su.nearDupBatch(spark, dslice(i), "doc_id", "text",
           n = 3, bands = 4, rowsPerBand = 2, tau = 0.5, s"$base/dedup")
-        su.clusterStateBatch(spark,
-          spark.read.parquet(s"$base/dedup/pairs")
-            .select($"doc_a", $"doc_b").distinct(),
-          s"$base/clusters", bid)
       }
+    }
+    timed("4b. deferred cluster fold (ONE)") {
+      su.clusterFoldFromPairs(spark, s"$base/dedup", s"$base/clusters", 0L)
     }
     timed("5. keep-best + per-domain budget") {
       val clusters = su.clustersFromState(spark, s"$base/clusters")
