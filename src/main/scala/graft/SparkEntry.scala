@@ -184,5 +184,12 @@ object SparkEntry {
     // maintained-build / maintained-serve) trends together; a
     // regression toward refolding state per serve shows as q280
     // converging to q269's cost.
-    "q280_curation_maintained_serve")
+    "q280_curation_maintained_serve",
+    // ensemble-gate serve face (round 17): classifier weights, LM
+    // tables and both decile-edge arrays prebuilt in the untimed
+    // warmup (TrainDefV catalog guards); timed runs pay the two
+    // scoring passes + the map-only bucket folds + the max gate — a
+    // regression toward re-deriving edges (two bottom-k sorts) or
+    // retraining per call surfaces here as a trend.
+    "q288_ensemble_serve")
 }
