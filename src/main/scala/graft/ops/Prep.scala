@@ -251,10 +251,13 @@ object Prep {
     * can reach ~n/k× the budget. At gate scale with corpus-
     * proportional budgets neither skip fires and the extra scan is
     * an ACCEPTED fixed cost (the honest note — use the exact form
-    * under ~300k rows). NULL-cost detection rides the pricing pass;
-    * on the skip paths a contract-violating corpus defers to
-    * [[selectUnderBudget]]'s own cost >= 1 obligation (every repo
-    * caller clamps with greatest(cost, 1)).
+    * under ~300k rows). NULL-cost fail-closed on the skip paths
+    * moves IN PLAN: every cost the selection consumes is wrapped in
+    * a raise_error-on-NULL (round-17 review), so only NULL costs on
+    * rows OUTSIDE the covering stratum escape — rows the selection
+    * never prices, reachable only through the same cost >= 1
+    * boundary caveat already documented above (every repo caller
+    * clamps with greatest(cost, 1)).
     */
   def selectUnderBudgetPruned(docs: DataFrame, idCol: String,
                               scoreCol: String, costCol: String,
@@ -306,13 +309,26 @@ object Prep {
     //   (b) m < k: the sample IS every scoring row, so the ladder
     //       prices EXACTLY driver-side — pick the pass's rung, or its
     //       degrade when even the whole range under-covers.
+    // On the skip paths the pricing pass's corpus-wide NULL-cost
+    // check is gone with the scan it rode, so the guard moves IN
+    // PLAN onto every cost the selection consumes (the guardExact
+    // discipline: wrapped inside the consumed column, never a
+    // prunable gate column) — a NULL-cost candidate fails loudly at
+    // execution instead of silently pricing as 0 in the prefix
+    // window (round-17 review).
+    def guarded(cs: DataFrame): DataFrame = cs.withColumn(costCol,
+      when(col(costCol).isNull, raise_error(lit(
+        "selectUnderBudgetPruned: NULL costs (the cost contract " +
+          "is cost >= 1 — clamp with greatest(cost, 1))")))
+        .otherwise(col(costCol)))
     val cands =
       if (costsOk && sampleMass(L) >= budget)
-        docs.filter(col(scoreCol) >= lit(taus(L - 1)))
+        guarded(docs.filter(col(scoreCol) >= lit(taus(L - 1))))
       else if (costsOk && m < k) {
         (L to 1 by -1).find(j => sampleMass(j) >= budget) match {
-          case Some(j) => docs.filter(col(scoreCol) >= lit(taus(j - 1)))
-          case None => docs
+          case Some(j) =>
+            guarded(docs.filter(col(scoreCol) >= lit(taus(j - 1))))
+          case None => guarded(docs)
         }
       } else {
         // b = #{j : taus(j) <= score} ∈ [0, L]; rows with b >= j are
@@ -383,14 +399,29 @@ object Prep {
     * round-15 multi-consumer lesson).
     */
   private def validatedBudgets(budgets: DataFrame,
-                               groupCol: String): DataFrame = {
-    val shaped = budgets.select(col(groupCol),
-      col("budget").cast("long").as("budget"))
+                               groupCol: String): DataFrame =
+    validatedRecipe(budgets, groupCol, withEpochs = false)
+
+  /** The shared recipe-validation + LocalRelation-pin discipline of
+    * [[validatedBudgets]] and the epochs form (round-17 review: the
+    * epochs selection had re-spelled it inline): positive budgets,
+    * distinct keys, epochs >= 1 when carried.
+    */
+  private def validatedRecipe(budgets: DataFrame, groupCol: String,
+                              withEpochs: Boolean): DataFrame = {
+    val shaped = budgets.select(
+      (col(groupCol) +: (col("budget").cast("long").as("budget") +:
+        (if (withEpochs) Seq(col("epochs").cast("long").as("epochs"))
+         else Nil))): _*)
     val rows = shaped.collect()
     require(rows.nonEmpty, "budgets recipe is empty")
     require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0L),
       "every budget in the recipe must be > 0 (filter zero-weight " +
         "sources out of the recipe — they contribute nothing)")
+    if (withEpochs)
+      require(rows.forall(r => !r.isNullAt(2) && r.getLong(2) >= 1L),
+        "every epoch factor must be >= 1 (zero-budget groups leave " +
+          "the recipe before selection)")
     val keys = rows.map(_.get(0))
     require(keys.distinct.length == keys.length,
       "duplicate group keys in the budgets recipe")
@@ -464,23 +495,7 @@ object Prep {
                                      idCol: String, scoreCol: String,
                                      costCol: String,
                                      budgets: DataFrame): DataFrame = {
-    val shaped = budgets.select(col(groupCol),
-      col("budget").cast("long").as("budget"),
-      col("epochs").cast("long").as("epochs"))
-    val rows = shaped.collect()
-    require(rows.nonEmpty, "budgets recipe is empty")
-    require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0L),
-      "every budget in the recipe must be > 0 (filter zero-weight " +
-        "sources out of the recipe — they contribute nothing)")
-    require(rows.forall(r => !r.isNullAt(2) && r.getLong(2) >= 1L),
-      "every epoch factor must be >= 1 (zero-budget groups leave " +
-        "the recipe before selection)")
-    val keys = rows.map(_.get(0))
-    require(keys.distinct.length == keys.length,
-      "duplicate group keys in the budgets recipe")
-    // LocalRelation pin, the validatedBudgets discipline
-    val b = shaped.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), shaped.schema)
+    val b = validatedRecipe(budgets, groupCol, withEpochs = true)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("epoch").asc, col(scoreCol).desc, col(idCol).asc)
     docs.join(broadcast(b), Seq(groupCol))

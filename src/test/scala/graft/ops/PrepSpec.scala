@@ -330,6 +330,45 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("skip paths FIRE: a NULL cost the pricing pass fail-closes on goes unread") {
+    // behavioral detector (round-17 review: result equality alone
+    // holds on BOTH paths, so it cannot prove the skip happened): a
+    // planted (NULL score, NULL cost) row sits outside the sample
+    // and outside every stratum — the pricing pass's corpus-wide
+    // bucket aggregate REQUIRE-fails on it, so completing without an
+    // exception proves the pricing scan was skipped
+    def mk(n: Int) = {
+      val rnd = new scala.util.Random(59)
+      (1 to n).map(i => (i.toLong,
+        Some(rnd.nextInt(1000000).toLong),
+        Some(1L + rnd.nextInt(40).toLong)))
+    }
+    for ((n, budget) <- Seq((5000, 30L) /* finest-rung skip */,
+        (60, 40L) /* m < k skip */)) {
+      val clean = mk(n)
+      val planted = (clean :+
+          ((999999L, None: Option[Long], None: Option[Long])))
+        .toDF("doc_id", "score_ppm", "cost")
+      val exact = Prep.selectUnderBudget(
+        clean.toDF("doc_id", "score_ppm", "cost"), "doc_id",
+        "score_ppm", "cost", budget).collect().map(_.toSeq).toSet
+      val pruned = Prep.selectUnderBudgetPruned(planted, "doc_id",
+        "score_ppm", "cost", budget, k = 128).collect()
+        .map(_.toSeq).toSet
+      assert(pruned === exact, s"diverged at n=$n budget=$budget")
+    }
+    // and when NO skip covers (budget far past the sample mass), the
+    // pricing pass still fail-closes on the same planted frame
+    val planted = (mk(5000) :+
+        ((999999L, None: Option[Long], None: Option[Long])))
+      .toDF("doc_id", "score_ppm", "cost")
+    val e = intercept[IllegalArgumentException] {
+      Prep.selectUnderBudgetPruned(planted, "doc_id", "score_ppm",
+        "cost", budget = 100000L, k = 128).collect()
+    }
+    assert(e.getMessage.contains("NULL costs"))
+  }
+
   test("selectUnderBudgetPruned equals exact on the non-binding boundaries") {
     val docs = Seq((1L, 10L, 3L), (2L, 5L, 4L))
       .toDF("doc_id", "score_ppm", "cost")
