@@ -56,6 +56,27 @@ class EnsembleSpec extends SparkSpec {
     assert(one === Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("merged per-segment partials derive the ONE-SHOT edges exactly (property)") {
+    // the maintained face's law at the Ensemble level: bottom-k merge
+    // over disjoint segments == one-shot sketch, so the edges are
+    // bit-identical for ANY segmentation
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(61)
+    val scored = (1L to 3000L).map(i =>
+      (i, rnd.nextInt(1000000).toLong)).toDF("doc_id", "s")
+    val oneShot = Ensemble.bucketEdges(scored, "doc_id", "s", 10)
+    for (nSeg <- Seq(2, 5)) {
+      val partials = (0 until nSeg).map(i =>
+          Sketches.quantilePartials(
+            scored.filter(pmod($"doc_id", lit(nSeg)) === i),
+            Nil, $"doc_id", $"s", 512))
+        .reduce(_ unionByName _)
+      val merged = Ensemble.bucketEdgesFromPartials(
+        Sketches.quantileMerge(partials, Nil, 512), 10)
+      assert(merged.toSeq === oneShot.toSeq, s"diverged at $nSeg segments")
+    }
+  }
+
   test("bucket distribution is equi-depth-ish on a uniform scorer (sketch-bounded)") {
     // 5000 distinct scores, k = 512: every decile bucket must land
     // within the DKW-ish rank error of 500 rows — a sanity check
