@@ -46,26 +46,32 @@ object Ensemble {
     bucketEdgesFromPartials(
       Sketches.quantilePartials(scored, Nil, col(idCol),
         col(scoreCol), k),
-      nBuckets, ctx = scoreCol)
+      nBuckets, k, ctx = scoreCol)
 
-  /** [[bucketEdges]] served from EXISTING (already bottom-k-merged)
-    * sketch partials — the maintained form's serve half and the
-    * 100 TB path the soak motivates (ScaleSoakR17: at 30M rows the
-    * edge DERIVATION — two bottom-k window sorts over the full frame
-    * — is 3× the gate itself; per-ingest-segment partials merged by
+  /** [[bucketEdges]] served from EXISTING sketch partials — the
+    * maintained form's serve half and the 100 TB path the soak
+    * motivates (ScaleSoakR17: at 30M rows the edge DERIVATION — two
+    * bottom-k window sorts over the full frame — is 3× the gate
+    * itself; per-ingest-segment partials merged by
     * [[Sketches.quantileMerge]] are BIT-EQUAL to the one-shot sketch
     * over the union, so the history is never re-sorted and the edges
-    * are identical). ONE bounded collect.
+    * are identical). The merge runs HERE (round-17 closing review:
+    * estimating over an unmerged union would rank across up to
+    * segments×k sample rows and silently diverge from the one-shot
+    * edges — internal merging makes that misuse impossible, and is
+    * idempotent on already-merged input). ONE bounded collect.
     */
   def bucketEdgesFromPartials(partials: DataFrame, nBuckets: Int,
+                              k: Int = 512,
                               ctx: String = "scorer"): Array[Long] = {
     require(nBuckets >= 2 && nBuckets <= 1000,
       s"nBuckets must be 2..1000, got $nBuckets")
     val pts = (1 until nBuckets).map(i => i * 1000 / nBuckets)
-    val est = Sketches.quantileEstimates(partials, Nil, pts)
+    val est = Sketches.quantileEstimates(
+        Sketches.quantileMerge(partials, Nil, k), Nil, pts)
       .collect().headOption.filter(_.getAs[Long]("n_sample") > 0L)
       .getOrElse(throw new IllegalArgumentException(
-        s"Ensemble.bucketEdges: no non-NULL '$ctx' values — " +
+        s"Ensemble: no non-NULL '$ctx' scorer values — " +
           "cannot derive bucket edges from an empty scorer"))
     pts.map(p => est.getAs[Number](s"p$p").longValue()).toArray
   }

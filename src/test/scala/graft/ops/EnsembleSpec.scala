@@ -71,8 +71,10 @@ class EnsembleSpec extends SparkSpec {
             scored.filter(pmod($"doc_id", lit(nSeg)) === i),
             Nil, $"doc_id", $"s", 512))
         .reduce(_ unionByName _)
-      val merged = Ensemble.bucketEdgesFromPartials(
-        Sketches.quantileMerge(partials, Nil, 512), 10)
+      // the RAW per-segment union goes in — the bottom-k merge is
+      // bucketEdgesFromPartials' own job (closing review: estimating
+      // over an unmerged union would silently diverge)
+      val merged = Ensemble.bucketEdgesFromPartials(partials, 10)
       assert(merged.toSeq === oneShot.toSeq, s"diverged at $nSeg segments")
     }
   }
