@@ -691,6 +691,44 @@ class PlanSpec extends SparkSpec {
       "unpartitioned window in the pruned capstone tail:\n" + p)
   }
 
+  test("q281 epochs selection: recipe broadcasts, repetition window PARTITIONED") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    val df = OpsQueries.q281(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the (budget, epochs) recipe attaches as a broadcast hash join
+    // — never a shuffle of the corpus against a sources-sized side
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the repetition explode rides Generate INSIDE the per-source
+    // partition; the prefix window partitions by source
+    assert(p.contains("Generate"), p)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the epochs selection:\n" + p)
+  }
+
+  test("q286 ensemble gate: bucketing is MAP-ONLY — no windows, no cartesian in the served plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    // the sketch windows run during edge DERIVATION (bounded,
+    // driver-collected); the returned gate plan must be scorers +
+    // one doc_id join + literal-edge folds — zero windows
+    val df = OpsQueries.q286(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // bounded nested-loop sites only: the 1-row LM token total and
+    // the classes-row rates cross (the q258 budget)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      "a window crept into the ensemble gate plan:\n" + p)
+  }
+
   test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
     // the calibration sweep runs driver-side during construction (a
     // bounded 1-row fetch); the returned gate plan must compare the
