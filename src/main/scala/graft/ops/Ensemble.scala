@@ -89,21 +89,71 @@ object Ensemble {
         e => col(scoreCol) >= e)).cast("long"))
   }
 
-  /** The ensemble decision over ALREADY-bucketed scorer columns:
-    * ensemble bucket = greatest(buckets), kept = ensemble >= minBucket
-    * (the Nemotron-CC "max over the ensemble" rule — a document any
-    * scorer ranks in the top buckets survives). Pure column
-    * arithmetic — composition (which scorers, how they join) is the
-    * caller's.
+  /** How the per-scorer buckets fold into ONE ensemble bucket —
+    * Nemotron-CC-style ensembles ship both rules (round 18, VERDICT
+    * r17 Next #4): the MAX ("any scorer ranking the document highly
+    * keeps it") and a weighted mean that downweights the noisier
+    * scorer. Both stay exact integer on the bucket scale [0,
+    * nBuckets−1], so minBucket means the same thing under either.
     */
-  def maxGate(bucketed: DataFrame, bucketCols: Seq[String],
-              minBucket: Long): DataFrame = {
+  sealed trait Combiner
+
+  /** ensemble bucket = greatest(buckets) — the max rule. */
+  case object MaxBucket extends Combiner
+
+  /** ensemble bucket = (Σ wᵢ·bᵢ) DIV (Σ wᵢ) — the exact-integer
+    * weighted mean over the bucket VALUES (buckets are non-negative,
+    * so truncating DIV is floor). Weights are per-scorer,
+    * positionally aligned with the gate's bucketCols; a zero weight
+    * removes that scorer from the decision (weights (1, 0) == the
+    * first scorer's bucketing alone — EnsembleSpec property). The
+    * mean never exceeds the max of its inputs, so the weighted gate
+    * keeps a subset of the max gate's survivors at equal minBucket
+    * (dominance property in EnsembleSpec).
+    */
+  final case class WeightedMeanBucket(weights: Seq[Long]) extends Combiner
+
+  /** The ensemble decision over ALREADY-bucketed scorer columns:
+    * ensemble bucket = `combiner` over the buckets, kept = ensemble
+    * >= minBucket. Pure column arithmetic — composition (which
+    * scorers, how they join) is the caller's. REQUIREs the output
+    * columns absent from the input (ADVICE r17: withColumn silently
+    * REPLACES same-named columns, so composing two gates would
+    * clobber the first decision without a sound).
+    */
+  def gate(bucketed: DataFrame, bucketCols: Seq[String],
+           minBucket: Long, combiner: Combiner = MaxBucket): DataFrame = {
     require(bucketCols.nonEmpty, "need at least one scorer bucket")
-    val ens =
-      if (bucketCols.length == 1) col(bucketCols.head)
-      else greatest(bucketCols.map(col): _*)
+    Seq("b_ens", "kept").foreach(c =>
+      require(!bucketed.columns.contains(c),
+        s"Ensemble.gate: input already carries a '$c' column — " +
+          "withColumn would silently replace it (composing two gates? " +
+          "rename the first decision's columns before the second)"))
+    val ens = combiner match {
+      case MaxBucket =>
+        if (bucketCols.length == 1) col(bucketCols.head)
+        else greatest(bucketCols.map(col): _*)
+      case WeightedMeanBucket(ws) =>
+        require(ws.length == bucketCols.length,
+          s"WeightedMeanBucket: ${ws.length} weights for " +
+            s"${bucketCols.length} scorer buckets")
+        require(ws.forall(_ >= 0L) && ws.sum > 0L,
+          "WeightedMeanBucket: weights must be non-negative with a " +
+            "positive sum")
+        // DIV (not /): Column./ on longs is DOUBLE division; buckets
+        // and weights are non-negative so truncation == floor. Built
+        // over the column NAMES — bucketCols are names by contract.
+        val terms = bucketCols.zip(ws)
+          .map { case (c, w) => s"$c * ${w}L" }.mkString(" + ")
+        expr(s"CAST(($terms) DIV ${ws.sum}L AS BIGINT)")
+    }
     bucketed
       .withColumn("b_ens", ens)
       .withColumn("kept", col("b_ens") >= lit(minBucket))
   }
+
+  /** [[gate]] under the max rule — the q286–q290 family's spelling. */
+  def maxGate(bucketed: DataFrame, bucketCols: Seq[String],
+              minBucket: Long): DataFrame =
+    gate(bucketed, bucketCols, minBucket, MaxBucket)
 }

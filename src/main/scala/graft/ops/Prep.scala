@@ -389,6 +389,11 @@ object Prep {
     keeps.map(kp => sample(m - kp)).distinct.sorted.toArray
   }
 
+  /** Upper bound on any recipe's epoch factor — see the guard in
+    * [[validatedRecipe]] (ADVICE r17).
+    */
+  val maxEpochs = 10000L
+
   /** Validate a (groupCol, budget) recipe frame and pin it to a
     * LocalRelation: budgets must be positive and group keys distinct
     * (a duplicate key would duplicate corpus rows through the join).
@@ -418,10 +423,26 @@ object Prep {
     require(rows.forall(r => !r.isNullAt(1) && r.getLong(1) > 0L),
       "every budget in the recipe must be > 0 (filter zero-weight " +
         "sources out of the recipe — they contribute nothing)")
-    if (withEpochs)
+    if (withEpochs) {
       require(rows.forall(r => !r.isNullAt(2) && r.getLong(2) >= 1L),
         "every epoch factor must be >= 1 (zero-budget groups leave " +
           "the recipe before selection)")
+      // the OUTPUT bound (exploded group < budget + one corpus pass)
+      // is about tokens; the per-row sequence(1, epochs) array is
+      // epochs-sized regardless, so a pathological recipe (tiny
+      // source mass under a huge total budget — c_s = 10 vs T = 1e9
+      // gives a 1e8-element array per row) would hit Spark's
+      // array-size limits before the token bound ever binds (ADVICE
+      // r17). Real mixture tables repeat single-digit epochs; 10000
+      // is far above any published recipe and keeps the per-row
+      // array under ~80 KB.
+      require(rows.forall(_.getLong(2) <= maxEpochs),
+        s"epoch factor exceeds the max-epochs contract ($maxEpochs): " +
+          "a budget that many multiples over a source's mass is a " +
+          "recipe bug, and the per-row repetition array is " +
+          "epochs-sized (see the selectUnderBudgetByGroupEpochs " +
+          "scale note)")
+    }
     val keys = rows.map(_.get(0))
     require(keys.distinct.length == keys.length,
       "duplicate group keys in the budgets recipe")
@@ -488,8 +509,13 @@ object Prep {
     * Scale shape: the explode is output-proportional — the exploded
     * group is c_g · epochs_g < budget_g + c_g tokens, i.e. at most
     * one corpus pass beyond what the selection keeps — and the window
-    * stays partitioned by group. Output: input columns + epoch +
-    * cum_cost.
+    * stays partitioned by group. That bound is about TOKENS; the
+    * in-plan sequence(1, epochs) array is epochs-sized per row
+    * regardless, so the recipe validation enforces
+    * epochs ≤ [[maxEpochs]] (ADVICE r17 — a pathological
+    * tiny-mass/huge-budget recipe would otherwise build ~1e8-element
+    * per-row arrays that hit Spark's array limits before the token
+    * bound binds). Output: input columns + epoch + cum_cost.
     */
   def selectUnderBudgetByGroupEpochs(docs: DataFrame, groupCol: String,
                                      idCol: String, scoreCol: String,

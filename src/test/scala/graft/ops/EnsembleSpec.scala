@@ -56,6 +56,72 @@ class EnsembleSpec extends SparkSpec {
     assert(one === Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("gate: refuses an input already carrying b_ens/kept (ADVICE r17)") {
+    val b = Seq((1L, 2L, 7L)).toDF("doc_id", "b1", "b_ens")
+    val e = intercept[IllegalArgumentException] {
+      Ensemble.gate(b, Seq("b1"), minBucket = 5L)
+    }
+    assert(e.getMessage.contains("b_ens"))
+    val k = Seq((1L, 2L, true)).toDF("doc_id", "b1", "kept")
+    intercept[IllegalArgumentException] {
+      Ensemble.gate(k, Seq("b1"), minBucket = 5L)
+    }
+  }
+
+  test("weighted-mean combiner: (1,0) == single scorer; max dominates mean pointwise") {
+    val rnd = new scala.util.Random(18)
+    val b = (1L to 500L).map(i =>
+        (i, rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .toDF("doc_id", "b1", "b2")
+    // weights (1, 0): the decision IS the first scorer's bucketing
+    val w10 = Ensemble.gate(b, Seq("b1", "b2"), minBucket = 5L,
+        Ensemble.WeightedMeanBucket(Seq(1L, 0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("b_ens"))))
+      .toMap
+    val single = Ensemble.gate(b, Seq("b1"), minBucket = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("b_ens"))))
+      .toMap
+    assert(w10 === single)
+    // max dominates any weighted mean pointwise (mean <= max of its
+    // inputs), so the weighted gate keeps a subset at equal minBucket
+    val mx = Ensemble.gate(b, Seq("b1", "b2"), minBucket = 5L)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(r.fieldIndex("b_ens")),
+          r.getBoolean(r.fieldIndex("kept"))))).toMap
+    val wm = Ensemble.gate(b, Seq("b1", "b2"), minBucket = 5L,
+        Ensemble.WeightedMeanBucket(Seq(2L, 1L)))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(r.fieldIndex("b_ens")),
+          r.getBoolean(r.fieldIndex("kept"))))).toMap
+    wm.foreach { case (id, (bw, kw)) =>
+      assert(bw <= mx(id)._1, s"mean exceeded max for doc $id")
+      assert(!kw || mx(id)._2, s"weighted kept doc $id the max dropped")
+    }
+    // exact-integer spot check: (2*7 + 1*2) DIV 3 = 5
+    val spot = Ensemble.gate(Seq((1L, 7L, 2L)).toDF("doc_id", "b1", "b2"),
+        Seq("b1", "b2"), minBucket = 5L,
+        Ensemble.WeightedMeanBucket(Seq(2L, 1L)))
+      .collect().head
+    assert(spot.getLong(spot.fieldIndex("b_ens")) === 5L)
+    assert(spot.getBoolean(spot.fieldIndex("kept")))
+  }
+
+  test("weighted-mean combiner: malformed weights fail diagnosably") {
+    val b = Seq((1L, 2L, 7L)).toDF("doc_id", "b1", "b2")
+    intercept[IllegalArgumentException] { // arity mismatch
+      Ensemble.gate(b, Seq("b1", "b2"), 5L,
+        Ensemble.WeightedMeanBucket(Seq(1L)))
+    }
+    intercept[IllegalArgumentException] { // all-zero weights
+      Ensemble.gate(b, Seq("b1", "b2"), 5L,
+        Ensemble.WeightedMeanBucket(Seq(0L, 0L)))
+    }
+    intercept[IllegalArgumentException] { // negative weight
+      Ensemble.gate(b, Seq("b1", "b2"), 5L,
+        Ensemble.WeightedMeanBucket(Seq(2L, -1L)))
+    }
+  }
+
   test("merged per-segment partials derive the ONE-SHOT edges exactly (property)") {
     // the maintained face's law at the Ensemble level: bottom-k merge
     // over disjoint segments == one-shot sketch, so the edges are

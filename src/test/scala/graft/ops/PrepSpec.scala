@@ -288,6 +288,26 @@ class PrepSpec extends SparkSpec {
     assert(sel.filter($"doc_id" === 200L).count() >= 22L)
   }
 
+  test("epochs recipe: a factor past the max-epochs contract fails loudly (ADVICE r17)") {
+    // a pathological tiny-mass/huge-budget recipe would build an
+    // epochs-sized per-row array — the validation must reject it
+    // before the explode ever plans
+    val docs = Seq(("a", 1L, 10L, 1L))
+      .toDF("src", "doc_id", "score_ppm", "cost")
+    val bad = Seq(("a", 100000L, Prep.maxEpochs + 1L))
+      .toDF("src", "budget", "epochs")
+    val e = intercept[IllegalArgumentException] {
+      Prep.selectUnderBudgetByGroupEpochs(docs, "src", "doc_id",
+        "score_ppm", "cost", bad).collect()
+    }
+    assert(e.getMessage.contains("max-epochs"))
+    // at the bound itself the recipe is accepted
+    val ok = Seq(("a", 3L, Prep.maxEpochs))
+      .toDF("src", "budget", "epochs")
+    assert(Prep.selectUnderBudgetByGroupEpochs(docs, "src", "doc_id",
+      "score_ppm", "cost", ok).count() === 3L)
+  }
+
   test("selectUnderBudgetByGroupEpochs with epochs = 1 equals the plain heterogeneous form") {
     val rnd = new scala.util.Random(47)
     val docs = (1L to 400L).map(i =>
