@@ -40,6 +40,39 @@ class CurationSpec extends SparkSpec {
     assert(out.length < nDocs, "the budget cut selected everything")
   }
 
+  test("q292: a verbatim eval-leaked doc that survives every OTHER gate is dropped HERE") {
+    val dir = "/root/testdata/sf0.001"
+    val base = OpsQueries.queries("q267_curation_capstone")(
+      spark, dir).collect()
+    val decon = OpsQueries.queries("q292_decontaminated_capstone")(
+      spark, dir).collect()
+    // the planted leak: every 17th clean doc re-enters the frozen
+    // eval set VERBATIM. At least one such doc must survive the
+    // classifier (it IS clean), the LM filter (fluent), keep-best
+    // dedup (unique within train) AND the budget in the
+    // un-decontaminated capstone — otherwise this test is vacuous.
+    // cost >= 3 ⇔ at least one 3-shingle exists.
+    val leaked = base.filter(r => r.getAs[Long]("doc_id") % 17 == 0 &&
+      r.getAs[Long]("doc_id") < 60000000L && r.getAs[Long]("cost") >= 3L)
+    assert(leaked.nonEmpty,
+      "fixture no longer plants a leak that survives the other gates")
+    // ...and the decontaminated capstone must spend nothing on ANY
+    // verbatim-leaked doc: its eval copy shares its whole shingle
+    // set, so containment is exactly 10^6 >= the 800000 gate
+    val survivedLeaks = decon.filter(r =>
+      r.getAs[Long]("doc_id") % 17 == 0 &&
+        r.getAs[Long]("doc_id") < 60000000L &&
+        r.getAs[Long]("cost") >= 3L)
+    assert(survivedLeaks.isEmpty,
+      s"verbatim eval-leaked docs survived decontamination: " +
+        survivedLeaks.map(_.getAs[Long]("doc_id")).mkString(", "))
+    // the stage only REMOVES docs relative to q267 before the budget
+    // re-ranks: every decontaminated survivor was a surv3 member, so
+    // none may carry an id q267's surv3 could not have had
+    assert(decon.forall(_.getAs[Long]("doc_id") < 60000000L),
+      "a spam variant appeared after the decontamination stage")
+  }
+
   test("q276 mixture capstone: spam dropped, temperature budgets respected, Σbudgets <= total") {
     val out = OpsQueries.queries("q276_mixture_curation")(
       spark, "/root/testdata/sf0.001").collect()
