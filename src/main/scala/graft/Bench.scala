@@ -58,6 +58,25 @@ object Bench {
     def report(name: String, phase: String, e: Throwable): Unit =
       System.err.println(
         s"[bench] $phase $name failed: ${e.getClass.getName}: ${e.getMessage}")
+    // Load gate (VERDICT r17 Next #7): two rounds running, the
+    // official artifact started on a loaded box (r16 load 14.1, r17
+    // load 9.58) and needed a judge rerun to be interpretable. The
+    // witness must be read BEFORE our own warmup inflates the
+    // 1-minute average, so the gate is a bounded PRE-warmup wait for
+    // external load to drain — not a post-hoc retry (which would
+    // re-measure under our own decaying load). If the box never
+    // quiets, proceed and say so: load_initial / load_wait_sec make
+    // the artifact self-identifying either way.
+    val loadInitial = load1()
+    var waitedSec = 0
+    while (load1() > 4.0 && waitedSec < 240) {
+      Thread.sleep(15000)
+      waitedSec += 15
+    }
+    if (waitedSec > 0)
+      System.err.println(
+        s"[bench] waited ${waitedSec}s for load to drop " +
+          s"(initial $loadInitial, now ${load1()})")
     val loadStart = load1()
     names.foreach { n =>                      // warmup (untimed)
       try force(n) catch { case NonFatal(e) => report(n, "warmup", e) }
@@ -114,7 +133,7 @@ object Bench {
     val total =
       if (names.exists(n => mins(n) < 0)) -1.0
       else names.map(mins).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_end":$loadEnd,"interleaved":true,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_initial":$loadInitial,"load_wait_sec":$waitedSec,"load_end":$loadEnd,"interleaved":true,"sf":"$sfDir"}""")
     // The driver captures only the last ~2 KB of stdout; the full
     // forensic line above (runs/ts/load per repetition) exceeds that,
     // which in round 10 pushed the per-query mins out of the captured

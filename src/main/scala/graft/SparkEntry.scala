@@ -191,5 +191,21 @@ object SparkEntry {
     // scoring passes + the map-only bucket folds + the max gate — a
     // regression toward re-deriving edges (two bottom-k sorts) or
     // retraining per call surfaces here as a trend.
-    "q288_ensemble_serve")
+    "q288_ensemble_serve",
+    // decontaminated capstone (round 18, VERDICT r17 Next #1): the
+    // COMPLETE production funnel — gate → LM → keep-best dedup →
+    // eval-set decontamination → budget. Benched next to q267 so the
+    // decont stage's marginal cost (two shingle passes + the
+    // bipartite join against the eval-sized set) is trended per
+    // round; a regression toward all-pairs candidates or an
+    // unbroadcast eval side surfaces as q292 diverging from q267 by
+    // more than that margin.
+    "q292_decontaminated_capstone",
+    // served mixture REPORT (round 18, VERDICT r17 Next #3): mass
+    // partials + spend state build once in the untimed warmup
+    // (_BUILT-marked); timed runs pay two sources-sized reads +
+    // driver recipe arithmetic — the cheapest serve face in the
+    // suite, benched so a regression toward re-running the selection
+    // per report read (q291's cost shape) is unmissable.
+    "q294_mixture_report_served")
 }

@@ -729,6 +729,69 @@ class PlanSpec extends SparkSpec {
       "a window crept into the ensemble gate plan:\n" + p)
   }
 
+  test("q292 decontaminated capstone: anti-join drop, windows PARTITIONED, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    val df = OpsQueries.q292(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // bounded nested-loop sites only (the 1-row LM total / rates
+    // cross the funnel already carries — the q286 budget)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
+    // the contaminated-id drop is ONE left-anti join on the flagged
+    // sliver — a regression toward a NOT-IN rewrite as a nested loop
+    // (or toward recomputing pairs per consumer) surfaces here
+    assert(p.contains("LeftAnti"), p)
+    // every window partitioned: argmax by doc, keep-best by cluster,
+    // budget prefix by source — no single-partition corpus sort
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the decontaminated capstone:\n" + p)
+  }
+
+  test("q293 BPE-cost selection: merge replay is MAP-ONLY, one stratum window, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    // the merge table folds into the native expression as literals
+    // (driver-collected, bounded) and the sketch windows run during
+    // construction — the returned plan is the segmentation scan, one
+    // doc_id join and the exact window over the candidate stratum
+    val df = OpsQueries.q293(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.length <= 1,
+      "more than the one budget-prefix window in the BPE selection:\n" + p)
+  }
+
+  test("q294 served report: NO corpus scan — state reads + driver arithmetic only") {
+    // the serve face's whole point: the report assembles from the
+    // mass-partial and spend assets; a regression toward re-running
+    // the selection per read shows as the documents table re-entering
+    // the plan
+    val p = plan(OpsQueries.q294(spark, dir))
+    assert(!p.contains("documents.parquet"),
+      "the served report re-scanned the corpus:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q295 weighted ensemble: bucketing stays MAP-ONLY — no windows in the gate plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    val df = OpsQueries.q295(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3, p)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      "a window crept into the weighted ensemble gate plan:\n" + p)
+  }
+
   test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
     // the calibration sweep runs driver-side during construction (a
     // bounded 1-row fetch); the returned gate plan must compare the
