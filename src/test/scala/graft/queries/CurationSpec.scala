@@ -73,6 +73,45 @@ class CurationSpec extends SparkSpec {
       "a spam variant appeared after the decontamination stage")
   }
 
+  test("q296 maintained decont capstone == q292 inline (every stage from state)") {
+    val dir = "/root/testdata/sf0.001"
+    val inline = OpsQueries.queries("q292_decontaminated_capstone")(
+      spark, dir).collect().map(_.toSeq).toSet
+    val maintained = OpsQueries.queries("q296_decontaminated_maintained")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty)
+    assert(maintained === inline,
+      "the state-served decontaminated funnel diverged from the inline one")
+  }
+
+  test("q297 BPE-priced capstone: budgets respected in BPE tokens, cost >= whitespace cost") {
+    val dir = "/root/testdata/sf0.001"
+    val out = OpsQueries.queries("q297_bpe_priced_capstone")(
+      spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("doc_id") < 60000000L),
+      "a spam variant survived the classifier gate")
+    val clusters = out.map(_.getAs[Long]("cluster_id"))
+    assert(clusters.distinct.length === clusters.length,
+      "two docs from one cluster survived keep-best")
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("cost")).sum <= 1200L,
+        s"source $src over its BPE-token budget")
+    }
+    // BPE segmentation never produces fewer symbols than words (every
+    // word yields >= 1 symbol), so each selected doc's BPE cost must
+    // be >= its whitespace cost in q267's pricing
+    val wsCost = OpsQueries.queries("q267_curation_capstone")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cost")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      wsCost.get(id).foreach(ws =>
+        assert(r.getAs[Long]("cost") >= ws,
+          s"doc $id priced fewer BPE tokens than whitespace tokens"))
+    }
+  }
+
   test("q276 mixture capstone: spam dropped, temperature budgets respected, Σbudgets <= total") {
     val out = OpsQueries.queries("q276_mixture_curation")(
       spark, "/root/testdata/sf0.001").collect()
