@@ -43,11 +43,30 @@ object Decontaminate {
                             trainText: String, test: DataFrame,
                             testId: String, testText: String, n: Int,
                             maxDf: Long,
-                            mat: Materializer): DataFrame = {
+                            mat: Materializer): DataFrame =
+    crossPairsRawFromSets(train, trainId, trainText,
+      Dedup.shingleSets(test, testId, testText, n)
+        .select($"doc_id".as("test_id"), $"shs"),
+      n, maxDf, mat)
+
+  /** [[crossPairsRaw]] over PRE-SHINGLED test sets (test_id, shs) —
+    * the eval suite is frozen in production, so its shingle sets are
+    * computed once and served as a versioned asset (q298) or fed to
+    * the streaming protocol
+    * ([[graft.streaming.StreamingUpsert.decontaminationBatch]] takes
+    * the same shape). Shingling the test corpus here and passing the
+    * result is exactly [[crossPairsRaw]].
+    */
+  private def crossPairsRawFromSets(train: DataFrame, trainId: String,
+                                    trainText: String,
+                                    testSets: DataFrame, n: Int,
+                                    maxDf: Long,
+                                    mat: Materializer): DataFrame = {
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
     val ta = mat(Dedup.shingleSets(train, trainId, trainText, n)
       .filter(size($"shs") > 0))
-    val tb = mat(Dedup.shingleSets(test, testId, testText, n)
+    val tb = mat(testSets
+      .select($"test_id".as("doc_id"), array_distinct($"shs").as("shs"))
       .filter(size($"shs") > 0))
     val invA = ta.select($"doc_id".as("train_id"), explode($"shs").as("sh"))
     val invB = tb.select($"doc_id".as("test_id"), explode($"shs").as("sh"))
@@ -78,10 +97,29 @@ object Decontaminate {
                          trainText: String, test: DataFrame,
                          testId: String, testText: String, n: Int,
                          tauPpm: Long, maxDf: Long = 1000L,
-                         mat: Materializer = Materialize.Local): DataFrame = {
+                         mat: Materializer = Materialize.Local): DataFrame =
+    contaminationPairsFromSets(train, trainId, trainText,
+      Dedup.shingleSets(test, testId, testText, n)
+        .select($"doc_id".as("test_id"), $"shs"),
+      n, tauPpm, maxDf, mat)
+
+  /** [[contaminationPairs]] over PRE-SHINGLED eval sets
+    * (test_id, shs) — the serve form: the eval suite is frozen, so
+    * its shingle sets persist as a versioned asset and every
+    * decontamination run reads the asset instead of re-shingling the
+    * eval corpus (q298; same shape the streaming protocol takes).
+    * Identical decisions by construction — [[contaminationPairs]]
+    * delegates here.
+    */
+  def contaminationPairsFromSets(train: DataFrame, trainId: String,
+                                 trainText: String, testSets: DataFrame,
+                                 n: Int, tauPpm: Long,
+                                 maxDf: Long = 1000L,
+                                 mat: Materializer = Materialize.Local)
+      : DataFrame = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
-    crossPairsRaw(train, trainId, trainText, test, testId, testText,
+    crossPairsRawFromSets(train, trainId, trainText, testSets,
         n, maxDf, mat)
       .withColumn("cont_test_ppm", expr("inter * 1000000 DIV nb"))
       .filter($"cont_test_ppm" >= tauPpm)
