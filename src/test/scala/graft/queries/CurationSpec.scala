@@ -112,6 +112,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q298 eval-asset decont == q292 inline; q299 BPE epochs: over-mass repeats within budget") {
+    val dir = "/root/testdata/sf0.001"
+    val inline = OpsQueries.queries("q292_decontaminated_capstone")(
+      spark, dir).collect().map(_.toSeq).toSet
+    val served = OpsQueries.queries("q298_decontaminated_eval_asset")(
+      spark, dir).collect().map(_.toSeq).toSet
+    assert(served === inline,
+      "the asset-served eval sets changed the decontamination decision")
+    val ep = OpsQueries.queries("q299_bpe_epochs_capstone")(
+      spark, dir).collect()
+    assert(ep.nonEmpty)
+    assert(ep.forall(_.getAs[Long]("doc_id") < 60000000L))
+    // the total is over-mass by construction: some source repeats
+    assert(ep.map(_.getAs[Long]("epoch")).max >= 2L,
+      "no source repeated — the over-mass fixture lost its teeth")
+    // spend never exceeds the exact split's total
+    assert(ep.map(_.getAs[Long]("cost")).sum <= 120000L)
+  }
+
   test("q276 mixture capstone: spam dropped, temperature budgets respected, Σbudgets <= total") {
     val out = OpsQueries.queries("q276_mixture_curation")(
       spark, "/root/testdata/sf0.001").collect()

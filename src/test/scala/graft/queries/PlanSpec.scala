@@ -792,6 +792,26 @@ class PlanSpec extends SparkSpec {
       "a window crept into the weighted ensemble gate plan:\n" + p)
   }
 
+  test("q297/q299 BPE-priced tails: windows PARTITIONED, repetition rides Generate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    for ((df, wantGenerate) <- Seq(
+        (OpsQueries.q297(spark, dir), false),
+        (OpsQueries.q299(spark, dir), true))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p)
+      // the repriced budget/epochs windows stay partitioned by source
+      // (BPE costs change the unit, never the shuffle shape); q299's
+      // repetition explode rides Generate inside the partition
+      if (wantGenerate) assert(p.contains("Generate"), p)
+      val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "unpartitioned window in a BPE-priced tail:\n" + p)
+    }
+  }
+
   test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
     // the calibration sweep runs driver-side during construction (a
     // bounded 1-row fetch); the returned gate plan must compare the
