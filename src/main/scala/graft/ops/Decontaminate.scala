@@ -55,7 +55,11 @@ object Decontaminate {
     * the streaming protocol
     * ([[graft.streaming.StreamingUpsert.decontaminationBatch]] takes
     * the same shape). Shingling the test corpus here and passing the
-    * result is exactly [[crossPairsRaw]].
+    * result is exactly [[crossPairsRaw]]. CONTRACT: `shs` elements
+    * are DISTINCT per row — [[Dedup.shingleSets]]' output satisfies
+    * it; the public asset entry point normalizes defensively
+    * (round-18 review: normalizing HERE taxed every inline call with
+    * a redundant array_distinct pass).
     */
   private def crossPairsRawFromSets(train: DataFrame, trainId: String,
                                     trainText: String,
@@ -66,7 +70,7 @@ object Decontaminate {
     val ta = mat(Dedup.shingleSets(train, trainId, trainText, n)
       .filter(size($"shs") > 0))
     val tb = mat(testSets
-      .select($"test_id".as("doc_id"), array_distinct($"shs").as("shs"))
+      .select($"test_id".as("doc_id"), $"shs")
       .filter(size($"shs") > 0))
     val invA = ta.select($"doc_id".as("train_id"), explode($"shs").as("sh"))
     val invB = tb.select($"doc_id".as("test_id"), explode($"shs").as("sh"))
@@ -119,7 +123,11 @@ object Decontaminate {
       : DataFrame = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
-    crossPairsRawFromSets(train, trainId, trainText, testSets,
+    // defensive normalization at the ASSET boundary only: a stored or
+    // hand-built eval set may carry duplicate shingles, which would
+    // inflate nb and deflate containment
+    crossPairsRawFromSets(train, trainId, trainText,
+        testSets.select($"test_id", array_distinct($"shs").as("shs")),
         n, maxDf, mat)
       .withColumn("cont_test_ppm", expr("inter * 1000000 DIV nb"))
       .filter($"cont_test_ppm" >= tauPpm)

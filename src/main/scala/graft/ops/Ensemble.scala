@@ -109,9 +109,18 @@ object Ensemble {
     * first scorer's bucketing alone — EnsembleSpec property). The
     * mean never exceeds the max of its inputs, so the weighted gate
     * keeps a subset of the max gate's survivors at equal minBucket
-    * (dominance property in EnsembleSpec).
+    * (dominance property in EnsembleSpec). CONTRACT (round-18
+    * review): bucket values are [[bucketize]]'s scale — [0, 999] by
+    * the nBuckets ≤ 1000 bound — and weights are capped at 10⁹, so
+    * Σ wᵢ·bᵢ stays exact in int64 up to ~9×10⁶ scorers; both are
+    * REQUIREd loudly rather than wrapping silently.
     */
   final case class WeightedMeanBucket(weights: Seq[Long]) extends Combiner
+
+  /** Weight cap keeping the weighted-mean sum exact — see
+    * [[WeightedMeanBucket]].
+    */
+  val maxCombinerWeight = 1000000000L
 
   /** The ensemble decision over ALREADY-bucketed scorer columns:
     * ensemble bucket = `combiner` over the buckets, kept = ensemble
@@ -140,11 +149,28 @@ object Ensemble {
         require(ws.forall(_ >= 0L) && ws.sum > 0L,
           "WeightedMeanBucket: weights must be non-negative with a " +
             "positive sum")
+        // overflow fail-closed (round-18 review): with weights ≤ 1e9
+        // and bucket values ≤ 999 the weighted sum is exact in int64
+        // for any realistic scorer count — past the cap it could wrap
+        // SILENTLY negative and kept = b_ens >= minBucket would drop
+        // rows without a sound
+        require(ws.forall(_ <= maxCombinerWeight),
+          s"WeightedMeanBucket: weights above $maxCombinerWeight risk " +
+            "silent int64 overflow of the weighted sum — rescale them " +
+            "(the mean is invariant under common scaling)")
         // DIV (not /): Column./ on longs is DOUBLE division; buckets
         // and weights are non-negative so truncation == floor. Built
-        // over the column NAMES — bucketCols are names by contract.
+        // over the column NAMES (bucketCols are names by contract),
+        // backtick-quoted so any name col() accepts — spaces, dots,
+        // keywords — resolves the same way under either combiner
+        // (round-18 review: the unquoted spelling parsed dotted names
+        // as struct access).
         val terms = bucketCols.zip(ws)
-          .map { case (c, w) => s"$c * ${w}L" }.mkString(" + ")
+          .map { case (c, w) =>
+            require(!c.contains("`"),
+              s"WeightedMeanBucket: backtick in column name '$c'")
+            s"`$c` * ${w}L"
+          }.mkString(" + ")
         expr(s"CAST(($terms) DIV ${ws.sum}L AS BIGINT)")
     }
     bucketed
