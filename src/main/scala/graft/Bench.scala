@@ -39,7 +39,15 @@ object Bench {
       Map("spark.sql.autoBroadcastJoinThreshold" -> "64m"))
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated entry names to leave
+    // out — the suite-composition A/B lever (round 18: lets one box
+    // run two trees over the SAME entry list, isolating tree changes
+    // from suite-composition changes when new entries land). The
+    // official artifact runs with it UNSET.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filterNot(skip)
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
