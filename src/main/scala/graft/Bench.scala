@@ -52,6 +52,27 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // Warehouse-staleness witness (round 18): a same-box same-tree
+    // A/B read 88.8 s against a warehouse carrying 18 rounds of
+    // stale versioned state (7,770 files) vs 79.2 s fresh — stale
+    // neighbors tax the whole interleaved suite (PROFILE r18;
+    // tools/StateGc is the remedy). Recording the file count makes
+    // an inflated artifact self-identifying, like load_start.
+    val whFiles: Long = {
+      def count(p: java.nio.file.Path): Long =
+        if (!java.nio.file.Files.isDirectory(p)) 1L
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala.map(count).sum
+        }
+      try {
+        val wh = java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:"))
+        if (java.nio.file.Files.isDirectory(wh)) count(wh) else 0L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    }
+
     /** 1-minute load average — the contention witness. -1 if absent
       * (non-Linux), never throws inside the bench loop.
       */
@@ -141,7 +162,7 @@ object Bench {
     val total =
       if (names.exists(n => mins(n) < 0)) -1.0
       else names.map(mins).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_initial":$loadInitial,"load_wait_sec":$waitedSec,"load_end":$loadEnd,"interleaved":true,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$meds,"runs":$runsJ,"run_ts":$tsJ,"run_load":$loadJ,"load_start":$loadStart,"load_initial":$loadInitial,"load_wait_sec":$waitedSec,"load_end":$loadEnd,"wh_files":$whFiles,"interleaved":true,"sf":"$sfDir"}""")
     // The driver captures only the last ~2 KB of stdout; the full
     // forensic line above (runs/ts/load per repetition) exceeds that,
     // which in round 10 pushed the per-query mins out of the captured
@@ -150,7 +171,7 @@ object Bench {
     // LAST — headline total + per-query mins only (~1 KB) — so the
     // captured tail is always self-sufficient; the full line stays
     // for forensics when the whole stdout is available.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_start":$loadStart,"wh_files":$whFiles,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
