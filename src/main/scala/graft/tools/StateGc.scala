@@ -62,6 +62,24 @@ object StateGc {
     if (!Files.isDirectory(p)) 1L
     else Files.list(p).iterator().asScala.map(countFiles).sum
 
+  /** Classify-and-optionally-delete; the shared engine for the CLI
+    * form below and the bench's pre-warmup hygiene pass. Returns
+    * (staleEntries, staleFiles, liveEntries); logs through `out` so
+    * the bench can prefix its own tag.
+    */
+  def gc(wh: Path, v: String, apply: Boolean,
+         out: String => Unit = println): (Int, Long, Int) = {
+    if (!Files.isDirectory(wh)) return (0, 0L, 0)
+    val entries = Files.list(wh).iterator().asScala.toList.sortBy(_.toString)
+    val (stale, live) = entries.partition(p => isStale(p.getFileName.toString, v))
+    val staleFiles = stale.map(countFiles).sum
+    stale.foreach { p =>
+      out(s"stale: ${p.getFileName}")
+      if (apply) rmTree(p)
+    }
+    (stale.size, staleFiles, live.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val apply = args.contains("--apply")
     val wh = Paths.get(
@@ -72,15 +90,10 @@ object StateGc {
       println(s"[stategc] no warehouse at $wh — nothing to do")
       return
     }
-    val entries = Files.list(wh).iterator().asScala.toList.sortBy(_.toString)
-    val (stale, live) = entries.partition(p => isStale(p.getFileName.toString, v))
-    val staleFiles = stale.map(countFiles).sum
-    stale.foreach { p =>
-      println(s"[stategc] stale: ${p.getFileName}")
-      if (apply) rmTree(p)
-    }
+    val (nStale, staleFiles, nLive) =
+      gc(wh, v, apply, m => println(s"[stategc] $m"))
     val mode = if (apply) "DELETED" else "would delete (dry run; pass --apply)"
-    println(s"[stategc] current version $v: ${live.size} live entries kept, " +
-      s"${stale.size} stale entries / $staleFiles files $mode")
+    println(s"[stategc] current version $v: $nLive live entries kept, " +
+      s"$nStale stale entries / $staleFiles files $mode")
   }
 }
