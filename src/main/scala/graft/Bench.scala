@@ -69,27 +69,32 @@ object Bench {
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
         if (java.nio.file.Files.isDirectory(p)) Some(p) else None
       } catch { case scala.util.control.NonFatal(_) => None }
+    // -1 = GC disabled, -2 = GC attempted and failed (the bench must
+    // never die to hygiene — a half-deleted stale entry is strictly
+    // less junk than before, and the timings still stand on their
+    // recorded wh_files witness).
     val whGcDeleted: Long =
       if (sys.env.contains("SPARK_GRAFT_BENCH_NO_GC")) -1L
       else whPath.fold(0L) { p =>
-        val (n, files, _) = graft.tools.StateGc.gc(
-          p, graft.queries.OpsQueries.TrainDefV, apply = true,
-          m => System.err.println(s"[bench] stategc $m"))
-        if (n > 0)
-          System.err.println(
-            s"[bench] stategc: deleted $n stale entries / $files files")
-        files
-      }
-    val whFiles: Long = {
-      def count(p: java.nio.file.Path): Long =
-        if (!java.nio.file.Files.isDirectory(p)) 1L
-        else {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(p).iterator().asScala.map(count).sum
+        try {
+          val (n, files, _) = graft.tools.StateGc.gc(
+            p, graft.queries.OpsQueries.TrainDefV, apply = true,
+            m => System.err.println(s"[bench] stategc $m"))
+          if (n > 0)
+            System.err.println(
+              s"[bench] stategc: deleted $n stale entries / $files files")
+          files
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"[bench] stategc failed (continuing): " +
+                s"${e.getClass.getName}: ${e.getMessage}")
+            -2L
         }
-      try whPath.fold(0L)(count)
-      catch { case scala.util.control.NonFatal(_) => -1L }
-    }
+      }
+    val whFiles: Long =
+      try whPath.fold(0L)(graft.tools.StateGc.countFiles)
+      catch { case NonFatal(_) => -1L }
 
     /** 1-minute load average — the contention witness. -1 if absent
       * (non-Linux), never throws inside the bench loop.

@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, LinkOption, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Warehouse hygiene: delete PROVABLY-STALE versioned state and model
@@ -16,31 +16,57 @@ import scala.jdk.CollectionConverters._
   * fresh worktree — a ~12% whole-suite tax that had been misread as
   * a tree-level regression. Untouched queries (q03: 1.67 vs 1.32 s)
   * inflate through interleaved-neighbor pressure, not through reading
-  * the stale dirs themselves. Moving the warehouse aside recovered it
-  * (83.8 s, q03 1.31 s). PROFILE.md round 18 has the full ladder.
+  * the stale dirs themselves. GC alone recovered it (76.4 s).
+  * PROFILE.md round 18 has the full ladder.
   *
   * At 100 TB the same discipline applies: every TrainDefV bump
   * orphans the previous version's state/model directories — nothing
   * ever reads them again (the new name misses the catalog and
   * training reruns), so they are pure storage + listing + cache
-  * pressure. This tool deletes exactly the orphans and nothing else:
+  * pressure. This tool deletes exactly three orphan classes and
+  * nothing else:
   *
-  *  - any warehouse entry whose name carries a version token `_dNN_`
-  *    with NN != the current [[graft.queries.OpsQueries.TrainDefV]];
-  *  - any legacy `graft_*_state_*` entry with NO version token (the
-  *    pre-d16 state paths — superseded by the versioned discipline).
+  *  - a version token other than the current
+  *    [[graft.queries.OpsQueries.TrainDefV]] in the `_dNN__<sfx>`
+  *    position — ANCHORED at the double-underscore dataset-suffix
+  *    boundary every versioned writer produces (`..._d16__root_...`),
+  *    so `d<digits>` appearing inside a dataset PATH (`/mnt/d5/sf1`
+  *    → sfx `_mnt_d5_sf1`) can never classify a live asset stale;
+  *  - legacy `graft_*_state_*` entries with NO version token (the
+  *    pre-d16 state paths — superseded by the versioned discipline);
+  *  - unversioned instances of the model/asset FAMILIES whose
+  *    current writers always version their names (clf weights/rates/
+  *    threshold, LM tables, ensemble edges, decont eval sets): an
+  *    unversioned `graft_clf_w__<sfx>` is pre-versioning garbage by
+  *    construction.
   *
-  * Unversioned data assets (bloom/zorder/manifest/bm25/bpe tables,
-  * keyed by dataset path, reused across rounds) are NEVER touched:
-  * they are live serve-from-asset inputs, not versioned state.
+  * Unversioned data assets outside those families (bloom/zorder/
+  * manifest/bm25/bpe tables, keyed by dataset path, reused across
+  * rounds) are NEVER touched: they are live serve-from-asset inputs,
+  * not versioned state.
   *
   * Usage: `runMain graft.tools.StateGc [warehouseDir] [--apply]`
   * Dry-run by default — prints what it would delete and the live/
-  * stale counts; `--apply` deletes.
+  * stale counts; `--apply` deletes. The bench runs the same pass
+  * automatically before warmup (see Bench.scala).
   */
 object StateGc {
 
-  private val VersionTok = "_(d\\d+)_".r
+  /** Version token anchored at the sfx boundary: every versioned
+    * writer builds `<family>_${TrainDefV}_${sfx}` where sfx begins
+    * with '_' (absolute dataset paths), yielding `_dNN__`.
+    */
+  private val VersionTok = "_(d\\d+)__".r
+
+  /** Families whose CURRENT writers always carry a TrainDefV token;
+    * an unversioned instance (`<prefix>_<sfx>` = `<prefix>__...`) is
+    * therefore pre-versioning garbage. Kept in sync with the
+    * `graft_..._${TrainDefV}_` name builders in OpsQueries.
+    */
+  private val VersionedFamilies = Seq(
+    "graft_clf_w", "graft_clf_r", "graft_clf_thr",
+    "graft_lm_uni", "graft_lm_model",
+    "graft_ens_edges", "graft_decont_eval")
 
   /** Pure classification so the rule is unit-testable against the
     * real observed names. `v` is the CURRENT TrainDefV token.
@@ -48,35 +74,52 @@ object StateGc {
   def isStale(name: String, v: String): Boolean = {
     val toks = VersionTok.findAllMatchIn(name).map(_.group(1)).toList
     if (toks.nonEmpty) toks.exists(_ != v)
-    else name.startsWith("graft_") && name.contains("_state_")
+    else if (name.startsWith("graft_") && name.contains("_state_")) true
+    else VersionedFamilies.exists(f => name.startsWith(f + "__"))
   }
 
-  private def rmTree(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(rmTree)
+  private def listChildren(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Delete the tree WITHOUT following symlinks (a linked stale entry
+    * must drop the link, never the target's contents) and return the
+    * number of plain files removed — one traversal, no separate
+    * counting pass.
+    */
+  private def rmTree(p: Path): Long = {
+    val n =
+      if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS))
+        listChildren(p).map(rmTree).sum
+      else 1L
     Files.deleteIfExists(p)
-    ()
+    n
   }
 
-  private def countFiles(p: Path): Long =
-    if (!Files.isDirectory(p)) 1L
-    else Files.list(p).iterator().asScala.map(countFiles).sum
+  /** Plain-file count of a tree (symlinks counted as files, not
+    * followed). Shared with the bench's `wh_files` witness.
+    */
+  def countFiles(p: Path): Long =
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS))
+      listChildren(p).map(countFiles).sum
+    else 1L
 
   /** Classify-and-optionally-delete; the shared engine for the CLI
     * form below and the bench's pre-warmup hygiene pass. Returns
     * (staleEntries, staleFiles, liveEntries); logs through `out` so
-    * the bench can prefix its own tag.
+    * the bench can prefix its own tag. staleFiles is a plain-file
+    * count (deleted count when `apply`, would-delete count when not).
     */
   def gc(wh: Path, v: String, apply: Boolean,
          out: String => Unit = println): (Int, Long, Int) = {
     if (!Files.isDirectory(wh)) return (0, 0L, 0)
-    val entries = Files.list(wh).iterator().asScala.toList.sortBy(_.toString)
+    val entries = listChildren(wh).sortBy(_.toString)
     val (stale, live) = entries.partition(p => isStale(p.getFileName.toString, v))
-    val staleFiles = stale.map(countFiles).sum
-    stale.foreach { p =>
+    val staleFiles = stale.map { p =>
       out(s"stale: ${p.getFileName}")
-      if (apply) rmTree(p)
-    }
+      if (apply) rmTree(p) else countFiles(p)
+    }.sum
     (stale.size, staleFiles, live.size)
   }
 

@@ -47,13 +47,34 @@ class StateGcSpec extends AnyFunSuite {
     ) assert(!isStale(n, v), n)
   }
 
-  test("a dataset suffix cannot fake a version token") {
-    // the sfx normalizer maps path chars to '_'; a dir named with
-    // d<digits> between underscores WOULD parse as a token — the
-    // testdata sfx never produces one, pinned here so a future
-    // dataset layout that does gets caught by this spec, not by a
-    // silent deletion
+  test("a dataset suffix cannot fake a version token (review catch)") {
+    // the version token only counts at the `_dNN__` sfx boundary a
+    // versioned writer produces; `d<digits>` INSIDE a dataset path
+    // (/mnt/d5/sf1 -> sfx _mnt_d5_sf1) must never classify a live
+    // asset stale — the bench auto-GC would otherwise delete every
+    // asset keyed by such a path on every run
+    assert(!isStale("bpe_merges__mnt_d5_sf0_1", v))
+    assert(!isStale(s"graft_clf_w_${v}__mnt_d5_sf0_1", v))
     assert(!isStale("graft_bm25_post__root_testdata_sf0_01", v))
+    // ...while a real stale token at the boundary still classifies
+    // even when the path also carries a d-segment
     assert(isStale("graft_x_d15__root_d16_data", v))
+  }
+
+  test("pre-versioning MODEL tables of versioned families are stale (review catch)") {
+    // every current writer of these families versions its name; an
+    // unversioned instance is pre-d16 garbage by construction
+    for (
+      n <- Seq(
+        "graft_clf_w__root_testdata_sf0_01",
+        "graft_clf_r__root_testdata_sf0_1",
+        "graft_clf_thr__root_testdata_sf0_01",
+        "graft_lm_uni__root_testdata_sf0_001",
+        "graft_lm_model__root_testdata_sf0_01",
+        "graft_ens_edges__root_testdata_sf0_1",
+        "graft_decont_eval__root_testdata_sf0_01")
+    ) assert(isStale(n, v), n)
+    // a family PREFIX match must not bleed onto longer names
+    assert(!isStale("graft_clf_word_counts__root_testdata_sf0_01", v))
   }
 }
