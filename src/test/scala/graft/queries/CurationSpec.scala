@@ -198,6 +198,46 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
   }
 
+  test("q300 full funnel: eval leaks dropped, spend in BPE tokens within the split, over-mass repeats") {
+    val dir = "/root/testdata/sf0.001"
+    val out = OpsQueries.queries("q300_full_funnel")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // stage 1 (calibrated gate): every spam variant gone
+    assert(out.forall(_.getAs[Long]("doc_id") < 60000000L),
+      "a spam variant survived the calibrated gate")
+    // stage 4 (decontamination): no verbatim eval-leaked doc with an
+    // existing 3-shingle may be selected — its frozen eval copy
+    // shares its whole shingle set, containment exactly 10^6.
+    // Derive the flaggable set from the corpus itself so the pin
+    // stays faithful if the fixture changes: >= 3 whitespace tokens
+    // <=> at least one 3-shingle.
+    val flaggable = spark.read.parquet(s"$dir/documents.parquet")
+      .where("doc_id % 17 = 0 AND " +
+        "size(split(trim(text), '\\\\s+')) >= 3 AND trim(text) <> ''")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(flaggable.nonEmpty, "the eval-leak fixture lost its teeth")
+    val survivedLeaks =
+      out.map(_.getAs[Long]("doc_id")).filter(flaggable)
+    assert(survivedLeaks.isEmpty,
+      s"verbatim eval-leaked docs survived the full funnel: " +
+        survivedLeaks.distinct.mkString(", "))
+    // stages 5-6 (BPE epochs mixture): the 120000-BPE-token total is
+    // over-mass at this scale, so some source repeats, and the spend
+    // never exceeds the exact largest-remainder split's total
+    assert(out.map(_.getAs[Long]("epoch")).max >= 2L,
+      "no source repeated — the over-mass total lost its teeth")
+    assert(out.map(_.getAs[Long]("cost")).sum <= 120000L)
+    // a doc present at epoch e > 1 is present at every epoch below
+    // it (non-final epochs take the whole source)
+    out.groupBy(r => (r.getAs[String]("source"),
+        r.getAs[Long]("doc_id")))
+      .foreach { case ((src, id), rows) =>
+        val eps = rows.map(_.getAs[Long]("epoch")).sorted
+        assert(eps === (1L to eps.max).toSeq,
+          s"doc $id of $src skips an epoch: $eps")
+      }
+  }
+
   test("q286 ensemble gate: a kept doc is top-half for SOME scorer; inline == served (q288)") {
     val a = OpsQueries.queries("q286_ensemble_quality")(
       spark, "/root/testdata/sf0.001").collect()

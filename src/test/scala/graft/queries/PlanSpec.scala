@@ -812,6 +812,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q300 full funnel: sealed survivors + Generate repetition, every window PARTITIONED") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.tools.PlanWalk
+    // the returned plan starts at the SEALED surv4 (the decont
+    // anti-join runs at construction and is deliberately behind the
+    // lineage barrier — surv4 feeds the mass pass AND the selection,
+    // so an unsealed form would run the whole gate+decont chain
+    // twice); what must hold downstream of the seal: the BPE reprice
+    // is joins over the sealed survivors, the epoch repetition rides
+    // Generate inside the per-source partition (q299's pin), no
+    // cartesian anywhere, every window partitioned
+    val df = OpsQueries.q300(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p)
+    // the seal is really there: the tail reads the checkpointed
+    // survivors, not a re-derivation of the funnel (no corpus scan)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("documents.parquet"),
+      "the funnel re-derived past the surv4 seal:\n" + p)
+    val windows = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the full funnel:\n" + p)
+  }
+
   test("q273 calibrated gate: threshold is a LITERAL comparison, no cartesian") {
     // the calibration sweep runs driver-side during construction (a
     // bounded 1-row fetch); the returned gate plan must compare the
