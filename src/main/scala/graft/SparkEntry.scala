@@ -207,5 +207,14 @@ object SparkEntry {
     // driver recipe arithmetic — the cheapest serve face in the
     // suite, benched so a regression toward re-running the selection
     // per report read (q291's cost shape) is unmissable.
-    "q294_mixture_report_served")
+    "q294_mixture_report_served",
+    // the FULL production funnel (round-18 closing): calibrated gate
+    // → LM → keep-best dedup → eval decontamination → BPE repricing
+    // → over-mass epochs mixture, one query. Benched next to q292
+    // (same funnel + decont, fixed whitespace budget) so the
+    // marginal cost of the calibrated gate + BPE reprice + epochs
+    // tail is trended per round; a regression in ANY stage's shape
+    // (re-derived funnel past the surv4 seal, unbroadcast recipe,
+    // unpartitioned epoch window) surfaces here as a trend break.
+    "q300_full_funnel")
 }
