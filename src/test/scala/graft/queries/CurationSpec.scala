@@ -208,9 +208,12 @@ class CurationSpec extends SparkSpec {
     // stage 4 (decontamination): no verbatim eval-leaked doc with an
     // existing 3-shingle may be selected — its frozen eval copy
     // shares its whole shingle set, containment exactly 10^6.
-    // Derive the flaggable set from the corpus itself so the pin
-    // stays faithful if the fixture changes: >= 3 whitespace tokens
-    // <=> at least one 3-shingle.
+    // Derived from the corpus (>= 3 whitespace tokens <=> at least
+    // one 3-shingle) — a FIXTURE-SCALE pin, not a general law: the
+    // operator only flags docs with at least one rare shingle
+    // (union df <= the maxDf=100 cap), which holds for every leaked
+    // doc at sf0.001; a far more repetitive corpus could legally let
+    // an all-common-shingle doc through (closing-wave review).
     val flaggable = spark.read.parquet(s"$dir/documents.parquet")
       .where("doc_id % 17 = 0 AND " +
         "size(split(trim(text), '\\\\s+')) >= 3 AND trim(text) <> ''")
