@@ -128,16 +128,24 @@ object Classify {
     * at all) scores n_tokens × rate0 for every class and resolves to
     * the first label — deterministic, stated. Output:
     * (idCol, predicted, score_ppb).
+    *
+    * The argmax is ONE hash aggregate — min over (−score, label)
+    * structs, whose lexicographic order IS (score desc, label asc) —
+    * instead of a row_number window: the aggregate combines map-side
+    * and never sorts the (doc × class) frame, where the window form
+    * paid an exchange + sort per call even with WindowGroupLimit
+    * truncation (r18 optimization; negation is exact — |score_ppb| ≤
+    * n_tokens·10⁹ ≪ 2⁶³). Decision unchanged: every predict consumer
+    * stays under its unchanged oracle.
     */
   def predict(docs: DataFrame, idCol: String, textCol: String,
-              weights: DataFrame, rates: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score_ppb").desc, col("label").asc)
+              weights: DataFrame, rates: DataFrame): DataFrame =
     scoreAll(docs, idCol, textCol, weights, rates)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("label").as("predicted"), col("score_ppb"))
-  }
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score_ppb")).as("_neg"),
+        col("label").as("label"))).as("_m"))
+      .select(col(idCol), col("_m.label").as("predicted"),
+        (-col("_m._neg")).as("score_ppb"))
 
   /** Binary decision margin: score(posLabel) − score(negLabel) in
     * exact ppb — the two-class gate shape every production

@@ -29,7 +29,7 @@ object CleanCorpus {
             langs: Seq[String], minQuality: Double,
             n: Int, bands: Int, rowsPerBand: Int, tau: Double,
             maxBucket: Long = Dedup.defaultMaxBucket,
-            mat: Materializer = Materialize.Local): DataFrame = {
+            mat: Materializer = Materialize.LocalLazy): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
     // Materialization barrier: this function executes jobs anyway (see
@@ -134,7 +134,7 @@ object CleanCorpus {
                                 videoTauPpm: Long = 500000L,
                                 videoMaxDf: Long = 10L,
                                 maxFrames: Int = 8,
-                                mat: Materializer = Materialize.Local)
+                                mat: Materializer = Materialize.LocalLazy)
       : DataFrame = {
     val c = mat(corpus.select(col("doc_id"), col("bin"),
       Multimodal.sniffFormat(col("bin")).as("_fmt")))

@@ -101,7 +101,7 @@ object Decontaminate {
                          trainText: String, test: DataFrame,
                          testId: String, testText: String, n: Int,
                          tauPpm: Long, maxDf: Long = 1000L,
-                         mat: Materializer = Materialize.Local): DataFrame =
+                         mat: Materializer = Materialize.LocalLazy): DataFrame =
     contaminationPairsFromSets(train, trainId, trainText,
       Dedup.shingleSets(test, testId, testText, n)
         .select($"doc_id".as("test_id"), $"shs"),
@@ -119,7 +119,7 @@ object Decontaminate {
                                  trainText: String, testSets: DataFrame,
                                  n: Int, tauPpm: Long,
                                  maxDf: Long = 1000L,
-                                 mat: Materializer = Materialize.Local)
+                                 mat: Materializer = Materialize.LocalLazy)
       : DataFrame = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
@@ -141,7 +141,7 @@ object Decontaminate {
                        trainText: String, test: DataFrame,
                        testId: String, testText: String, n: Int,
                        maxDf: Long = 1000L,
-                       mat: Materializer = Materialize.Local): DataFrame =
+                       mat: Materializer = Materialize.LocalLazy): DataFrame =
     crossPairsRaw(train, trainId, trainText, test, testId, testText,
         n, maxDf, mat)
       .select($"train_id", $"test_id", $"inter".as("n_shared"),

@@ -55,7 +55,7 @@ object Dedup {
     */
   def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                         spanTokens: Int, minRepeat: Long,
-                        mat: Materializer = Materialize.Local): DataFrame = {
+                        mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minRepeat >= 2, s"minRepeat must be >= 2, got $minRepeat")
     // the block table feeds three plan branches (count aggregate,
@@ -183,7 +183,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxDf: Long = 1000L,
-                        mat: Materializer = Materialize.Local): DataFrame = {
+                        mat: Materializer = Materialize.LocalLazy): DataFrame = {
     // Same materialization barriers as minhashLshPairs: the shingle
     // table feeds the inverted index AND both verify probes, and the
     // capped index feeds both sides of the candidate self-join —
@@ -242,7 +242,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, tauPpm: Long, maxDf: Long = 1000L,
-                       mat: Materializer = Materialize.Local): DataFrame = {
+                       mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
@@ -274,7 +274,7 @@ object Dedup {
     */
   def setJaccardPairs(sets: DataFrame, tauPpm: Long,
                       maxDf: Long = 1000L,
-                      mat: Materializer = Materialize.Local): DataFrame = {
+                      mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
@@ -320,7 +320,7 @@ object Dedup {
     */
   def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double,
-                        mat: Materializer = Materialize.Local): DataFrame = {
+                        mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     val sets = mat(shingleSets(docs, idCol, textCol, n)
       .filter(size($"shs") > 0))
@@ -432,7 +432,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       tau: Double, maxBucket: Long = defaultMaxBucket,
-                      mat: Materializer = Materialize.Local): DataFrame = {
+                      mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     // The shingle table feeds three plan branches (bucketing + both
     // verify probes) and the bucket table feeds both sides of the
@@ -561,7 +561,7 @@ object Dedup {
   def crossContamination(left: DataFrame, lId: String, lText: String,
                          right: DataFrame, rId: String, rText: String,
                          n: Int, maxDf: Long, minShared: Int,
-                         mat: Materializer = Materialize.Local): DataFrame = {
+                         mat: Materializer = Materialize.LocalLazy): DataFrame = {
     // Each side's shingle table feeds its inverted index and a verify
     // probe — materialize once per side (see minhashLshPairs).
     val lSets = mat(shingleSets(left, lId, lText, n)
@@ -611,7 +611,7 @@ object Dedup {
     * Returns (labels, rounds): labels = (id, lbl = component min id).
     */
   def connectedComponentsWithRounds(pairs: DataFrame, maxRounds: Int = 64,
-      mat: Materializer = Materialize.Local): (DataFrame, Int) = {
+      mat: Materializer = Materialize.LocalLazy): (DataFrame, Int) = {
     val base = mat(pairs.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
@@ -676,7 +676,7 @@ object Dedup {
     * needs. Components via [[connectedComponentsWithRounds]].
     */
   def duplicateClusters(pairs: DataFrame,
-      mat: Materializer = Materialize.Local): DataFrame = {
+      mat: Materializer = Materialize.LocalLazy): DataFrame = {
     val (labels, _) = connectedComponentsWithRounds(pairs, mat = mat)
     labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"),
       ($"lbl" === $"id").as("is_keeper"))
@@ -714,7 +714,7 @@ object Dedup {
     * unchanged; brand-new ids appear with their delta component.
     */
   def ccIncremental(prevLabels: DataFrame, deltaPairs: DataFrame,
-      mat: Materializer = Materialize.Local): DataFrame = {
+      mat: Materializer = Materialize.LocalLazy): DataFrame = {
     val delta = mat(deltaPairs.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
@@ -746,7 +746,7 @@ object Dedup {
     */
   def duplicateClustersIncremental(prevClusters: DataFrame,
       deltaPairs: DataFrame,
-      mat: Materializer = Materialize.Local): DataFrame =
+      mat: Materializer = Materialize.LocalLazy): DataFrame =
     ccIncremental(
         prevClusters.select($"doc_id".as("id"), $"cluster_id".as("lbl")),
         deltaPairs, mat)
@@ -774,7 +774,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int, maxBucket: Long = defaultMaxBucket,
-                   mat: Materializer = Materialize.Local): DataFrame =
+                   mat: Materializer = Materialize.LocalLazy): DataFrame =
     hammingPairs(simhashFingerprints(docs, idCol, textCol), maxDist,
       maxBucket, mat)
 
@@ -837,7 +837,7 @@ object Dedup {
 
   def hammingPairs(fps: DataFrame, maxDist: Int,
                    maxBucket: Long = defaultMaxBucket,
-                   mat: Materializer = Materialize.Local): DataFrame = {
+                   mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(maxBucket >= 1L, s"maxBucket must be >= 1, got $maxBucket")
     // Materialize once before AND after capping: the population
     // aggregate + join-back and both self-join sides otherwise re-run

@@ -89,7 +89,7 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
-               mat: Materializer = Materialize.Local,
+               mat: Materializer = Materialize.LocalLazy,
                skipSinkCheck: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
     require(scale >= 1000000L, s"scale too small for integer damping: $scale")
@@ -133,7 +133,7 @@ object Graphs {
     * Returns (node, hops).
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-              mat: Materializer = Materialize.Local): DataFrame = {
+              mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32,
       s"maxHops must be 0..32, got $maxHops")
     val und = mat(undirected(edges))
@@ -206,9 +206,14 @@ object Graphs {
     * the recorded evidence, local wall is not the decision variable.
     */
   def triangleCounts(edges: DataFrame,
-                     mat: Materializer = Materialize.Local,
+                     mat: Materializer = Materialize.LocalLazy,
                      bloomBits: Int = 0): DataFrame = {
-    val und = undirected(edges)
+    // und feeds THREE plan branches (the orient join and both union
+    // arms of the degree count) — without a barrier each branch
+    // re-runs the upstream edge derivation, which for a
+    // co-occurrence graph is the expensive pair fan-out + dedup
+    // (q151's build re-derived it 3× at sf0.1; r18 optimization).
+    val und = mat(undirected(edges))
     val deg = und.select($"a".as("n"))
       .unionAll(und.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("d"))
@@ -217,6 +222,17 @@ object Graphs {
     // below — emitting each unordered tip pair once instead of twice
     // halves the wedge volume entering the closing join (the dominant
     // shuffle: Σ outdeg² rows).
+    // The wedge stage's parallelism is this frame's stored partition
+    // count, and its per-row fan-out is outdeg(u) — so (a) AQE's
+    // size-based coalescing of the small TABLE starves the expensive
+    // enumeration of cores (measured: one 6.8 s / 8-task stage owned
+    // q151 at sf0.1), and (b) a u-keyed distribution would skew it
+    // (wedge volume per center is outdeg², the hottest node holds
+    // ~outdeg_max² of it). ROUND-ROBIN repartition to the session's
+    // parallelism balances the enumeration exactly; width derives
+    // from the session, not a constant (r18 optimization; the stage
+    // read 0.9 s / 32 even-tasks after).
+    val wedgeParts = und.sparkSession.sparkContext.defaultParallelism
     val oriented = mat(und
       .join(deg.as("da"), $"a" === col("da.n"))
       .join(deg.as("db"), $"b" === col("db.n"))
@@ -225,7 +241,8 @@ object Graphs {
           struct($"a".as("u"), $"b".as("v"), col("db.d").as("dv")))
           .otherwise(struct($"b".as("u"), $"a".as("v"),
             col("da.d").as("dv"))).as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"), $"e.dv".as("dv")))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.dv".as("dv"))
+      .repartition(wedgeParts))
     // wedges centered at u with tips in orientation order, closed by
     // the consistently-oriented edge between them (x -> y exists in
     // exactly one orientation — the same (degree, id) order)
@@ -269,7 +286,7 @@ object Graphs {
     * degree INSIDE the core.
     */
   def kCore(edges: DataFrame, k: Long, maxRounds: Int,
-            mat: Materializer = Materialize.Local): DataFrame = {
+            mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(k >= 1L, s"k must be >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds must be 1..64, got $maxRounds")
@@ -313,7 +330,7 @@ object Graphs {
     * node-keyed join — same shuffle keys, no new scale hazard.
     */
   def clusteringCoefficients(edges: DataFrame,
-                             mat: Materializer = Materialize.Local): DataFrame = {
+                             mat: Materializer = Materialize.LocalLazy): DataFrame = {
     val und = undirected(edges)
     val deg = und.select($"a".as("node"))
       .unionAll(und.select($"b".as("node")))
@@ -364,7 +381,7 @@ object Graphs {
     */
   def hits(edges: DataFrame, iters: Int,
            scale: Long = 1000000000000L,
-           mat: Materializer = Materialize.Local): DataFrame = {
+           mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
     require(scale >= 1000000L, s"scale too small for integer rescale: $scale")
     val e = mat(edges.select($"src", $"dst"))
@@ -440,7 +457,7 @@ object Graphs {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            scale: Long = 1000000000000L,
-                           mat: Materializer = Materialize.Local,
+                           mat: Materializer = Materialize.LocalLazy,
                            skipSinkCheck: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be 1..20, got $iters")
     require(scale >= 1000000L, s"scale too small for integer damping: $scale")
@@ -502,7 +519,7 @@ object Graphs {
     * worst case. Returns (node, cost); seeds cost 0.
     */
   def cheapestPaths(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-                    mat: Materializer = Materialize.Local): DataFrame = {
+                    mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32,
       s"maxHops must be 0..32, got $maxHops")
     val e = mat(edges.select($"src", $"dst",
@@ -569,7 +586,7 @@ object Graphs {
     * in a handful of rounds.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       mat: Materializer = Materialize.Local): DataFrame = {
+                       mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(rounds >= 1 && rounds <= 10,
       s"rounds must be 1..10, got $rounds")
     import org.apache.spark.sql.expressions.Window

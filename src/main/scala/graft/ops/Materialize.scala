@@ -62,6 +62,25 @@ object Materialize {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
+  /** LAZY local checkpoint: the same ExistingRDD seal and
+    * compute-once storage as [[Local]], but materialized inside the
+    * FIRST consuming action instead of an eager job of its own — on
+    * local[*] this removes one scheduled job per barrier, and when
+    * one action consumes several lazy barriers their subtrees
+    * materialize CONCURRENTLY inside that job (block locks make
+    * first-touch compute-once). USE ONLY where every consumption is
+    * ordered AFTER construction with no same-call STATE MUTATION of
+    * the barrier's inputs in between: an eager barrier snapshots its
+    * input at construction, a lazy one at first consumption — if a
+    * caller mutates a state directory the barrier's plan reads
+    * before the first action touches it, lazy would read the mutated
+    * state (the streaming batch protocol was audited call site by
+    * call site for exactly this ordering — round-18 optimization).
+    */
+  case object LocalLazy extends Materializer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  }
+
   /** Lazy cache: no job at plan-construction time; blocks rebuilt from
     * lineage on loss.
     *

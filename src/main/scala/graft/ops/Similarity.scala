@@ -113,7 +113,7 @@ object Similarity {
     */
   def cosineDupPairs(corpus: DataFrame, tau: Double, nBits: Int,
                      dims: Int,
-                     mat: Materializer = Materialize.Local): DataFrame = {
+                     mat: Materializer = Materialize.LocalLazy): DataFrame = {
     // Materialize once: both sides of the candidate self-join read the
     // bucketed corpus (same barrier rationale as Dedup.minhashLshPairs).
     val b = mat(corpus.withColumn("bucket", signBucket($"qv", nBits, dims)))
@@ -250,7 +250,7 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, stride: Long,
                       iters: Int,
-                      mat: Materializer = Materialize.Local): DataFrame =
+                      mat: Materializer = Materialize.LocalLazy): DataFrame =
     kmeansCentroidsFrom(corpus, strideCentroids(corpus, stride), iters, mat)
 
   /** [[kmeansCentroids]] with an EXPLICIT seed table (cent_id, c_qv,
@@ -260,7 +260,7 @@ object Similarity {
     */
   def kmeansCentroidsFrom(corpus: DataFrame, seeds: DataFrame,
                           iters: Int,
-                          mat: Materializer = Materialize.Local): DataFrame = {
+                          mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // named encoders instead of spark.implicits._ (its $-interpolator
     // would clash with the package-level ColStr one this file uses)
@@ -328,7 +328,7 @@ object Similarity {
   def coarseForCorpus(corpus: DataFrame, nLists: Int,
                       samplePermille: Int = 100, iters: Int = 2,
                       trainPerList: Int = 64,
-                      mat: Materializer = Materialize.Local): DataFrame = {
+                      mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(nLists >= 1, s"nLists must be >= 1, got $nLists")
     require(trainPerList >= 1, s"trainPerList must be >= 1, got $trainPerList")
     val sample = corpus.filter(
@@ -578,7 +578,7 @@ object Similarity {
     */
   def opqRotationTrained(train: DataFrame, m: Int, dims: Int, stride: Long,
                          pqIters: Int, opqIters: Int, nsIters: Int = 40,
-                         mat: Materializer = Materialize.Local): Seq[Seq[Long]] =
+                         mat: Materializer = Materialize.LocalLazy): Seq[Seq[Long]] =
     opqRotations(train, m, dims, stride, pqIters, opqIters, nsIters, mat).last
 
   /** [[opqRotationTrained]] exposing the rotation AFTER EACH
@@ -590,7 +590,7 @@ object Similarity {
     */
   def opqRotations(train: DataFrame, m: Int, dims: Int, stride: Long,
                    pqIters: Int, opqIters: Int, nsIters: Int = 40,
-                   mat: Materializer = Materialize.Local): Seq[Seq[Seq[Long]]] = {
+                   mat: Materializer = Materialize.LocalLazy): Seq[Seq[Seq[Long]]] = {
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
     require(nsIters >= 1, s"nsIters must be >= 1, got $nsIters")
     var rq: Array[Array[Long]] =
@@ -701,7 +701,7 @@ object Similarity {
     */
   def pqCodebooksTrained(corpus: DataFrame, m: Int, dims: Int,
                          stride: Long, iters: Int,
-                         mat: Materializer = Materialize.Local): DataFrame = {
+                         mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"m must divide dims, got m=$m dims=$dims")
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -1163,7 +1163,7 @@ object Similarity {
     */
   def pqIndexRowsResidual(corpus: DataFrame, coarse: DataFrame,
                           rcb: DataFrame, m: Int, dims: Int,
-                          mat: Materializer = Materialize.Local): DataFrame = {
+                          mat: Materializer = Materialize.LocalLazy): DataFrame = {
     // both join branches (the assignment keys and the encode input)
     // consume the residual frame — without a barrier each branch
     // re-runs the corpus × centroids assignment (build-time cost ×2)
@@ -1702,7 +1702,7 @@ object Similarity {
     */
   def knnGraphMutual(corpus: DataFrame, centroids: DataFrame, k: Int,
                      nProbe: Int,
-                     mat: Materializer = Materialize.Local): DataFrame = {
+                     mat: Materializer = Materialize.LocalLazy): DataFrame = {
     val nn = mat(knnIvfWith(corpus, corpus, centroids, k, nProbe)
       .select($"query_id", $"neighbor_id", $"cos_sim"))
     nn.as("x").join(nn.as("y"),
@@ -1763,7 +1763,7 @@ object Similarity {
     * Output: (vec_id, cent_id, is_kept) for every corpus vector.
     */
   def semDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
-               mat: Materializer = Materialize.Local): DataFrame = {
+               mat: Materializer = Materialize.LocalLazy): DataFrame = {
     // Materialize once: the assignment feeds both sides of the
     // within-cluster self-join (same barrier rationale as
     // cosineDupPairs / minhashLshPairs).

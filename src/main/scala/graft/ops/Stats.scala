@@ -235,7 +235,7 @@ object Stats {
   def madOutliersSketchBy(df: DataFrame, groupCol: String,
                           valueCol: String, keyCol: String,
                           sampleK: Int, k: Int,
-                          mat: Materializer = Materialize.Local): DataFrame = {
+                          mat: Materializer = Materialize.LocalLazy): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val s1 = Sketches.quantilePartials(df, Seq(groupCol), col(keyCol),
       col(valueCol), sampleK)

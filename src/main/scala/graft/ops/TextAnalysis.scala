@@ -499,7 +499,7 @@ object TextAnalysis {
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                nMerges: Int,
-               mat: Materializer = Materialize.Local): org.apache.spark.sql.DataFrame = {
+               mat: Materializer = Materialize.LocalLazy): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1 && nMerges <= 200,
       s"nMerges must be 1..200, got $nMerges")
     val spark = docs.sparkSession
@@ -614,7 +614,7 @@ object TextAnalysis {
   def tokenDrift(a: org.apache.spark.sql.DataFrame,
                  b: org.apache.spark.sql.DataFrame, textCol: String,
                  minCount: Long, k: Int,
-                 mat: Materializer = Materialize.Local): org.apache.spark.sql.DataFrame = {
+                 mat: Materializer = Materialize.LocalLazy): org.apache.spark.sql.DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(k >= 1, s"k must be >= 1, got $k")
     // count tables sealed once: each feeds its own total aggregate

@@ -182,7 +182,11 @@ object StreamingUpsert {
                    n: Int, bands: Int, rowsPerBand: Int, tau: Double,
                    basePath: String,
                    maxBucket: Long = Dedup.defaultMaxBucket,
-                   mat: graft.ops.Materializer = graft.ops.Materialize.Local): Unit = {
+                   // lazy barrier: newSets/newBuckets are consumed by
+                   // the pairs write FIRST, and the appends below
+                   // mutate only paths this plan never reads — audited
+                   // for the LocalLazy ordering contract (r18 opt)
+                   mat: graft.ops.Materializer = graft.ops.Materialize.LocalLazy): Unit = {
     val setsPath = s"$basePath/sets"
     val bucketsPath = s"$basePath/buckets"
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -640,8 +644,13 @@ object StreamingUpsert {
                            idCol: String, textCol: String,
                            testSets: DataFrame, n: Int, tauPpm: Long,
                            maxDf: Long, basePath: String, batchId: Long,
+                           // lazy barrier: the dfstats write is the
+                           // first action and the only same-call state
+                           // this plan reads back (v=batchId) is
+                           // written by that very action — audited for
+                           // the LocalLazy ordering contract (r18 opt)
                            mat: graft.ops.Materializer =
-                             graft.ops.Materialize.Local): Unit = {
+                             graft.ops.Materialize.LocalLazy): Unit = {
     require(tauPpm >= 1L && tauPpm <= 1000000L,
       s"tauPpm must be 1..1000000, got $tauPpm")
     val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
@@ -2878,24 +2887,47 @@ object StreamingUpsert {
   def lmCountsBatch(spark: SparkSession, batch: DataFrame,
                     idCol: String, textCol: String, basePath: String,
                     batchId: Long,
+                    // lazy barrier: fresh is consumed only by the
+                    // uni/bi writes and recordSeen, none of which
+                    // mutate the seen versions (< batchId) its
+                    // anti-join reads — audited for the LocalLazy
+                    // ordering contract (r18 opt)
                     mat: graft.ops.Materializer =
-                      graft.ops.Materialize.Local): Unit = {
+                      graft.ops.Materialize.LocalLazy): Unit = {
     val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
       s"$basePath/seen"))
     // version N = mergeUnigrams/mergeBigramCounts over (version N−1 ∪
     // batch) — the SAME merge spellings the partials serve uses
     // (round-15 review: the inlined groupBys were a second place for
-    // the q210 law to drift)
-    val uniB = graft.ops.LangModel.unigramCounts(fresh, textCol)
-    val prevUni = readVersionBelow(spark, s"$basePath/uni", batchId)
-      .getOrElse(uniB.limit(0))
-    writeVersionPruned(spark, s"$basePath/uni", batchId,
-      graft.ops.LangModel.mergeUnigrams(prevUni.unionByName(uniB)))
-    val biB = graft.ops.LangModel.bigramCounts(fresh, textCol)
-    val prevBi = readVersionBelow(spark, s"$basePath/bi", batchId)
-      .getOrElse(biB.limit(0))
-    writeVersionPruned(spark, s"$basePath/bi", batchId,
-      graft.ops.LangModel.mergeBigramCounts(prevBi.unionByName(biB)))
+    // the q210 law to drift).
+    // The uni and bi version writes touch DISJOINT assets and the
+    // serve already reads min(latest uni, latest bi) — crash-
+    // consistent under EITHER completion order — so the two writes
+    // run as concurrent driver jobs (guide §2.6; r18 optimization).
+    // recordSeen stays strictly AFTER both: the replay gate must not
+    // advance past a version that never completed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val uniF = scala.concurrent.Future {
+        val uniB = graft.ops.LangModel.unigramCounts(fresh, textCol)
+        val prevUni = readVersionBelow(spark, s"$basePath/uni", batchId)
+          .getOrElse(uniB.limit(0))
+        writeVersionPruned(spark, s"$basePath/uni", batchId,
+          graft.ops.LangModel.mergeUnigrams(prevUni.unionByName(uniB)))
+      }(ec)
+      val biF = scala.concurrent.Future {
+        val biB = graft.ops.LangModel.bigramCounts(fresh, textCol)
+        val prevBi = readVersionBelow(spark, s"$basePath/bi", batchId)
+          .getOrElse(biB.limit(0))
+        writeVersionPruned(spark, s"$basePath/bi", batchId,
+          graft.ops.LangModel.mergeBigramCounts(prevBi.unionByName(biB)))
+      }(ec)
+      scala.concurrent.Await.result(uniF,
+        scala.concurrent.duration.Duration.Inf)
+      scala.concurrent.Await.result(biF,
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     recordSeen(spark, fresh.select(col(idCol).as("id")), batchId,
       s"$basePath/seen")
   }
@@ -2935,8 +2967,10 @@ object StreamingUpsert {
   def lmTrigramCountsBatch(spark: SparkSession, batch: DataFrame,
                            idCol: String, textCol: String,
                            basePath: String, batchId: Long,
+                           // lazy barrier — the lmCountsBatch audit
+                           // applies verbatim (r18 opt)
                            mat: graft.ops.Materializer =
-                             graft.ops.Materialize.Local): Unit = {
+                             graft.ops.Materialize.LocalLazy): Unit = {
     val lm = graft.ops.LangModel
     val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
       s"$basePath/seen"))
@@ -3009,8 +3043,13 @@ object StreamingUpsert {
   def clfCountsBatch(spark: SparkSession, batch: DataFrame,
                      idCol: String, labelCol: String, textCol: String,
                      basePath: String, batchId: Long,
+                     // lazy barrier: fresh is consumed only by the
+                     // cnts write and recordSeen; neither mutates the
+                     // seen versions (< batchId) its anti-join reads —
+                     // audited for the LocalLazy ordering contract
+                     // (r18 opt)
                      mat: graft.ops.Materializer =
-                       graft.ops.Materialize.Local): Unit = {
+                       graft.ops.Materialize.LocalLazy): Unit = {
     val fresh = mat(freshAgainstSeen(spark, batch, idCol, batchId,
       s"$basePath/seen"))
     val cB = graft.ops.Classify.classTokenCounts(fresh, labelCol, textCol)

@@ -633,13 +633,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
-  test("q258 classifier predict: per-doc argmax rides WindowGroupLimit; no cartesian") {
+  test("q258 classifier predict: per-doc argmax is ONE hash aggregate; no cartesian") {
     val p = plan(OpsQueries.q258(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
-    // the row_number rank-1 filter must truncate map-side (the q07
-    // machinery) — a refactor to a plain Window would sort every
-    // (doc x class) group without the limit pushdown
-    assert(p.contains("WindowGroupLimit"), p)
+    // the argmax is a min-over-(−score, label)-structs hash aggregate
+    // (r18 optimization) — map-side combine, no per-doc sort; a
+    // regression back to a window form would reintroduce an
+    // exchange + sort over the (doc × class) frame
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window ["),
+      s"predict argmax must stay a hash aggregate, not a window:\n$p")
+    assert(p.contains("HashAggregate"), p)
     // nested-loop sites are all bounded builds: the 1-row vocabulary
     // total attaches inside tokenWeights and baseRates, and the
     // classes-row rates table crosses the doc counts — never a
